@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.sources.DecimalMode
+
+/** Predicate operators for row conditionals. The reference consumes the
+  * framework's `Mapping.Conditionals` predicate set during the read loop
+  * (reference: src/CSVSourceReader.cs:132-137, 145-148; SURVEY.md §2.1 R6);
+  * this is the equivalent declarative set, compiled to a Catalyst filter so
+  * predicate pushdown reaches the scan.
+  */
+sealed trait CondOp
+object CondOp {
+  case object EqualTo     extends CondOp
+  case object NotEqualTo  extends CondOp
+  case object Contains    extends CondOp
+  case object NotContains extends CondOp
+  case object StartsWith  extends CondOp
+  case object EndsWith    extends CondOp
+  case object GreaterThan extends CondOp // numeric compare on double cast
+  case object LessThan    extends CondOp
+  case object In          extends CondOp
+}
+
+/** One row predicate: column vs constant(s). */
+final case class Conditional(column: String, op: CondOp, values: Seq[String]) {
+  def toColumn: Column = {
+    val c = col(column)
+    op match {
+      case CondOp.EqualTo     => c === values.head
+      case CondOp.NotEqualTo  => c =!= values.head
+      case CondOp.Contains    => c.contains(values.head)
+      case CondOp.NotContains => !c.contains(values.head)
+      case CondOp.StartsWith  => c.startsWith(values.head)
+      case CondOp.EndsWith    => c.endsWith(values.head)
+      case CondOp.GreaterThan => c.cast("double") > values.head.toDouble
+      case CondOp.LessThan    => c.cast("double") < values.head.toDouble
+      case CondOp.In          => c.isin(values: _*)
+    }
+  }
+}
+object Conditional {
+  def apply(column: String, op: CondOp, value: String): Conditional =
+    Conditional(column, op, Seq(value))
+}
+
+/** One output column: either a projection of a source column (with optional
+  * destination-driven cast + decimal normalization — reference
+  * src/CSVSourceReader.cs:218-243, R5/R7/R8) or a constant "script" value
+  * (reference src/CSVDestinationWriter.cs:95-115, R12).
+  */
+final case class ColumnMapping(
+    source: Option[String],
+    dest: String,
+    active: Boolean = true,
+    constant: Option[String] = None,
+    castTo: Option[DataType] = None,
+    decimalMode: DecimalMode = DecimalMode.None,
+) {
+  require(source.isDefined || constant.isDefined,
+    s"mapping to '$dest' needs a source column or a constant")
+
+  def toColumn: Column = {
+    val base = (source, constant) match {
+      case (_, Some(v))    => lit(v)
+      case (Some(s), None) => col(s)
+      case _               => throw new IllegalStateException
+    }
+    val converted = castTo match {
+      case Some(t) if isFloating(t) => Decimals.normalize(base, decimalMode).cast(t)
+      case Some(t)                  => base.cast(t)
+      case None                     => base
+    }
+    converted.as(dest)
+  }
+
+  private def isFloating(t: DataType): Boolean =
+    t == org.apache.spark.sql.types.DoubleType ||
+    t == org.apache.spark.sql.types.FloatType
+}
+
+/** Decimal-separator normalization (R8). All three reference modes, as pure
+  * codegen-friendly expressions — no UDF (SURVEY.md §4.3).
+  */
+object Decimals {
+  def normalize(c: Column, mode: DecimalMode): Column = mode match {
+    case DecimalMode.Comma  => regexp_replace(c, ",", ".")
+    case DecimalMode.Dot    => c
+    case DecimalMode.None   => c
+    case DecimalMode.Detect =>
+      // Reference Converter.ToDouble: parse as-is, else with separators
+      // swapped (src/CSVSourceReader.cs:231-234). try_cast keeps it null-safe.
+      coalesce(
+        c.try_cast("double").cast("string"),
+        translate(c, ",.", ".,").try_cast("double").cast("string"),
+        c)
+  }
+}
+
+/** One source-table → destination-table mapping: projection + rename +
+  * conditionals, i.e. the reference's per-mapping dataflow
+  * (src/CSVProvider.cs:563-577) as a single declarative plan fragment.
+  */
+final case class Mapping(
+    sourceTable: String,
+    destTable: String,
+    columns: Seq[ColumnMapping],
+    conditionals: Seq[Conditional] = Seq.empty,
+) {
+  /** Compile onto a source DataFrame: filter (conjunction, like the
+    * reference's CheckConditionals) then project active mappings in order.
+    * Catalyst pushes both into the scan.
+    */
+  def compile(source: DataFrame): DataFrame = {
+    val active = columns.filter(_.active)
+    require(active.nonEmpty, s"mapping $sourceTable->$destTable has no active columns")
+    val filtered = conditionals.map(_.toColumn)
+      .reduceOption(_ && _).fold(source)(source.filter)
+    filtered.select(active.map(_.toColumn): _*)
+  }
+}

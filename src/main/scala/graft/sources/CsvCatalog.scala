@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Raised when a header row repeats a non-empty column name — the reference
+  * treats this as a hard error (reference: src/CSVSourceReader.cs:245-273)
+  * where Spark would silently suffix-dedup. SURVEY.md §2.1 R3.
+  */
+final class DuplicateHeaderException(table: String, dups: Seq[String])
+    extends RuntimeException(
+      s"Duplicate columns in table '$table': ${dups.mkString(", ")}")
+
+/** CSV source catalog: one table per `*.csv` file (top-level only), table
+  * name = file stem, every column typed string — the reference's schema
+  * model (src/CSVProvider.cs:155-198, 281-315, 641-656; SURVEY.md §1.1-§1.3).
+  *
+  * Scale note: only the single header line of each file is read on the
+  * driver (schema is metadata); the data read is a plain distributed
+  * `spark.read.csv` with an explicit schema, so Spark's vectorized CSV
+  * scan, partitioned splits, and filter/column pushdown all apply.
+  */
+object CsvCatalog {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Minimal RFC-4180 field splitter for ONE line (the header). Quote char
+    * doubles to escape itself — same dialect as the data path (§1.4).
+    * Driver-side, O(header length); never used for data rows.
+    */
+  private[sources] def splitLine(line: String, dialect: CsvDialect): Seq[String] = {
+    val d = dialect.delimiter.head
+    val q = dialect.quote.head
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == q) {
+          if (i + 1 < line.length && line.charAt(i + 1) == q) { cur += q; i += 1 }
+          else inQuotes = false
+        } else cur += c
+      } else c match {
+        case `q` => inQuotes = true
+        case `d` => out += cur.result(); cur.clear()
+        case _   => cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def firstLine(file: Path, encoding: String): Option[String] = {
+    val in = Files.newInputStream(file)
+    try {
+      val r = new BufferedReader(new InputStreamReader(in, Charset.forName(encoding)))
+      Option(r.readLine())
+    } finally in.close()
+  }
+
+  /** Column names for one file, reference-style: header row verbatim when
+    * `hasHeader`, else positional `"Column 1".."Column N"` (1-based —
+    * reference src/CSVProvider.cs:290-305). Throws
+    * [[DuplicateHeaderException]] on repeated non-empty header names (R3).
+    */
+  def columnNames(file: Path, dialect: CsvDialect): Seq[String] = {
+    val table = stem(file)
+    firstLine(file, dialect.encoding) match {
+      case None => Seq.empty
+      case Some(line) =>
+        val fields = splitLine(line, dialect)
+        if (dialect.hasHeader) {
+          val dups = fields.filter(_.nonEmpty).groupBy(identity)
+            .collect { case (name, occ) if occ.size > 1 => name }.toSeq.sorted
+          if (dups.nonEmpty) throw new DuplicateHeaderException(table, dups)
+          fields
+        } else fields.indices.map(i => s"Column ${i + 1}")
+    }
+  }
+
+  private def stem(file: Path): String = {
+    val n = file.getFileName.toString
+    val dot = n.lastIndexOf('.')
+    if (dot > 0) n.substring(0, dot) else n
+  }
+
+  private def allStringSchema(names: Seq[String]): StructType =
+    StructType(names.map(StructField(_, StringType, nullable = true)))
+
+  /** Read one CSV file as an all-string DataFrame with reference naming.
+    * An explicit schema is always supplied, so the header line (when
+    * present) is skipped rather than re-inferred, and malformed-row policy
+    * ([[MalformedMode]]) applies to data rows only.
+    */
+  def readTable(spark: SparkSession, file: Path, dialect: CsvDialect): DataFrame = {
+    val names = columnNames(file, dialect)
+    spark.read
+      .options(dialect.readOptions)
+      .schema(allStringSchema(names))
+      .csv(file.toString)
+  }
+
+  /** Enumerate `*.csv` directly inside `dir` (top-level only, like the
+    * reference's `GetSourceFiles`, src/CSVProvider.cs:641-656).
+    */
+  def sourceFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.toLowerCase.endsWith(".csv"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+  }
+
+  /** Load a directory: one (tableName → DataFrame) per CSV file. Files
+    * whose header cannot be parsed are dropped from the catalog with a
+    * logged error, mirroring the reference's BadDataException handler
+    * (src/CSVProvider.cs:307-313).
+    */
+  def load(spark: SparkSession, dir: String,
+           dialect: CsvDialect = CsvDialect()): Map[String, DataFrame] = {
+    val entries = sourceFiles(Paths.get(dir)).flatMap { f =>
+      try Some(stem(f) -> readTable(spark, f, dialect))
+      catch {
+        case e: DuplicateHeaderException => throw e // hard error, R3
+        case e: Exception =>
+          log.error(s"[graft] dropping table '${stem(f)}': ${e.getMessage}")
+          None
+      }
+    }
+    ListMap(entries: _*)
+  }
+}
