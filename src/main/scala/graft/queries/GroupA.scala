@@ -37,9 +37,98 @@ object GroupA {
     )).compile(customer).orderBy("c_custkey")
   }
 
+  /** a3: NULL sentinel round-trip (R7/R11) — nulls injected before the CSV
+    * write must come back as SQL nulls, not the string "NULL".
+    */
+  def a3NullSentinel(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.csvRoundTrip(spark, sfDir, "orders", "a3",
+      prepare = _.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority")))
+    Mapping("orders", "orders_out", Seq(
+      ColumnMapping(Some("o_orderkey"), "o_orderkey", castTo = Some(LongType)),
+      ColumnMapping(Some("o_orderpriority"), "o_orderpriority"),
+    )).compile(orders).orderBy("o_orderkey")
+  }
+
+  /** a4: comma-decimal text → double (R8, Comma mode). */
+  def a4DecimalSeparator(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.csvRoundTrip(spark, sfDir, "lineitem", "a4",
+      prepare = _.select(
+        col("l_orderkey"), col("l_linenumber"),
+        regexp_replace(col("l_quantity").cast("string"), "\\.", ",").as("qty_text")))
+    Mapping("lineitem", "lineitem_out", Seq(
+      ColumnMapping(Some("l_orderkey"), "l_orderkey", castTo = Some(LongType)),
+      ColumnMapping(Some("l_linenumber"), "l_linenumber", castTo = Some(LongType)),
+      ColumnMapping(Some("qty_text"), "qty", castTo = Some(DoubleType),
+        decimalMode = graft.sources.DecimalMode.Comma),
+    )).compile(li).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** a5: defective rows dropped (R9, DROPMALFORMED): bad lines appended to
+    * the CSV after the round-trip write must vanish, leaving exactly the
+    * original table.
+    */
+  def a5DefectiveRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val sf = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-csv", sf, "a5")
+    Files.createDirectories(dir)
+    val dialect = CsvDialect(malformed = graft.sources.MalformedMode.Drop)
+    val file = graft.sources.CsvWrite.writeSingleFile(
+      Tables(spark, sfDir, "nation"), dir.toString, "nation", dialect)
+    Files.write(file,
+      "\"99\";\"BADLAND\";\"9\";\"EXTRA-FIELD\"\n\"98\";\"unclosed quote\n".getBytes("UTF-8"),
+      StandardOpenOption.APPEND)
+    Mapping("nation", "nation_out", Seq(
+      ColumnMapping(Some("n_nationkey"), "n_nationkey", castTo = Some(LongType)),
+      ColumnMapping(Some("n_name"), "n_name"),
+      ColumnMapping(Some("n_regionkey"), "n_regionkey", castTo = Some(LongType)),
+    )).compile(graft.sources.CsvCatalog.readTable(spark, file, dialect))
+      .orderBy("n_nationkey")
+  }
+
+  /** a6: no-header file → positional `Column i` names, 1-based (R2). */
+  def a6HeaderInference(spark: SparkSession, sfDir: String): DataFrame = {
+    val dialect = CsvDialect(hasHeader = false)
+    val region = Tables.csvRoundTrip(spark, sfDir, "region", "a6", dialect)
+    Mapping("region", "region_out", Seq(
+      ColumnMapping(Some("Column 1"), "r_regionkey", castTo = Some(LongType)),
+      ColumnMapping(Some("Column 2"), "r_name"),
+    )).compile(region).orderBy("r_regionkey")
+  }
+
+  /** a7: timestamps written as `dd-MM-yyyy HH:mm:ss:fff` (R13) — the raw
+    * formatted string must match DuckDB's strftime of the original.
+    */
+  def a7DatetimeFormat(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.csvRoundTrip(spark, sfDir, "orders", "a7")
+    Mapping("orders", "orders_out", Seq(
+      ColumnMapping(Some("o_orderkey"), "o_orderkey", castTo = Some(LongType)),
+      ColumnMapping(Some("o_orderdate"), "o_date_str"),
+    )).compile(orders).orderBy("o_orderkey")
+  }
+
+  /** a8: constant/script columns injected at the destination (R12). */
+  def a8ConstantColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.csvRoundTrip(spark, sfDir, "region", "a8")
+    Mapping("region", "region_out", Seq(
+      ColumnMapping(Some("r_regionkey"), "r_regionkey", castTo = Some(LongType)),
+      ColumnMapping(Some("r_name"), "r_name"),
+      ColumnMapping(None, "src", constant = Some("csv-import")),
+    )).compile(region).orderBy("r_regionkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
     "a2_filter_conditionals" -> (a2FilterConditionals _),
+    "a3_null_sentinel" -> (a3NullSentinel _),
+    "a4_decimal_separator" -> (a4DecimalSeparator _),
+    "a5_defective_rows" -> (a5DefectiveRows _),
+    "a6_header_inference" -> (a6HeaderInference _),
+    "a7_datetime_format" -> (a7DatetimeFormat _),
+    "a8_constant_column" -> (a8ConstantColumn _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -51,5 +140,28 @@ object GroupA {
         |FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
         |ORDER BY c_custkey""".stripMargin,
+    "a3_null_sentinel" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "a4_decimal_separator" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_quantity AS qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a5_defective_rows" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "a6_header_inference" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "a7_datetime_format" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%d-%m-%Y %H:%M:%S:%g') AS o_date_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "a8_constant_column" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+        |  'csv-import' AS src
+        |FROM region ORDER BY r_regionkey""".stripMargin,
   )
 }

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, TimestampNTZType, TimestampType}
 
 /** CSV sink with the reference's row format (src/CSVDestinationWriter.cs:80-152;
   * SURVEY.md §2.1 R11-R15):
@@ -37,7 +37,8 @@ object CsvWrite {
     val cols: Seq[Column] = df.schema.fields.map { f =>
       val c = col(f.name)
       val formatted = f.dataType match {
-        case TimestampType | DateType => date_format(c, TimestampPattern)
+        case TimestampType | TimestampNTZType | DateType =>
+          date_format(c, TimestampPattern)
         case DoubleType | FloatType   => c.cast("string")
         case _                        => c.cast("string")
       }
