@@ -1,14 +1,91 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group B — relational core (SURVEY.md §2.3 Group B): the general query
   * surface, expressed declaratively so Catalyst owns pushdown, join
   * selection, partial aggregation, and AQE.
+  *
+  * Determinism contract (SURVEY.md §2.3): every query ends with a total
+  * ORDER BY on a unique key; double aggregates are ROUND-wrapped; integer
+  * aggregates are cast to BIGINT on both sides (DuckDB SUM(BIGINT) would
+  * otherwise widen to HUGEINT); ORDER BY over nullable keys pins NULLS
+  * FIRST in the oracle (DuckDB defaults to NULLS LAST, Spark to FIRST).
   */
 object GroupB {
   type Q = (SparkSession, String) => DataFrame
+
+  /** b1: three-way equi inner join. orders⋈customer is the big pair and
+    * shuffles on the join key; nation is tiny and broadcast by Catalyst
+    * (it's under the autoBroadcast threshold at any SF — nation is fixed
+    * at 25 rows even at 100 TB).
+    */
+  def b1InnerJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val orders   = Tables(spark, sfDir, "orders")
+    val nation   = Tables(spark, sfDir, "nation")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .select(
+        col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("n_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** b2: left outer join + null handling. Customers without orders keep a
+    * null order side; oracle pins NULLS FIRST to match Spark's sort.
+    */
+  def b2OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val orders   = Tables(spark, sfDir, "orders")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("o_orderkey"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price_or_zero"))
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+  }
+
+  /** b3: left semi + left anti, tagged and unioned into one result.
+    * Semi/anti avoid materializing the right side's columns — at scale
+    * this is a broadcast-able existence check, not a full join.
+    */
+  def b3SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val orders   = Tables(spark, sfDir, "orders")
+    val cust = customer.select("c_custkey", "c_name")
+    val withOrders = cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_orders"))
+    val noOrders = cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    withOrders.union(noOrders).orderBy("c_custkey")
+  }
+
+  /** b4: explicit broadcast join of the small dims (region→nation), then a
+    * per-nation rollup of customer balances. The broadcast hint removes the
+    * shuffle on the dim side entirely — the only shuffle is the final
+    * 25-group aggregation.
+    */
+  def b4BroadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val nation   = Tables(spark, sfDir, "nation")
+    val region   = Tables(spark, sfDir, "region")
+    val dims = broadcast(
+      nation.join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey")))
+    customer
+      .join(dims, customer("c_nationkey") === dims("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
 
   /** b5: hash aggregate, TPC-H Q1 shape on lineitem. Partial (map-side)
     * aggregation + single shuffle on the group keys; at 100 TB the group
@@ -29,11 +106,234 @@ object GroupB {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** b6: distinct aggregates. count(distinct) expands to a two-phase
+    * aggregate in Spark (partial distinct then merge) — no driver-side
+    * dedup.
+    */
+  def b6DistinctAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_dist_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** b7: rollup with GROUPING() disambiguation. Spark expands rollup into
+    * a single expand+aggregate — one shuffle regardless of level count.
+    */
+  def b7RollupCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "rf", "ls")
+  }
+
+  /** b8: ranking window functions with a deterministic tiebreak. The
+    * window shuffles once on the partition key; at scale o_custkey is
+    * high-cardinality so partitions stay small and balanced.
+    */
+  def b8WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      row_number().over(w).as("rn"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy("o_orderkey")
+  }
+
+  /** b9: running/moving window frames (rowsBetween). Frame order is pinned
+    * by the unique o_orderkey so the running sum is deterministic.
+    */
+  def b9WindowFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        .as("running_sum"),
+      // sum/count instead of avg: both engines then evaluate the identical
+      // IEEE expression over the identically-ordered 3-row frame, so the
+      // 2-dp round can't straddle an ulp boundary between them.
+      round(sum("o_totalprice").over(w.rowsBetween(-2, 0)) /
+        count(lit(1)).over(w.rowsBetween(-2, 0)), 2).as("moving_avg3"))
+      .orderBy("o_orderkey")
+  }
+
+  /** b10: top-k per group via row_number ≤ k — Spark turns the rank filter
+    * into a per-partition top-k (WindowGroupLimit) instead of ranking
+    * everything then filtering.
+    */
+  def b10TopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** b11: global sort + limit. Spark plans this as TakeOrderedAndProject —
+    * per-partition top-N then a single driver merge of N×partitions rows,
+    * never a full global sort.
+    */
+  def b11SortLimit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** b12: set operations with Spark/ANSI distinct semantics, tagged into
+    * one result. intersect/except plan as aggregates/semi-joins — fully
+    * distributed.
+    */
+  def b12SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val building  = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val richKeys  = customer.filter(col("c_acctbal") > 5000)
+      .select("c_custkey")
+    val unionAll  = building.union(richKeys).withColumn("tag", lit("union_all"))
+    val inter     = building.intersect(richKeys).withColumn("tag", lit("intersect"))
+    val minus     = building.except(richKeys).withColumn("tag", lit("except"))
+    unionAll.union(inter).union(minus).orderBy("tag", "c_custkey")
+  }
+
+  /** b13: scalar function sweep — string, date, math, conditional — all
+    * codegen'd builtins (functions._), zero UDFs.
+    */
+  def b13ScalarFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    orders.select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      concat(col("o_orderstatus"), lit("/"), col("o_orderpriority")).as("status_prio"),
+      col("o_orderpriority").like("%URGENT%").as("is_urgent"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("o_month"),
+      datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long").as("days_to_eoy"),
+      round(abs(col("o_totalprice") - 1000.0), 2).as("abs_diff"),
+      (col("o_orderkey") % 7).as("key_mod7"),
+      when(col("o_totalprice") > 100000, "big")
+        .when(col("o_totalprice") > 10000, "mid")
+        .otherwise("small").as("size_class"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"))
+      .orderBy("o_orderkey")
+  }
+
+  /** b14: scalar + IN subqueries via SQL — Catalyst decorrelates both into
+    * joins (the scalar subquery becomes a broadcast of one row).
+    */
+  def b14Subquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").createOrReplaceTempView("customer")
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    spark.sql("""
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** b15: explicit GROUPING SETS via SQL — same expand+aggregate physical
+    * shape as rollup/cube.
+    */
+  def b15GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, rf, ls
+    """)
+  }
+
+  /** b16: tumbling 1-hour event-time window (batch). window() compiles to
+    * a plain group-by on the bucketed timestamp — the streaming-compatible
+    * shape (same code works under readStream + watermark).
+    */
+  def b16TimeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
-    "b5_hash_agg" -> (b5HashAgg _),
+    "b1_inner_join"     -> (b1InnerJoin _),
+    "b2_outer_join"     -> (b2OuterJoin _),
+    "b3_semi_anti"      -> (b3SemiAnti _),
+    "b4_broadcast_join" -> (b4BroadcastJoin _),
+    "b5_hash_agg"       -> (b5HashAgg _),
+    "b6_distinct_agg"   -> (b6DistinctAgg _),
+    "b7_rollup_cube"    -> (b7RollupCube _),
+    "b8_window_rank"    -> (b8WindowRank _),
+    "b9_window_frame"   -> (b9WindowFrame _),
+    "b10_topk_per_group" -> (b10TopkPerGroup _),
+    "b11_sort_limit"    -> (b11SortLimit _),
+    "b12_set_ops"       -> (b12SetOps _),
+    "b13_scalar_funcs"  -> (b13ScalarFuncs _),
+    "b14_subquery"      -> (b14Subquery _),
+    "b15_grouping_sets" -> (b15GroupingSets _),
+    "b16_time_window"   -> (b16TimeWindow _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b1_inner_join" ->
+      """SELECT o_orderkey, c_custkey, c_name, n_name, o_totalprice
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "b2_outer_join" ->
+      """SELECT c_custkey, o_orderkey,
+        |  COALESCE(o_totalprice, 0.0) AS price_or_zero
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "b3_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_orders' AS tag
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS tag
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "b4_broadcast_join" ->
+      """SELECT r_name, n_name,
+        |  COUNT(*) AS n_customers,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
     "b5_hash_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -46,5 +346,107 @@ object GroupB {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b6_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  ROUND(SUM(DISTINCT l_quantity), 2) AS sum_dist_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "b7_rollup_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "b8_window_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "b9_window_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "b10_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "b11_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "b12_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rich AS (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT * FROM (
+        |  SELECT c_custkey, 'union_all' AS tag FROM (
+        |    SELECT c_custkey FROM building UNION ALL SELECT c_custkey FROM rich)
+        |  UNION ALL
+        |  SELECT c_custkey, 'intersect' AS tag FROM (
+        |    SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+        |  UNION ALL
+        |  SELECT c_custkey, 'except' AS tag FROM (
+        |    SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich))
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "b13_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  UPPER(o_orderpriority) AS prio_upper,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+        |  o_orderstatus || '/' || o_orderpriority AS status_prio,
+        |  o_orderpriority LIKE '%URGENT%' AS is_urgent,
+        |  YEAR(o_orderdate) AS o_year,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS o_month,
+        |  DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+        |  ROUND(ABS(o_totalprice - 1000.0), 2) AS abs_diff,
+        |  o_orderkey % 7 AS key_mod7,
+        |  CASE WHEN o_totalprice > 100000 THEN 'big'
+        |       WHEN o_totalprice > 10000 THEN 'mid'
+        |       ELSE 'small' END AS size_class,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "b14_subquery" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "b15_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "b16_time_window" ->
+      """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        |  COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin,
   )
 }

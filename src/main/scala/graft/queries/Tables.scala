@@ -12,6 +12,18 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Load `events`, whose `ts` is parquet TIMESTAMP(NANOS) — a type Spark's
+    * vectorized reader rejects outright. Read it as a nanos-since-epoch
+    * long (legacy.parquet.nanosAsLong) and convert with integer division
+    * (ns values exceed 2^53, so a double-typed divide would lose micros).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Group-A fixture: round-trip a parquet table through our CSV sink and
     * source (write with reference dialect, read back all-string), so each
     * Group-A query exercises the real CSV semantics layer end-to-end.
