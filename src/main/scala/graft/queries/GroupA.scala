@@ -71,13 +71,9 @@ object GroupA {
     * original table.
     */
   def a5DefectiveRows(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
-    val sf = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-csv", sf, "a5")
-    Files.createDirectories(dir)
+    import java.nio.file.{Files, StandardOpenOption}
     val dialect = CsvDialect(malformed = graft.sources.MalformedMode.Drop)
-    val file = graft.sources.CsvWrite.writeSingleFile(
-      Tables(spark, sfDir, "nation"), dir.toString, "nation", dialect)
+    val file = Tables.csvRoundTripSingle(spark, sfDir, "nation", "a5", dialect)
     Files.write(file,
       "\"99\";\"BADLAND\";\"9\";\"EXTRA-FIELD\"\n\"98\";\"unclosed quote\n".getBytes("UTF-8"),
       StandardOpenOption.APPEND)
@@ -89,10 +85,14 @@ object GroupA {
       .orderBy("n_nationkey")
   }
 
-  /** a6: no-header file → positional `Column i` names, 1-based (R2). */
+  /** a6: no-header file → positional `Column i` names, 1-based (R2).
+    * Stays on the single-file path: the fixture pins the reference's
+    * one-file-per-table naming alongside the headerless dialect.
+    */
   def a6HeaderInference(spark: SparkSession, sfDir: String): DataFrame = {
     val dialect = CsvDialect(hasHeader = false)
-    val region = Tables.csvRoundTrip(spark, sfDir, "region", "a6", dialect)
+    val file = Tables.csvRoundTripSingle(spark, sfDir, "region", "a6", dialect)
+    val region = graft.sources.CsvCatalog.readTable(spark, file, dialect)
     Mapping("region", "region_out", Seq(
       ColumnMapping(Some("Column 1"), "r_regionkey", castTo = Some(LongType)),
       ColumnMapping(Some("Column 2"), "r_name"),

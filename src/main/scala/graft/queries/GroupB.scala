@@ -154,20 +154,26 @@ object GroupB {
   }
 
   /** b9: running/moving window frames (rowsBetween). Frame order is pinned
-    * by the unique o_orderkey so the running sum is deterministic.
+    * by the unique o_orderkey. The frame sums run over DECIMAL(18,2) so the
+    * accumulation is exact in both engines (a double sum differs by an ulp
+    * between DuckDB's segment-tree and Spark's frame recompute); the exact
+    * decimal is then cast to double, which is a deterministic conversion.
     */
   def b9WindowFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables(spark, sfDir, "orders")
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val priceDec = col("o_totalprice").cast("decimal(18,2)")
     orders.select(
       col("o_orderkey"), col("o_custkey"),
-      round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
-        .as("running_sum"),
-      // sum/count instead of avg: both engines then evaluate the identical
-      // IEEE expression over the identically-ordered 3-row frame, so the
-      // 2-dp round can't straddle an ulp boundary between them.
-      round(sum("o_totalprice").over(w.rowsBetween(-2, 0)) /
-        count(lit(1)).over(w.rowsBetween(-2, 0)), 2).as("moving_avg3"))
+      sum(priceDec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").as("running_sum"),
+      // round at 3dp, not 2: a 2-row average of 2dp cents lands EXACTLY on
+      // a .xx5 half-way point whenever the sum is odd in cents, and the two
+      // engines' half-way rules disagree on doubles. At 3dp the n=2 average
+      // is exact (no rounding happens) and the n=3 average never falls
+      // within an ulp of a half-way point.
+      round(sum(priceDec).over(w.rowsBetween(-2, 0)).cast("double") /
+        count(lit(1)).over(w.rowsBetween(-2, 0)), 3).as("moving_avg3"))
       .orderBy("o_orderkey")
   }
 
@@ -373,12 +379,14 @@ object GroupB {
         |ORDER BY o_orderkey""".stripMargin,
     "b9_window_frame" ->
       """SELECT o_orderkey, o_custkey,
-        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
-        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 3) AS moving_avg3
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "b10_topk_per_group" ->

@@ -13,31 +13,56 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Load `events`, whose `ts` is parquet TIMESTAMP(NANOS) — a type Spark's
-    * vectorized reader rejects outright. Read it as a nanos-since-epoch
-    * long (legacy.parquet.nanosAsLong) and convert with integer division
-    * (ns values exceed 2^53, so a double-typed divide would lose micros).
+    * vectorized reader rejects outright. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which Verify/Bench (and
+    * the test harness) set ONCE at session build — a query function must
+    * not silently mutate session-global conf. The nanos-long is converted
+    * with integer division (ns values exceed 2^53, so a double-typed
+    * divide would lose micros).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Staging dir for CSV round-trip fixtures: derived from (sf, tag) so
+    * repeated calls in one process overwrite rather than accumulate, and
+    * from the pid so concurrent runs of the same SF don't collide.
+    */
+  private def stagingDir(sfDir: String, tag: String): Path = {
+    val sf = Paths.get(sfDir).getFileName.toString
+    val pid = ProcessHandle.current().pid()
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-csv-$pid", sf, tag)
+    Files.createDirectories(dir)
+    dir
+  }
+
   /** Group-A fixture: round-trip a parquet table through our CSV sink and
     * source (write with reference dialect, read back all-string), so each
     * Group-A query exercises the real CSV semantics layer end-to-end.
-    * The staging dir is derived from (sfDir, table, tag) so repeated calls
-    * overwrite rather than accumulate.
+    * Uses the PARTITIONED write + directory read — the 100 TB path; no
+    * single-partition coalesce anywhere in the benched round trip.
     */
   def csvRoundTrip(spark: SparkSession, sfDir: String, table: String,
                    tag: String, dialect: CsvDialect = CsvDialect(),
                    prepare: DataFrame => DataFrame = identity): DataFrame = {
-    val sf = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-csv", sf, tag)
-    Files.createDirectories(dir)
-    val src = prepare(apply(spark, sfDir, table))
-    val file = CsvWrite.writeSingleFile(src, dir.toString, table, dialect)
-    CsvCatalog.readTable(spark, file, dialect)
+    val dir = stagingDir(sfDir, tag).resolve(table)
+    CsvWrite.writeDir(prepare(apply(spark, sfDir, table)), dir.toString, dialect)
+    CsvCatalog.readDir(spark, dir, dialect)
+  }
+
+  /** Single-file round-trip variant for fixtures that genuinely need one
+    * file on disk (a5 appends raw bad bytes; a6 pins the no-header naming
+    * of a single reference-style `<table>.csv`). Never used on big tables.
+    */
+  def csvRoundTripSingle(spark: SparkSession, sfDir: String, table: String,
+                         tag: String, dialect: CsvDialect = CsvDialect(),
+                         prepare: DataFrame => DataFrame = identity): Path = {
+    val dir = stagingDir(sfDir, tag)
+    CsvWrite.writeSingleFile(prepare(apply(spark, sfDir, table)),
+      dir.toString, table, dialect)
   }
 }

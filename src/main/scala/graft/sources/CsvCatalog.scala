@@ -108,6 +108,31 @@ object CsvCatalog {
       .csv(file.toString)
   }
 
+  /** Read a DIRECTORY of CSV part files (the output of
+    * [[CsvWrite.writeDir]]) as one all-string DataFrame. This is the 100 TB
+    * read path: Spark scans all parts in parallel with an explicit schema
+    * (header lines, when present, are skipped per file), and `_SUCCESS` /
+    * dot-files are ignored by the source. Column names are probed from the
+    * first non-empty part on the driver — O(one line), like [[columnNames]].
+    */
+  def readDir(spark: SparkSession, dir: Path, dialect: CsvDialect): DataFrame = {
+    val s = Files.list(dir)
+    val probe = try s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
+            Files.size(p) > 0
+        }
+        .toSeq.sortBy(_.getFileName.toString).headOption
+      finally s.close()
+    val first = probe.getOrElse(
+      throw new IllegalStateException(s"no non-empty CSV part files in $dir"))
+    spark.read
+      .options(dialect.readOptions)
+      .schema(allStringSchema(columnNames(first, dialect)))
+      .csv(dir.toString)
+  }
+
   /** Enumerate `*.csv` directly inside `dir` (top-level only, like the
     * reference's `GetSourceFiles`, src/CSVProvider.cs:641-656).
     */
