@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group C — LLM-data-pipeline operators (SURVEY.md §2.3 Group C; the
+  * BASELINE north-star surface): deduplication, near-dup detection,
+  * similarity search, text analysis, and semi-structured column handling —
+  * all declarative DataFrame plans (zero UDFs, zero collect()), each with a
+  * DuckDB oracle.
+  *
+  * Shared text normalization (used by c2/c4 and Group D): lowercase, crush
+  * every non-alphanumeric run to a single space, trim, split on the single
+  * space. Both engines evaluate the identical regex so token streams match
+  * exactly.
+  */
+object GroupC {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** `split(trim(lower(regexp_replace(text, ...))), ' ')` as a reusable
+    * fragment; DuckDB twin is [[tokenizeSql]].
+    */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(trim(lower(regexp_replace(c, "[^a-zA-Z0-9]+", " "))), " ")
+
+  /** DuckDB-side tokenizer over a column expression, kept textually in one
+    * place so every oracle uses the identical normalization.
+    */
+  def tokenizeSql(col: String): String =
+    s"string_split(trim(lower(regexp_replace($col, '[^a-zA-Z0-9]+', ' ', 'g'))), ' ')"
+
+  /** Distinct word-3-gram shingles per document: the unit of near-dup
+    * comparison for c2 (and the MinHash input for d1). Documents shorter
+    * than 3 tokens have no shingles and drop out — same rule both sides.
+    */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(ts) - 3), " +
+          "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("shingle"))
+      .distinct()
+  }
+
+  /** c1: exact deduplication — keep the smallest doc_id per identical text
+    * (deterministic tiebreak, unlike dropDuplicates whose survivor is
+    * partition-order dependent). One shuffle on the dedup key. At 100 TB
+    * the key would be a 128-bit text fingerprint (see d8) rather than the
+    * full text, so shuffle rows stay small.
+    */
+  def c1DedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** c2: near-duplicate pairs by exact shingle Jaccard ≥ 0.6. The join is
+    * BUCKETED BY SHINGLE (inverted index) — only documents sharing a
+    * shingle ever meet, never all-pairs. This exact variant is the declared
+    * oracle-checked query; d1 is the MinHash+LSH formulation whose
+    * candidate generation stays cheap when hot shingles would make this
+    * join skew at 100 TB.
+    */
+  def c2DedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") /
+          (col("sa.n") + col("sb.n") - col("c")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cosine similarity of two double arrays as a pure higher-order-function
+    * expression: sequential left-to-right folds, exactly DuckDB's
+    * `list_cosine_similarity` evaluation order (verified bit-equal), with
+    * the same [-1, 1] clamp.
+    */
+  def cosine(a: String, b: String): org.apache.spark.sql.Column = {
+    val dot = s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    val na = s"aggregate($a, 0D, (acc, x) -> acc + x * x)"
+    val nb = s"aggregate($b, 0D, (acc, x) -> acc + x * x)"
+    expr(s"greatest(-1D, least(1D, $dot / (sqrt($na) * sqrt($nb))))")
+  }
+
+  /** c3: brute-force cosine top-k against a fixed query vector (vec_id 0).
+    * The one-row query side is broadcast; the scan side streams through a
+    * codegen'd higher-order-function pipeline and TakeOrderedAndProject
+    * keeps only k rows per partition — no global sort, no driver loop.
+    * This is the exact baseline; d4 is the LSH-bucketed approximate path.
+    */
+  def c3SimilarityTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine("v", "qv"), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** c4: text analysis — corpus term frequency + document frequency over
+    * the shared tokenizer. explode + two-level aggregate; partial
+    * aggregation keeps the shuffle at one row per (token) per partition.
+    */
+  def c4TextAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** c5: semi-structured (multimodal metadata) column handling — JSON
+    * `events.props` parsed with from_json into typed fields. from_json is
+    * codegen'd and runs scan-side; only the extracted longs reach the sort.
+    */
+  def c5MultimodalCols(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    events.select(col("event_id"), col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k_val"))
+      .withColumn("k_bucket", col("k_val") % 10)
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c1_dedup_exact"     -> (c1DedupExact _),
+    "c2_dedup_near"      -> (c2DedupNear _),
+    "c3_similarity_topk" -> (c3SimilarityTopk _),
+    "c4_text_analysis"   -> (c4TextAnalysis _),
+    "c5_multimodal_cols" -> (c5MultimodalCols _),
+  )
+
+  private val tokSql = tokenizeSql("text")
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "c2_dedup_near" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+         |  WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 4) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "c3_similarity_topk" ->
+      """SELECT vec_id, label,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    "c4_text_analysis" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokSql) AS token FROM documents)
+         |SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM toks WHERE token <> ''
+         |GROUP BY token
+         |ORDER BY cnt DESC, token""".stripMargin,
+    "c5_multimodal_cols" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+  )
+}
