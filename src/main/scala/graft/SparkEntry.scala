@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GroupA, GroupB, GroupC}
+import graft.queries.{GroupA, GroupB, GroupC, GroupD}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in graft.queries.Group{A,B,C}; this object only aggregates.
@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GroupA.queries ++ GroupB.queries ++ GroupC.queries
+    GroupA.queries ++ GroupB.queries ++ GroupC.queries ++ GroupD.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    GroupA.oracleSql ++ GroupB.oracleSql ++ GroupC.oracleSql
+    GroupA.oracleSql ++ GroupB.oracleSql ++ GroupC.oracleSql ++ GroupD.oracleSql
 }

@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group D — scale-path extensions of the Group C LLM-pipeline surface:
+  * the sketch/bucketed formulations a 100 TB corpus needs where Group C's
+  * exact variants would blow up, plus text-analysis operators (language ID,
+  * quality scoring, token counting, fingerprinting). All declarative; no
+  * UDFs; every hash is built from engine-deterministic primitives
+  * (xxhash64 / md5) so results are reproducible run-to-run.
+  *
+  * ANSI-arithmetic note: Spark 4 enables ANSI mode, so integer overflow
+  * THROWS instead of wrapping. Every hash recurrence here is therefore
+  * arranged to stay inside the long range: MinHash permutes via
+  * `(a * h32 + b) mod (2^61-1)` with `a, b < 2^31` and `h32 < 2^32`
+  * (product < 2^63), and the rolling fingerprint folds
+  * `(acc * 65599 + h16) mod (2^31-1)` (product < 2^48).
+  */
+object GroupD {
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- deterministic MinHash permutation constants (seeded, fixed) -------
+  private val MersennePrime61 = "2305843009213693951" // 2^61 - 1
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(128)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val b = Array.fill(128)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+  private def sqlLongArray(xs: Array[Long]): String =
+    xs.mkString("array(", "L,", "L)")
+
+  /** d1: near-dup pairs via MinHash(128) + LSH banding (64 bands × 2 rows)
+    * with exact-Jaccard verification of candidates — the 100 TB formulation
+    * of c2. Candidate generation touches each document O(signature) times
+    * regardless of how hot any one shingle is (c2's inverted-index join
+    * skews on hot shingles); the exact Jaccard join runs only on candidate
+    * pairs. At a 0.6 threshold and 64×2 banding the per-pair miss
+    * probability is (1-j²)^64 < 1e-12, so the verified output equals the
+    * exact oracle (c2's SQL) with overwhelming probability.
+    */
+  def d1DedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = GroupC.shingles(spark, sfDir)
+    // one row per doc: all shingle hashes, folded to 128 min-hash values
+    val sigs = sh
+      .select(col("doc_id"),
+        expr("xxhash64(shingle) & 4294967295").as("h32"))
+      .groupBy("doc_id").agg(collect_list("h32").as("hs"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, 127), i ->
+           |  array_min(transform(hs, h ->
+           |    (${sqlLongArray(permA)}[i] * h + ${sqlLongArray(permB)}[i])
+           |      % $MersennePrime61)))""".stripMargin).as("mh"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 63), j -> xxhash64(j, mh[2*j], mh[2*j+1]))"))
+        .as(Seq("band", "key")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verification, restricted to candidates
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") /
+          (col("za.n") + col("zb.n") - col("c")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d2: SimHash near-dup pairs. 32-bit signatures built from md5 token
+    * hashes (md5 is identical in Spark and DuckDB, so the oracle can
+    * recompute the very same signatures); candidates pair up via 4 bands of
+    * 8 bits. By pigeonhole, any two signatures within Hamming distance 3
+    * agree on at least one of 4 bands — the banded join is EXACT for the
+    * ≤3 threshold, not approximate, while staying linear in documents.
+    */
+  def d2DedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val tw = docs
+      .select(col("doc_id"), explode(GroupC.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"),
+        expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
+    val sigs = tw
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("cnt * (2 * ((h >> j) & 1) - 1)")).as("s"))
+      .select(col("doc_id"), col("j"),
+        expr("case when s > 0 then 1L else 0L end").as("bit"))
+      .groupBy("doc_id").agg(sum(expr("shiftleft(bit, j)")).as("simhash"))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (simhash >> (8 * b)) & 255)"))
+        .as(Seq("band", "key")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d3: k-NN join — exact top-5 cosine neighbors for each query vector
+    * (vec_id < 50). The query side is broadcast, so the big side streams
+    * once with no shuffle; per-query top-k runs as a rank-limited window.
+    * This is the multi-query generalization of c3's single-query top-k.
+    */
+  def d3KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        GroupC.cosine("v", "qv").as("s"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** d4: approximate nearest neighbor via random-hyperplane LSH — the
+    * scale path where d3's exact scan is too expensive. 4 tables × 10 sign
+    * bits per vector (hyperplane components are ±1 derived from
+    * xxhash64(table, bit, dim) — deterministic, no stored model); vectors
+    * sharing a bucket in any table become candidates; exact cosine ranks
+    * the candidates and keeps the best per query. Approximate ⇒ declared
+    * without an oracle (driver rows-only check); d3 is the exact baseline
+    * it trades against.
+    */
+  def d4AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val keyed = e.select(col("vec_id"), col("v"),
+      posexplode(expr(
+        """transform(sequence(0, 3), t ->
+          |  aggregate(sequence(0, 9), 0L, (acc, j) ->
+          |    acc + (case when
+          |      aggregate(sequence(0, size(v) - 1), 0D, (s, k) ->
+          |        s + v[k] * (2 * (xxhash64(t, j, k) & 1) - 1)) > 0D
+          |      then shiftleft(1L, j) else 0L end)))""".stripMargin))
+        .as(Seq("tbl", "bucket")))
+    val cand = keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("x.v").as("qv"),
+        col("y.vec_id").as("nn_id"), col("y.v").as("nv"))
+      .distinct()
+    val sims = cand.select(col("qid"), col("nn_id"),
+      GroupC.cosine("nv", "qv").as("s"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"))
+      .orderBy("qid")
+  }
+
+  // --- language-ID stopword lists (tiny, deterministic heuristic) --------
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "les", "et", "une", "des", "du", "est", "au"),
+    "de" -> Seq("der", "die", "das", "und", "von", "zu", "ist", "ein"),
+  )
+  private def sqlInList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** d5: heuristic language ID — per-language stopword hit counts with a
+    * fixed-priority argmax. One explode + one aggregate; the per-language
+    * sums ride map-side partial aggregation.
+    */
+  def d5LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(GroupC.tokens(col("text"))).as("token"))
+    val hitCols = langLists.map { case (lang, words) =>
+      sum(when(col("token").isin(words: _*), 1L).otherwise(0L)).as(s"${lang}_hits")
+    }
+    val hits = toks.groupBy("doc_id").agg(hitCols.head, hitCols.tail: _*)
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id") +: langLists.map { case (l, _) =>
+        coalesce(col(s"${l}_hits"), lit(0L)).as(s"${l}_hits") }: _*)
+      .withColumn("pred_lang",
+        expr("""case
+          |  when en_hits > 0 and en_hits >= es_hits and en_hits >= fr_hits and en_hits >= de_hits then 'en'
+          |  when es_hits > 0 and es_hits >= fr_hits and es_hits >= de_hits then 'es'
+          |  when fr_hits > 0 and fr_hits >= de_hits then 'fr'
+          |  when de_hits > 0 then 'de'
+          |  else 'und' end""".stripMargin))
+      .orderBy("doc_id")
+  }
+
+  /** d6: document quality scoring — token count, average token length,
+    * punctuation ratio, stopword ratio, and a pass/fail gate. Ratios are
+    * emitted as FLOOR(x · 10⁴) fixed-point longs: floor of an identical
+    * double is identical in every engine, where ROUND's half-way rule is
+    * not. Pure per-row expressions; trivially scan-parallel.
+    */
+  def d6QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val stop = sqlInList(langLists.head._2)
+    docs
+      .select(col("doc_id"), col("text"), GroupC.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        expr("size(ts)").cast("long").as("n_tokens"),
+        expr("cast(floor(aggregate(ts, 0L, (acc, x) -> acc + length(x)) " +
+          "/ cast(size(ts) as double) * 10000) as bigint)").as("avg_token_len_e4"),
+        expr("cast(floor(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) " +
+          "/ cast(length(text) as double) * 10000) as bigint)").as("punct_ratio_e4"),
+        expr(s"cast(floor(size(filter(ts, x -> x in $stop)) " +
+          "/ cast(size(ts) as double) * 10000) as bigint)").as("stop_ratio_e4"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("punct_ratio_e4") <= 3000 &&
+          col("avg_token_len_e4") >= 15000 && col("avg_token_len_e4") <= 120000)
+      .orderBy("doc_id")
+  }
+
+  /** d7: token counting — whitespace tokens, BPE-ish sub-token count (the
+    * `[a-z]+|[0-9]|[^a-z0-9\s]` segmentation a byte-pair tokenizer
+    * approximates), and raw characters. Per-row regex work, scan-parallel.
+    */
+  def d7TokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs.select(col("doc_id"),
+      expr(raw"size(split(trim(text), '\\s+'))").cast("long").as("ws_tokens"),
+      expr(raw"size(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0))")
+        .cast("long").as("bpe_ish_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+  }
+
+  /** d8: document fingerprinting — an md5 content fingerprint of the
+    * normalized token stream plus a 31-bit polynomial rolling hash folded
+    * left-to-right over md5-derived 16-bit token hashes (the streaming-
+    * friendly fingerprint; both engines fold in the same order). The md5
+    * fingerprint is the 100 TB dedup key: c1 keyed on it shuffles 16-byte
+    * keys instead of full documents.
+    */
+  def d8Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val withFp = docs
+      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        md5(expr("concat_ws(' ', ts)")).as("md5_fp"),
+        expr("aggregate(transform(ts, t -> cast(conv(substr(md5(t), 1, 4), 16, 10) as bigint)), " +
+          "0L, (acc, h) -> (acc * 65599 + h) % 2147483647)").as("rolling_fp"))
+    val w = Window.partitionBy("md5_fp")
+    withFp.withColumn("n_same", count(lit(1)).over(w))
+      .select(col("doc_id"), col("md5_fp"), col("rolling_fp"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
+    "d2_dedup_simhash"     -> (d2DedupSimhash _),
+    "d3_knn_join"          -> (d3KnnJoin _),
+    "d4_ann_lsh"           -> (d4AnnLsh _),
+    "d5_lang_id"           -> (d5LangId _),
+    "d6_quality_score"     -> (d6QualityScore _),
+    "d7_token_count"       -> (d7TokenCount _),
+    "d8_fingerprint"       -> (d8Fingerprint _),
+  )
+
+  private val tokSql = GroupC.tokenizeSql("text")
+
+  val oracleSql: Map[String, String] = Map(
+    // d1 verifies candidates with exact Jaccard — its contract IS c2's.
+    "d1_dedup_minhash_lsh" -> GroupC.oracleSql("c2_dedup_near"),
+    "d2_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |tw AS (
+         |  SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         |th AS (
+         |  SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tw),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN sum(cnt * (2 * ((h >> j) & 1) - 1)) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM th, LATERAL (SELECT unnest(range(0, 32)) AS j)
+         |  GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id, sum(bit << j)::BIGINT AS simhash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_knn_join" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a
+        |  JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 50)
+        |SELECT qid, nn_id, ROUND(s, 6) AS sim, rn FROM (
+        |  SELECT qid, nn_id, s,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nn_id) AS INT) AS rn
+        |  FROM pairs) t
+        |WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+    // d4_ann_lsh: approximate — no oracle (rows-only check).
+    "d5_lang_id" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |${langLists.map { case (l, ws) =>
+             s"    sum(CASE WHEN token IN ${sqlInList(ws)} THEN 1 ELSE 0 END)::BIGINT AS ${l}_hits" }
+           .mkString(",\n")}
+         |  FROM toks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |${langLists.map { case (l, _) =>
+             s"  COALESCE(${l}_hits, 0)::BIGINT AS ${l}_hits" }.mkString(",\n")},
+         |  CASE
+         |    WHEN COALESCE(en_hits,0) > 0 AND COALESCE(en_hits,0) >= COALESCE(es_hits,0) AND COALESCE(en_hits,0) >= COALESCE(fr_hits,0) AND COALESCE(en_hits,0) >= COALESCE(de_hits,0) THEN 'en'
+         |    WHEN COALESCE(es_hits,0) > 0 AND COALESCE(es_hits,0) >= COALESCE(fr_hits,0) AND COALESCE(es_hits,0) >= COALESCE(de_hits,0) THEN 'es'
+         |    WHEN COALESCE(fr_hits,0) > 0 AND COALESCE(fr_hits,0) >= COALESCE(de_hits,0) THEN 'fr'
+         |    WHEN COALESCE(de_hits,0) > 0 THEN 'de'
+         |    ELSE 'und' END AS pred_lang
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "d6_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $tokSql AS ts FROM documents)
+         |SELECT doc_id,
+         |  len(ts)::BIGINT AS n_tokens,
+         |  CAST(floor(list_sum(list_transform(ts, x -> len(x)))
+         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS avg_token_len_e4,
+         |  CAST(floor(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |    / CAST(len(text) AS DOUBLE) * 10000) AS BIGINT) AS punct_ratio_e4,
+         |  CAST(floor(len(list_filter(ts, x -> x IN ${sqlInList(langLists.head._2)}))
+         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS stop_ratio_e4,
+         |  (len(ts) >= 5 AND
+         |   CAST(floor(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |     / CAST(len(text) AS DOUBLE) * 10000) AS BIGINT) <= 3000 AND
+         |   CAST(floor(list_sum(list_transform(ts, x -> len(x)))
+         |     / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) BETWEEN 15000 AND 120000
+         |  ) AS quality_ok
+         |FROM base
+         |ORDER BY doc_id""".stripMargin,
+    "d7_token_count" ->
+      raw"""SELECT doc_id,
+           |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS bpe_ish_tokens,
+           |  len(text)::BIGINT AS n_chars_actual
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin,
+    "d8_fingerprint" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(ts, ' ')) AS md5_fp,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(ts, t -> ('0x' || substr(md5(t), 1, 4))::BIGINT)),
+         |      (acc, h) -> (acc * 65599 + h) % 2147483647) AS rolling_fp
+         |  FROM base)
+         |SELECT doc_id, md5_fp, rolling_fp,
+         |  count(*) OVER (PARTITION BY md5_fp) AS n_same
+         |FROM fp
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
