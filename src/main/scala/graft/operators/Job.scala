@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{CsvCatalog, CsvDialect, CsvWrite}
+
+/** Job configuration — the reference provider's settings surface
+  * (reference src/CSVProvider.cs:24-153): a source file XOR folder, a
+  * destination folder, one dialect per side, and the operational knobs
+  * (delete-after-run, stability gate, timestamped file names).
+  */
+final case class JobConfig(
+    destFolder: Path,
+    sourceFile: Option[Path] = None,
+    sourceFolder: Option[Path] = None,
+    sourceDialect: CsvDialect = CsvDialect(),
+    destDialect: CsvDialect = CsvDialect(),
+    deleteSourceFiles: Boolean = false,
+    sourceStabilityCheck: Boolean = true,
+    stabilitySleepMs: Long = 5000,
+    timestampSuffix: Option[String] = None,
+    singleFileOutput: Boolean = true,
+)
+
+final case class MappingResult(
+    sourceTable: String,
+    destTable: String,
+    ok: Boolean,
+    rowsWritten: Long,
+    error: Option[String])
+
+final case class JobResult(ok: Boolean, results: Seq[MappingResult]) {
+  def errors: Seq[String] = results.flatMap(_.error)
+}
+
+/** Multi-mapping job orchestration (R10) with the reference's operational
+  * behaviors: settings validation (R18, src/CSVProvider.cs:234-279),
+  * source-file stability gate (R16, :673-700), one write action per active
+  * mapping with ≥1 active column mapping (:551-577), per-mapping error
+  * capture with mapping context (:580-592), and post-run source deletion
+  * on success (R17, :355-361, :658-671).
+  *
+  * Each mapping compiles to one declarative Spark plan
+  * (scan → filter → project → sink) and runs as one distributed write
+  * action — the reference's single-threaded pull loop becomes a
+  * partitioned job per mapping.
+  */
+object Job {
+
+  /** R18 source-side pre-flight — returns an error message, or None. */
+  def validateSourceSettings(cfg: JobConfig): Option[String] =
+    (cfg.sourceFile, cfg.sourceFolder) match {
+      case (None, None) => Some("No source file or folder selected")
+      case (Some(_), Some(_)) =>
+        Some("Select either a source file or a source folder, not both")
+      case (Some(f), None) =>
+        if (!f.getFileName.toString.toLowerCase.endsWith(".csv"))
+          Some(s"Source file '$f' is not a .csv file")
+        else if (!Files.isRegularFile(f)) Some(s"Source file '$f' does not exist")
+        else None
+      case (None, Some(d)) =>
+        if (!Files.isDirectory(d)) Some(s"Source folder '$d' does not exist")
+        else if (CsvCatalog.sourceFiles(d).isEmpty)
+          Some(s"Source folder '$d' contains no .csv files")
+        else None
+    }
+
+  /** R18 destination-side pre-flight. */
+  def validateDestinationSettings(cfg: JobConfig): Option[String] =
+    if (cfg.destFolder == null) Some("No destination folder selected")
+    else if (Files.exists(cfg.destFolder) && !Files.isDirectory(cfg.destFolder))
+      Some(s"Destination '${cfg.destFolder}' is not a folder")
+    else None
+
+  /** R16 stability gate: snapshot sizes, wait, re-stat; throw if any file
+    * is still growing. `sleep` and `sizeOf` are injectable seams (the
+    * reference builds the same seams for its unit tests,
+    * src/CSVProvider.cs:456-461).
+    */
+  def checkSourceFilesChanging(
+      files: Seq[Path],
+      sleepMs: Long,
+      sleep: Long => Unit = Thread.sleep,
+      sizeOf: Path => Long = Files.size(_)): Unit = {
+    val before = files.map(f => f -> sizeOf(f)).toMap
+    sleep(sleepMs)
+    val changed = files.filter(f => sizeOf(f) != before(f))
+    if (changed.nonEmpty)
+      throw new IllegalStateException(
+        s"Source files are still being updated: ${changed.mkString(", ")}")
+  }
+
+  private def sourceFiles(cfg: JobConfig): Seq[Path] =
+    cfg.sourceFile.map(Seq(_))
+      .getOrElse(CsvCatalog.sourceFiles(cfg.sourceFolder.get))
+
+  /** Run every active mapping with ≥1 active column mapping; stop at the
+    * first failing mapping (the reference aborts the run and reports the
+    * failing row's context — we report the mapping and root cause). On a
+    * fully successful run, optionally delete the source files (R17,
+    * per-file best effort).
+    */
+  def run(spark: SparkSession, cfg: JobConfig, mappings: Seq[Mapping],
+          sleep: Long => Unit = Thread.sleep): JobResult = {
+    validateSourceSettings(cfg).foreach(m => throw new IllegalArgumentException(m))
+    validateDestinationSettings(cfg).foreach(m => throw new IllegalArgumentException(m))
+    val files = sourceFiles(cfg)
+    if (cfg.sourceStabilityCheck)
+      checkSourceFilesChanging(files, cfg.stabilitySleepMs, sleep)
+
+    val catalog: Map[String, org.apache.spark.sql.DataFrame] =
+      files.map(f => CsvCatalog.stem(f) ->
+        CsvCatalog.readTable(spark, f, cfg.sourceDialect)).toMap
+
+    val runnable = mappings.filter(m => m.active && m.columns.exists(_.active))
+    val results = scala.collection.mutable.ArrayBuffer.empty[MappingResult]
+    var failed = false
+    val it = runnable.iterator
+    while (it.hasNext && !failed) {
+      val m = it.next()
+      try {
+        val source = catalog.getOrElse(m.sourceTable,
+          throw new IllegalArgumentException(
+            s"source table '${m.sourceTable}' not found in ${files.map(_.getFileName)}"))
+        val out = m.compile(source)
+        val rows = out.count()
+        if (cfg.singleFileOutput)
+          CsvWrite.writeSingleFile(out, cfg.destFolder.toString, m.destTable,
+            cfg.destDialect, cfg.timestampSuffix)
+        else
+          CsvWrite.writeDir(out, cfg.destFolder.resolve(m.destTable).toString,
+            cfg.destDialect)
+        results += MappingResult(m.sourceTable, m.destTable, ok = true, rows, None)
+      } catch {
+        case e: Throwable =>
+          failed = true
+          results += MappingResult(m.sourceTable, m.destTable, ok = false, -1L,
+            Some(s"mapping ${m.sourceTable}->${m.destTable} failed: ${e.getMessage}"))
+      }
+    }
+    val ok = !failed
+    if (ok && cfg.deleteSourceFiles)
+      files.foreach { f =>
+        try Files.deleteIfExists(f)
+        catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .error(s"[graft] could not delete source file $f: ${e.getMessage}")
+        }
+      }
+    JobResult(ok, results.toSeq)
+  }
+}

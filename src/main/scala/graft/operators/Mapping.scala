@@ -59,6 +59,7 @@ final case class ColumnMapping(
     constant: Option[String] = None,
     castTo: Option[DataType] = None,
     decimalMode: DecimalMode = DecimalMode.None,
+    timestampFormat: Option[String] = None,
 ) {
   require(source.isDefined || constant.isDefined,
     s"mapping to '$dest' needs a source column or a constant")
@@ -70,9 +71,10 @@ final case class ColumnMapping(
       case _               => throw new IllegalStateException
     }
     val converted = castTo match {
-      case Some(t) if isFloating(t) => Decimals.normalize(base, decimalMode).cast(t)
-      case Some(t)                  => base.cast(t)
-      case None                     => base
+      case Some(t) if isFloating(t)  => Decimals.normalize(base, decimalMode).cast(t)
+      case Some(t) if isTimestamp(t) => Timestamps.parseWithFallback(base, timestampFormat)
+      case Some(t)                   => base.cast(t)
+      case None                      => base
     }
     converted.as(dest)
   }
@@ -80,6 +82,28 @@ final case class ColumnMapping(
   private def isFloating(t: DataType): Boolean =
     t == org.apache.spark.sql.types.DoubleType ||
     t == org.apache.spark.sql.types.FloatType
+
+  private def isTimestamp(t: DataType): Boolean =
+    t == org.apache.spark.sql.types.TimestampType
+}
+
+/** Datetime parse-with-fallback (R13). The reference formats any value it
+  * cannot parse as `DateTime.MinValue` (reference
+  * src/CSVDestinationWriter.cs:118-127); the engine equivalent is
+  * `try_to_timestamp` with a `0001-01-01 00:00:00` sentinel — null-safe
+  * under ANSI mode where a plain cast would abort the job.
+  */
+object Timestamps {
+  val SentinelLiteral = "0001-01-01 00:00:00"
+
+  def parseWithFallback(c: Column, format: Option[String]): Column = {
+    val parsed = format match {
+      case Some(f) => try_to_timestamp(c, lit(f))
+      case None    => try_to_timestamp(c)
+    }
+    coalesce(parsed,
+      to_timestamp(lit(SentinelLiteral), "yyyy-MM-dd HH:mm:ss"))
+  }
 }
 
 /** Decimal-separator normalization (R8). All three reference modes, as pure
@@ -109,6 +133,7 @@ final case class Mapping(
     destTable: String,
     columns: Seq[ColumnMapping],
     conditionals: Seq[Conditional] = Seq.empty,
+    active: Boolean = true,
 ) {
   /** Compile onto a source DataFrame: filter (conjunction, like the
     * reference's CheckConditionals) then project active mappings in order.

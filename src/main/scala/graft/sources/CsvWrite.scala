@@ -1,6 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -9,20 +11,26 @@ import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, TimestampNTZ
 
 /** CSV sink with the reference's row format (src/CSVDestinationWriter.cs:80-152;
   * SURVEY.md §2.1 R11-R15):
-  *   - every non-NULL value quoted (`quoteAll`), NULL written as the bare
+  *   - every non-NULL value quoted, NULL written as the BARE unquoted
   *     sentinel (:129-132);
-  *   - embedded newlines stripped from values (:89) — the reference strips
-  *     them from the already-joined record; stripping per-field is
-  *     equivalent given it also never escapes quotes;
+  *   - embedded newlines stripped from values (:89);
   *   - timestamps formatted `dd-MM-yyyy HH:mm:ss:fff` (:98-102, 118-127);
   *   - header emitted per config (:82-85, 146-152);
-  *   - optional timestamped file name `<table>[<suffix>].csv` (:23-28).
+  *   - optional timestamped file name `<table>[<suffix>].csv` (:23-28);
+  *   - encodings UTF-8 / UTF-16 / windows-125x (src/CSVProvider.cs:603-616).
   *
-  * Scale note: the default is a partitioned directory write (what a
-  * 1000-executor cluster needs); `writeSingleFile` is the small-data
-  * fidelity mode matching the reference's one-file-per-table output — it
-  * coalesces to 1 partition and renames the part file, and should never be
-  * used for large tables.
+  * Two paths with different fidelity/scale trade-offs:
+  *   - [[writeSingleFile]] — the reference's one-file-per-table output,
+  *     byte-faithful: rows are assembled by the engine (distributed,
+  *     codegen'd `concat_ws`) and written as text, so the NULL sentinel
+  *     stays unquoted exactly like the reference's writer; the header and
+  *     any non-UTF-8 encoding are applied at the single-file boundary.
+  *     The only deviation is deliberate: embedded quotes are `""`-escaped
+  *     where the reference emits malformed CSV (SURVEY.md §2.4.1).
+  *   - [[writeDir]] — the 100 TB path: a partitioned directory written by
+  *     Spark's native CSV sink (UTF-8, standard escaping, header per
+  *     part, nulls as the quoted sentinel token — read back as SQL nulls
+  *     by [[CsvCatalog.readDir]]).
   */
 object CsvWrite {
 
@@ -52,9 +60,35 @@ object CsvWrite {
     formatForWrite(df).write.mode("overwrite")
       .options(dialect.writeOptions).csv(dir)
 
+  /** One reference-format record per row, as a single string column:
+    * non-null values quoted (embedded quotes doubled), nulls as the bare
+    * sentinel, fields joined by the delimiter. Runs distributed and
+    * codegen'd — the single-file part is only the final concatenation.
+    */
+  private[sources] def referenceRecords(df: DataFrame, dialect: CsvDialect): DataFrame = {
+    val q = dialect.quote
+    val formatted = formatForWrite(df)
+    val fields: Seq[Column] = formatted.schema.fieldNames.map { n =>
+      when(col(n).isNull, lit(dialect.nullSentinel))
+        .otherwise(concat(lit(q),
+          regexp_replace(col(n), java.util.regex.Pattern.quote(q),
+            java.util.regex.Matcher.quoteReplacement(q + q)), lit(q)))
+    }
+    formatted.select(concat_ws(dialect.delimiter, fields: _*).as("value"))
+  }
+
+  private def headerLine(df: DataFrame, dialect: CsvDialect): String = {
+    val q = dialect.quote
+    df.schema.fieldNames
+      .map(n => q + n.replace(q, q + q) + q)
+      .mkString(dialect.delimiter)
+  }
+
   /** Fidelity-mode write: exactly one `<table>[suffix].csv` file in `dir`,
-    * like the reference (src/CSVDestinationWriter.cs:17-33, 61-62).
-    * Only for small outputs — forces a single partition.
+    * like the reference (src/CSVDestinationWriter.cs:17-33, 61-62). The
+    * row bytes match the reference's writer (bare NULL, quoteAll); the
+    * header and the configured encoding are applied while concatenating
+    * the single part file on the driver. Only for small outputs.
     */
   def writeSingleFile(df: DataFrame, dir: String, table: String,
                       dialect: CsvDialect = CsvDialect(),
@@ -63,8 +97,8 @@ object CsvWrite {
     Files.createDirectories(destDir) // reference auto-creates (:61-62)
     val tmp = Files.createTempDirectory(destDir, s".$table-stage")
     try {
-      formatForWrite(df).coalesce(1).write.mode("overwrite")
-        .options(dialect.writeOptions).csv(tmp.toString)
+      referenceRecords(df, dialect).coalesce(1)
+        .write.mode("overwrite").text(tmp.toString)
       val part = Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
@@ -73,11 +107,21 @@ object CsvWrite {
         case None     => s"$table.csv"
       }
       val dest = destDir.resolve(name)
-      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      val cs = Charset.forName(dialect.encoding)
+      val in = new BufferedReader(new InputStreamReader(
+        Files.newInputStream(part), Charset.forName("UTF-8")))
+      val out = new BufferedWriter(new OutputStreamWriter(
+        Files.newOutputStream(dest), cs))
+      try {
+        if (dialect.hasHeader) { out.write(headerLine(df, dialect)); out.write("\n") }
+        var line = in.readLine()
+        while (line != null) { out.write(line); out.write("\n"); line = in.readLine() }
+      } finally { in.close(); out.close() }
       dest
     } finally {
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists)
+      if (Files.exists(tmp))
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists)
     }
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CsvCatalog, CsvDialect}
+
+/** Structured Streaming file-source twin of the batch CSV catalog. The
+  * reference's two stream-adjacent behaviors map here directly
+  * (SURVEY.md §1.1, §2.2):
+  *   - the 5-second file-stability gate (src/CSVProvider.cs:673-700) is
+  *     subsumed by the file source's commit protocol — a file is processed
+  *     exactly once, only after it is listed complete;
+  *   - delete-after-ingest (src/CSVProvider.cs:355-361, 658-671) maps to
+  *     `cleanSource=delete` (or `archive`), applied after a file's batch
+  *     commits rather than after the whole run.
+  *
+  * The same dialect → options mapping as the batch path, so a pipeline can
+  * switch between `spark.read` and `spark.readStream` without changing
+  * semantics.
+  */
+object CsvStream {
+
+  /** Open a streaming scan over a directory of CSV files. The schema is
+    * probed from one existing file (streams require a static schema up
+    * front — reference-style header-or-positional naming, R2/R3 included
+    * via [[CsvCatalog.columnNames]]).
+    */
+  def readStream(spark: SparkSession, dir: Path,
+                 dialect: CsvDialect = CsvDialect(),
+                 schemaProbe: Option[Path] = None,
+                 maxFilesPerTrigger: Int = 1000,
+                 cleanSource: String = "off"): DataFrame = {
+    val probe = schemaProbe.orElse(CsvCatalog.sourceFiles(dir).headOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no CSV file in $dir to probe the stream schema from"))
+    val names = CsvCatalog.columnNames(probe, dialect)
+    val schema = org.apache.spark.sql.types.StructType(names.map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    spark.readStream
+      .options(dialect.readOptions)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .option("cleanSource", cleanSource)
+      .schema(schema)
+      .csv(dir.toString)
+  }
+
+  /** Tumbling event-time window aggregation with a watermark — b16's
+    * streaming twin: identical plan shape (`window()` → group-by), plus
+    * state eviction via the watermark so the 100 TB stream doesn't
+    * accumulate unbounded state.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window)
+          .getField("start").as("bucket"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+import graft.TestSpark
+
+/** Multimodal plumbing: batch-shaped feature extraction over binary
+  * columns (decode kernel stubbed — deterministic fake), frame-sampling
+  * and resize planning as declarative expressions.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def assets() = {
+    val rows = Seq(
+      Row(1L, Array[Byte](1, 2, 3, 4, 5), Row("image", 1920, 1080, 0, 0L)),
+      Row(2L, Array[Byte](9, 9, 9), Row("video", 640, 480, 0, 1000L)),
+      Row(3L, null, Row("audio", 0, 0, 16000, 2500L)),
+    )
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+  }
+
+  test("extractFeatures appends array<float> of the requested dim") {
+    val out = Multimodal.extractFeatures(assets(), dim = 8)
+    assert(out.schema("features").dataType.typeName == "array")
+    val rows = out.orderBy("asset_id").collect()
+    assert(rows.forall(_.getSeq[Float](3).size == 8))
+    assert(rows.forall(_.getSeq[Float](3).forall(f => f >= 0f && f < 1f)))
+  }
+
+  test("the stub decode is deterministic and null-safe") {
+    val a = Multimodal.extractFeatures(assets()).orderBy("asset_id").collect()
+    val b = Multimodal.extractFeatures(assets()).orderBy("asset_id").collect()
+    assert(a.map(_.getSeq[Float](3)).toSeq == b.map(_.getSeq[Float](3)).toSeq)
+    assert(a(2).getSeq[Float](3).forall(_ == 0f)) // null content -> zeros
+  }
+
+  test("feature extraction preserves partitioning (executor-side batches)") {
+    val out = Multimodal.extractFeatures(assets())
+    assert(out.rdd.getNumPartitions == 2)
+  }
+
+  test("frameSamplePlan explodes one row per sampled frame timestamp") {
+    val frames = Multimodal.frameSamplePlan(assets(), everyMs = 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.toSeq == Seq((2L, 0L), (2L, 250L), (2L, 500L), (2L, 750L)))
+  }
+
+  test("resizeMetaPlan scales the long side down, never up") {
+    val out = Multimodal.resizeMetaPlan(assets(), target = 960)
+      .orderBy("asset_id").collect()
+    assert((out(0).getAs[Int]("resized_width"),
+      out(0).getAs[Int]("resized_height")) == (960, 540))
+    assert((out(1).getAs[Int]("resized_width"),
+      out(1).getAs[Int]("resized_height")) == (640, 480))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.LongType
+
+import graft.TestSpark
+import graft.TestSpark.{csvFile, tempDir}
+import graft.sources.CsvDialect
+
+/** Job orchestration (R10) + operational behaviors: stability gate (R16),
+  * post-run source deletion (R17), settings validation (R18) — reference
+  * src/CSVProvider.cs:543-601, 673-700, 658-671, 234-279.
+  */
+class JobRunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val noSleep: Long => Unit = _ => ()
+
+  private def srcDir(): Path = {
+    val dir = tempDir("jobsrc")
+    csvFile(dir, "customers.csv", "id;name\n1;ann\n2;bo\n3;cy\n")
+    csvFile(dir, "orders.csv", "oid;cust;amt\n10;1;5,5\n11;3;7,25\n")
+    dir
+  }
+
+  private def cfg(src: Path, dest: Path) = JobConfig(
+    destFolder = dest, sourceFolder = Some(src),
+    stabilitySleepMs = 1)
+
+  private val mappings = Seq(
+    Mapping("customers", "customers_out", Seq(
+      ColumnMapping(Some("id"), "key", castTo = Some(LongType)),
+      ColumnMapping(Some("name"), "name"),
+    )),
+    Mapping("orders", "orders_out", Seq(
+      ColumnMapping(Some("oid"), "oid", castTo = Some(LongType)),
+      ColumnMapping(Some("amt"), "amount",
+        castTo = Some(org.apache.spark.sql.types.DoubleType),
+        decimalMode = graft.sources.DecimalMode.Comma),
+    )),
+  )
+
+  test("a two-mapping job writes one destination file per mapping (R10)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val res = Job.run(spark, cfg(src, dest), mappings, sleep = noSleep)
+    assert(res.ok)
+    assert(res.results.map(r => (r.destTable, r.ok, r.rowsWritten)) ==
+      Seq(("customers_out", true, 3L), ("orders_out", true, 2L)))
+    assert(Files.exists(dest.resolve("customers_out.csv")))
+    val orders = Files.readAllLines(dest.resolve("orders_out.csv"))
+    assert(orders.get(0) == "\"oid\";\"amount\"")
+    assert(orders.get(1) == "\"10\";\"5.5\"")
+  }
+
+  test("inactive mappings and mappings with no active columns are skipped") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val res = Job.run(spark, cfg(src, dest),
+      mappings :+ Mapping("customers", "skipped_out",
+        Seq(ColumnMapping(Some("id"), "id")), active = false),
+      sleep = noSleep)
+    assert(res.results.size == 2)
+    assert(!Files.exists(dest.resolve("skipped_out.csv")))
+  }
+
+  test("a failing mapping is captured with context and stops the job") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val bad = Mapping("missing_table", "bad_out", Seq(ColumnMapping(Some("x"), "x")))
+    val res = Job.run(spark, cfg(src, dest), Seq(mappings.head, bad, mappings(1)),
+      sleep = noSleep)
+    assert(!res.ok)
+    assert(res.results.size == 2) // first ok, second failed, third never ran
+    assert(res.errors.head.contains("missing_table->bad_out"))
+    assert(!Files.exists(dest.resolve("orders_out.csv")))
+  }
+
+  test("stability gate throws while a source file is still growing (R16)") {
+    val f = tempDir("stab").resolve("t.csv")
+    Files.writeString(f, "a\n1\n")
+    var calls = 0
+    val growing: Path => Long = { _ => calls += 1; calls * 100L }
+    val e = intercept[IllegalStateException] {
+      Job.checkSourceFilesChanging(Seq(f), 1, noSleep, growing)
+    }
+    assert(e.getMessage.contains("still being updated"))
+    Job.checkSourceFilesChanging(Seq(f), 1, noSleep) // stable: no throw
+  }
+
+  test("source files are deleted after a fully successful run (R17)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val res = Job.run(spark,
+      cfg(src, dest).copy(deleteSourceFiles = true), mappings, sleep = noSleep)
+    assert(res.ok)
+    assert(!Files.exists(src.resolve("customers.csv")))
+    assert(!Files.exists(src.resolve("orders.csv")))
+  }
+
+  test("source files survive a failed run even with delete enabled") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val bad = Mapping("missing", "bad", Seq(ColumnMapping(Some("x"), "x")))
+    val res = Job.run(spark,
+      cfg(src, dest).copy(deleteSourceFiles = true), Seq(bad), sleep = noSleep)
+    assert(!res.ok)
+    assert(Files.exists(src.resolve("customers.csv")))
+  }
+
+  test("settings validation rejects the reference's invalid configs (R18)") {
+    val dest = tempDir("jobdst")
+    val okSrc = srcDir()
+    def v(c: JobConfig) = Job.validateSourceSettings(c)
+    assert(v(JobConfig(destFolder = dest)).exists(_.contains("No source")))
+    assert(v(JobConfig(destFolder = dest,
+      sourceFile = Some(okSrc.resolve("customers.csv")),
+      sourceFolder = Some(okSrc))).exists(_.contains("not both")))
+    assert(v(JobConfig(destFolder = dest,
+      sourceFile = Some(okSrc.resolve("nope.csv")))).exists(_.contains("does not exist")))
+    assert(v(JobConfig(destFolder = dest,
+      sourceFile = Some(okSrc.resolve("customers.txt")))).exists(_.contains("not a .csv")))
+    val empty = tempDir("emptydir")
+    assert(v(JobConfig(destFolder = dest,
+      sourceFolder = Some(empty))).exists(_.contains("no .csv files")))
+    assert(v(JobConfig(destFolder = dest, sourceFolder = Some(okSrc))).isEmpty)
+    val fileAsDest = okSrc.resolve("customers.csv")
+    assert(Job.validateDestinationSettings(
+      JobConfig(destFolder = fileAsDest, sourceFolder = Some(okSrc)))
+      .exists(_.contains("not a folder")))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.time.LocalDateTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+import graft.TestSpark.tempDir
+
+/** Writer row format (R11-R15; reference src/CSVDestinationWriter.cs:80-152):
+  * quoteAll, bare NULL sentinel, newline stripping, the fixed
+  * `dd-MM-yyyy HH:mm:ss:fff` timestamp pattern, lazy header, and the
+  * `<table>[suffix].csv` naming scheme.
+  */
+class CsvWriteSpec extends AnyFunSuite {
+
+  private def df(rows: Seq[Row], schema: StructType) = {
+    val spark = TestSpark.spark
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  test("every non-null value is quoted; embedded newlines are stripped") {
+    val dir = tempDir("w")
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val f = CsvWrite.writeSingleFile(
+      df(Seq(Row("line1\nline2", "x\r\ny")), schema), dir.toString, "t")
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size == 2)
+    assert(lines.get(1) == "\"line1line2\";\"xy\"")
+  }
+
+  test("timestamps are written as dd-MM-yyyy HH:mm:ss:fff (R13)") {
+    val dir = tempDir("w")
+    val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
+    val f = CsvWrite.writeSingleFile(
+      df(Seq(Row(LocalDateTime.of(2024, 3, 5, 7, 8, 9, 123000000))), schema),
+      dir.toString, "t")
+    assert(java.nio.file.Files.readAllLines(f).get(1) == "\"05-03-2024 07:08:09:123\"")
+  }
+
+  test("header emits destination column names, quoted, when configured") {
+    val dir = tempDir("w")
+    val schema = StructType(Seq(
+      StructField("col_x", StringType), StructField("col_y", StringType)))
+    val f = CsvWrite.writeSingleFile(df(Seq(Row("1", "2")), schema), dir.toString, "t")
+    assert(java.nio.file.Files.readAllLines(f).get(0) == "\"col_x\";\"col_y\"")
+    val noHeader = CsvWrite.writeSingleFile(
+      df(Seq(Row("1", "2")), schema), dir.toString, "t2",
+      CsvDialect(hasHeader = false))
+    assert(java.nio.file.Files.readAllLines(noHeader).get(0) == "\"1\";\"2\"")
+  }
+
+  test("file naming follows <table>.csv and <table>[suffix].csv (R15)") {
+    val dir = tempDir("w")
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val plain = CsvWrite.writeSingleFile(df(Seq(Row("1")), schema), dir.toString, "orders")
+    assert(plain.getFileName.toString == "orders.csv")
+    val stamped = CsvWrite.writeSingleFile(df(Seq(Row("1")), schema),
+      dir.toString, "orders", CsvDialect(), Some("20240305-0708091234567"))
+    assert(stamped.getFileName.toString == "orders[20240305-0708091234567].csv")
+  }
+
+  test("writeDir produces a partitioned directory (the scale path)") {
+    val dir = tempDir("w").resolve("out")
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(StructField("a", StringType)))
+    val many = spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 50).map(i => Row(i.toString)), 4), schema)
+    CsvWrite.writeDir(many, dir.toString)
+    val parts = java.nio.file.Files.list(dir).iterator()
+    var n = 0
+    while (parts.hasNext) { if (parts.next().getFileName.toString.startsWith("part-")) n += 1 }
+    assert(n > 1) // stays partitioned; no silent coalesce(1)
+  }
+}

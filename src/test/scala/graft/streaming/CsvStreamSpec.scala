@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.TestSpark.{csvFile, tempDir}
+import graft.sources.CsvDialect
+
+/** Structured Streaming twin of the CSV source: same dialect mapping, file
+  * source with schema probe, windowed aggregation with watermark.
+  */
+class CsvStreamSpec extends AnyFunSuite {
+
+  test("streaming read ingests existing and late-arriving files") {
+    val spark = TestSpark.spark
+    val dir = tempDir("stream")
+    csvFile(dir, "e1.csv", "ts;kind\n2024-01-01 10:05:00;a\n2024-01-01 10:20:00;b\n")
+    val stream = CsvStream.readStream(spark, dir, CsvDialect(),
+      maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory")
+      .queryName("raw_rows").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("raw_rows").count() == 2)
+      csvFile(dir, "e2.csv", "ts;kind\n2024-01-01 11:40:00;a\n")
+      q.processAllAvailable()
+      assert(spark.table("raw_rows").count() == 3)
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark aggregate per hour bucket") {
+    val spark = TestSpark.spark
+    val dir = tempDir("stream")
+    csvFile(dir, "e1.csv",
+      "ts;kind\n2024-01-01 10:05:00;a\n2024-01-01 10:20:00;a\n2024-01-01 11:40:00;b\n")
+    val events = CsvStream.readStream(spark, dir)
+      .select(to_timestamp(col("ts")).as("ts"), col("kind"))
+    val agg = CsvStream.windowedCounts(events, "ts", "kind")
+    val q = agg.writeStream.format("memory")
+      .queryName("windowed").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("windowed")
+        .orderBy("bucket", "kind")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "a", 2L),
+        ("2024-01-01 11:00:00.0", "b", 1L)))
+    } finally q.stop()
+  }
+}
