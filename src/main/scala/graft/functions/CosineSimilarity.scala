@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native cosine-similarity expression over two `array<double>` columns.
+  *
+  * Replaces the `zip_with` + three `aggregate` higher-order folds the
+  * declarative formulation needs: HOFs evaluate one interpreted lambda
+  * call per element and allocate an intermediate array per row, while this
+  * expression emits one fused whole-stage-codegen loop — no allocation,
+  * no virtual calls — which is what a 100 TB similarity scan needs.
+  *
+  * Numerics are IDENTICAL to the fold formulation and to DuckDB's
+  * `list_cosine_similarity` (verified bit-equal): each accumulator (dot,
+  * |a|², |b|²) receives the same additions in the same left-to-right
+  * order, then `dot / (sqrt(na) * sqrt(nb))`, clamped to [-1, 1].
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+    math.max(-1.0, math.min(1.0, sim))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val sim = ctx.freshName("sim")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $sim = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $sim));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native expressions into a session's function
+  * registry, so `expr("graft_cosine(a, b)")` resolves like a builtin.
+  * Idempotent — call per query; temp functions are session-scoped.
+  */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+  val MinHashName = "graft_minhash64"
+  val LshKeysName = "graft_lsh_keys"
+
+  /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
+    * keeps the affine product inside a long; see [[MinHashSignature]]).
+    */
+  val (minhashA, minhashB): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    (Seq.fill(64)(1L + rnd.nextInt(Int.MaxValue - 1)),
+      Seq.fill(64)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(CosineName,
+      { exprs =>
+        require(exprs.length == 2, s"$CosineName expects 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(MinHashName,
+      { exprs =>
+        require(exprs.length == 1, s"$MinHashName expects 1 argument")
+        MinHashSignature(exprs.head, minhashA, minhashB)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(LshKeysName,
+      { exprs =>
+        require(exprs.length == 3,
+          s"$LshKeysName expects (array<double>, tables, bits)")
+        HyperplaneLshKeys(exprs.head,
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+      }, "built-in")
+  }
+}

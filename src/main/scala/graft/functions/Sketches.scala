@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** MinHash signature over an array of element hashes: for each of
+  * `numPerms` seeded affine permutations `(a·h32 + b) mod (2⁶¹−1)` keep
+  * the minimum. The fused codegen loop replaces a nested
+  * `transform(sequence, i -> array_min(transform(hs, ...)))` pair whose
+  * interpreted lambdas box a long per element per permutation — the
+  * difference between O(n·perms) primitive ops and O(n·perms) allocations.
+  *
+  * Seeds are constructor parameters (baked into the plan), so equal
+  * expressions stay equal for plan canonicalization, and the signature is
+  * deterministic run-to-run. Inputs are masked to 32 bits so the affine
+  * product never overflows a long under ANSI semantics.
+  */
+case class MinHashSignature(child: Expression, seedsA: Seq[Long], seedsB: Seq[Long])
+    extends UnaryExpression {
+  require(seedsA.length == seedsB.length && seedsA.nonEmpty)
+  private val numPerms = seedsA.length
+  private val P = 2305843009213693951L // 2^61 - 1
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val aArr = seedsA.toArray
+  @transient private lazy val bArr = seedsB.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val h = hs.getLong(k) & 4294967295L
+      var i = 0
+      while (i < numPerms) {
+        val v = (aArr(i) * h + bArr(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val a = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val b = ctx.addReferenceObj("minhashB", bArr, "long[]")
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
+      val v = ctx.freshName("v"); val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $c.getLong($k) & 4294967295L;
+         |  for (int $i = 0; $i < $numPerms; $i++) {
+         |    long $v = ($a[$i] * $h + $b[$i]) % ${P}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket keys for a double vector: `tables` keys of
+  * `bits` sign bits each. Hyperplane component (t, j, k) is ±1 derived
+  * from a splitmix64 mix of the indices — deterministic, no stored model,
+  * identical across runs and cluster sizes. Replaces a triple-nested
+  * higher-order-function expression (aggregate ∘ aggregate ∘ transform)
+  * with one fused primitive loop.
+  */
+case class HyperplaneLshKeys(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+  require(tables > 0 && bits > 0 && bits < 63)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_keys"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val keys = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) {
+          dot += v.getDouble(k) * HyperplaneLshKeys.sign(t, j, k)
+          k += 1
+        }
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val dim = ctx.freshName("dim"); val keys = ctx.freshName("keys")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val dot = ctx.freshName("dot")
+      val key = ctx.freshName("key")
+      val cls = HyperplaneLshKeys.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $dim = $c.numElements();
+         |long[] $keys = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      $dot += $c.getDouble($k) * $cls.sign($t, $j, $k);
+         |    }
+         |    if ($dot > 0) $key |= (1L << $j);
+         |  }
+         |  $keys[$t] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshKeys =
+    copy(child = newChild)
+}
+
+object HyperplaneLshKeys {
+  /** splitmix64 finalizer over the packed indices → ±1. Public + stable:
+    * called from generated code.
+    */
+  def sign(t: Int, j: Int, k: Int): Double = {
+    var z = t.toLong * 1000003L + j.toLong * 8191L + k.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+}

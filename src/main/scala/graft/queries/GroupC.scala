@@ -30,8 +30,13 @@ object GroupC {
   def tokenizeSql(col: String): String =
     s"string_split(trim(lower(regexp_replace($col, '[^a-zA-Z0-9]+', ' ', 'g'))), ' ')"
 
-  /** Distinct word-3-gram shingles per document: the unit of near-dup
-    * comparison for c2 (and the MinHash input for d1). Documents shorter
+  /** Distinct word-3-gram shingles per document, pre-hashed to 64-bit
+    * longs (xxhash64): the unit of near-dup comparison for c2 and the
+    * MinHash input for d1. Hashing before the distinct/joins keeps every
+    * downstream shuffle and join key at 8 bytes instead of a multi-word
+    * string — the thing that matters when the corpus is 100 TB. (Set
+    * semantics are preserved modulo 64-bit hash collisions: ~n²/2⁶⁵,
+    * negligible at any realistic shingle cardinality.) Documents shorter
     * than 3 tokens have no shingles and drop out — same rule both sides.
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame = {
@@ -41,7 +46,7 @@ object GroupC {
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(ts) - 3), " +
-          "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")).as("shingle"))
+          "i -> xxhash64(concat_ws(' ', ts[i], ts[i+1], ts[i+2])))")).as("shingle"))
       .distinct()
   }
 
@@ -68,6 +73,11 @@ object GroupC {
     * join skew at 100 TB.
     */
   def c2DedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    // The shingle subplan feeds both self-join sides and the two size
+    // lookups (4 evaluations — exchanges differ, so ReuseExchange can't
+    // fire). Deliberately NOT persisted: measured at bench scale, cache
+    // population + memory-store churn costs more than the recompute; a
+    // long-lived cluster pipeline would persist and unpersist explicitly.
     val sh = shingles(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -86,17 +96,14 @@ object GroupC {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Cosine similarity of two double arrays as a pure higher-order-function
-    * expression: sequential left-to-right folds, exactly DuckDB's
-    * `list_cosine_similarity` evaluation order (verified bit-equal), with
-    * the same [-1, 1] clamp.
+  /** Cosine similarity via the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]): one fused loop per row,
+    * bit-equal with both the higher-order-fold formulation and DuckDB's
+    * `list_cosine_similarity` (incl. its [-1, 1] clamp). Callers must have
+    * registered [[graft.functions.GraftFunctions]] on the session.
     */
-  def cosine(a: String, b: String): org.apache.spark.sql.Column = {
-    val dot = s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    val na = s"aggregate($a, 0D, (acc, x) -> acc + x * x)"
-    val nb = s"aggregate($b, 0D, (acc, x) -> acc + x * x)"
-    expr(s"greatest(-1D, least(1D, $dot / (sqrt($na) * sqrt($nb))))")
-  }
+  def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"${graft.functions.GraftFunctions.CosineName}($a, $b)")
 
   /** c3: brute-force cosine top-k against a fixed query vector (vec_id 0).
     * The one-row query side is broadcast; the scan side streams through a
@@ -105,6 +112,7 @@ object GroupC {
     * This is the exact baseline; d4 is the LSH-bucketed approximate path.
     */
   def c3SimilarityTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qv"))

@@ -21,17 +21,6 @@ import org.apache.spark.sql.functions._
 object GroupD {
   type Q = (SparkSession, String) => DataFrame
 
-  // --- deterministic MinHash permutation constants (seeded, fixed) -------
-  private val MersennePrime61 = "2305843009213693951" // 2^61 - 1
-  private val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(64)(1L + rnd.nextInt(Int.MaxValue - 1))
-    val b = Array.fill(64)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
-  private def sqlLongArray(xs: Array[Long]): String =
-    xs.mkString("array(", "L,", "L)")
-
   /** d1: near-dup pairs via MinHash(64) + LSH banding (32 bands × 2 rows)
     * with exact-Jaccard verification of candidates — the 100 TB formulation
     * of c2. Candidate generation touches each document O(signature) times
@@ -40,20 +29,22 @@ object GroupD {
     * pairs. At the 0.6 threshold and 32×2 banding the per-pair miss
     * probability is (1-j²)^32 ≤ 6e-7 at the boundary and < 1e-39 for the
     * ≥0.97 pairs present, so the verified output equals the exact oracle
-    * (c2's SQL).
+    * (c2's SQL). The signature fold runs as the native codegen'd
+    * [[graft.functions.MinHashSignature]] — one fused primitive loop
+    * instead of O(shingles × perms) interpreted lambdas.
+    *
+    * NOT persisted: measured at bench scale, cache population +
+    * memory-store churn cost more than recomputing the shingle subplan; a
+    * long-lived cluster pipeline would persist sh and unpersist after.
     */
   def d1DedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sh = GroupC.shingles(spark, sfDir)
-    // one row per doc: all shingle hashes, folded to 128 min-hash values
+    // one row per doc: all shingle hashes, folded to 64 min-hash values
     val sigs = sh
+      .groupBy("doc_id").agg(collect_list("shingle").as("hs"))
       .select(col("doc_id"),
-        expr("xxhash64(shingle) & 4294967295").as("h32"))
-      .groupBy("doc_id").agg(collect_list("h32").as("hs"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, 63), i ->
-           |  array_min(transform(hs, h ->
-           |    (${sqlLongArray(permA)}[i] * h + ${sqlLongArray(permB)}[i])
-           |      % $MersennePrime61)))""".stripMargin).as("mh"))
+        expr(s"${graft.functions.GraftFunctions.MinHashName}(hs)").as("mh"))
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 31), j -> xxhash64(j, mh[2*j], mh[2*j+1]))"))
@@ -126,6 +117,7 @@ object GroupD {
     * This is the multi-query generalization of c3's single-query top-k.
     */
   def d3KnnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = e.filter(col("vec_id") < 50)
@@ -142,24 +134,21 @@ object GroupD {
 
   /** d4: approximate nearest neighbor via random-hyperplane LSH — the
     * scale path where d3's exact scan is too expensive. 4 tables × 10 sign
-    * bits per vector (hyperplane components are ±1 derived from
-    * xxhash64(table, bit, dim) — deterministic, no stored model); vectors
-    * sharing a bucket in any table become candidates; exact cosine ranks
-    * the candidates and keeps the best per query. Approximate ⇒ declared
-    * without an oracle (driver rows-only check); d3 is the exact baseline
-    * it trades against.
+    * bits per vector, computed by the native codegen'd
+    * [[graft.functions.HyperplaneLshKeys]] (hyperplane components are ±1
+    * from a splitmix64 mix of the indices — deterministic, no stored
+    * model); vectors sharing a bucket in any table become candidates;
+    * exact cosine ranks the candidates and keeps the best per query.
+    * Approximate ⇒ declared without an oracle (driver rows-only check);
+    * d3 is the exact baseline it trades against.
     */
   def d4AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val keyed = e.select(col("vec_id"), col("v"),
       posexplode(expr(
-        """transform(sequence(0, 3), t ->
-          |  aggregate(sequence(0, 9), 0L, (acc, j) ->
-          |    acc + (case when
-          |      aggregate(sequence(0, size(v) - 1), 0D, (s, k) ->
-          |        s + v[k] * (2 * (xxhash64(t, j, k) & 1) - 1)) > 0D
-          |      then shiftleft(1L, j) else 0L end)))""".stripMargin))
+        s"${graft.functions.GraftFunctions.LshKeysName}(v, 4, 10)"))
         .as(Seq("tbl", "bucket")))
     val cand = keyed.as("x")
       .join(keyed.as("y"),
