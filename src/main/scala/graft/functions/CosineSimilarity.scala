@@ -87,6 +87,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val MinHashName = "graft_minhash64"
   val LshKeysName = "graft_lsh_keys"
+  val SimHashName = "graft_simhash32"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -108,6 +109,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$MinHashName expects 1 argument")
         MinHashSignature(exprs.head, minhashA, minhashB)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(SimHashName,
+      { exprs =>
+        require(exprs.length == 1, s"$SimHashName expects 1 argument")
+        SimHashSignature(exprs.head, 32)
       }, "built-in")
     reg.createOrReplaceTempFunction(LshKeysName,
       { exprs =>

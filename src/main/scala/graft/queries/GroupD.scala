@@ -75,12 +75,16 @@ object GroupD {
 
   /** d2: SimHash near-dup pairs. 32-bit signatures built from md5 token
     * hashes (md5 is identical in Spark and DuckDB, so the oracle can
-    * recompute the very same signatures); candidates pair up via 4 bands of
-    * 8 bits. By pigeonhole, any two signatures within Hamming distance 3
-    * agree on at least one of 4 bands — the banded join is EXACT for the
-    * ≤3 threshold, not approximate, while staying linear in documents.
+    * recompute the very same signatures) — the count-weighted bit vote
+    * runs as the native codegen'd [[graft.functions.SimHashSignature]]
+    * rather than exploding tokens × 32 bit rows through two aggregations.
+    * Candidates pair up via 4 bands of 8 bits: by pigeonhole, any two
+    * signatures within Hamming distance 3 agree on at least one band — the
+    * banded join is EXACT for the ≤3 threshold, not approximate, while
+    * staying linear in documents.
     */
   def d2DedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables(spark, sfDir, "documents")
     val tw = docs
       .select(col("doc_id"), explode(GroupC.tokens(col("text"))).as("tok"))
@@ -89,13 +93,9 @@ object GroupD {
       .select(col("doc_id"), col("cnt"),
         expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)").as("h"))
     val sigs = tw
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("cnt * (2 * ((h >> j) & 1) - 1)")).as("s"))
-      .select(col("doc_id"), col("j"),
-        expr("case when s > 0 then 1L else 0L end").as("bit"))
-      .groupBy("doc_id").agg(sum(expr("shiftleft(bit, j)")).as("simhash"))
+      .groupBy("doc_id").agg(collect_list(struct(col("h"), col("cnt"))).as("hw"))
+      .select(col("doc_id"),
+        expr(s"${graft.functions.GraftFunctions.SimHashName}(hw)").as("simhash"))
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (simhash >> (8 * b)) & 255)"))
