@@ -166,6 +166,29 @@ object GroupD {
       .orderBy("qid")
   }
 
+  /** d9: embedding-cosine near-dup DEDUPLICATION — keep a vector unless it
+    * is similar (cosine ≥ 0.3) to an earlier-id vector: the deterministic
+    * keep-earliest rule a dedup pipeline wants (no cluster-order
+    * dependence). Exact all-pairs at declared SF via the native cosine; at
+    * 100 TB the pair generation swaps to d4's LSH candidates with this
+    * same verify + anti-join tail. Distinct from d3/c3, which RANK
+    * neighbors — this one DROPS them.
+    */
+  def d9DedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val dupIds = e.select(col("vec_id").as("ida"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("idb"), col("v").as("vb")),
+        col("ida") < col("idb"))
+      .filter(GroupC.cosine("va", "vb") >= 0.3)
+      .select(col("idb")).distinct()
+    e.join(dupIds, col("vec_id") === col("idb"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   // --- language-ID stopword lists (tiny, deterministic heuristic) --------
   private val langLists: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
@@ -267,6 +290,7 @@ object GroupD {
     "d2_dedup_simhash"     -> (d2DedupSimhash _),
     "d3_knn_join"          -> (d3KnnJoin _),
     "d4_ann_lsh"           -> (d4AnnLsh _),
+    "d9_dedup_embedding"   -> (d9DedupEmbedding _),
     "d5_lang_id"           -> (d5LangId _),
     "d6_quality_score"     -> (d6QualityScore _),
     "d7_token_count"       -> (d7TokenCount _),
@@ -311,6 +335,15 @@ object GroupD {
         |WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,
     // d4_ann_lsh: approximate — no oracle (rows-only check).
+    "d9_dedup_embedding" ->
+      """SELECT e.vec_id, e.label
+        |FROM embeddings e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings p
+        |  WHERE p.vec_id < e.vec_id
+        |    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+        |          CAST(e.embedding AS DOUBLE[])) >= 0.3)
+        |ORDER BY e.vec_id""".stripMargin,
     "d5_lang_id" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
