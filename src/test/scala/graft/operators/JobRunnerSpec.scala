@@ -53,6 +53,17 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(orders.get(1) == "\"10\";\"5.5\"")
   }
 
+  test("partitioned-output mode writes one directory per mapping (scale path)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val res = Job.run(spark,
+      cfg(src, dest).copy(singleFileOutput = false), mappings, sleep = noSleep)
+    assert(res.ok)
+    assert(Files.isDirectory(dest.resolve("customers_out")))
+    val back = graft.sources.CsvCatalog.readDir(spark,
+      dest.resolve("customers_out"), CsvDialect())
+    assert(back.count() == 3)
+  }
+
   test("inactive mappings and mappings with no active columns are skipped") {
     val src = srcDir(); val dest = tempDir("jobdst")
     val res = Job.run(spark, cfg(src, dest),

@@ -55,6 +55,24 @@ class CsvCatalogSpec extends AnyFunSuite {
     assert(cat("orders").count() == 2)
   }
 
+  test("readDir handles a headerless partitioned directory with positional names") {
+    val spark = TestSpark.spark
+    val dir = tempDir("cat").resolve("nohdr")
+    val noHeader = d.copy(hasHeader = false)
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1 to 40).map(i => org.apache.spark.sql.Row(i.toString, s"x$i")), 3),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.StringType))))
+    CsvWrite.writeDir(src, dir.toString, noHeader)
+    val back = CsvCatalog.readDir(spark, dir, noHeader)
+    assert(back.columns.toSeq == Seq("Column 1", "Column 2"))
+    assert(back.count() == 40)
+  }
+
   test("readDir reads a partitioned directory written by writeDir") {
     val spark = TestSpark.spark
     val dir = tempDir("cat").resolve("out")
