@@ -291,7 +291,68 @@ object GroupB {
       .orderBy("bucket", "event_type")
   }
 
+  /** b17: pivot — rows to columns on a small, known key domain. Spark
+    * plans pivot as a single aggregate with one output column per pivot
+    * value (no extra shuffle vs the plain group-by); the value list is
+    * explicit, so no driver-side distinct-collection pass runs.
+    */
+  def b17Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    orders.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+  }
+
+  /** b18: unpivot (melt) — columns to rows. Pure per-row expansion
+    * (Expand node), scan-parallel, no shuffle before the sort.
+    */
+  def b18Unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    customer
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
+      .orderBy("c_custkey", "metric")
+  }
+
+  /** b19: array aggregation — per-group ordered list. The deterministic
+    * form: collect_list is partition-order dependent, so the sort_array
+    * wrapper is what makes the result stable (and hash-comparable).
+    */
+  def b19ArrayAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+  }
+
+  /** b20: filtered aggregation (SQL FILTER clause) — per-aggregate
+    * predicates without a self-join or CASE scaffolding; rides the same
+    * partial-agg + single-shuffle shape as b5.
+    */
+  def b20FilteredAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_returnflag,
+        ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_disc,
+        COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
+        ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS price_bulk
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "b17_pivot"         -> (b17Pivot _),
+    "b18_unpivot"       -> (b18Unpivot _),
+    "b19_array_agg"     -> (b19ArrayAgg _),
+    "b20_filtered_agg"  -> (b20FilteredAgg _),
     "b1_inner_join"     -> (b1InnerJoin _),
     "b2_outer_join"     -> (b2OuterJoin _),
     "b3_semi_anti"      -> (b3SemiAnti _),
@@ -311,6 +372,36 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b17_pivot" ->
+      """SELECT o_orderpriority,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "b18_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+        |FROM customer
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "b19_array_agg" ->
+      """SELECT l_orderkey,
+        |  list(l_linenumber ORDER BY l_linenumber) AS lines,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+    "b20_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_disc,
+        |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
+        |  ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS price_bulk
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "b1_inner_join" ->
       """SELECT o_orderkey, c_custkey, c_name, n_name, o_totalprice
         |FROM orders
