@@ -348,7 +348,26 @@ object GroupB {
     """)
   }
 
+  /** b21: exact percentiles/median. Restricted to an integer-valued
+    * measure (l_quantity): linear interpolation at quarter fractions over
+    * integers is exact in binary floating point, so Spark's `percentile`
+    * and DuckDB's `quantile_cont` agree bit-for-bit regardless of their
+    * internal formula variant — over arbitrary doubles they differ by
+    * ulps. Exact percentile sorts within groups only (no global sort).
+    */
+  def b21Percentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+        expr("percentile(l_quantity, 0.75)").as("q3_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b21_percentile"    -> (b21Percentile _),
     "b17_pivot"         -> (b17Pivot _),
     "b18_unpivot"       -> (b18Unpivot _),
     "b19_array_agg"     -> (b19ArrayAgg _),
@@ -372,6 +391,15 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b21_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "b17_pivot" ->
       """SELECT o_orderpriority,
         |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
