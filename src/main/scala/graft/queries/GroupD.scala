@@ -39,12 +39,20 @@ object GroupD {
     */
   def d1DedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = GroupC.shingles(spark, sfDir)
-    // one row per doc: all shingle hashes, folded to 64 min-hash values
-    val sigs = sh
-      .groupBy("doc_id").agg(collect_list("shingle").as("hs"))
-      .select(col("doc_id"),
-        expr(s"${graft.functions.GraftFunctions.MinHashName}(hs)").as("mh"))
+    // Per-doc distinct shingle ARRAYS (one shuffle-free scan), private to
+    // d1: the signature needs no explode/collect round trip, and candidate
+    // verification is a per-pair array_intersect instead of an exploded
+    // intersection join. (c2's exploded inverted index stays separate —
+    // its pair GENERATION needs it; d1 generates pairs from signatures.)
+    val docs = Tables(spark, sfDir, "documents")
+    val arrs = docs
+      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(ts) - 3), " +
+          "i -> xxhash64(concat_ws(' ', ts[i], ts[i+1], ts[i+2])))")).as("sh"))
+    val sigs = arrs.select(col("doc_id"),
+      expr(s"${graft.functions.GraftFunctions.MinHashName}(sh)").as("mh"))
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 31), j -> xxhash64(j, mh[2*j], mh[2*j+1]))"))
@@ -55,19 +63,17 @@ object GroupD {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verification, restricted to candidates
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+    // exact-Jaccard verification, restricted to candidates: per-pair set
+    // intersection over the (already distinct) shingle arrays
+    cand
+      .join(arrs.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(arrs.as("pb"), col("doc_b") === col("pb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") /
-          (col("za.n") + col("zb.n") - col("c")).cast("double")).as("jac"))
+        size(expr("array_intersect(pa.sh, pb.sh)")).cast("double").as("c"),
+        size(col("pa.sh")).cast("double").as("na"),
+        size(col("pb.sh")).cast("double").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jac"))
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
