@@ -48,6 +48,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.toSeq == Seq((2L, 0L), (2L, 250L), (2L, 500L), (2L, 750L)))
   }
 
+  test("extracted features feed the similarity stack end-to-end") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val feats = Multimodal.extractFeatures(assets())
+      .select(col("asset_id"), col("features").cast("array<double>").as("v"))
+    // pairwise cosine over the fake features via the native expression:
+    // the multimodal decode output is a first-class similarity input
+    val pairs = feats.as("a")
+      .join(feats.as("b"), col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id"), col("b.asset_id"),
+        expr(s"${graft.functions.GraftFunctions.CosineName}(a.v, b.v)").as("sim"))
+      .collect()
+    assert(pairs.length == 3)
+    // asset 3 has null content -> zero features -> 0/0 cosine is NaN;
+    // real-vector pairs stay clamped in [-1, 1]
+    pairs.foreach { r =>
+      val s = r.getDouble(2)
+      if (r.getLong(1) == 3L) assert(s.isNaN)
+      else assert(math.abs(s) <= 1.0)
+    }
+  }
+
   test("resizeMetaPlan scales the long side down, never up") {
     val out = Multimodal.resizeMetaPlan(assets(), target = 960)
       .orderBy("asset_id").collect()
