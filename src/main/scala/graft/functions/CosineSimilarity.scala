@@ -15,13 +15,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * expression emits one fused whole-stage-codegen loop — no allocation,
   * no virtual calls — which is what a 100 TB similarity scan needs.
   *
-  * Numerics are IDENTICAL to the fold formulation and to DuckDB's
-  * `list_cosine_similarity` (verified bit-equal): each accumulator (dot,
-  * |a|², |b|²) receives the same additions in the same left-to-right
-  * order, then `dot / (sqrt(na) * sqrt(nb))`, clamped to [-1, 1].
+  * Numerics on equal-length, nonzero-norm inputs are IDENTICAL to the fold
+  * formulation and to DuckDB's `list_cosine_similarity` (verified
+  * bit-equal): each accumulator (dot, |a|², |b|²) receives the same
+  * additions in the same left-to-right order, then
+  * `dot / (sqrt(na) * sqrt(nb))`, clamped to [-1, 1].
+  *
+  * Edge-case contract (explicit, where DuckDB raises an error):
+  *   - mismatched array lengths → NULL (never a silent min-length truncation);
+  *   - a zero-norm input vector → NULL (cosine is undefined; NaN must not
+  *     leak through the clamp).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // NULL is produced for defined inputs (mismatch / zero norm), not only
+  // propagated from null children.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -39,16 +49,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null
+      else math.max(-1.0, math.min(1.0, dot / denom))
     }
-    val sim = dot / (math.sqrt(na) * math.sqrt(nb))
-    math.max(-1.0, math.min(1.0, sim))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,17 +74,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      val sim = ctx.freshName("sim")
+      val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $dot / $denom));
+         |  }
          |}
-         |double $sim = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $sim));
        """.stripMargin
     })
 
@@ -119,8 +141,17 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 3,
           s"$LshKeysName expects (array<double>, tables, bits)")
+        def intArg(e: Expression, name: String): Int = {
+          require(e.foldable, s"$LshKeysName: '$name' must be a literal")
+          e.eval() match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"$LshKeysName: '$name' must be an integer literal, got $other")
+          }
+        }
         HyperplaneLshKeys(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+          intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))
       }, "built-in")
   }
 }

@@ -3,7 +3,10 @@ package graft.operators
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.sources.{CsvCatalog, CsvDialect, CsvWrite}
 
@@ -125,17 +128,24 @@ object Job {
         val source = catalog.getOrElse(m.sourceTable,
           throw new IllegalArgumentException(
             s"source table '${m.sourceTable}' not found in ${files.map(_.getFileName)}"))
-        val out = m.compile(source)
-        val rows = out.count()
+        // ONE distributed action per mapping: rowsWritten is an observed
+        // metric collected DURING the write, not a separate count() that
+        // would re-execute the whole scan/filter/project (and could diverge
+        // from the written rows if the source changed between actions).
+        val obs = Observation(s"graft.job.${m.sourceTable}->${m.destTable}")
+        val out = m.compile(source).observe(obs, count(lit(1)).as("rows"))
         if (cfg.singleFileOutput)
           CsvWrite.writeSingleFile(out, cfg.destFolder.toString, m.destTable,
             cfg.destDialect, cfg.timestampSuffix)
         else
           CsvWrite.writeDir(out, cfg.destFolder.resolve(m.destTable).toString,
             cfg.destDialect)
+        val rows = obs.get("rows").asInstanceOf[Long]
         results += MappingResult(m.sourceTable, m.destTable, ok = true, rows, None)
       } catch {
-        case e: Throwable =>
+        // NonFatal: an OOM or linkage error must propagate, not be folded
+        // into a per-mapping "failed" row.
+        case NonFatal(e) =>
           failed = true
           results += MappingResult(m.sourceTable, m.destTable, ok = false, -1L,
             Some(s"mapping ${m.sourceTable}->${m.destTable} failed: ${e.getMessage}"))

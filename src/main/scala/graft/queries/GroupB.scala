@@ -320,13 +320,18 @@ object GroupB {
 
   /** b19: array aggregation — per-group ordered list. The deterministic
     * form: collect_list is partition-order dependent, so the sort_array
-    * wrapper is what makes the result stable (and hash-comparable).
+    * wrapper is what makes the result stable. The sorted list is emitted as
+    * a canonical comma-joined STRING (sorted numerically first, then cast),
+    * so the result is hash-comparable end-to-end — the driver's comparator
+    * cannot sort an array column.
     */
   def b19ArrayAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")
     li.groupBy(col("l_orderkey"))
       .agg(
-        sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))), _.cast("string")),
+          ",").as("lines"),
         count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey")
   }
@@ -417,7 +422,7 @@ object GroupB {
         |ORDER BY c_custkey, metric""".stripMargin,
     "b19_array_agg" ->
       """SELECT l_orderkey,
-        |  list(l_linenumber ORDER BY l_linenumber) AS lines,
+        |  array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS lines,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |GROUP BY l_orderkey

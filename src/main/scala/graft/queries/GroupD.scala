@@ -235,7 +235,11 @@ object GroupD {
     * punctuation ratio, stopword ratio, and a pass/fail gate. Ratios are
     * emitted as FLOOR(x · 10⁴) fixed-point longs: floor of an identical
     * double is identical in every engine, where ROUND's half-way rule is
-    * not. Pure per-row expressions; trivially scan-parallel.
+    * not. Every denominator is `greatest(n, 1)`-guarded: a zero-length text
+    * would otherwise produce 0/0 = NaN, and `cast(floor(NaN) as bigint)`
+    * under Spark 4 ANSI mode aborts the whole query on one empty document.
+    * The oracle applies the identical guard. Pure per-row expressions;
+    * trivially scan-parallel.
     */
   def d6QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
@@ -245,11 +249,11 @@ object GroupD {
       .select(col("doc_id"),
         expr("size(ts)").cast("long").as("n_tokens"),
         expr("cast(floor(aggregate(ts, 0L, (acc, x) -> acc + length(x)) " +
-          "/ cast(size(ts) as double) * 10000) as bigint)").as("avg_token_len_e4"),
+          "/ cast(greatest(size(ts), 1) as double) * 10000) as bigint)").as("avg_token_len_e4"),
         expr("cast(floor(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) " +
-          "/ cast(length(text) as double) * 10000) as bigint)").as("punct_ratio_e4"),
+          "/ cast(greatest(length(text), 1) as double) * 10000) as bigint)").as("punct_ratio_e4"),
         expr(s"cast(floor(size(filter(ts, x -> x in $stop)) " +
-          "/ cast(size(ts) as double) * 10000) as bigint)").as("stop_ratio_e4"))
+          "/ cast(greatest(size(ts), 1) as double) * 10000) as bigint)").as("stop_ratio_e4"))
       .withColumn("quality_ok",
         col("n_tokens") >= 5 && col("punct_ratio_e4") <= 3000 &&
           col("avg_token_len_e4") >= 15000 && col("avg_token_len_e4") <= 120000)
@@ -376,16 +380,16 @@ object GroupD {
          |SELECT doc_id,
          |  len(ts)::BIGINT AS n_tokens,
          |  CAST(floor(list_sum(list_transform(ts, x -> len(x)))
-         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS avg_token_len_e4,
+         |    / CAST(greatest(len(ts), 1) AS DOUBLE) * 10000) AS BIGINT) AS avg_token_len_e4,
          |  CAST(floor(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-         |    / CAST(len(text) AS DOUBLE) * 10000) AS BIGINT) AS punct_ratio_e4,
+         |    / CAST(greatest(len(text), 1) AS DOUBLE) * 10000) AS BIGINT) AS punct_ratio_e4,
          |  CAST(floor(len(list_filter(ts, x -> x IN ${sqlInList(langLists.head._2)}))
-         |    / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) AS stop_ratio_e4,
+         |    / CAST(greatest(len(ts), 1) AS DOUBLE) * 10000) AS BIGINT) AS stop_ratio_e4,
          |  (len(ts) >= 5 AND
          |   CAST(floor(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-         |     / CAST(len(text) AS DOUBLE) * 10000) AS BIGINT) <= 3000 AND
+         |     / CAST(greatest(len(text), 1) AS DOUBLE) * 10000) AS BIGINT) <= 3000 AND
          |   CAST(floor(list_sum(list_transform(ts, x -> len(x)))
-         |     / CAST(len(ts) AS DOUBLE) * 10000) AS BIGINT) BETWEEN 15000 AND 120000
+         |     / CAST(greatest(len(ts), 1) AS DOUBLE) * 10000) AS BIGINT) BETWEEN 15000 AND 120000
          |  ) AS quality_ok
          |FROM base
          |ORDER BY doc_id""".stripMargin,

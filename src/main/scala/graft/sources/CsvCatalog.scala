@@ -106,7 +106,14 @@ object CsvCatalog {
     * Spark's CSV line splitter is only reliable on UTF-8-compatible bytes,
     * and the legacy-encoding feature exists for the reference's
     * small-single-file integration mode, not the 100 TB path (which is
-    * UTF-8 throughout).
+    * UTF-8 throughout). Constraints of that staging copy: it is a
+    * DRIVER-LOCAL temp file (only visible to executors in local mode — on
+    * a real cluster a legacy file would need staging to shared storage),
+    * CRLF line endings are normalized to LF, and copies are CACHED per
+    * (source file, mtime, encoding) — the read is lazy, so the copy cannot
+    * be deleted eagerly; caching bounds the footprint at one live copy per
+    * distinct source file instead of one per readTable call, and a changed
+    * mtime deletes the superseded copy.
     */
   def readTable(spark: SparkSession, file: Path, dialect: CsvDialect): DataFrame = {
     val names = columnNames(file, dialect)
@@ -119,18 +126,29 @@ object CsvCatalog {
       .csv(dataFile.toString)
   }
 
+  /** (source absolute path, encoding) -> (source mtime millis, staged copy). */
+  private val transcodeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Path)]()
+
   private def transcodeToUtf8(file: Path, encoding: String): Path = {
-    val tmp = Files.createTempFile(s"graft-utf8-${stem(file)}", ".csv")
-    tmp.toFile.deleteOnExit()
-    val in = new BufferedReader(new InputStreamReader(
-      Files.newInputStream(file), Charset.forName(encoding)))
-    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      Files.newOutputStream(tmp), Charset.forName("UTF-8")))
-    try {
-      var line = in.readLine()
-      while (line != null) { out.write(line); out.write("\n"); line = in.readLine() }
-    } finally { in.close(); out.close() }
-    tmp
+    val key = (file.toAbsolutePath.toString, encoding.toLowerCase)
+    val mtime = Files.getLastModifiedTime(file).toMillis
+    transcodeCache.compute(key, (_, prev) => prev match {
+      case (`mtime`, cached) if Files.exists(cached) => prev
+      case _ =>
+        if (prev != null) Files.deleteIfExists(prev._2) // superseded copy
+        val tmp = Files.createTempFile(s"graft-utf8-${stem(file)}", ".csv")
+        tmp.toFile.deleteOnExit()
+        val in = new BufferedReader(new InputStreamReader(
+          Files.newInputStream(file), Charset.forName(encoding)))
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          Files.newOutputStream(tmp), Charset.forName("UTF-8")))
+        try {
+          var line = in.readLine()
+          while (line != null) { out.write(line); out.write("\n"); line = in.readLine() }
+        } finally { in.close(); out.close() }
+        (mtime, tmp)
+    })._2
   }
 
   /** Read a DIRECTORY of CSV part files (the output of

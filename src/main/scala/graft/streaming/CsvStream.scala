@@ -49,9 +49,13 @@ object CsvStream {
   }
 
   /** Tumbling event-time window aggregation with a watermark — b16's
-    * streaming twin: identical plan shape (`window()` → group-by), plus
-    * state eviction via the watermark so the 100 TB stream doesn't
-    * accumulate unbounded state.
+    * streaming twin. The GROUPING KEY must be the event-time `window(...)`
+    * struct itself: grouping by `window(...).start` strips the event-time
+    * attribute, so append mode fails analysis and watermark state eviction
+    * never binds (state would grow without bound). The struct is flattened
+    * to a `bucket` timestamp only AFTER the aggregation, so callers see the
+    * same shape as the batch b16 while the stream runs in append mode with
+    * bounded state.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      window: String = "1 hour",
@@ -59,8 +63,8 @@ object CsvStream {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(
-        org.apache.spark.sql.functions.window(col(tsCol), window)
-          .getField("start").as("bucket"),
+        org.apache.spark.sql.functions.window(col(tsCol), window),
         col(keyCol))
       .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col(keyCol), col("n"))
 }

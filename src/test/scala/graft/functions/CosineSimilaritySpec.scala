@@ -54,6 +54,26 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("mismatched array lengths yield null (no silent min-length truncation)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(expr(s"${GraftFunctions.CosineName}(a, b)").as("s"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("a zero-norm vector yields null (cosine undefined; NaN must not pass the clamp)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq((Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(expr(s"${GraftFunctions.CosineName}(a, b)").as("s"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("opposite vectors clamp to exactly -1.0") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -61,12 +61,12 @@ class MultimodalSpec extends AnyFunSuite {
         expr(s"${graft.functions.GraftFunctions.CosineName}(a.v, b.v)").as("sim"))
       .collect()
     assert(pairs.length == 3)
-    // asset 3 has null content -> zero features -> 0/0 cosine is NaN;
-    // real-vector pairs stay clamped in [-1, 1]
+    // asset 3 has null content -> zero features -> cosine is undefined ->
+    // NULL (the expression's documented zero-norm contract); real-vector
+    // pairs stay clamped in [-1, 1]
     pairs.foreach { r =>
-      val s = r.getDouble(2)
-      if (r.getLong(1) == 3L) assert(s.isNaN)
-      else assert(math.abs(s) <= 1.0)
+      if (r.getLong(1) == 3L) assert(r.isNullAt(2))
+      else assert(math.abs(r.getDouble(2)) <= 1.0)
     }
   }
 

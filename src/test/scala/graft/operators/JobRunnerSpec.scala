@@ -64,6 +64,37 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(back.count() == 3)
   }
 
+  test("Job.run executes ONE distributed action per mapping (rowsWritten is observed, not recounted)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val funcNames =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = funcNames.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = Job.run(spark, cfg(src, dest), mappings, sleep = noSleep)
+      assert(res.ok)
+      assert(res.results.map(_.rowsWritten) == Seq(3L, 2L))
+      // the listener bus is async: wait until the count stabilizes at >= 2
+      val deadline = System.currentTimeMillis() + 10000
+      var prev = -1
+      while (System.currentTimeMillis() < deadline &&
+             (funcNames.size != prev || funcNames.size < 2)) {
+        prev = funcNames.size
+        Thread.sleep(200)
+      }
+      val names = scala.jdk.CollectionConverters.ListHasAsScala(funcNames).asScala.toList
+      assert(names.size == 2, s"expected one action per mapping, saw: $names")
+      assert(!names.contains("count"), s"a separate count() action ran: $names")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("inactive mappings and mappings with no active columns are skipped") {
     val src = srcDir(); val dest = tempDir("jobdst")
     val res = Job.run(spark, cfg(src, dest),

@@ -30,19 +30,31 @@ class CsvStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("windowed counts with watermark aggregate per hour bucket") {
+  test("windowed counts run in APPEND mode: watermark closes and emits buckets") {
     val spark = TestSpark.spark
     val dir = tempDir("stream")
     csvFile(dir, "e1.csv",
       "ts;kind\n2024-01-01 10:05:00;a\n2024-01-01 10:20:00;a\n2024-01-01 11:40:00;b\n")
-    val events = CsvStream.readStream(spark, dir)
+    val events = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
       .select(to_timestamp(col("ts")).as("ts"), col("kind"))
     val agg = CsvStream.windowedCounts(events, "ts", "kind")
+    // append mode only analyzes when the aggregation keeps the event-time
+    // window struct in its grouping keys — this start() IS the regression
+    // assertion for the watermark binding.
     val q = agg.writeStream.format("memory")
-      .queryName("windowed").outputMode("complete").start()
+      .queryName("windowed_append").outputMode("append").start()
     try {
       q.processAllAvailable()
-      val rows = spark.table("windowed")
+      // watermark (2h behind max event time 11:40) hasn't passed any
+      // window end yet -> append emits nothing, state stays open
+      assert(spark.table("windowed_append").count() == 0)
+      // 14:00 advances the watermark to 12:00 (applied in the NEXT batch);
+      // 15:00 triggers that next batch, which flushes windows ending <= 12:00
+      csvFile(dir, "e2.csv", "ts;kind\n2024-01-01 14:00:00;c\n")
+      q.processAllAvailable()
+      csvFile(dir, "e3.csv", "ts;kind\n2024-01-01 15:00:00;c\n")
+      q.processAllAvailable()
+      val rows = spark.table("windowed_append")
         .orderBy("bucket", "kind")
         .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
       assert(rows.toSeq == Seq(
