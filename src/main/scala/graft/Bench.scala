@@ -7,11 +7,19 @@ import org.apache.spark.sql.SparkSession
   * `bench_result.json` in the cwd, so the driver can parse it even when a
   * build tool decorates stdout. One warmup action runs first so the first
   * timed query doesn't pay session/codegen startup.
+  *
+  * Per-query times are the MIN OF 3 passes (SPARK_GRAFT_BENCH_PASSES to
+  * override): single-pass times at sf0.1 vary ±30% run-to-run (SCALE.md),
+  * which round 2 showed costs real round-over-round signal — min-of-n is
+  * the standard stable point estimate for a cold-cache-free machine.
+  * `value` is the sum of the per-query minima; the raw per-pass totals ride
+  * along in `pass_totals` so a single-pass figure stays reconstructable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,16 +34,22 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries("b5_hash_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val minPer = names.indices.map(i => times.map(_(i)).min)
+    val qs = names.zip(minPer).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = minPer.sum
+    val passTotals = times.map(_.sum).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()

@@ -47,8 +47,27 @@ object ConfigXml {
     opts.setAttribute("sourceStabilityCheck", cfg.sourceStabilityCheck.toString)
     opts.setAttribute("stabilitySleepMs", cfg.stabilitySleepMs.toString)
     cfg.timestampSuffix.foreach(opts.setAttribute("timestampSuffix", _))
+    opts.setAttribute("autoTimestampSuffix", cfg.autoTimestampSuffix.toString)
     opts.setAttribute("singleFileOutput", cfg.singleFileOutput.toString)
     root.appendChild(opts)
+
+    // R19 schema block: the edited source schema round-trips like the
+    // reference's SaveAsXml schema (src/CSVProvider.cs:331, :389-391).
+    if (cfg.schemaOverrides.nonEmpty) {
+      val sch = doc.createElement("schema")
+      cfg.schemaOverrides.foreach { t =>
+        val te = doc.createElement("table")
+        te.setAttribute("name", t.table)
+        t.columns.foreach { c =>
+          val ce = doc.createElement("column")
+          ce.setAttribute("name", c.name)
+          c.castTo.foreach(dt => ce.setAttribute("castTo", dt.catalogString))
+          te.appendChild(ce)
+        }
+        sch.appendChild(te)
+      }
+      root.appendChild(sch)
+    }
 
     val ms = doc.createElement("mappings")
     mappings.foreach(m => ms.appendChild(mappingEl(doc, m)))
@@ -127,6 +146,17 @@ object ConfigXml {
 
     val src = one("source")
     val opts = one("options")
+    val schemaOverrides = Option(root.getElementsByTagName("schema").item(0))
+      .map(_.asInstanceOf[Element]).toSeq.flatMap { sch =>
+        elems(sch, "table").map { te =>
+          TableSchemaOverride(
+            table = te.getAttribute("name"),
+            columns = elems(te, "column").map { ce =>
+              ColumnOverride(ce.getAttribute("name"),
+                attr(ce, "castTo").map(DataType.fromDDL))
+            })
+        }
+      }
     val cfg = JobConfig(
       destFolder = Paths.get(one("destination").getAttribute("folder")),
       sourceFile = attr(src, "file").map(Paths.get(_)),
@@ -137,7 +167,10 @@ object ConfigXml {
       sourceStabilityCheck = opts.getAttribute("sourceStabilityCheck").toBoolean,
       stabilitySleepMs = opts.getAttribute("stabilitySleepMs").toLong,
       timestampSuffix = attr(opts, "timestampSuffix"),
+      autoTimestampSuffix =
+        attr(opts, "autoTimestampSuffix").exists(_.toBoolean),
       singleFileOutput = opts.getAttribute("singleFileOutput").toBoolean,
+      schemaOverrides = schemaOverrides,
     )
 
     val mappings = elems(one("mappings"), "mapping").map { me =>

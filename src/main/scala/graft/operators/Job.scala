@@ -10,10 +10,31 @@ import org.apache.spark.sql.functions.{count, lit}
 
 import graft.sources.{CsvCatalog, CsvDialect, CsvWrite}
 
+/** One column of a schema override: the edited name and an optional
+  * destination type applied as a cast at read time. The reference's schema
+  * is editable and round-trips through its XML config
+  * (src/CSVProvider.cs:150-153, :331, :389-391); this is the engine's
+  * equivalent of that edited-schema block.
+  */
+final case class ColumnOverride(name: String, castTo: Option[org.apache.spark.sql.types.DataType] = None)
+
+/** Edited schema for one source table: columns are POSITIONAL — override i
+  * renames (and optionally types) the i-th inferred column, exactly like
+  * editing the reference's inferred schema in place.
+  */
+final case class TableSchemaOverride(table: String, columns: Seq[ColumnOverride])
+
 /** Job configuration — the reference provider's settings surface
   * (reference src/CSVProvider.cs:24-153): a source file XOR folder, a
-  * destination folder, one dialect per side, and the operational knobs
-  * (delete-after-run, stability gate, timestamped file names).
+  * destination folder, one dialect per side, the operational knobs
+  * (delete-after-run, stability gate, timestamped file names), and the
+  * edited-schema overrides (R19's schema block).
+  *
+  * File suffix: `timestampSuffix` pins an explicit suffix;
+  * `autoTimestampSuffix` generates the reference's
+  * `yyyyMMdd-HHmmssFFFFFFF` wall-clock suffix per run
+  * ([[CsvWrite.autoSuffix]], src/CSVDestinationWriter.cs:23-28). An
+  * explicit suffix wins when both are set.
   */
 final case class JobConfig(
     destFolder: Path,
@@ -25,7 +46,9 @@ final case class JobConfig(
     sourceStabilityCheck: Boolean = true,
     stabilitySleepMs: Long = 5000,
     timestampSuffix: Option[String] = None,
+    autoTimestampSuffix: Boolean = false,
     singleFileOutput: Boolean = true,
+    schemaOverrides: Seq[TableSchemaOverride] = Seq.empty,
 )
 
 final case class MappingResult(
@@ -100,6 +123,23 @@ object Job {
     cfg.sourceFile.map(Seq(_))
       .getOrElse(CsvCatalog.sourceFiles(cfg.sourceFolder.get))
 
+  /** Apply an edited schema (R19): positional rename of the inferred
+    * columns, then optional per-column casts. A count mismatch is a config
+    * error (the reference's edited schema likewise maps the inferred
+    * columns one-to-one).
+    */
+  private def applyOverride(df: org.apache.spark.sql.DataFrame,
+      o: TableSchemaOverride): org.apache.spark.sql.DataFrame = {
+    require(o.columns.length == df.columns.length,
+      s"schema override for '${o.table}' has ${o.columns.length} columns, " +
+        s"file has ${df.columns.length}")
+    val renamed = df.toDF(o.columns.map(_.name): _*)
+    o.columns.foldLeft(renamed) { (acc, c) =>
+      c.castTo.fold(acc)(t =>
+        acc.withColumn(c.name, org.apache.spark.sql.functions.col(c.name).cast(t)))
+    }
+  }
+
   /** Run every active mapping with ≥1 active column mapping; stop at the
     * first failing mapping (the reference aborts the run and reports the
     * failing row's context — we report the mapping and root cause). On a
@@ -114,9 +154,13 @@ object Job {
     if (cfg.sourceStabilityCheck)
       checkSourceFilesChanging(files, cfg.stabilitySleepMs, sleep)
 
+    val overrides = cfg.schemaOverrides.map(o => o.table -> o).toMap
     val catalog: Map[String, org.apache.spark.sql.DataFrame] =
-      files.map(f => CsvCatalog.stem(f) ->
-        CsvCatalog.readTable(spark, f, cfg.sourceDialect)).toMap
+      files.map { f =>
+        val table = CsvCatalog.stem(f)
+        val raw = CsvCatalog.readTable(spark, f, cfg.sourceDialect)
+        table -> overrides.get(table).fold(raw)(applyOverride(raw, _))
+      }.toMap
 
     val runnable = mappings.filter(m => m.active && m.columns.exists(_.active))
     val results = scala.collection.mutable.ArrayBuffer.empty[MappingResult]
@@ -134,9 +178,11 @@ object Job {
         // from the written rows if the source changed between actions).
         val obs = Observation(s"graft.job.${m.sourceTable}->${m.destTable}")
         val out = m.compile(source).observe(obs, count(lit(1)).as("rows"))
+        val suffix = cfg.timestampSuffix
+          .orElse(if (cfg.autoTimestampSuffix) Some(CsvWrite.autoSuffix()) else None)
         if (cfg.singleFileOutput)
           CsvWrite.writeSingleFile(out, cfg.destFolder.toString, m.destTable,
-            cfg.destDialect, cfg.timestampSuffix)
+            cfg.destDialect, suffix)
         else
           CsvWrite.writeDir(out, cfg.destFolder.resolve(m.destTable).toString,
             cfg.destDialect)

@@ -51,6 +51,14 @@ object Conditional {
   * destination-driven cast + decimal normalization — reference
   * src/CSVSourceReader.cs:218-243, R5/R7/R8) or a constant "script" value
   * (reference src/CSVDestinationWriter.cs:95-115, R12).
+  *
+  * `transform` is the per-value hook the reference exposes as
+  * `ColumnMapping.ConvertInputValueToOutputValue`
+  * (src/CSVDestinationWriter.cs:120, :135): a caller-supplied
+  * `Column => Column` applied AFTER the destination cast — the same point
+  * in the dataflow where the reference invokes it (on the converted value,
+  * just before the write). It is code, not config (exactly like the
+  * reference's C# delegate), so [[ConfigXml]] does not persist it.
   */
 final case class ColumnMapping(
     source: Option[String],
@@ -60,6 +68,7 @@ final case class ColumnMapping(
     castTo: Option[DataType] = None,
     decimalMode: DecimalMode = DecimalMode.None,
     timestampFormat: Option[String] = None,
+    transform: Option[Column => Column] = None,
 ) {
   require(source.isDefined || constant.isDefined,
     s"mapping to '$dest' needs a source column or a constant")
@@ -76,7 +85,7 @@ final case class ColumnMapping(
       case Some(t)                   => base.cast(t)
       case None                      => base
     }
-    converted.as(dest)
+    transform.fold(converted)(f => f(converted)).as(dest)
   }
 
   private def isFloating(t: DataType): Boolean =
@@ -127,6 +136,13 @@ object Decimals {
 /** One source-table → destination-table mapping: projection + rename +
   * conditionals, i.e. the reference's per-mapping dataflow
   * (src/CSVProvider.cs:563-577) as a single declarative plan fragment.
+  *
+  * `rowHook` is the row-level seam the framework invokes as
+  * `ProcessInputRow(row, mapping)` between the reader and the writer
+  * (reference src/CSVProvider.cs:570): a whole-frame transform applied
+  * after conditionals + projection, before the sink. Declarative
+  * (`DataFrame => DataFrame`), so whatever it adds stays inside the one
+  * distributed plan; like `transform`, it is code, not persisted config.
   */
 final case class Mapping(
     sourceTable: String,
@@ -134,16 +150,18 @@ final case class Mapping(
     columns: Seq[ColumnMapping],
     conditionals: Seq[Conditional] = Seq.empty,
     active: Boolean = true,
+    rowHook: Option[DataFrame => DataFrame] = None,
 ) {
   /** Compile onto a source DataFrame: filter (conjunction, like the
-    * reference's CheckConditionals) then project active mappings in order.
-    * Catalyst pushes both into the scan.
+    * reference's CheckConditionals) then project active mappings in order,
+    * then the row hook. Catalyst pushes filter + pruning into the scan.
     */
   def compile(source: DataFrame): DataFrame = {
     val active = columns.filter(_.active)
     require(active.nonEmpty, s"mapping $sourceTable->$destTable has no active columns")
     val filtered = conditionals.map(_.toColumn)
       .reduceOption(_ && _).fold(source)(source.filter)
-    filtered.select(active.map(_.toColumn): _*)
+    val projected = filtered.select(active.map(_.toColumn): _*)
+    rowHook.fold(projected)(h => h(projected))
   }
 }

@@ -37,6 +37,15 @@ object CsvWrite {
   /** Reference timestamp format dd-MM-yyyy HH:mm:ss:fff → Spark pattern. */
   val TimestampPattern = "dd-MM-yyyy HH:mm:ss:SSS"
 
+  /** The reference's auto-generated destination-file suffix
+    * `yyyyMMdd-HHmmssFFFFFFF` (src/CSVDestinationWriter.cs:23-28): wall
+    * clock with a 7-digit fractional second (.NET 100 ns ticks). One
+    * deliberate deviation: .NET `F` drops trailing zeros, making the name
+    * length unstable — we emit all 7 digits. `now` is injectable for tests.
+    */
+  def autoSuffix(now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String =
+    now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmssSSSSSSS"))
+
   /** Format a DataFrame's columns the way the reference's writer does:
     * timestamps/dates via the fixed pattern, everything else via plain
     * string conversion (invariant culture), newlines stripped.

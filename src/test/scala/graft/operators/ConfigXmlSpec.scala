@@ -52,6 +52,24 @@ class ConfigXmlSpec extends AnyFunSuite {
     assert(mappings2 == mappings)
   }
 
+  test("schema overrides and the auto-suffix flag round-trip (R19 schema block)") {
+    val withSchema = cfg.copy(
+      timestampSuffix = None,
+      autoTimestampSuffix = true,
+      schemaOverrides = Seq(
+        TableSchemaOverride("customers", Seq(
+          ColumnOverride("customer_key", Some(LongType)),
+          ColumnOverride("customer_name"),
+          ColumnOverride("balance", Some(DoubleType)))),
+        TableSchemaOverride("orders", Seq(
+          ColumnOverride("order_id")))))
+    val f = tempDir("cfg").resolve("job3.xml")
+    ConfigXml.save(withSchema, mappings, f)
+    val (back, _) = ConfigXml.load(f)
+    assert(back == withSchema)
+    assert(back.schemaOverrides.head.columns.head.castTo.contains(LongType))
+  }
+
   test("a file-source config with defaults round-trips too") {
     val simple = JobConfig(destFolder = Paths.get("/out"),
       sourceFile = Some(Paths.get("/in/data.csv")))

@@ -95,6 +95,36 @@ class JobRunnerSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("autoTimestampSuffix names destination files <table>[yyyyMMdd-HHmmssFFFFFFF].csv (R15)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val res = Job.run(spark,
+      cfg(src, dest).copy(autoTimestampSuffix = true), mappings, sleep = noSleep)
+    assert(res.ok)
+    val names = Files.list(dest).iterator()
+    val found = scala.jdk.CollectionConverters.IteratorHasAsScala(names)
+      .asScala.map(_.getFileName.toString).toSeq.sorted
+    assert(found.size == 2)
+    assert(found.forall(_.matches("""(customers|orders)_out\[\d{8}-\d{13}\]\.csv""")),
+      s"unexpected names: $found")
+  }
+
+  test("schema overrides rename (and type) the inferred columns before mapping (R19)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    val withSchema = cfg(src, dest).copy(schemaOverrides = Seq(
+      TableSchemaOverride("customers", Seq(
+        ColumnOverride("customer_id", Some(LongType)),
+        ColumnOverride("customer_name")))))
+    // the mapping sees the EDITED names, not the file header's
+    val m = Seq(Mapping("customers", "customers_out", Seq(
+      ColumnMapping(Some("customer_id"), "key"),
+      ColumnMapping(Some("customer_name"), "who"))))
+    val res = Job.run(spark, withSchema, m, sleep = noSleep)
+    assert(res.ok, res.errors.mkString("; "))
+    val lines = Files.readAllLines(dest.resolve("customers_out.csv"))
+    assert(lines.get(0) == "\"key\";\"who\"")
+    assert(lines.get(1) == "\"1\";\"ann\"")
+  }
+
   test("inactive mappings and mappings with no active columns are skipped") {
     val src = srcDir(); val dest = tempDir("jobdst")
     val res = Job.run(spark, cfg(src, dest),

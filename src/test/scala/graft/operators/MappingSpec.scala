@@ -101,4 +101,39 @@ class MappingSpec extends AnyFunSuite {
     )).compile(d2).collect()
     assert(out(0).getDouble(0) == 1.25 && out(0).getDouble(1) == 3.5)
   }
+
+  test("per-mapping value transform mirrors ConvertInputValueToOutputValue") {
+    val df = Seq(("ann", "1"), ("bo", "2")).toDF("name", "id")
+    val out = Mapping("t", "o", Seq(
+      ColumnMapping(Some("name"), "shout",
+        transform = Some(c => org.apache.spark.sql.functions.upper(c))),
+      ColumnMapping(Some("id"), "id"),
+    )).compile(df).orderBy("id").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("ANN", "BO"))
+  }
+
+  test("value transform runs AFTER the destination cast (reference call order)") {
+    // reference applies ConvertInputValueToOutputValue to the CONVERTED
+    // value (src/CSVDestinationWriter.cs:120) — doubling "1,5" must see the
+    // comma-normalized double 1.5, not the raw text
+    val df = Seq(("1,5", "a")).toDF("x", "tag")
+    val out = Mapping("t", "o", Seq(
+      ColumnMapping(Some("x"), "doubled", castTo = Some(DoubleType),
+        decimalMode = graft.sources.DecimalMode.Comma,
+        transform = Some(c => c * 2)),
+    )).compile(df).collect()
+    assert(out(0).getDouble(0) == 3.0)
+  }
+
+  test("row hook mirrors the ProcessInputRow seam: applied after projection") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("1", "ann"), ("2", "bo"), ("3", "cy")).toDF("id", "name")
+    val out = Mapping("t", "o", Seq(
+      ColumnMapping(Some("id"), "key"),
+      ColumnMapping(Some("name"), "name"),
+    ), rowHook = Some(d => d.filter(col("key") =!= "2")
+        .withColumn("hooked", lit(true)))).compile(df).orderBy("key").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("1", "3"))
+    assert(out.forall(_.getBoolean(2)))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-shape regression tests: the scale-critical physical-plan properties
+  * the SCALE.md audit claims, pinned so a future edit cannot silently
+  * un-push a filter, de-broadcast a dim, or reintroduce a nested-loop
+  * join. Asserts on `queryExecution.executedPlan.toString` (the planned
+  * shape — AQE may still refine exchanges at runtime, but the properties
+  * below are decided at planning).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("a2: conditional filters are pushed into the CSV scan (PushedFilters)") {
+    val p = plan("a2_filter_conditionals")
+    assert(p.contains("PushedFilters: ["), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("PushedFilters: []"),
+      "scan shows an EMPTY pushed-filter list")
+  }
+
+  test("b10: rank filter plans as WindowGroupLimit (per-partition top-k)") {
+    assert(plan("b10_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("b11: global sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("b11_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("b4/c3/d3: the small side is broadcast") {
+    for (q <- Seq("b4_broadcast_join", "c3_similarity_topk", "d3_knn_join")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q lost its broadcast")
+    }
+  }
+
+  test("dedup queries contain no BroadcastNestedLoopJoin and no CartesianProduct") {
+    for (q <- Seq("d1_dedup_minhash_lsh", "d2_dedup_simhash",
+        "d9_dedup_embedding", "d10_dedup_embedding_lsh", "c2_dedup_near")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}

@@ -63,6 +63,12 @@ class CsvWriteSpec extends AnyFunSuite {
     assert(stamped.getFileName.toString == "orders[20240305-0708091234567].csv")
   }
 
+  test("autoSuffix generates the reference's yyyyMMdd-HHmmssFFFFFFF shape (R15)") {
+    val fixed = java.time.LocalDateTime.of(2024, 3, 5, 7, 8, 9, 123456789)
+    assert(CsvWrite.autoSuffix(fixed) == "20240305-0708091234567")
+    assert(CsvWrite.autoSuffix().matches("""\d{8}-\d{13}"""))
+  }
+
   test("writeDir produces a partitioned directory (the scale path)") {
     val dir = tempDir("w").resolve("out")
     val spark = TestSpark.spark
