@@ -49,6 +49,7 @@ object ConfigXml {
     cfg.timestampSuffix.foreach(opts.setAttribute("timestampSuffix", _))
     opts.setAttribute("autoTimestampSuffix", cfg.autoTimestampSuffix.toString)
     opts.setAttribute("singleFileOutput", cfg.singleFileOutput.toString)
+    if (cfg.culture.nonEmpty) opts.setAttribute("culture", cfg.culture)
     root.appendChild(opts)
 
     // R19 schema block: the edited source schema round-trips like the
@@ -171,6 +172,7 @@ object ConfigXml {
         attr(opts, "autoTimestampSuffix").exists(_.toBoolean),
       singleFileOutput = opts.getAttribute("singleFileOutput").toBoolean,
       schemaOverrides = schemaOverrides,
+      culture = attr(opts, "culture").getOrElse(""),
     )
 
     val mappings = elems(one("mappings"), "mapping").map { me =>

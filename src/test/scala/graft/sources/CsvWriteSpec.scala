@@ -63,6 +63,24 @@ class CsvWriteSpec extends AnyFunSuite {
     assert(stamped.getFileName.toString == "orders[20240305-0708091234567].csv")
   }
 
+  test("job culture formats fractional values with its decimal separator (R13)") {
+    import org.apache.spark.sql.types.DoubleType
+    assert(CsvWrite.cultureDecimalSeparator("") == '.')
+    assert(CsvWrite.cultureDecimalSeparator("invariant") == '.')
+    assert(CsvWrite.cultureDecimalSeparator("en-US") == '.')
+    assert(CsvWrite.cultureDecimalSeparator("da-DK") == ',')
+    assert(CsvWrite.cultureDecimalSeparator("de-DE") == ',')
+    val dir = tempDir("w")
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("bal", DoubleType)))
+    val data = df(Seq(Row("1", java.lang.Double.valueOf(1234.5))), schema)
+    val danish = CsvWrite.writeSingleFile(data, dir.toString, "dk",
+      CsvDialect(), None, culture = "da-DK")
+    assert(java.nio.file.Files.readAllLines(danish).get(1) == "\"1\";\"1234,5\"")
+    val invariant = CsvWrite.writeSingleFile(data, dir.toString, "inv")
+    assert(java.nio.file.Files.readAllLines(invariant).get(1) == "\"1\";\"1234.5\"")
+  }
+
   test("autoSuffix generates the reference's yyyyMMdd-HHmmssFFFFFFF shape (R15)") {
     val fixed = java.time.LocalDateTime.of(2024, 3, 5, 7, 8, 9, 123456789)
     assert(CsvWrite.autoSuffix(fixed) == "20240305-0708091234567")

@@ -30,6 +30,34 @@ class CsvStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps the first arrival per content fingerprint") {
+    val spark = TestSpark.spark
+    val dir = tempDir("sdedup")
+    // doc B is a whitespace/punctuation variant of doc A -> same fingerprint
+    csvFile(dir, "b1.csv",
+      """ts;text
+        |2024-01-01 10:00:00;hello dedup world
+        |2024-01-01 10:01:00;Hello, dedup -- world!
+        |2024-01-01 10:02:00;another document
+        |""".stripMargin)
+    val docs = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(to_timestamp(col("ts")).as("ts"), col("text"))
+    val out = StreamingDedup.dedupByContent(docs, "text", "ts", watermark = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("deduped").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2) // variant dropped
+      // a later batch: one more dup of A (within watermark) + one new doc
+      csvFile(dir, "b2.csv",
+        "ts;text\n2024-01-01 10:10:00;hello DEDUP world\n2024-01-01 10:11:00;fresh text\n")
+      q.processAllAvailable()
+      val texts = spark.table("deduped").collect().map(_.getAs[String]("text")).toSet
+      assert(spark.table("deduped").count() == 3)
+      assert(texts.contains("hello dedup world") && texts.contains("fresh text"))
+    } finally q.stop()
+  }
+
   test("windowed counts run in APPEND mode: watermark closes and emits buckets") {
     val spark = TestSpark.spark
     val dir = tempDir("stream")
