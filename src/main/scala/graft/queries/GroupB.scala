@@ -371,7 +371,64 @@ object GroupB {
       .orderBy("l_returnflag")
   }
 
+  /** b22: AS-OF JOIN — for every click, the most recent view by the same
+    * user at or before the click's event time. Spark has no asof operator;
+    * the prompt-preferred formulation COMPOSES existing ops (no custom
+    * plan node needed): tag view/click rows, union them, and take a
+    * running `last(view_struct, ignoreNulls)` over a window partitioned by
+    * user and ordered by (ts, side) — views sort before clicks at equal
+    * timestamps, giving the `<=` bound. ONE shuffle on user_id, no range
+    * join, no per-row probe: the shape that survives 100 TB of events
+    * (a range-join formulation explodes on hot users; this is linear).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def b22AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tagged = events
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("side", when(col("event_type") === "view", 0).otherwise(1))
+      .withColumn("view_info",
+        when(col("side") === 0,
+          struct(col("event_id").as("view_id"), col("ts").as("view_ts"),
+            col("value").as("view_value"))))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_view", last(col("view_info"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        col("last_view.view_id").as("view_id"),
+        col("last_view.view_ts").as("view_ts"),
+        round(col("last_view.view_value"), 2).as("view_value"))
+      .orderBy("click_id")
+  }
+
+  /** b23: offset window functions — lag/lead with defaults, first_value,
+    * and nth_value over per-customer order sequences. All builtins with
+    * identical semantics in DuckDB (nth_value counts from the frame start;
+    * the frame is pinned explicitly so both engines see the same rows).
+    */
+  def b23LeadLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, 0)
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      round(lag("o_totalprice", 1, 0.0).over(w), 2).as("prev_price"),
+      round(lead("o_totalprice", 1, 0.0).over(w), 2).as("next_price"),
+      round(first_value(col("o_totalprice")).over(wFull), 2).as("first_price"),
+      round(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b22_asof_join"     -> (b22AsofJoin _),
+    "b23_lead_lag"      -> (b23LeadLag _),
     "b21_percentile"    -> (b21Percentile _),
     "b17_pivot"         -> (b17Pivot _),
     "b18_unpivot"       -> (b18Unpivot _),
@@ -396,6 +453,27 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b22_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  v.event_id AS view_id,
+        |  CAST(v.ts AS TIMESTAMP) AS view_ts,
+        |  ROUND(v.value, 2) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+    "b23_lead_lag" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROUND(LAG(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+        |  ROUND(LEAD(o_totalprice, 1, 0.0) OVER w, 2) AS next_price,
+        |  ROUND(FIRST_VALUE(o_totalprice) OVER wf, 2) AS first_price,
+        |  ROUND(NTH_VALUE(o_totalprice, 2) OVER wf, 2) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "b21_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
