@@ -408,6 +408,39 @@ object GroupB {
       .orderBy("click_id")
   }
 
+  /** b24: RANGE JOIN, bucketed — per purchase, the count and value of the
+    * same user's views in the preceding hour. The naive formulation is a
+    * non-equi join (user equal + ts in a range): Spark plans that as a
+    * nested-loop per user that explodes on hot users. The scale shape
+    * BUCKETS time into window-sized (1 h) cells: each view lands in
+    * exactly one (user, hour) cell, each purchase probes its own cell and
+    * the previous one (a 1-hour look-back can only span two cells), the
+    * join runs on the (user, bucket) equi-key, and the exact range
+    * predicate filters the two-cell candidates. One shuffle, candidates
+    * bounded by two cells per probe — the canonical distributed
+    * interval-join plan.
+    */
+  def b24RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("value").as("v_val"))
+      .withColumn("bucket", floor(unix_timestamp(col("v_ts")) / 3600))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("pb", floor(unix_timestamp(col("p_ts")) / 3600))
+      .withColumn("bucket", explode(array(col("pb"), col("pb") - 1)))
+    purchases
+      .join(views, Seq("user_id", "bucket"), "left")
+      .withColumn("in_range",
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") && col("v_ts") < col("p_ts"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(
+        count(when(col("in_range"), 1)).as("n_views_1h"),
+        round(coalesce(sum(when(col("in_range"), col("v_val"))), lit(0.0)), 2)
+          .as("sum_view_value"))
+      .orderBy("purchase_id")
+  }
+
   /** b23: offset window functions — lag/lead with defaults, first_value,
     * and nth_value over per-customer order sequences. All builtins with
     * identical semantics in DuckDB (nth_value counts from the frame start;
@@ -429,6 +462,7 @@ object GroupB {
   val queries: Map[String, Q] = Map(
     "b22_asof_join"     -> (b22AsofJoin _),
     "b23_lead_lag"      -> (b23LeadLag _),
+    "b24_range_join"    -> (b24RangeJoin _),
     "b21_percentile"    -> (b21Percentile _),
     "b17_pivot"         -> (b17Pivot _),
     "b18_unpivot"       -> (b18Unpivot _),
@@ -474,6 +508,16 @@ object GroupB {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "b24_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  COUNT(v.ts)::BIGINT AS n_views_1h,
+        |  ROUND(COALESCE(SUM(v.value), 0.0), 2) AS sum_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |GROUP BY 1, 2
+        |ORDER BY purchase_id""".stripMargin,
     "b21_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -437,7 +437,34 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d12: sketch aggregates — the approximate statistics a 100 TB profiler
+    * runs where exact distinct-count/percentile would shuffle every value:
+    * HyperLogLog++ distinct counts (2% target rsd) and a mergeable
+    * quantile sketch (approx_percentile, accuracy 10⁴). Both are
+    * partial-aggregated sketches: the shuffle carries one fixed-size
+    * sketch per group per partition, independent of row count — the whole
+    * point at scale. Approximate ⇒ rows-only (the driver checks shape);
+    * PipelineOpsSpec pins the error bounds against the exact aggregates.
+    */
+  def d12SketchStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)")
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("approx_parts"), col("approx_supps"),
+        round(col("qs").getItem(0), 2).as("approx_p50"),
+        round(col("qs").getItem(1), 2).as("approx_p95"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d12_sketch_stats"     -> (d12SketchStats _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
     "d2_dedup_simhash"     -> (d2DedupSimhash _),
     "d3_knn_join"          -> (d3KnnJoin _),

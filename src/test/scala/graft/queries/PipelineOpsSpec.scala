@@ -196,6 +196,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) <= 10000)) // stopword
   }
 
+  test("d12 sketch aggregates stay within their error bounds vs exact") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sk = GroupD.d12SketchStats(spark, sf).collect()
+    assert(sk.nonEmpty)
+    sk.foreach { r =>
+      val (parts, p50) = exact(r.getString(0))
+      val relCnt = math.abs(r.getLong(1) - parts).toDouble / parts
+      assert(relCnt <= 0.10, s"HLL distinct off by ${relCnt * 100}%")
+      val relP = math.abs(r.getDouble(3) - p50) / p50
+      assert(relP <= 0.05, s"approx p50 off by ${relP * 100}%")
+    }
+  }
+
   test("d8 fingerprints are stable 32-hex md5 plus bounded rolling hash") {
     val rows = GroupD.d8Fingerprint(spark, sf).collect()
     assert(rows.forall(_.getString(1).matches("[0-9a-f]{32}")))
