@@ -40,6 +40,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("b22 as-of join plans as a window pass — no join operator at all") {
+    val p = plan("b22_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of should be the union+window shape, not a join")
+  }
+
+  test("b24 range join stays on the bucketed equi-join (no nested loop)") {
+    val p = plan("b24_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a non-equi nested loop")
+  }
+
   test("dedup queries contain no BroadcastNestedLoopJoin and no CartesianProduct") {
     for (q <- Seq("d1_dedup_minhash_lsh", "d2_dedup_simhash",
         "d9_dedup_embedding", "d10_dedup_embedding_lsh", "c2_dedup_near")) {
