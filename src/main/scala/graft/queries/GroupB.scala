@@ -459,7 +459,41 @@ object GroupB {
       .orderBy("o_orderkey")
   }
 
+  /** b25: array + map function sweep over per-order collections. Arrays
+    * are compared as canonical strings (b19's rule — the driver comparator
+    * can't sort array cells); the map side is exercised through
+    * `map_from_entries` + `element_at` lookups, cross-checked by an oracle
+    * that computes the same scalars from the rows directly — an
+    * independent formulation, not a mirrored one.
+    */
+  def b25ArrayMapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        col("l_quantity").cast("long").as("q"))
+    // map keys must be unique: this data repeats l_linenumber within an
+    // order, so the map is built from the per-line MAX sub-aggregate
+    val perLine = li.groupBy("l_orderkey", "ln").agg(max("q").as("lq"))
+    val maps = perLine.groupBy("l_orderkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("ln"), col("lq"))))).as("line_qty"))
+    val arrays = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("q"))).as("qtys"))
+    arrays.join(maps, "l_orderkey")
+      .select(
+        col("l_orderkey"),
+        array_join(transform(col("qtys"), _.cast("string")), ",").as("qty_list"),
+        array_join(transform(slice(col("qtys"), 1, 2), _.cast("string")), ",")
+          .as("qty_low2"),
+        array_max(col("qtys")).as("qty_max"),
+        array_contains(col("qtys"), 25L).as("has_qty25"),
+        size(filter(col("qtys"), _ >= 30L)).cast("long").as("n_bulk"),
+        element_at(col("line_qty"), 1L).as("qty_line1"),
+        size(map_keys(col("line_qty"))).cast("long").as("n_lines"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b25_array_map"     -> (b25ArrayMapFuncs _),
     "b22_asof_join"     -> (b22AsofJoin _),
     "b23_lead_lag"      -> (b23LeadLag _),
     "b24_range_join"    -> (b24RangeJoin _),
@@ -508,6 +542,18 @@ object GroupB {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "b25_array_map" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY l_quantity), ',') AS qty_list,
+        |  array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY l_quantity)[1:2], ',') AS qty_low2,
+        |  MAX(CAST(l_quantity AS BIGINT)) AS qty_max,
+        |  bool_or(CAST(l_quantity AS BIGINT) = 25) AS has_qty25,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 30) AS n_bulk,
+        |  MAX(CASE WHEN l_linenumber = 1 THEN CAST(l_quantity AS BIGINT) END) AS qty_line1,
+        |  COUNT(DISTINCT l_linenumber) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
     "b24_range_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  COUNT(v.ts)::BIGINT AS n_views_1h,
