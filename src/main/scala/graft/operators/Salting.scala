@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key salting for skewed shuffles. AQE's skew-join split handles most
+  * sort-merge-join skew at runtime; explicit salting is the remaining tool
+  * when the skew must be split BEFORE the shuffle — a hot key whose rows
+  * all hash to one task (map-side no help), or a skewed key feeding an
+  * aggregation whose partial rows are still too hot per key. Both forms
+  * are deterministic (hash-derived salt, no randomness), so results are
+  * reproducible and plans cacheable.
+  */
+object Salting {
+
+  private val SaltCol = "__graft_salt"
+
+  /** Equi-join a skewed `big` side to a `small` side on `key`, splitting
+    * every big-side key into `salt` sub-keys: big rows get a deterministic
+    * salt from a hash of the whole row, the small side is replicated once
+    * per salt value, and the join runs on (key, salt) — a hot key's rows
+    * spread over `salt` tasks instead of one. Small-side cost: ×`salt`
+    * rows shuffled (pick `salt` ≈ a few × executor count, only worth it
+    * when `small` is genuinely small).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val saltedBig = big.withColumn(SaltCol,
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val saltedSmall = small.withColumn(SaltCol,
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedBig.join(saltedSmall, Seq(key, SaltCol), joinType).drop(SaltCol)
+  }
+
+  /** Two-phase salted aggregation for algebraic aggregates (sum/count/
+    * min/max): partial aggregate on (key, salt) spreads a hot key across
+    * `salt` reducers, the final pass merges the `salt` partials per key.
+    * Spark's own partial aggregation usually makes this unnecessary — use
+    * it when the per-key PARTIAL rows are still hot (e.g. huge maps of
+    * distinct combiner state per key).
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    df.withColumn(SaltCol,
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)).cast("int"))
+      .groupBy(col(key), col(SaltCol))
+      .agg(sum(col(valueCol)).as("partial_sum"), count(lit(1)).as("partial_n"))
+      .groupBy(col(key))
+      .agg(sum(col("partial_sum")).as(s"sum_$valueCol"),
+        sum(col("partial_n")).as("n"))
+  }
+}

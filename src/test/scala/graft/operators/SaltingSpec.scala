@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+/** Salting correctness: a salted join/aggregation must be row-identical
+  * to its plain formulation, and the salted shuffle must actually key on
+  * (key, salt) so a hot key's rows spread over `salt` tasks.
+  */
+class SaltingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 90% of rows on one hot key, the rest spread across 10 keys
+  private def skewed() = (1 to 1000).map { i =>
+    val k = if (i % 10 != 0) 1L else (i % 100 / 10).toLong + 1
+    (k, i.toLong)
+  }.toDF("k", "v")
+
+  private def dim() = (1L to 11L).map(k => (k, s"name$k")).toDF("k", "name")
+
+  test("salted join equals the plain join on skewed data") {
+    val plain = skewed().join(dim(), Seq("k"))
+      .orderBy("k", "v").collect().toSeq
+    val salted = Salting.saltedJoin(skewed(), dim(), "k", salt = 8)
+      .select("k", "v", "name").orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted left join keeps unmatched big-side rows") {
+    val big = skewed().withColumn("k", col("k") + 100) // no dim matches
+    val out = Salting.saltedJoin(big, dim(), "k", salt = 4, joinType = "left")
+    assert(out.count() == 1000)
+    assert(out.filter(col("name").isNotNull).count() == 0)
+  }
+
+  test("the salted shuffle partitions on (key, salt)") {
+    val plan = Salting.saltedJoin(skewed(), dim(), "k", salt = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"), plan.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("salted two-phase sum equals the plain aggregate") {
+    val plain = skewed().groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val salted = Salting.saltedSum(skewed(), "k", "v", salt = 8)
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+}
