@@ -52,9 +52,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "range join fell back to a non-equi nested loop")
   }
 
-  test("dedup queries contain no BroadcastNestedLoopJoin and no CartesianProduct") {
-    for (q <- Seq("d1_dedup_minhash_lsh", "d2_dedup_simhash",
-        "d9_dedup_embedding", "d10_dedup_embedding_lsh", "c2_dedup_near")) {
+  test("no B/C/D query plans a nested loop except the intended small-broadcast crosses") {
+    // c3 broadcasts a 1-row query vector, d3 a bounded query set, d11 the
+    // centroid table — a cross against a broadcast tiny side is the right
+    // plan. Everything else must stay on equi-keys.
+    val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf")
+    val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
+      GroupD.queries.keySet) -- allowedCross
+    for (q <- swept.toSeq.sorted) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
