@@ -58,6 +58,41 @@ class CsvStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs views with later purchases per user") {
+    val spark = TestSpark.spark
+    val vDir = tempDir("sjv"); val pDir = tempDir("sjp")
+    csvFile(vDir, "v1.csv",
+      """ts;user;vid
+        |2024-01-01 10:00:00;1;100
+        |2024-01-01 10:20:00;1;101
+        |2024-01-01 09:00:00;1;102
+        |2024-01-01 10:05:00;2;103
+        |""".stripMargin)
+    csvFile(pDir, "p1.csv",
+      "ts;user;pid\n2024-01-01 10:30:00;1;900\n2024-01-01 12:00:00;2;901\n")
+    val views = CsvStream.readStream(spark, vDir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(to_timestamp(col("ts")).as("v_ts"),
+        expr("cast(user as bigint)").as("user_id"),
+        expr("cast(vid as bigint)").as("vid"))
+    val purchases = CsvStream.readStream(spark, pDir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(to_timestamp(col("ts")).as("p_ts"),
+        expr("cast(user as bigint)").as("user_id"),
+        expr("cast(pid as bigint)").as("pid"))
+    val joined = StreamJoin.intervalJoin(views, purchases, "user_id", "v_ts", "p_ts")
+      .select(col("pid"), col("vid"))
+    val q = joined.writeStream.format("memory")
+      .queryName("sjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("sjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purchase 900 (10:30, user 1) matches views at 10:00 + 10:20 but
+      // NOT 09:00 (outside the hour); purchase 901 (12:00, user 2)
+      // matches nothing (user 2's view is at 10:05, > 1 h before)
+      assert(pairs == Set((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
+
   test("windowed counts run in APPEND mode: watermark closes and emits buckets") {
     val spark = TestSpark.spark
     val dir = tempDir("stream")
