@@ -18,6 +18,16 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("driver contract: every oracle key names a declared query") {
+    val queries = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet -- queries
+    assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
+    // rows-only (oracle-less) declarations are the approximate ops only
+    val rowsOnly = queries -- graft.SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats"),
+      s"unexpected oracle-less queries: $rowsOnly")
+  }
+
   test("a2: conditional filters are pushed into the CSV scan (PushedFilters)") {
     val p = plan("a2_filter_conditionals")
     assert(p.contains("PushedFilters: ["), p.linesIterator.take(30).mkString("\n"))
