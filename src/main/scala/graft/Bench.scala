@@ -35,21 +35,33 @@ object Bench {
     try SparkEntry.queries("b5_hash_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Fail loud (round-3 verdict #4): a throwing query must surface as a
+    // failure, not as a suspiciously fast time. Each pass records
+    // (seconds, ok); a query that failed in ANY pass reports "err" instead
+    // of a number, and the summary carries a failure count + names.
     val times = (1 to passes).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    val minPer = names.indices.map(i => times.map(_(i)).min)
-    val qs = names.zip(minPer).map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = minPer.sum
-    val passTotals = times.map(_.sum).mkString("[", ",", "]")
+    val failed = names.indices.filter(i => times.exists(!_(i)._2)).map(names)
+    val minPer = names.indices.map(i => times.map(_(i)._1).min)
+    val qs = names.zip(minPer).map { case (k, v) =>
+      if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val total = names.indices.collect { case i if !failed.contains(names(i)) => minPer(i) }.sum
+    val passTotals = times.map(_.map(_._1).sum).mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"failed_count":${failed.size},"failed":$failedJson}"""
     println(json)
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     spark.stop()

@@ -17,6 +17,29 @@ import org.apache.spark.sql.functions._
 object GroupB {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Run SQL against per-call-unique temp view names (round-3 verdict #7:
+    * `createOrReplaceTempView` on shared names like "orders" races when two
+    * callers share one session). The canonical table names in `sql` are
+    * rewritten to `<name>_<uuid>` views, which are dropped again before
+    * returning — safe because `spark.sql` analyzes eagerly, so the returned
+    * DataFrame's plan is already bound to the resolved relations and never
+    * re-resolves the view name at execution time.
+    */
+  private def sqlScoped(spark: SparkSession, sql: String,
+                        tables: (String, DataFrame)*): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
+    val bound = tables.map { case (name, df) =>
+      val unique = s"${name}_$suffix"
+      df.createOrReplaceTempView(unique)
+      name -> unique
+    }
+    val rewritten = bound.foldLeft(sql) { case (s, (name, unique)) =>
+      s.replaceAll("\\b" + name + "\\b", unique)
+    }
+    try spark.sql(rewritten)
+    finally bound.foreach { case (_, unique) => spark.catalog.dropTempView(unique) }
+  }
+
   /** b1: three-way equi inner join. orders⋈customer is the big pair and
     * shuffles on the join key; nation is tiny and broadcast by Catalyst
     * (it's under the autoBroadcast threshold at any SF — nation is fixed
@@ -137,6 +160,29 @@ object GroupB {
       .orderBy("gid", "rf", "ls")
   }
 
+  /** b26: cube — all 2ⁿ grouping combinations (round-3 verdict #2: b7 only
+    * exercised rollup's hierarchical prefix sets). Same single
+    * expand+aggregate physical shape as rollup: the Expand node emits one
+    * copy of each input row per grouping set, then one shuffle on the
+    * (keys, gid) — grouping-set count multiplies map-side rows, not
+    * shuffles, so a 2-column cube costs 4× expand at any scale.
+    * gid disambiguates real NULL keys from subtotal rows.
+    */
+  def b26Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("sum_qty"), col("sum_price"), col("n"))
+      .orderBy("gid", "rf", "ls")
+  }
+
   /** b8: ranking window functions with a deterministic tiebreak. The
     * window shuffles once on the partition key; at scale o_custkey is
     * high-cardinality so partitions stay small and balanced.
@@ -247,23 +293,22 @@ object GroupB {
     * joins (the scalar subquery becomes a broadcast of one row).
     */
   def b14Subquery(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "customer").createOrReplaceTempView("customer")
-    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders")
-    spark.sql("""
+    sqlScoped(spark, """
       SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
       FROM customer
       WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
         AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
       ORDER BY c_custkey
-    """)
+    """,
+      "customer" -> Tables(spark, sfDir, "customer"),
+      "orders"   -> Tables(spark, sfDir, "orders"))
   }
 
   /** b15: explicit GROUPING SETS via SQL — same expand+aggregate physical
     * shape as rollup/cube.
     */
   def b15GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql("""
+    sqlScoped(spark, """
       SELECT COALESCE(l_returnflag, 'ALL') AS rf,
              COALESCE(l_linestatus, 'ALL') AS ls,
              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
@@ -272,7 +317,8 @@ object GroupB {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY g_rf, g_ls, rf, ls
-    """)
+    """,
+      "lineitem" -> Tables(spark, sfDir, "lineitem"))
   }
 
   /** b16: tumbling 1-hour event-time window (batch). window() compiles to
@@ -341,8 +387,7 @@ object GroupB {
     * partial-agg + single-shuffle shape as b5.
     */
   def b20FilteredAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql("""
+    sqlScoped(spark, """
       SELECT l_returnflag,
         ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_disc,
         COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
@@ -350,7 +395,8 @@ object GroupB {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag
-    """)
+    """,
+      "lineitem" -> Tables(spark, sfDir, "lineitem"))
   }
 
   /** b21: exact percentiles/median. Restricted to an integer-valued
@@ -381,18 +427,31 @@ object GroupB {
     * join, no per-row probe: the shape that survives 100 TB of events
     * (a range-join formulation explodes on hot users; this is linear).
     * Oracle: DuckDB's native ASOF LEFT JOIN.
+    *
+    * Tie robustness (round-3 ADVICE): DuckDB's ASOF tie selection among
+    * views sharing (user_id, ts) is unspecified, so views are pre-aggregated
+    * to ONE row per (user_id, ts) — largest event_id, that event's value via
+    * max_by — on BOTH sides. This makes the tie-break explicit instead of
+    * relying on this corpus having unique per-user view timestamps.
     */
   def b22AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val events = Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val tagged = events
-      .filter(col("event_type").isin("view", "click"))
-      .withColumn("side", when(col("event_type") === "view", 0).otherwise(1))
-      .withColumn("view_info",
-        when(col("side") === 0,
-          struct(col("event_id").as("view_id"), col("ts").as("view_ts"),
-            col("value").as("view_value"))))
+    val viewInfo = struct(col("event_id").as("view_id"), col("ts").as("view_ts"),
+      col("value").as("view_value"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max("event_id").as("event_id"),
+        max_by(col("value"), col("event_id")).as("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("side", lit(0))
+      .withColumn("view_info", viewInfo)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("side", lit(1))
+      .withColumn("view_info", when(lit(false), viewInfo))
+    val tagged = views.unionByName(clicks)
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -492,7 +551,33 @@ object GroupB {
       .orderBy("l_orderkey")
   }
 
+  /** b27: typed-Aggregator UDAF (round-3 verdict #3) — exact lower weighted
+    * median of l_quantity, weighted by l_extendedprice in exact cents.
+    * `graft.functions.WeightedMedian` is registered through
+    * `functions.udaf`, so it plans as a regular ObjectHashAggregate with
+    * partial aggregation — histogram buffers combine map-side, one small
+    * shuffle row per group. Weights are ROUND(price·100) as BIGINT on both
+    * sides: the double product is IEEE-identical in both engines and the
+    * Long sums are order-independent, so the oracle (a cumulative-weight
+    * window reformulation, not a mirror) matches exactly.
+    */
+  def b27UdafWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val wmedian = udaf(graft.functions.WeightedMedian)
+    val li = Tables(spark, sfDir, "lineitem")
+    li.select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      .groupBy("l_returnflag")
+      .agg(
+        wmedian(col("q"), col("w")).as("wmedian_qty"),
+        wmedian(col("q"), lit(1L)).as("lower_median_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b25_array_map"     -> (b25ArrayMapFuncs _),
     "b22_asof_join"     -> (b22AsofJoin _),
     "b23_lead_lag"      -> (b23LeadLag _),
@@ -509,6 +594,7 @@ object GroupB {
     "b5_hash_agg"       -> (b5HashAgg _),
     "b6_distinct_agg"   -> (b6DistinctAgg _),
     "b7_rollup_cube"    -> (b7RollupCube _),
+    "b26_cube"          -> (b26Cube _),
     "b8_window_rank"    -> (b8WindowRank _),
     "b9_window_frame"   -> (b9WindowFrame _),
     "b10_topk_per_group" -> (b10TopkPerGroup _),
@@ -528,7 +614,10 @@ object GroupB {
         |  CAST(v.ts AS TIMESTAMP) AS view_ts,
         |  ROUND(v.value, 2) AS view_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, MAX(event_id) AS event_id,
+        |         MAX_BY(value, event_id) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
     "b23_lead_lag" ->
@@ -660,6 +749,36 @@ object GroupB {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "b27_udaf_wmedian" ->
+      """WITH wts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS w,
+        |         COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, q,
+        |         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY q) AS cw,
+        |         SUM(w) OVER (PARTITION BY l_returnflag) AS tw,
+        |         SUM(c) OVER (PARTITION BY l_returnflag ORDER BY q) AS cc,
+        |         SUM(c) OVER (PARTITION BY l_returnflag) AS tc
+        |  FROM wts)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cw >= (tw + 1) // 2 THEN q END) AS wmedian_qty,
+        |  MIN(CASE WHEN cc >= (tc + 1) // 2 THEN q END) AS lower_median_qty,
+        |  CAST(MAX(tc) AS BIGINT) AS n
+        |FROM cum
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "b26_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, rf, ls""".stripMargin,
     "b8_window_rank" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
