@@ -110,6 +110,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash64"
   val LshKeysName = "graft_lsh_keys"
   val SimHashName = "graft_simhash32"
+  val PlainDoubleName = "graft_plain_double"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -136,6 +137,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$SimHashName expects 1 argument")
         SimHashSignature(exprs.head, 32)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(PlainDoubleName,
+      { exprs =>
+        require(exprs.length == 1, s"$PlainDoubleName expects 1 argument")
+        PlainDoubleString(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(LshKeysName,
       { exprs =>

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Positional (no-exponent) string rendering of a float/double, for the
+  * CSV write path. Round-3 verdict #6: Spark's `cast(string)` switches to
+  * scientific notation at |x| ≥ 1e7, where the reference's
+  * `string.Format(culture, "{0}", v)` writes positional digits
+  * (/root/reference/src/CSVDestinationWriter.cs:135) — and the culture
+  * separator translate then produced forms like `1,0E7` that no .NET
+  * culture emits (round-3 ADVICE).
+  *
+  * Contract: the JVM's shortest round-trip digits (`Double.toString` /
+  * `Float.toString` — same digits Spark's cast uses), re-rendered without
+  * an exponent via `BigDecimal.toPlainString`. Parsing the output yields
+  * the original bit pattern. NaN/Infinity pass through unchanged.
+  * Documented deviation (SURVEY §2.4): whole doubles keep the JVM's
+  * trailing `.0` (.NET prints `1` for 1.0); digit SELECTION is the JVM's
+  * shortest-round-trip, where .NET G15 may round differently in the 16th+
+  * significant digit.
+  */
+object PlainDoubleString {
+  def format(v: Double): String = expand(java.lang.Double.toString(v))
+  def format(v: Float): String = expand(java.lang.Float.toString(v))
+
+  private def expand(s: String): String =
+    if (s.indexOf('E') < 0) s // already positional (or NaN/Infinity)
+    else new java.math.BigDecimal(s).stripTrailingZeros().toPlainString()
+}
+
+case class PlainDoubleString(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType | FloatType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a float or double argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_plain_double"
+
+  override def nullSafeEval(input: Any): Any = UTF8String.fromString(input match {
+    case d: java.lang.Double => PlainDoubleString.format(d.doubleValue())
+    case f: java.lang.Float  => PlainDoubleString.format(f.floatValue())
+  })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.PlainDoubleString.format($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): PlainDoubleString =
+    copy(child = newChild)
+}

@@ -55,6 +55,16 @@ final case class JobConfig(
       * ([[CsvWrite.cultureDecimalSeparator]]).
       */
     culture: String = "",
+    /** Max mappings submitted concurrently (round-3 verdict #8). 1 (the
+      * default) reproduces the reference's serial mapping order
+      * (src/CSVProvider.cs:563); >1 overlaps independent mappings as
+      * concurrent Spark actions on one session — useful on a cluster where
+      * a single mapping's plan can't saturate the executors. Mappings must
+      * then write DISTINCT destination tables (same-dest mappings would
+      * race on the output file). Fail-fast is preserved: after a mapping
+      * fails, no new mapping starts; in-flight ones finish and report.
+      */
+    maxParallelMappings: Int = 1,
 )
 
 final case class MappingResult(
@@ -169,11 +179,15 @@ object Job {
       }.toMap
 
     val runnable = mappings.filter(m => m.active && m.columns.exists(_.active))
-    val results = scala.collection.mutable.ArrayBuffer.empty[MappingResult]
-    var failed = false
-    val it = runnable.iterator
-    while (it.hasNext && !failed) {
-      val m = it.next()
+    val parallelism = math.max(1, cfg.maxParallelMappings)
+    if (parallelism > 1) {
+      val dests = runnable.map(_.destTable)
+      require(dests.distinct.size == dests.size,
+        s"maxParallelMappings=$parallelism requires distinct destination " +
+          s"tables, got ${dests.mkString(", ")}")
+    }
+
+    def runOne(m: Mapping): MappingResult =
       try {
         val source = catalog.getOrElse(m.sourceTable,
           throw new IllegalArgumentException(
@@ -193,17 +207,51 @@ object Job {
           CsvWrite.writeDir(out, cfg.destFolder.resolve(m.destTable).toString,
             cfg.destDialect, cfg.culture)
         val rows = obs.get("rows").asInstanceOf[Long]
-        results += MappingResult(m.sourceTable, m.destTable, ok = true, rows, None)
+        MappingResult(m.sourceTable, m.destTable, ok = true, rows, None)
       } catch {
         // NonFatal: an OOM or linkage error must propagate, not be folded
         // into a per-mapping "failed" row.
         case NonFatal(e) =>
-          failed = true
-          results += MappingResult(m.sourceTable, m.destTable, ok = false, -1L,
+          MappingResult(m.sourceTable, m.destTable, ok = false, -1L,
             Some(s"mapping ${m.sourceTable}->${m.destTable} failed: ${e.getMessage}"))
       }
-    }
-    val ok = !failed
+
+    // Fail-fast in both modes: once a mapping fails, no NEW mapping starts
+    // (the reference aborts its run loop, src/CSVProvider.cs:580-592);
+    // mappings never started produce no result row, exactly like the
+    // serial remainder. Spark actions are thread-safe on one session, so
+    // the parallel mode is a bounded pool over the same per-mapping body.
+    val results: Seq[MappingResult] =
+      if (parallelism == 1) {
+        var failed = false
+        runnable.flatMap { m =>
+          if (failed) None
+          else {
+            val r = runOne(m)
+            failed = !r.ok
+            Some(r)
+          }
+        }
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        val anyFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        try {
+          val futures = runnable.map { m =>
+            pool.submit(new java.util.concurrent.Callable[Option[MappingResult]] {
+              override def call(): Option[MappingResult] =
+                if (anyFailed.get) None
+                else {
+                  val r = runOne(m)
+                  if (!r.ok) anyFailed.set(true)
+                  Some(r)
+                }
+            })
+          }
+          try futures.flatMap(_.get())
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        } finally pool.shutdown()
+      }
+    val ok = results.size == runnable.size && results.forall(_.ok)
     if (ok && cfg.deleteSourceFiles)
       files.foreach { f =>
         try Files.deleteIfExists(f)

@@ -23,9 +23,20 @@ object Salting {
     * rows shuffled (pick `salt` ≈ a few × executor count, only worth it
     * when `small` is genuinely small).
     */
+  /** Join types safe under small-side replication: each small-side row
+    * appears once per salt value, so any join type that can emit an
+    * UNMATCHED small-side row (right/full outer) would emit it `salt`
+    * times (round-3 ADVICE). */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
+        s"rows $salt times; safe types: inner, left, left_semi, left_anti")
     val saltedBig = big.withColumn(SaltCol,
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
     val saltedSmall = small.withColumn(SaltCol,

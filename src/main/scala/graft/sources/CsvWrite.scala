@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, FloatType, TimestampNTZType, TimestampType}
 
 /** CSV sink with the reference's row format (src/CSVDestinationWriter.cs:80-152;
   * SURVEY.md §2.1 R11-R15):
@@ -59,22 +59,30 @@ object CsvWrite {
       .getInstance(java.util.Locale.forLanguageTag(culture)).getDecimalSeparator
 
   /** Format a DataFrame's columns the way the reference's writer does:
-    * timestamps/dates via the fixed pattern, fractional numerics via the
-    * job culture's decimal separator, everything else via plain string
+    * timestamps/dates via the fixed pattern, float/double via positional
+    * shortest-round-trip digits (never scientific notation — round-3
+    * verdict #6; see [[graft.functions.PlainDoubleString]]), fractional
+    * numerics (including DecimalType — round-3 ADVICE) with the job
+    * culture's decimal separator, everything else via plain string
     * conversion, newlines stripped. Deliberate deviation: the reference
     * also lets the culture change the TIMESTAMP separators (.NET custom
     * patterns localize ':'); we keep the pattern's literal separators —
     * the culture knob governs numerics only.
     */
   def formatForWrite(df: DataFrame, culture: String = ""): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sep = cultureDecimalSeparator(culture)
+    def cultured(c: Column): Column =
+      if (sep != '.') translate(c, ".", sep.toString) else c
     val cols: Seq[Column] = df.schema.fields.map { f =>
+      val quoted = "`" + f.name.replace("`", "``") + "`"
       val c = col(f.name)
       val formatted = f.dataType match {
         case TimestampType | TimestampNTZType | DateType =>
           date_format(c, TimestampPattern)
-        case DoubleType | FloatType if sep != '.' =>
-          translate(c.cast("string"), ".", sep.toString)
+        case DoubleType | FloatType =>
+          cultured(expr(s"${graft.functions.GraftFunctions.PlainDoubleName}($quoted)"))
+        case _: DecimalType => cultured(c.cast("string"))
         case _ => c.cast("string")
       }
       regexp_replace(formatted, "[\\r\\n]", "").as(f.name)

@@ -146,6 +146,54 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(!Files.exists(dest.resolve("orders_out.csv")))
   }
 
+  test("maxParallelMappings overlaps independent mappings (round-3 verdict #8)") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    // seam-injected slow source: the rowHook (the reference's
+    // ProcessInputRow stage) sleeps per partition, so each mapping's one
+    // action takes >= delayMs of wall time.
+    val delayMs = 1500L
+    def slow(ms: Long): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        val enc = org.apache.spark.sql.Encoders.row(df.schema)
+        df.repartition(1).mapPartitions { it => Thread.sleep(ms); it }(enc)
+      }
+    def slowMappings = Seq(
+      mappings.head.copy(rowHook = Some(slow(delayMs))),
+      mappings(1).copy(rowHook = Some(slow(delayMs))))
+    def timed(c: JobConfig): (JobResult, Long) = {
+      val t0 = System.nanoTime()
+      val r = Job.run(spark, c, slowMappings, sleep = noSleep)
+      (r, (System.nanoTime() - t0) / 1000000)
+    }
+    val (serialRes, serialMs) = timed(cfg(src, dest))
+    assert(serialRes.ok)
+    assert(serialMs >= 2 * delayMs) // serial pays both sleeps back-to-back
+    val dest2 = tempDir("jobdst")
+    val (parRes, parMs) = timed(cfg(src, dest2).copy(maxParallelMappings = 2))
+    assert(parRes.ok)
+    assert(parRes.results.map(_.rowsWritten).sorted == Seq(2L, 3L))
+    assert(Files.exists(dest2.resolve("customers_out.csv")))
+    assert(Files.exists(dest2.resolve("orders_out.csv")))
+    assert(parMs < serialMs, s"parallel $parMs ms !< serial $serialMs ms")
+    assert(parMs < 2 * delayMs, s"parallel $parMs ms did not overlap the sleeps")
+  }
+
+  test("parallel mode keeps fail-fast and rejects duplicate destinations") {
+    val src = srcDir(); val dest = tempDir("jobdst")
+    // duplicate destTable is a config error under parallelism
+    assertThrows[IllegalArgumentException] {
+      Job.run(spark, cfg(src, dest).copy(maxParallelMappings = 2),
+        Seq(mappings.head, mappings(1).copy(destTable = "customers_out")),
+        sleep = noSleep)
+    }
+    // a failing mapping still fails the job and is reported with context
+    val bad = Mapping("missing_table", "bad_out", Seq(ColumnMapping(Some("x"), "x")))
+    val res = Job.run(spark, cfg(src, dest).copy(maxParallelMappings = 2),
+      Seq(mappings.head, bad), sleep = noSleep)
+    assert(!res.ok)
+    assert(res.errors.exists(_.contains("missing_table->bad_out")))
+  }
+
   test("stability gate throws while a source file is still growing (R16)") {
     val f = tempDir("stab").resolve("t.csv")
     Files.writeString(f, "a\n1\n")

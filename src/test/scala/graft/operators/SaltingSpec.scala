@@ -42,6 +42,16 @@ class SaltingSpec extends AnyFunSuite {
     assert(plan.contains("__graft_salt"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("outer join types that would duplicate small-side rows are rejected") {
+    for (jt <- Seq("right", "full", "full_outer", "rightouter", "cross"))
+      assertThrows[IllegalArgumentException] {
+        Salting.saltedJoin(skewed(), dim(), "k", salt = 4, joinType = jt)
+      }
+    // the safe spellings still pass validation
+    for (jt <- Seq("inner", "left", "left_outer", "left_semi", "leftanti"))
+      Salting.saltedJoin(skewed(), dim(), "k", salt = 4, joinType = jt)
+  }
+
   test("salted two-phase sum equals the plain aggregate") {
     val plain = skewed().groupBy("k")
       .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))

@@ -81,6 +81,51 @@ class CsvWriteSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readAllLines(invariant).get(1) == "\"1\";\"1234.5\"")
   }
 
+  test("large doubles are written positionally, never scientific (R13)") {
+    val dir = tempDir("w")
+    val schema = StructType(Seq(
+      StructField("big", DoubleType), StructField("small", DoubleType),
+      StructField("f", FloatType)))
+    val data = df(Seq(Row(
+      java.lang.Double.valueOf(1.234e8),       // Spark cast would emit 1.234E8
+      java.lang.Double.valueOf(0.5),
+      java.lang.Float.valueOf(2.5e7f))), schema)
+    val f = CsvWrite.writeSingleFile(data, dir.toString, "t")
+    assert(java.nio.file.Files.readAllLines(f).get(1) ==
+      "\"123400000\";\"0.5\";\"25000000\"")
+    // culture translate applies to the positional form — no '1,234E8'
+    val danish = CsvWrite.writeSingleFile(
+      df(Seq(Row(java.lang.Double.valueOf(1.5e8),
+        java.lang.Double.valueOf(0.25), java.lang.Float.valueOf(1.5f))), schema),
+      dir.toString, "dk", CsvDialect(), None, culture = "da-DK")
+    assert(java.nio.file.Files.readAllLines(danish).get(1) ==
+      "\"150000000\";\"0,25\";\"1,5\"")
+  }
+
+  test("positional formatting round-trips and handles edge values") {
+    import graft.functions.PlainDoubleString
+    assert(PlainDoubleString.format(1.0e7) == "10000000")
+    assert(PlainDoubleString.format(-9.87e15) == "-9870000000000000")
+    assert(PlainDoubleString.format(1.0e-7) == "0.0000001")
+    assert(PlainDoubleString.format(0.1) == "0.1")          // shortest digits kept
+    assert(PlainDoubleString.format(-0.0) == "-0.0")
+    assert(PlainDoubleString.format(Double.NaN) == "NaN")
+    assert(PlainDoubleString.format(Double.PositiveInfinity) == "Infinity")
+    // round-trip: positional digits parse back to the identical bits
+    for (v <- Seq(1.234e8, 3.3e300, 4.9e-324, 123456789.123456, -2.5e-10))
+      assert(java.lang.Double.parseDouble(PlainDoubleString.format(v)) == v)
+    assert(PlainDoubleString.format(2.5e7f) == "25000000") // float digits, not double's
+  }
+
+  test("DecimalType respects the culture separator (round-3 ADVICE)") {
+    val dir = tempDir("w")
+    val schema = StructType(Seq(StructField("d", DecimalType(10, 2))))
+    val data = df(Seq(Row(new java.math.BigDecimal("1234.56"))), schema)
+    val danish = CsvWrite.writeSingleFile(data, dir.toString, "dec",
+      CsvDialect(), None, culture = "de-DE")
+    assert(java.nio.file.Files.readAllLines(danish).get(1) == "\"1234,56\"")
+  }
+
   test("autoSuffix generates the reference's yyyyMMdd-HHmmssFFFFFFF shape (R15)") {
     val fixed = java.time.LocalDateTime.of(2024, 3, 5, 7, 8, 9, 123456789)
     assert(CsvWrite.autoSuffix(fixed) == "20240305-0708091234567")

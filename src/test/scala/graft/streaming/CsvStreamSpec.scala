@@ -58,6 +58,43 @@ class CsvStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state survives a checkpoint stop/restart exactly-once (round-3 verdict #5)") {
+    val spark = TestSpark.spark
+    val dir = tempDir("ckptsrc")
+    val out = tempDir("ckptout").resolve("data").toString
+    val cp = tempDir("ckptdir").resolve("cp").toString
+    def startQuery() = {
+      val docs = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+        .select(to_timestamp(col("ts")).as("ts"), col("text"))
+      StreamingDedup.dedupByContent(docs, "text", "ts", watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+    }
+    // run 1: two unique docs + one near-dup variant -> 2 rows committed
+    csvFile(dir, "b1.csv",
+      """ts;text
+        |2024-01-01 10:00:00;hello dedup world
+        |2024-01-01 10:01:00;Hello, dedup -- world!
+        |2024-01-01 10:02:00;another document
+        |""".stripMargin)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // stop mid-stream: new files arrive while NO query is running — one
+    // duplicate of a run-1 doc (only droppable if the fingerprint STATE
+    // was recovered from the checkpoint, not rebuilt empty) + one new doc
+    csvFile(dir, "b2.csv",
+      "ts;text\n2024-01-01 10:10:00;hello DEDUP world\n2024-01-01 10:11:00;fresh text\n")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect().map(_.getAs[String]("text")).toSeq
+    // exactly-once across the restart: run-1 rows not re-emitted, the
+    // cross-restart duplicate dropped, the genuinely new doc appended
+    assert(rows.size == 3, s"expected 3 rows after restart, got: $rows")
+    assert(rows.sorted == Seq("another document", "fresh text", "hello dedup world"))
+  }
+
   test("stream-stream interval join pairs views with later purchases per user") {
     val spark = TestSpark.spark
     val vDir = tempDir("sjv"); val pDir = tempDir("sjp")
