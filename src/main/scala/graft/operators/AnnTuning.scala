@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Candidate-volume discipline for the approximate-NN operators (round-3
+  * verdict #1): on a weakly-correlated corpus, a fixed coarse banding (d4's
+  * 20×4) reaches its recall target by letting ~72% of all pairs collide —
+  * quasi-quadratic candidate volume that cannot survive a 100× scale-up.
+  * The fix is to make the parameter choice OBSERVED rather than declared:
+  *
+  *   1. [[lshStats]]/[[ivfStats]] measure, on a deterministic stride
+  *      sample, each candidate config's (a) candidate-pair fraction (the
+  *      cost driver) and (b) estimated top-1 recall (whether the true
+  *      nearest neighbor would survive candidate generation — with exact
+  *      re-ranking downstream this equals the operator's top-1 recall).
+  *   2. [[choose]] picks the CHEAPEST config meeting the recall target
+  *      within the candidate budget; if recall and budget cannot both be
+  *      met on this corpus (the measured reality at τ-low/weak-correlation
+  *      regimes — SCALE.md), recall wins and the budget miss is the
+  *      corpus's honest price, now measured instead of implicit.
+  *   3. [[capBuckets]] bounds per-bucket fan-out regardless of config: the
+  *      standard LSH big-bucket guard. Applied to the INDEX side only, so
+  *      every query keeps all its probes and each probe contributes at
+  *      most `cap` candidates — per-query candidate volume is bounded by
+  *      tables × cap BY CONSTRUCTION even on adversarial key skew.
+  *
+  * The tuner runs bounded Spark jobs over ≤ `maxSample` vectors and
+  * collects only O(configs) scalar aggregates — statistics gathering in
+  * the AQE sense, not a driver-side data path; the tuned query itself
+  * stays collect-free. Results are memoized per (corpus key, ladder) so
+  * repeated bench passes pay the sampling once per process.
+  */
+object AnnTuning {
+
+  final case class LshConfig(tables: Int, bits: Int)
+  final case class IvfConfig(stride: Int, probes: Int)
+  final case class ConfigStats[C](config: C, candidateFraction: Double,
+    estRecall: Double, maxBucketFraction: Double = 0.0)
+
+  /** A memoized tuning decision: the chosen config's stats plus the corpus
+    * row count (for scaling the sampled max-bucket fraction to an absolute
+    * bucket size when deciding whether the big-bucket cap is needed).
+    */
+  final case class Tuned[C](stats: ConfigStats[C], corpusN: Long) {
+    def config: C = stats.config
+  }
+
+  /** Default config ladders, coarse → fine. Coarser banding (fewer bits,
+    * more tables) collides more pairs: higher recall, higher cost.
+    */
+  val LshLadder: Seq[LshConfig] = Seq(
+    LshConfig(24, 3), LshConfig(20, 4), LshConfig(16, 5),
+    LshConfig(12, 6), LshConfig(8, 8), LshConfig(4, 10))
+  val IvfLadder: Seq[IvfConfig] = Seq(
+    IvfConfig(31, 8), IvfConfig(31, 4), IvfConfig(31, 2),
+    IvfConfig(16, 8), IvfConfig(16, 4), IvfConfig(16, 2))
+
+  /** Per-bucket candidate cap for top-k ANN search. Only for SEARCH:
+    * capping drops index rows from hot buckets, which top-k tolerates
+    * (any good neighbor suffices, and the true neighbor rarely lives
+    * deep inside a giant bucket of mutually-similar rows) but an
+    * oracle-exact DEDUP contract (d9/d10) does not — a capped-away
+    * qualifying partner would be a missed drop.
+    */
+  val DefaultBucketCap = 2048
+
+  /** Deterministic stride sample of ≤ maxSample vectors: every k-th
+    * vec_id, reproducible run-to-run (no RNG — the same property all the
+    * graft sketches rely on).
+    */
+  def sampleVectors(e: DataFrame, maxSample: Int): DataFrame = {
+    val n = e.count()
+    val k = math.max(1L, n / math.max(1, maxSample))
+    e.filter(pmod(col("vec_id"), lit(k)) === 0)
+  }
+
+  /** Exact top-1 neighbor pairs WITHIN the sample (qid, qv, nnid, nv) via
+    * broadcast cross + window — the ground truth the recall estimate is
+    * scored against.
+    */
+  private def exactTop1(sample: DataFrame, spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = sample.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = sample.select(col("vec_id").as("nnid"), col("v").as("nv"))
+    val sims = q.join(broadcast(c), col("qid") =!= col("nnid"))
+      .select(col("qid"), col("qv"), col("nnid"), col("nv"),
+        expr(s"${GraftFunctions.CosineName}(qv, nv)").as("s"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nnid"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("qid", "qv", "nnid", "nv")
+  }
+
+  /** Measure each LSH config on the sample: candidate fraction = distinct
+    * colliding pairs / all sample pairs; est recall = fraction of true
+    * top-1 pairs sharing a bucket in ≥ 1 table (zip_with over the two key
+    * arrays — same native keys as the query path).
+    */
+  def lshStats(spark: SparkSession, sample: DataFrame,
+               configs: Seq[LshConfig] = LshLadder): Seq[ConfigStats[LshConfig]] = {
+    GraftFunctions.register(spark)
+    val m = sample.count()
+    val allPairs = m.toDouble * (m - 1) / 2
+    val truth = exactTop1(sample, spark).cache()
+    try {
+      val nTruth = truth.count().toDouble
+      configs.map { cfg =>
+        val keyed = sample.select(col("vec_id"), posexplode(expr(
+          s"${GraftFunctions.LshKeysName}(v, ${cfg.tables}, ${cfg.bits})"))
+          .as(Seq("tbl", "bucket")))
+        val nCand = keyed.as("x").join(keyed.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+        val maxBucket = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+          .agg(max("c")).collect()(0).getLong(0)
+        val hits = truth.select(
+            expr(s"${GraftFunctions.LshKeysName}(qv, ${cfg.tables}, ${cfg.bits})").as("ka"),
+            expr(s"${GraftFunctions.LshKeysName}(nv, ${cfg.tables}, ${cfg.bits})").as("kb"))
+          .filter(expr("exists(zip_with(ka, kb, (a, b) -> a = b), x -> x)"))
+          .count()
+        ConfigStats(cfg, nCand / math.max(allPairs, 1.0),
+          hits / math.max(nTruth, 1.0), maxBucket.toDouble / math.max(m, 1L))
+      }
+    } finally truth.unpersist()
+  }
+
+  /** Measure each IVF config on the sample. Centroids come from the FULL
+    * corpus (vec_id ≡ 0 mod stride — identical to the query path, so K
+    * scales with n); queries and cell sizes come from the sample.
+    * Candidate fraction = mean probed-cell mass per query; est recall =
+    * P(true top-1's assigned cell ∈ query's probed cells).
+    */
+  def ivfStats(spark: SparkSession, corpus: DataFrame, sample: DataFrame,
+               configs: Seq[IvfConfig] = IvfLadder): Seq[ConfigStats[IvfConfig]] = {
+    GraftFunctions.register(spark)
+    val m = sample.count().toDouble
+    val truth = exactTop1(sample, spark)
+      .select(col("qid"), col("nnid")).cache()
+    try {
+      val nTruth = truth.count().toDouble
+      configs.map { cfg =>
+        val cent = corpus.filter(pmod(col("vec_id"), lit(cfg.stride)) === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val scored = sample.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            expr(s"${GraftFunctions.CosineName}(v, cv)").as("cs"))
+        val wCell = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+        val ranked = scored.withColumn("crn", row_number().over(wCell)).cache()
+        try {
+          val assign = ranked.filter(col("crn") === 1)
+            .select(col("vec_id").as("aid"), col("cid").as("acell"))
+          val probe = ranked.filter(col("crn") <= cfg.probes)
+            .select(col("vec_id").as("qid"), col("cid").as("cell"))
+          val cellSizes = assign.groupBy("acell").agg(count(lit(1)).as("sz"))
+          // mean probed mass per query, as a fraction of the sample
+          val probedMass = probe.join(cellSizes, col("cell") === col("acell"))
+            .agg(sum("sz")).collect()(0).getLong(0).toDouble
+          val frac = probedMass / (m * m)
+          val hits = truth
+            .join(probe, Seq("qid"))
+            .join(assign, col("nnid") === col("aid") && col("cell") === col("acell"))
+            .select("qid").distinct().count()
+          ConfigStats(cfg, frac, hits / math.max(nTruth, 1.0))
+        } finally ranked.unpersist()
+      }
+    } finally truth.unpersist()
+  }
+
+  /** Deterministic selection: cheapest config meeting BOTH the recall
+    * target and the candidate budget; else cheapest meeting recall (the
+    * budget is unreachable on this corpus at this target — recall is the
+    * declared contract, the measured fraction the honest price); else the
+    * best-recall config (nothing meets the target — return the least-bad).
+    */
+  def choose[C](stats: Seq[ConfigStats[C]], recallTarget: Double,
+                budgetFraction: Double): ConfigStats[C] = {
+    require(stats.nonEmpty, "no configs to choose from")
+    val both = stats.filter(s =>
+      s.estRecall >= recallTarget && s.candidateFraction <= budgetFraction)
+    if (both.nonEmpty) both.minBy(_.candidateFraction)
+    else {
+      val recallOk = stats.filter(_.estRecall >= recallTarget)
+      if (recallOk.nonEmpty) recallOk.minBy(_.candidateFraction)
+      else stats.maxBy(s => (s.estRecall, -s.candidateFraction))
+    }
+  }
+
+  /** Big-bucket guard: bound each (tbl, bucket)'s INDEX membership at
+    * `cap` rows, keeping a deterministic hash-ranked subset. Applied to
+    * the index side of the candidate join only — queries keep all their
+    * probes, so per-query candidates ≤ tables × cap by construction.
+    * The window partitions exactly on the join key, so the rank's shuffle
+    * IS the join's shuffle (one exchange, reused).
+    */
+  def capBuckets(keyed: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) keyed // guard disabled: keep the single
+    // shared exchange both candidate-join sides reuse (the rank window
+    // would split the subplans and cost a measured ~1 s at sf0.1)
+    else {
+      val w = Window.partitionBy("tbl", "bucket")
+        .orderBy(xxhash64(col("vec_id"), col("tbl")), col("vec_id"))
+      keyed.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= cap).drop("__rk")
+    }
+
+  /** Decide the effective cap from measured bucket stats: engage the guard
+    * only when the corpus actually HAS a bucket that would exceed it
+    * (sampled max-bucket fraction × corpus size, with 2× headroom for
+    * sampling error). A capped plan pays an extra window + a second
+    * exchange; a corpus whose largest bucket is far under the cap gets the
+    * uncapped single-exchange plan and identical results.
+    */
+  def effectiveCap(tuned: Tuned[LshConfig], cap: Int = DefaultBucketCap): Int =
+    if (tuned.stats.maxBucketFraction * tuned.corpusN * 2 > cap) cap
+    else Int.MaxValue
+
+  // --- memoized tuning (per corpus key + ladder) --------------------------
+  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[String, Tuned[LshConfig]]()
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, Tuned[IvfConfig]]()
+
+  /** Tuned LSH config for a corpus, memoized on `key` (e.g. the sf dir):
+    * deterministic sample → per-config stats → choose. maxSample=500
+    * bounds tuning to ~125k sampled pairs per config regardless of corpus
+    * size.
+    */
+  def tunedLsh(spark: SparkSession, e: DataFrame, key: String,
+               recallTarget: Double = 0.9, budgetFraction: Double = 0.25,
+               maxSample: Int = 500): Tuned[LshConfig] =
+    lshMemo.computeIfAbsent(s"$key|$recallTarget|$budgetFraction", _ => {
+      val n = e.count()
+      val stats = lshStats(spark, sampleVectors(e, maxSample))
+      val picked = choose(stats, recallTarget, budgetFraction)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"[graft] tuned LSH for $key (n=$n): $picked from " +
+          stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
+            .mkString(", "))
+      Tuned(picked, n)
+    })
+
+  /** Tuned IVF config for a corpus, memoized on `key`. */
+  def tunedIvf(spark: SparkSession, e: DataFrame, key: String,
+               recallTarget: Double = 0.65, budgetFraction: Double = 0.25,
+               maxSample: Int = 500): Tuned[IvfConfig] =
+    ivfMemo.computeIfAbsent(s"$key|$recallTarget|$budgetFraction", _ => {
+      val n = e.count()
+      val stats = ivfStats(spark, e, sampleVectors(e, maxSample))
+      val picked = choose(stats, recallTarget, budgetFraction)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"[graft] tuned IVF for $key (n=$n): $picked from " +
+          stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
+            .mkString(", "))
+      Tuned(picked, n)
+    })
+
+  /** Test seam: clear the memo (specs tune the same key with different
+    * corpora). */
+  private[graft] def clearMemo(): Unit = { lshMemo.clear(); ivfMemo.clear() }
+}

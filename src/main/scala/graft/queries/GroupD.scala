@@ -160,23 +160,49 @@ object GroupD {
     * weakly correlated (top-1 cosine median ≈ 0.37), so ≥ 0.9 recall needs
     * coarse buckets — 20×4 measures 0.96 recall on d3's query set where
     * the classic 4-table×10-bit shape measures 0.04. On a clustered corpus
-    * (near-dup regime, cosine ≥ 0.8) fewer, finer tables prune far harder;
-    * tables/bits are the knobs a deployment tunes per corpus.
+    * (near-dup regime, cosine ≥ 0.8) fewer, finer tables prune far harder.
+    *
+    * Round-4: the (tables, bits) choice is AUTO-TUNED per corpus
+    * ([[graft.operators.AnnTuning.tunedLsh]]): a deterministic ≤500-vector
+    * sample measures every ladder config's candidate-pair fraction and
+    * estimated top-1 recall, and the cheapest config meeting recall ≥ 0.9
+    * within the 0.25 candidate budget wins (recall wins when the corpus
+    * can't meet both — the weak-correlation regime here — with the
+    * fraction now MEASURED, visible in logs, and pinned in
+    * PipelineOpsSpec rather than implicit). Candidate generation also
+    * carries the big-bucket guard: index-side membership per bucket is
+    * capped at a deterministic 2048-row subset, bounding per-query
+    * candidates at tables × cap by construction on any key skew.
     */
   def d4AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tuned = graft.operators.AnnTuning.tunedLsh(spark, e, s"lsh|$sfDir")
+    // the big-bucket guard engages only when the measured bucket stats say
+    // a bucket would actually exceed the cap — otherwise the uncapped plan
+    // keeps its single shared exchange (AnnTuning.effectiveCap)
+    annLsh(e, spark, tuned.config.tables, tuned.config.bits,
+      graft.operators.AnnTuning.effectiveCap(tuned))
+  }
+
+  /** Hyperplane-LSH top-1 on an arbitrary (vec_id, v) frame — d4's body,
+    * reusable in specs. `bucketCap` bounds index-side bucket membership
+    * (queries keep all probes — see [[graft.operators.AnnTuning.capBuckets]]).
+    */
+  private[queries] def annLsh(e: DataFrame, spark: SparkSession,
+      tables: Int, bits: Int, bucketCap: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     // Candidate pairs are deduplicated as 16-byte ID pairs BEFORE the
     // vectors are attached: a distinct over rows that carry two 64-double
     // arrays would shuffle the whole corpus once per colliding table
     // (measured 67 s vs 4 s at sf0.1).
     val keyed = e.select(col("vec_id"),
       posexplode(expr(
-        s"${graft.functions.GraftFunctions.LshKeysName}(v, 20, 4)"))
+        s"${graft.functions.GraftFunctions.LshKeysName}(v, $tables, $bits)"))
         .as(Seq("tbl", "bucket")))
+    val index = graft.operators.AnnTuning.capBuckets(keyed, bucketCap)
     val cand = keyed.as("x")
-      .join(keyed.as("y"),
+      .join(index.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nn_id"))
@@ -209,11 +235,19 @@ object GroupD {
     * sf0.01 (PipelineOpsSpec pins ≥ 0.65 vs d3) — and recall ≥ 0.95
     * probing 2 of ~15 cells on a CLUSTERED corpus, the regime IVF is
     * built for (also pinned). Approximate ⇒ rows-only, like d4.
+    *
+    * Round-4: (stride, probes) is AUTO-TUNED per corpus
+    * ([[graft.operators.AnnTuning.tunedIvf]]) — cheapest ladder config
+    * whose sampled scanned-fraction fits the 0.25 budget at recall ≥ 0.65,
+    * recall winning when the corpus can't meet both (same discipline as
+    * d4, same measured-fraction visibility).
     */
-  def d11AnnIvf(spark: SparkSession, sfDir: String): DataFrame =
-    annIvf(Tables(spark, sfDir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-      spark, stride = 31, probes = 8)
+  def d11AnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tuned = graft.operators.AnnTuning.tunedIvf(spark, e, s"ivf|$sfDir")
+    annIvf(e, spark, tuned.config.stride, tuned.config.probes)
+  }
 
   /** IVF-Flat top-1 on an arbitrary (vec_id, v) frame — d11's body,
     * reusable in specs against synthetic clustered corpora.

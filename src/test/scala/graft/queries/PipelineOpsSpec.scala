@@ -79,6 +79,94 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"d4 top-1 recall $recall < 0.9 (hits $hits/${exact.size})")
   }
 
+  test("d4's tuned config makes the candidate fraction VISIBLE and recall-bound (sf0.01)") {
+    // Round-3 verdict #1: the ~0.72 candidate fraction at the declared
+    // recall target was implicit. The tuner now measures it: on this
+    // weakly-correlated corpus the recall pin (>= 0.9) binds, the budget
+    // (0.25) is unreachable, and the chosen config's fraction is the
+    // corpus's measured price — pinned here so a corpus/regression that
+    // CAN meet the budget (or degrades further) changes a visible number.
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = graft.operators.AnnTuning.lshStats(spark,
+      graft.operators.AnnTuning.sampleVectors(e, 500))
+    val picked = graft.operators.AnnTuning.choose(stats, 0.9, 0.25)
+    info(s"ladder: ${stats.map(s => f"${s.config}->(${s.candidateFraction}%.3f,${s.estRecall}%.2f)").mkString(", ")}")
+    info(f"chosen ${picked.config} fraction=${picked.candidateFraction}%.3f recall=${picked.estRecall}%.3f")
+    assert(picked.estRecall >= 0.9, s"tuned config misses the recall pin: $picked")
+    // the measured price on THIS corpus: quasi-quadratic, known, visible
+    assert(picked.candidateFraction > 0.5 && picked.candidateFraction < 0.85,
+      s"candidate fraction moved materially: $picked — retune the ladder or update this pin")
+    // every finer config on the ladder fails the recall target here —
+    // the tuner is not leaving a cheaper compliant config on the table
+    assert(stats.filter(_.candidateFraction < picked.candidateFraction)
+      .forall(_.estRecall < 0.9))
+  }
+
+  test("tuned LSH meets BOTH recall >= 0.9 AND the candidate budget on a clustered corpus") {
+    // The verdict's Done-criterion: in the near-dup regime (where LSH is
+    // the right tool) the tuner must find a config that prunes AND recalls.
+    val rnd = new scala.util.Random(777)
+    val dim = 64
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val vecs = (0 until 40).flatMap { c =>
+      val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+      (0 until 5).map(m =>
+        (c * 5L + m, unit(base.map(_ + 0.025 * rnd.nextGaussian()))))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "v")
+    val stats = graft.operators.AnnTuning.lshStats(spark, df)
+    val picked = graft.operators.AnnTuning.choose(stats, 0.9, 0.25)
+    info(f"clustered chosen ${picked.config} fraction=${picked.candidateFraction}%.3f recall=${picked.estRecall}%.3f")
+    assert(picked.estRecall >= 0.9, s"clustered recall miss: $picked")
+    assert(picked.candidateFraction <= 0.25, s"clustered budget miss: $picked")
+    // and the full operator at the tuned config actually achieves the
+    // recall against driver-side brute force
+    val out = GroupD.annLsh(df, spark, picked.config.tables, picked.config.bits,
+      graft.operators.AnnTuning.DefaultBucketCap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val exact = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .maxBy { case (oid, ov) => (cos(ov, v), -oid.toDouble) }._1
+    }.toMap
+    val hits = exact.count { case (q, nn) => out.get(q).contains(nn) }
+    assert(hits.toDouble / exact.size >= 0.9,
+      s"operator recall ${hits}/${exact.size} below the tuned estimate")
+  }
+
+  test("the big-bucket cap bounds index fan-out and keeps every query answered") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // adversarial skew: 200 near-identical vectors — every bucket of every
+    // table contains essentially ALL of them
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, unit(base.map(_ + 0.01 * rnd.nextGaussian()))))
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "v")
+    val keyed = df.select(col("vec_id"), posexplode(expr(
+      s"${graft.functions.GraftFunctions.LshKeysName}(v, 4, 4)"))
+      .as(Seq("tbl", "bucket")))
+    val capped = graft.operators.AnnTuning.capBuckets(keyed, 10)
+    val maxBucket = capped.groupBy("tbl", "bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= 10, s"cap violated: bucket of $maxBucket")
+    // capped ANN: per-query candidates <= tables * cap, yet every query
+    // still gets a top-1 answer (index subset is nonempty per hot bucket)
+    val out = GroupD.annLsh(df, spark, tables = 4, bits = 4, bucketCap = 10)
+    assert(out.count() == 200)
+  }
+
   test("d11 IVF top-1 recall vs d3's exact top-1 is >= 0.65 (sf0.01, measured 0.74)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = GroupD.d3KnnJoin(spark, sf01)
