@@ -227,6 +227,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d10 == kept)
   }
 
+  test("d10's banding recall is exact at sf0.01 — the fact its shared oracle depends on") {
+    // Round-3 ADVICE: d10 reuses d9's exact NOT-EXISTS oracle on the
+    // measured fact that 24×3 banding misses zero drops at the declared
+    // SFs. This property makes that SF-contingency a NAMED assertion: if
+    // regenerated test data (or a banding change) ever breaks it, this
+    // fails as an approximation-recall regression with a clear message,
+    // instead of d10's correctness row silently flipping red.
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = GroupD.d9DedupEmbedding(spark, sf01).collect().map(_.getLong(0)).toSeq
+    val lsh = GroupD.d10DedupEmbeddingLsh(spark, sf01).collect().map(_.getLong(0)).toSeq
+    assert(lsh == exact,
+      s"d10's 24×3 banding no longer matches d9's exact dedup at sf0.01 " +
+        s"(${lsh.size} vs ${exact.size} kept): its banding recall dropped below " +
+        "1.0 on this data — REMOVE d10's shared oracle declaration (make it " +
+        "rows-only) before the next verify run, then retune the banding")
+  }
+
   test("d10's LSH banding PRUNES in its near-dup regime (clustered corpus, tau=0.9)") {
     // The declared tau=0.3 dataset is the worst case for banding (see
     // SCALE.md); this pins the regime the machinery is built for: 20
