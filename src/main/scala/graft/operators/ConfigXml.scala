@@ -50,6 +50,8 @@ object ConfigXml {
     opts.setAttribute("autoTimestampSuffix", cfg.autoTimestampSuffix.toString)
     opts.setAttribute("singleFileOutput", cfg.singleFileOutput.toString)
     if (cfg.culture.nonEmpty) opts.setAttribute("culture", cfg.culture)
+    if (cfg.maxParallelMappings != 1)
+      opts.setAttribute("maxParallelMappings", cfg.maxParallelMappings.toString)
     root.appendChild(opts)
 
     // R19 schema block: the edited source schema round-trips like the
@@ -173,6 +175,8 @@ object ConfigXml {
       singleFileOutput = opts.getAttribute("singleFileOutput").toBoolean,
       schemaOverrides = schemaOverrides,
       culture = attr(opts, "culture").getOrElse(""),
+      maxParallelMappings =
+        attr(opts, "maxParallelMappings").map(_.toInt).getOrElse(1),
     )
 
     val mappings = elems(one("mappings"), "mapping").map { me =>

@@ -265,6 +265,45 @@ object GroupB {
     unionAll.union(inter).union(minus).orderBy("tag", "c_custkey")
   }
 
+  /** b28: set operations with BAG (ALL) semantics — b12 covers the
+    * distinct variants; intersectAll/exceptAll preserve multiplicities
+    * (min(cA,cB) / cA−cB copies). Spark plans both as a single aggregate
+    * counting per-side occurrences then a generate — no join, one shuffle.
+    * The post-op group-by makes the duplicated rows hash-deterministic
+    * (counts, not repeated identical rows).
+    */
+  def b28SetOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = Tables(spark, sfDir, "customer")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_nationkey")
+    val rich = customer.filter(col("c_acctbal") > 5000)
+      .select("c_nationkey")
+    val inter = building.intersectAll(rich).withColumn("tag", lit("intersect_all"))
+    val minus = building.exceptAll(rich).withColumn("tag", lit("except_all"))
+    inter.union(minus)
+      .groupBy("tag", "c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("tag", "c_nationkey")
+  }
+
+  /** b29: correlated LATERAL subquery — a per-row subquery in FROM that
+    * references the outer row. Catalyst decorrelates it into a plain
+    * aggregate + join (DecorrelateInnerQuery), so the per-nation scan the
+    * SQL reads as runs exactly once over customer — never a nested loop.
+    */
+  def b29Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlScoped(spark, """
+      SELECT n.n_nationkey, n.n_name, s.n_customers, s.avg_bal
+      FROM nation n,
+      LATERAL (
+        SELECT COUNT(*) AS n_customers,
+               ROUND(AVG(c_acctbal), 2) AS avg_bal
+        FROM customer WHERE c_nationkey = n.n_nationkey) s
+      ORDER BY n.n_nationkey
+    """,
+      "nation"   -> Tables(spark, sfDir, "nation"),
+      "customer" -> Tables(spark, sfDir, "customer"))
+  }
+
   /** b13: scalar function sweep — string, date, math, conditional — all
     * codegen'd builtins (functions._), zero UDFs.
     */
@@ -578,6 +617,8 @@ object GroupB {
 
   val queries: Map[String, Q] = Map(
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
+    "b28_set_ops_all"   -> (b28SetOpsAll _),
+    "b29_lateral"       -> (b29Lateral _),
     "b25_array_map"     -> (b25ArrayMapFuncs _),
     "b22_asof_join"     -> (b22AsofJoin _),
     "b23_lead_lag"      -> (b23LeadLag _),
@@ -750,6 +791,29 @@ object GroupB {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, rf, ls""".stripMargin,
+    "b28_set_ops_all" ->
+      """WITH building AS (
+        |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rich AS (
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000),
+        |u AS (
+        |  SELECT c_nationkey, 'intersect_all' AS tag FROM (
+        |    SELECT c_nationkey FROM building INTERSECT ALL SELECT c_nationkey FROM rich)
+        |  UNION ALL
+        |  SELECT c_nationkey, 'except_all' AS tag FROM (
+        |    SELECT c_nationkey FROM building EXCEPT ALL SELECT c_nationkey FROM rich))
+        |SELECT tag, c_nationkey, COUNT(*) AS n
+        |FROM u
+        |GROUP BY tag, c_nationkey
+        |ORDER BY tag, c_nationkey""".stripMargin,
+    "b29_lateral" ->
+      """SELECT n.n_nationkey, n.n_name, s.n_customers, s.avg_bal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT COUNT(*) AS n_customers,
+        |         ROUND(AVG(c_acctbal), 2) AS avg_bal
+        |  FROM customer WHERE c_nationkey = n.n_nationkey) s
+        |ORDER BY n.n_nationkey""".stripMargin,
     "b27_udaf_wmedian" ->
       """WITH wts AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,

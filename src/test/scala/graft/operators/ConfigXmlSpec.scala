@@ -57,6 +57,7 @@ class ConfigXmlSpec extends AnyFunSuite {
       timestampSuffix = None,
       autoTimestampSuffix = true,
       culture = "da-DK",
+      maxParallelMappings = 4,
       schemaOverrides = Seq(
         TableSchemaOverride("customers", Seq(
           ColumnOverride("customer_key", Some(LongType)),
