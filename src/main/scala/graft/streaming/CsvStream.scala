@@ -48,6 +48,29 @@ object CsvStream {
       .csv(dir.toString)
   }
 
+  /** Open a streaming CSV SINK with the same dialect mapping as the batch
+    * writer — the destination-provider twin of [[readStream]], so the
+    * reference's source→destination dataflow also runs as an unbounded
+    * pipeline. Rows are pre-formatted by the batch writer's own column
+    * formatter ([[graft.sources.CsvWrite.formatForWrite]]: fixed timestamp
+    * pattern, positional doubles, culture separator), so streamed bytes
+    * match batch bytes. The file sink is exactly-once under a checkpoint
+    * (same commit-log mechanism CsvStreamSpec pins for parquet).
+    *
+    * Returns the unstarted writer so callers pick trigger/output mode;
+    * append is the only mode a file sink supports.
+    */
+  def writeStream(df: DataFrame, dir: Path, checkpoint: Path,
+                  dialect: CsvDialect = CsvDialect(),
+                  culture: String = ""): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.sources.CsvWrite.formatForWrite(df, culture)
+      .writeStream
+      .format("csv")
+      .options(dialect.writeOptions)
+      .option("path", dir.toString)
+      .option("checkpointLocation", checkpoint.toString)
+      .outputMode("append")
+
   /** Tumbling event-time window aggregation with a watermark — b16's
     * streaming twin. The GROUPING KEY must be the event-time `window(...)`
     * struct itself: grouping by `window(...).start` strips the event-time

@@ -130,6 +130,39 @@ class CsvStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CSV sink writes batch-identical dialect bytes, exactly-once") {
+    val spark = TestSpark.spark
+    val src = tempDir("sinksrc")
+    val out = tempDir("sinkout").resolve("data")
+    val cp = tempDir("sinkcp").resolve("cp")
+    csvFile(src, "r1.csv", "id;amt\n1;150000000.0\n2;0.5\n")
+    def start() = {
+      val rows = CsvStream.readStream(spark, src, CsvDialect(), maxFilesPerTrigger = 1)
+        .select(col("id"), col("amt").cast("double").as("amt"))
+      CsvStream.writeStream(rows, out, cp, CsvDialect()).start()
+    }
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // dialect bytes: quoted fields, ';' delimiter, POSITIONAL double (the
+    // batch writer's formatter — no '1.5E8')
+    val files = java.nio.file.Files.list(out).iterator()
+    val partLines = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .flatMap(p => scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala)
+      .toSeq.sorted
+    assert(partLines.contains("\"1\";\"150000000\""), s"got: $partLines")
+    assert(partLines.contains("\"2\";\"0.5\""))
+    // restart from the checkpoint with one new file: old rows not re-emitted
+    csvFile(src, "r2.csv", "id;amt\n3;2.5\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val back = graft.sources.CsvCatalog.readDir(spark, out, CsvDialect())
+    assert(back.count() == 3)
+    assert(back.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("1", "2", "3"))
+  }
+
   test("windowed counts run in APPEND mode: watermark closes and emits buckets") {
     val spark = TestSpark.spark
     val dir = tempDir("stream")
