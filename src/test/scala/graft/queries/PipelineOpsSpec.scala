@@ -167,6 +167,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.count() == 200)
   }
 
+  test("tuning survives degenerate corpora (tiny / single-vector samples)") {
+    val df3 = spark.createDataFrame(Seq(
+      (0L, Array.fill(64)(0.1)), (1L, Array.fill(64)(-0.1)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.2 else -0.2))))
+      .toDF("vec_id", "v")
+    val s3 = graft.operators.AnnTuning.lshStats(spark, df3)
+    assert(s3.nonEmpty && s3.forall(s =>
+      s.candidateFraction >= 0.0 && s.candidateFraction <= 1.0 &&
+        s.estRecall >= 0.0 && s.estRecall <= 1.0))
+    graft.operators.AnnTuning.choose(s3, 0.9, 0.25) // must not throw
+    val df1 = df3.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+    val s1 = graft.operators.AnnTuning.lshStats(spark, df1)
+    assert(s1.forall(s => !s.candidateFraction.isNaN && !s.estRecall.isNaN))
+  }
+
   test("d11 IVF top-1 recall vs d3's exact top-1 is >= 0.65 (sf0.01, measured 0.74)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = GroupD.d3KnnJoin(spark, sf01)
