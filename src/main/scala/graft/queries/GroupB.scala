@@ -289,6 +289,9 @@ object GroupB {
     * references the outer row. Catalyst decorrelates it into a plain
     * aggregate + join (DecorrelateInnerQuery), so the per-nation scan the
     * SQL reads as runs exactly once over customer — never a nested loop.
+    * The average is SUM(DECIMAL)/COUNT, not AVG(double): the decimal sum
+    * is exact and order-independent, so the rounded result can't flip on
+    * an engine's summation order (b9's rule).
     */
   def b29Lateral(spark: SparkSession, sfDir: String): DataFrame = {
     sqlScoped(spark, """
@@ -296,7 +299,8 @@ object GroupB {
       FROM nation n,
       LATERAL (
         SELECT COUNT(*) AS n_customers,
-               ROUND(AVG(c_acctbal), 2) AS avg_bal
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 2) AS avg_bal
         FROM customer WHERE c_nationkey = n.n_nationkey) s
       ORDER BY n.n_nationkey
     """,
@@ -811,7 +815,8 @@ object GroupB {
         |FROM nation n,
         |LATERAL (
         |  SELECT COUNT(*) AS n_customers,
-        |         ROUND(AVG(c_acctbal), 2) AS avg_bal
+        |         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |               / COUNT(*), 2) AS avg_bal
         |  FROM customer WHERE c_nationkey = n.n_nationkey) s
         |ORDER BY n.n_nationkey""".stripMargin,
     "b27_udaf_wmedian" ->

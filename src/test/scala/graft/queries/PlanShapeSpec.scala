@@ -62,6 +62,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "range join fell back to a non-equi nested loop")
   }
 
+  test("b26 cube plans as ONE expand + aggregate (no per-grouping-set union)") {
+    val p = plan("b26_cube")
+    assert(p.contains("Expand"))
+    assert(p.linesIterator.count(_.contains("Expand")) == 1,
+      "cube expanded into more than one Expand node")
+    assert(!p.contains("Union"), "cube fell back to a union of grouping sets")
+  }
+
+  test("b27 UDAF rides partial aggregation (map-side histogram combine)") {
+    val p = plan("b27_udaf_wmedian")
+    assert(p.contains("ObjectHashAggregate"), "typed Aggregator lost its hash-agg plan")
+    assert(p.toLowerCase.contains("partial_weightedmedian"),
+      "UDAF is not partially aggregated — every row would shuffle")
+  }
+
+  test("b28 ALL-semantics set ops plan as aggregates, not joins") {
+    val p = plan("b28_set_ops_all")
+    assert(!p.contains("Join"), "intersectAll/exceptAll planned a join")
+    assert(p.contains("Generate"), "count-based replication (Generate) missing")
+  }
+
   test("no B/C/D query plans a nested loop except the intended small-broadcast crosses") {
     // c3 broadcasts a 1-row query vector, d3 a bounded query set, d11 the
     // centroid table — a cross against a broadcast tiny side is the right
