@@ -57,4 +57,54 @@ class SessionizeSpec extends AnyFunSuite {
         r.getLong(3) == 1L))
     } finally q.stop()
   }
+
+  test("open-session custom state survives a checkpoint stop/restart") {
+    // The dedup recovery test covers built-in state; this covers the
+    // flatMapGroupsWithState state store path: an OPEN session written in
+    // run 1 must continue absorbing events after a restart — a lost state
+    // row would surface as a split session (start 10:20, n=1) instead of
+    // the joined one (start 10:00, n=3).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tempDir("sessckpt")
+    val out = tempDir("sessout").resolve("data").toString
+    val cp = tempDir("sesscp").resolve("cp").toString
+    def start() = {
+      val raw = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      val events = raw.selectExpr(
+        "cast(user as bigint) as user_id",
+        "to_timestamp(ts) as ts",
+        "kind as event_type").as[SessionEvent]
+      Sessionize.sessions(spark, events, gapMinutes = 30,
+        watermarkDelay = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+    }
+    csvFile(dir, "b1.csv",
+      "ts;user;kind\n2024-01-01 10:00:00;1;a\n2024-01-01 10:10:00;1;b\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 0) // session still OPEN, in state
+    // while stopped: an in-gap event that must JOIN the recovered session
+    // (staged alone so no later file can advance the watermark past it in
+    // the same restart backlog — the file source orders by mod time, not
+    // event time); then later events push the watermark past the horizon
+    csvFile(dir, "b2.csv", "ts;user;kind\n2024-01-01 10:20:00;1;c\n")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      csvFile(dir, "b3.csv", "ts;user;kind\n2024-01-01 12:00:00;2;a\n")
+      q2.processAllAvailable()
+      csvFile(dir, "b4.csv", "ts;user;kind\n2024-01-01 13:00:00;2;a\n")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val user1 = spark.read.parquet(out).as[UserSession].collect()
+      .filter(_.user_id == 1L)
+    assert(user1.length == 1, s"expected ONE joined session, got: ${user1.toSeq}")
+    assert(user1.head.session_start == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(user1.head.session_end == Timestamp.valueOf("2024-01-01 10:20:00"))
+    assert(user1.head.n_events == 3L,
+      s"state lost across restart: ${user1.head}")
+  }
 }
