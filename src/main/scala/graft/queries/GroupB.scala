@@ -308,6 +308,39 @@ object GroupB {
       "customer" -> Tables(spark, sfDir, "customer"))
   }
 
+  /** b30: TPC-H Q5 shape — the multi-join workhorse: lineitem⋈orders⋈
+    * customer⋈supplier with two broadcast dims (nation⋈region), a selective
+    * date + region filter, and a small aggregation. What Catalyst must get
+    * right at 100 TB, and does: the date filter pushes to the orders scan,
+    * the region filter prunes the dim BEFORE broadcast, the two fact-fact
+    * joins shuffle on their keys, and the co-nation condition
+    * (c_nationkey = s_nationkey) is applied as a post-join filter rather
+    * than exploding the join graph.
+    */
+  def b30TpchQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val customer = Tables(spark, sfDir, "customer")
+    val supplier = Tables(spark, sfDir, "supplier")
+    val dims = broadcast(
+      Tables(spark, sfDir, "nation").join(
+        broadcast(Tables(spark, sfDir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, li("l_suppkey") === supplier("s_suppkey") &&
+        customer("c_nationkey") === supplier("s_nationkey"))
+      .join(dims, supplier("s_nationkey") === dims("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** b13: scalar function sweep — string, date, math, conditional — all
     * codegen'd builtins (functions._), zero UDFs.
     */
@@ -623,6 +656,7 @@ object GroupB {
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b28_set_ops_all"   -> (b28SetOpsAll _),
     "b29_lateral"       -> (b29Lateral _),
+    "b30_tpch_q5"       -> (b30TpchQ5 _),
     "b25_array_map"     -> (b25ArrayMapFuncs _),
     "b22_asof_join"     -> (b22AsofJoin _),
     "b23_lead_lag"      -> (b23LeadLag _),
@@ -795,6 +829,21 @@ object GroupB {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, rf, ls""".stripMargin,
+    "b30_tpch_q5" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "b28_set_ops_all" ->
       """WITH building AS (
         |  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
