@@ -156,9 +156,11 @@ object AnnTuning {
           val probe = ranked.filter(col("crn") <= cfg.probes)
             .select(col("vec_id").as("qid"), col("cid").as("cell"))
           val cellSizes = assign.groupBy("acell").agg(count(lit(1)).as("sz"))
-          // mean probed mass per query, as a fraction of the sample
+          // mean probed mass per query, as a fraction of the sample;
+          // coalesce: a corpus with NO stride centroid (no vec_id ≡ 0 mod
+          // stride) probes nothing — that's a 0-recall config, not an NPE
           val probedMass = probe.join(cellSizes, col("cell") === col("acell"))
-            .agg(sum("sz")).collect()(0).getLong(0).toDouble
+            .agg(coalesce(sum("sz"), lit(0L))).collect()(0).getLong(0).toDouble
           val frac = probedMass / (m * m)
           val hits = truth
             .join(probe, Seq("qid"))

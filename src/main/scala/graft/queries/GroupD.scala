@@ -185,12 +185,33 @@ object GroupD {
       graft.operators.AnnTuning.effectiveCap(tuned))
   }
 
-  /** Hyperplane-LSH top-1 on an arbitrary (vec_id, v) frame — d4's body,
-    * reusable in specs. `bucketCap` bounds index-side bucket membership
-    * (queries keep all probes — see [[graft.operators.AnnTuning.capBuckets]]).
+  /** d13: approximate top-k similarity search via the tuned LSH — d3's
+    * exact top-5 with the d4 candidate machinery: same 50-query set, same
+    * output shape (qid, nn_id, sim, rn), but candidates come from the
+    * auto-tuned banding instead of a full corpus scan. Restricting the
+    * QUERY side of the bucket join to the 50 query vectors keeps candidate
+    * volume ∝ queries × bucket size, not corpus² — the asymmetric probe an
+    * ANN serving path runs. Approximate ⇒ rows-only; PipelineOpsSpec pins
+    * the measured top-5 overlap vs d3.
+    */
+  def d13AnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tuned = graft.operators.AnnTuning.tunedLsh(spark, e, s"lsh|$sfDir")
+    annLsh(e, spark, tuned.config.tables, tuned.config.bits,
+      graft.operators.AnnTuning.effectiveCap(tuned),
+      k = 5, queryPred = Some(col("vec_id") < 50))
+  }
+
+  /** Hyperplane-LSH top-k on an arbitrary (vec_id, v) frame — d4/d13's
+    * body, reusable in specs. `bucketCap` bounds index-side bucket
+    * membership (queries keep all probes — see
+    * [[graft.operators.AnnTuning.capBuckets]]); `queryPred` optionally
+    * restricts the query side (the index side always spans the corpus).
     */
   private[queries] def annLsh(e: DataFrame, spark: SparkSession,
-      tables: Int, bits: Int, bucketCap: Int): DataFrame = {
+      tables: Int, bits: Int, bucketCap: Int,
+      k: Int = 1, queryPred: Option[Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // Candidate pairs are deduplicated as 16-byte ID pairs BEFORE the
     // vectors are attached: a distinct over rows that carry two 64-double
@@ -200,8 +221,9 @@ object GroupD {
       posexplode(expr(
         s"${graft.functions.GraftFunctions.LshKeysName}(v, $tables, $bits)"))
         .as(Seq("tbl", "bucket")))
+    val queries = queryPred.fold(keyed)(keyed.filter)
     val index = graft.operators.AnnTuning.capBuckets(keyed, bucketCap)
-    val cand = keyed.as("x")
+    val cand = queries.as("x")
       .join(index.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
@@ -212,10 +234,13 @@ object GroupD {
       .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
       .select(col("qid"), col("nn_id"), GroupC.cosine("nv", "qv").as("s"))
     val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
-    sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"))
-      .orderBy("qid")
+    val ranked = sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    if (k == 1)
+      ranked.select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"))
+        .orderBy("qid")
+    else
+      ranked.select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"), col("rn"))
+        .orderBy("qid", "rn")
   }
 
   /** d11: approximate nearest neighbor via IVF-Flat — the second classic
@@ -516,6 +541,7 @@ object GroupD {
     "d2_dedup_simhash"     -> (d2DedupSimhash _),
     "d3_knn_join"          -> (d3KnnJoin _),
     "d4_ann_lsh"           -> (d4AnnLsh _),
+    "d13_ann_topk"         -> (d13AnnTopk _),
     "d11_ann_ivf"          -> (d11AnnIvf _),
     "d9_dedup_embedding"   -> (d9DedupEmbedding _),
     "d10_dedup_embedding_lsh" -> (d10DedupEmbeddingLsh _),

@@ -182,6 +182,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.forall(s => !s.candidateFraction.isNaN && !s.estRecall.isNaN))
   }
 
+  test("d13 ANN top-5 overlap vs d3's exact top-5 is >= 0.8 (sf0.01, measured 0.92)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = GroupD.d3KnnJoin(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = GroupD.d13AnnTopk(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ann.keySet == exact.keySet, "d13 must answer every d3 query")
+    assert(ann.values.forall(_.size <= 5))
+    val overlaps = exact.map { case (q, ex) =>
+      (ann(q) intersect ex).size.toDouble / ex.size }
+    val mean = overlaps.sum / overlaps.size
+    info(f"mean top-5 overlap $mean%.3f, min ${overlaps.min}%.3f")
+    assert(mean >= 0.8, f"d13 mean top-5 overlap $mean%.3f < 0.8")
+  }
+
   test("d11 IVF top-1 recall vs d3's exact top-1 is >= 0.65 (sf0.01, measured 0.74)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = GroupD.d3KnnJoin(spark, sf01)

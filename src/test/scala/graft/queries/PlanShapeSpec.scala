@@ -24,7 +24,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
     // rows-only (oracle-less) declarations are the approximate ops only
     val rowsOnly = queries -- graft.SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats"),
+    assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats",
+      "d13_ann_topk"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
