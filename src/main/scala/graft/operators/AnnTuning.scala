@@ -57,7 +57,8 @@ object AnnTuning {
     LshConfig(12, 6), LshConfig(8, 8), LshConfig(4, 10))
   val IvfLadder: Seq[IvfConfig] = Seq(
     IvfConfig(31, 8), IvfConfig(31, 4), IvfConfig(31, 2),
-    IvfConfig(16, 8), IvfConfig(16, 4), IvfConfig(16, 2))
+    IvfConfig(16, 8), IvfConfig(16, 4), IvfConfig(16, 2),
+    IvfConfig(8, 8), IvfConfig(8, 4))
 
   /** Per-bucket candidate cap for top-k ANN search. Only for SEARCH:
     * capping drops index rows from hot buckets, which top-k tolerates
