@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * an exponent via `BigDecimal.toPlainString`. Parsing the output yields
   * the original bit pattern. NaN/Infinity pass through unchanged.
   * Documented deviation (SURVEY §2.4): whole doubles keep the JVM's
-  * trailing `.0` (.NET prints `1` for 1.0); digit SELECTION is the JVM's
-  * shortest-round-trip, where .NET G15 may round differently in the 16th+
-  * significant digit.
+  * trailing `.0` at EVERY magnitude — including values ≥ 1e7 whose
+  * scientific source form is expanded here (.NET prints `1` for 1.0);
+  * digit SELECTION is the JVM's shortest-round-trip, where .NET G15 may
+  * round differently in the 16th+ significant digit.
   */
 object PlainDoubleString {
   def format(v: Double): String = expand(java.lang.Double.toString(v))
@@ -29,7 +30,13 @@ object PlainDoubleString {
 
   private def expand(s: String): String =
     if (s.indexOf('E') < 0) s // already positional (or NaN/Infinity)
-    else new java.math.BigDecimal(s).stripTrailingZeros().toPlainString()
+    else {
+      val plain = new java.math.BigDecimal(s).stripTrailingZeros().toPlainString()
+      // keep the documented "whole doubles keep the JVM's trailing .0"
+      // contract at every magnitude (round-4 ADVICE: 1.0e7 previously
+      // rendered "10000000" while 123456.0 kept its ".0")
+      if (plain.indexOf('.') < 0) plain + ".0" else plain
+    }
 }
 
 case class PlainDoubleString(child: Expression) extends UnaryExpression {

@@ -24,7 +24,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * would be ulp-sensitive to merge order; integer weights are the
   * deterministic contract.
   */
-object WeightedMedian extends Aggregator[(Long, Long), Map[Long, Long], Long] {
+object WeightedMedian extends Aggregator[(Long, Long), Map[Long, Long], java.lang.Long] {
   override def zero: Map[Long, Long] = Map.empty
 
   override def reduce(b: Map[Long, Long], a: (Long, Long)): Map[Long, Long] =
@@ -33,8 +33,13 @@ object WeightedMedian extends Aggregator[(Long, Long), Map[Long, Long], Long] {
   override def merge(b1: Map[Long, Long], b2: Map[Long, Long]): Map[Long, Long] =
     b2.foldLeft(b1) { case (acc, (v, w)) => acc.updated(v, acc.getOrElse(v, 0L) + w) }
 
-  override def finish(hist: Map[Long, Long]): Long = {
-    require(hist.nonEmpty, "weighted median of zero rows")
+  /** NULL on zero rows, like the builtin aggregates: an ungrouped
+    * aggregation over an empty relation calls `finish(zero)` — throwing
+    * there would fail the whole query (round-4 ADVICE). The boxed OUT
+    * type is what lets the encoder admit the null.
+    */
+  override def finish(hist: Map[Long, Long]): java.lang.Long = {
+    if (hist.isEmpty) return null
     val half = (hist.valuesIterator.sum + 1) / 2
     var cum = 0L
     var res = Long.MinValue
@@ -44,10 +49,10 @@ object WeightedMedian extends Aggregator[(Long, Long), Map[Long, Long], Long] {
       cum += w
       res = v
     }
-    res
+    java.lang.Long.valueOf(res)
   }
 
   override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
 
-  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  override def outputEncoder: Encoder[java.lang.Long] = Encoders.LONG
 }

@@ -12,7 +12,7 @@ import graft.functions.GraftFunctions
   * quasi-quadratic candidate volume that cannot survive a 100× scale-up.
   * The fix is to make the parameter choice OBSERVED rather than declared:
   *
-  *   1. [[lshStats]]/[[ivfStats]] measure, on a deterministic stride
+  *   1. [[lshStats]]/[[ivfStats]] measure, on a deterministic hash
   *      sample, each candidate config's (a) candidate-pair fraction (the
   *      cost driver) and (b) estimated top-1 recall (whether the true
   *      nearest neighbor would survive candidate generation — with exact
@@ -69,14 +69,18 @@ object AnnTuning {
     */
   val DefaultBucketCap = 2048
 
-  /** Deterministic stride sample of ≤ maxSample vectors: every k-th
-    * vec_id, reproducible run-to-run (no RNG — the same property all the
-    * graft sketches rely on).
+  /** Deterministic hash sample of ~maxSample vectors: keep rows whose
+    * xxhash64(vec_id) falls in a 1/k residue class — reproducible
+    * run-to-run (no RNG — the same property all the graft sketches rely
+    * on), and unlike a raw `vec_id % k` stride it does not assume a dense
+    * 0..n-1 id space (round-4 ADVICE: a sparse or offset id space could
+    * yield far fewer rows than maxSample, or even an empty sample).
+    * Scan-only — no shuffle, no global window.
     */
   def sampleVectors(e: DataFrame, maxSample: Int): DataFrame = {
     val n = e.count()
     val k = math.max(1L, n / math.max(1, maxSample))
-    e.filter(pmod(col("vec_id"), lit(k)) === 0)
+    e.filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
   }
 
   /** Exact top-1 neighbor pairs WITHIN the sample (qid, qv, nnid, nv) via
@@ -116,8 +120,10 @@ object AnnTuning {
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+        // coalesce: an empty sample has no buckets — that's a 0-fraction
+        // stat, not an NPE (round-4 ADVICE)
         val maxBucket = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
-          .agg(max("c")).collect()(0).getLong(0)
+          .agg(coalesce(max("c"), lit(0L))).collect()(0).getLong(0)
         val hits = truth.select(
             expr(s"${GraftFunctions.LshKeysName}(qv, ${cfg.tables}, ${cfg.bits})").as("ka"),
             expr(s"${GraftFunctions.LshKeysName}(nv, ${cfg.tables}, ${cfg.bits})").as("kb"))
@@ -221,9 +227,23 @@ object AnnTuning {
     if (tuned.stats.maxBucketFraction * tuned.corpusN * 2 > cap) cap
     else Int.MaxValue
 
-  // --- memoized tuning (per corpus key + ladder) --------------------------
-  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[String, Tuned[LshConfig]]()
-  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, Tuned[IvfConfig]]()
+  // --- memoized tuning (per corpus key + params + ladder) -----------------
+  // Round-4 ADVICE: a multi-second Spark tuning job must not run inside a
+  // ConcurrentHashMap bin lock (concurrent tuning of DIFFERENT corpora
+  // would serialize), and the memo key must carry everything the decision
+  // depends on (maxSample and the ladder, not just targets). putIfAbsent
+  // publishes a lazy holder; the tuning job runs under the holder's own
+  // initialization lock, so same-key callers still compute exactly once.
+  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
+  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Tuned[LshConfig]]]()
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Tuned[IvfConfig]]]()
+
+  private def memoized[T](map: java.util.concurrent.ConcurrentHashMap[String, Memo[T]],
+                          key: String)(thunk: => T): T = {
+    val fresh = new Memo(() => thunk)
+    val prior = map.putIfAbsent(key, fresh)
+    (if (prior != null) prior else fresh).value
+  }
 
   /** Tuned LSH config for a corpus, memoized on `key` (e.g. the sf dir):
     * deterministic sample → per-config stats → choose. maxSample=500
@@ -232,32 +252,34 @@ object AnnTuning {
     */
   def tunedLsh(spark: SparkSession, e: DataFrame, key: String,
                recallTarget: Double = 0.9, budgetFraction: Double = 0.25,
-               maxSample: Int = 500): Tuned[LshConfig] =
-    lshMemo.computeIfAbsent(s"$key|$recallTarget|$budgetFraction", _ => {
+               maxSample: Int = 500,
+               ladder: Seq[LshConfig] = LshLadder): Tuned[LshConfig] =
+    memoized(lshMemo, s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}") {
       val n = e.count()
-      val stats = lshStats(spark, sampleVectors(e, maxSample))
+      val stats = lshStats(spark, sampleVectors(e, maxSample), ladder)
       val picked = choose(stats, recallTarget, budgetFraction)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"[graft] tuned LSH for $key (n=$n): $picked from " +
           stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
             .mkString(", "))
       Tuned(picked, n)
-    })
+    }
 
   /** Tuned IVF config for a corpus, memoized on `key`. */
   def tunedIvf(spark: SparkSession, e: DataFrame, key: String,
                recallTarget: Double = 0.65, budgetFraction: Double = 0.25,
-               maxSample: Int = 500): Tuned[IvfConfig] =
-    ivfMemo.computeIfAbsent(s"$key|$recallTarget|$budgetFraction", _ => {
+               maxSample: Int = 500,
+               ladder: Seq[IvfConfig] = IvfLadder): Tuned[IvfConfig] =
+    memoized(ivfMemo, s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}") {
       val n = e.count()
-      val stats = ivfStats(spark, e, sampleVectors(e, maxSample))
+      val stats = ivfStats(spark, e, sampleVectors(e, maxSample), ladder)
       val picked = choose(stats, recallTarget, budgetFraction)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"[graft] tuned IVF for $key (n=$n): $picked from " +
           stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
             .mkString(", "))
       Tuned(picked, n)
-    })
+    }
 
   /** Test seam: clear the memo (specs tune the same key with different
     * corpora). */

@@ -19,22 +19,27 @@ object GroupB {
 
   /** Run SQL against per-call-unique temp view names (round-3 verdict #7:
     * `createOrReplaceTempView` on shared names like "orders" races when two
-    * callers share one session). The canonical table names in `sql` are
-    * rewritten to `<name>_<uuid>` views, which are dropped again before
-    * returning — safe because `spark.sql` analyzes eagerly, so the returned
-    * DataFrame's plan is already bound to the resolved relations and never
-    * re-resolves the view name at execution time.
+    * callers share one session). Templates reference tables as explicit
+    * `{name}` placeholders (round-4 ADVICE: a word-boundary regex over the
+    * raw SQL would also rewrite a table name appearing as a column alias
+    * or inside a string literal), which are substituted with
+    * `<name>_<uuid>` views and dropped again before returning — safe
+    * because `spark.sql` analyzes eagerly, so the returned DataFrame's
+    * plan is already bound to the resolved relations and never re-resolves
+    * the view name at execution time.
     */
   private def sqlScoped(spark: SparkSession, sql: String,
                         tables: (String, DataFrame)*): DataFrame = {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "")
     val bound = tables.map { case (name, df) =>
+      require(sql.contains(s"{$name}"),
+        s"sqlScoped template is missing a {$name} placeholder")
       val unique = s"${name}_$suffix"
       df.createOrReplaceTempView(unique)
       name -> unique
     }
     val rewritten = bound.foldLeft(sql) { case (s, (name, unique)) =>
-      s.replaceAll("\\b" + name + "\\b", unique)
+      s.replace(s"{$name}", unique)
     }
     try spark.sql(rewritten)
     finally bound.foreach { case (_, unique) => spark.catalog.dropTempView(unique) }
@@ -296,12 +301,12 @@ object GroupB {
   def b29Lateral(spark: SparkSession, sfDir: String): DataFrame = {
     sqlScoped(spark, """
       SELECT n.n_nationkey, n.n_name, s.n_customers, s.avg_bal
-      FROM nation n,
+      FROM {nation} n,
       LATERAL (
         SELECT COUNT(*) AS n_customers,
                ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                      / COUNT(*), 2) AS avg_bal
-        FROM customer WHERE c_nationkey = n.n_nationkey) s
+        FROM {customer} WHERE c_nationkey = n.n_nationkey) s
       ORDER BY n.n_nationkey
     """,
       "nation"   -> Tables(spark, sfDir, "nation"),
@@ -371,9 +376,9 @@ object GroupB {
   def b14Subquery(spark: SparkSession, sfDir: String): DataFrame = {
     sqlScoped(spark, """
       SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
-      FROM customer
-      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
-        AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      FROM {customer}
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM {customer})
+        AND c_custkey IN (SELECT o_custkey FROM {orders} WHERE o_orderstatus = 'F')
       ORDER BY c_custkey
     """,
       "customer" -> Tables(spark, sfDir, "customer"),
@@ -390,7 +395,7 @@ object GroupB {
              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
              CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
              ROUND(SUM(l_quantity), 2) AS sum_qty
-      FROM lineitem
+      FROM {lineitem}
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY g_rf, g_ls, rf, ls
     """,
@@ -468,7 +473,7 @@ object GroupB {
         ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_disc,
         COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
         ROUND(SUM(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS price_bulk
-      FROM lineitem
+      FROM {lineitem}
       GROUP BY l_returnflag
       ORDER BY l_returnflag
     """,

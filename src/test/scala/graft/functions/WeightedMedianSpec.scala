@@ -54,4 +54,16 @@ class WeightedMedianSpec extends AnyFunSuite {
     val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("a" -> 2L, "b" -> 5L))
   }
+
+  test("zero rows yield NULL like builtin aggregates, not an error") {
+    assert(WeightedMedian.finish(WeightedMedian.zero) == null)
+    val s = spark
+    import s.implicits._
+    val wm = udaf(WeightedMedian)
+    // ungrouped aggregation over an empty relation: one row, NULL result
+    // (round-4 ADVICE: this previously threw from finish(zero))
+    val rows = Seq.empty[(Long, Long)].toDF("v", "w")
+      .agg(wm($"v", $"w").as("m")).collect()
+    assert(rows.length === 1 && rows(0).isNullAt(0))
+  }
 }

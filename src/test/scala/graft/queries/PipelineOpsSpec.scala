@@ -182,6 +182,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s1.forall(s => !s.candidateFraction.isNaN && !s.estRecall.isNaN))
   }
 
+  test("tuning sampling handles sparse id spaces and empty corpora (round-4 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    // ids 17, 1000017, 2000017, … — a raw vec_id % k stride would sample
+    // ZERO of these (no id is ≡ 0 mod k); the hash sample keeps ~n/k
+    val sparse = spark.range(1000)
+      .select((col("id") * 1000000L + 17L).as("vec_id"),
+        array(Seq.fill(8)(lit(0.5)): _*).cast("array<double>").as("v"))
+    val n = graft.operators.AnnTuning.sampleVectors(sparse, 100).count()
+    assert(n > 30 && n < 300, s"sparse-id sample collapsed to $n rows")
+    // an empty corpus yields zeroed stats, not an NPE from the max-bucket agg
+    val s0 = graft.operators.AnnTuning.lshStats(spark, sparse.filter(col("vec_id") < 0))
+    assert(s0.nonEmpty && s0.forall(s =>
+      s.candidateFraction == 0.0 && s.maxBucketFraction == 0.0))
+  }
+
   test("d13 ANN top-5 overlap vs d3's exact top-5 is >= 0.8 (sf0.01, measured 0.92)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = GroupD.d3KnnJoin(spark, sf01).collect()

@@ -92,20 +92,23 @@ class CsvWriteSpec extends AnyFunSuite {
       java.lang.Float.valueOf(2.5e7f))), schema)
     val f = CsvWrite.writeSingleFile(data, dir.toString, "t")
     assert(java.nio.file.Files.readAllLines(f).get(1) ==
-      "\"123400000\";\"0.5\";\"25000000\"")
+      "\"123400000.0\";\"0.5\";\"25000000.0\"")
     // culture translate applies to the positional form — no '1,234E8'
     val danish = CsvWrite.writeSingleFile(
       df(Seq(Row(java.lang.Double.valueOf(1.5e8),
         java.lang.Double.valueOf(0.25), java.lang.Float.valueOf(1.5f))), schema),
       dir.toString, "dk", CsvDialect(), None, culture = "da-DK")
     assert(java.nio.file.Files.readAllLines(danish).get(1) ==
-      "\"150000000\";\"0,25\";\"1,5\"")
+      "\"150000000,0\";\"0,25\";\"1,5\"")
   }
 
   test("positional formatting round-trips and handles edge values") {
     import graft.functions.PlainDoubleString
-    assert(PlainDoubleString.format(1.0e7) == "10000000")
-    assert(PlainDoubleString.format(-9.87e15) == "-9870000000000000")
+    // whole doubles keep the trailing .0 at every magnitude (round-4 ADVICE:
+    // previously 1.0e7 dropped it while 123456.0 kept it)
+    assert(PlainDoubleString.format(1.0e7) == "10000000.0")
+    assert(PlainDoubleString.format(-9.87e15) == "-9870000000000000.0")
+    assert(PlainDoubleString.format(123456.0) == "123456.0")
     assert(PlainDoubleString.format(1.0e-7) == "0.0000001")
     assert(PlainDoubleString.format(0.1) == "0.1")          // shortest digits kept
     assert(PlainDoubleString.format(-0.0) == "-0.0")
@@ -114,7 +117,7 @@ class CsvWriteSpec extends AnyFunSuite {
     // round-trip: positional digits parse back to the identical bits
     for (v <- Seq(1.234e8, 3.3e300, 4.9e-324, 123456789.123456, -2.5e-10))
       assert(java.lang.Double.parseDouble(PlainDoubleString.format(v)) == v)
-    assert(PlainDoubleString.format(2.5e7f) == "25000000") // float digits, not double's
+    assert(PlainDoubleString.format(2.5e7f) == "25000000.0") // float digits, not double's
   }
 
   test("DecimalType respects the culture separator (round-3 ADVICE)") {

@@ -151,7 +151,7 @@ class CsvStreamSpec extends AnyFunSuite {
       .flatMap(p => scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(p)).asScala)
       .toSeq.sorted
-    assert(partLines.contains("\"1\";\"150000000\""), s"got: $partLines")
+    assert(partLines.contains("\"1\";\"150000000.0\""), s"got: $partLines")
     assert(partLines.contains("\"2\";\"0.5\""))
     // restart from the checkpoint with one new file: old rows not re-emitted
     csvFile(src, "r2.csv", "id;amt\n3;2.5\n")
