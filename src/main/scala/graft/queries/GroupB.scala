@@ -188,6 +188,32 @@ object GroupB {
       .orderBy("gid", "rf", "ls")
   }
 
+  /** b31: distribution window functions — ntile / percent_rank /
+    * cume_dist (b8 covers the ranking trio). The order-by tiebreaks on the
+    * unique o_orderkey, so every rank is distinct and percent_rank =
+    * (rank−1)/(n−1), cume_dist = rank/n are exact small-integer divisions
+    * — bit-identical IEEE results in both engines — emitted as
+    * FLOOR(x·10⁶) fixed-point (d6's rule; ROUND's half-way behavior is
+    * engine-specific, floor of an identical double is not).
+    *
+    * Scale note: o_orderpriority has only 5 values, so this window
+    * shuffles everything into 5 partitions — fine for a reporting query,
+    * but a 100 TB percentile-per-key job should partition on a
+    * high-cardinality key (b8's shape) or use d12's quantile sketches;
+    * documented rather than hidden.
+    */
+  def b31WindowExtras(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("pct_rank_e6"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cume_e6"))
+      .orderBy("o_orderkey")
+  }
+
   /** b8: ranking window functions with a deterministic tiebreak. The
     * window shuffles once on the partition key; at scale o_custkey is
     * high-cardinality so partitions stay small and balanced.
@@ -680,6 +706,7 @@ object GroupB {
     "b7_rollup_cube"    -> (b7RollupCube _),
     "b26_cube"          -> (b26Cube _),
     "b8_window_rank"    -> (b8WindowRank _),
+    "b31_window_extras" -> (b31WindowExtras _),
     "b9_window_frame"   -> (b9WindowFrame _),
     "b10_topk_per_group" -> (b10TopkPerGroup _),
     "b11_sort_limit"    -> (b11SortLimit _),
@@ -714,6 +741,14 @@ object GroupB {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "b31_window_extras" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(floor((percent_rank() OVER w) * 1000000) AS BIGINT) AS pct_rank_e6,
+        |  CAST(floor((cume_dist() OVER w) * 1000000) AS BIGINT) AS cume_e6
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
     "b25_array_map" ->
       """SELECT l_orderkey,
