@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation —
+  * the transitive-closure step a dedup pipeline runs over its verified
+  * near-dup pair graph (pairs say "these two collide"; dedup needs
+  * duplicate GROUPS with one canonical survivor each).
+  *
+  * Each round every vertex takes the minimum of its own label and its
+  * neighbors' labels: one equi-join edges⋈labels on the source vertex plus
+  * a partial-aggregated `min` per destination vertex — both map-side
+  * combinable, shuffling one fixed-size row per (vertex, partition).
+  * Convergence after `diameter` rounds; near-dup components are tight
+  * clusters (diameter ≤ a few hops), so 2–3 rounds in practice. A corpus
+  * with adversarially long chains would switch to the large-star/small-star
+  * formulation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — O(log n) rounds) on the same join skeleton.
+  *
+  * Scale mechanics: every round ends in `localCheckpoint` — an iterative
+  * plan would otherwise deepen each round until analysis itself became the
+  * bottleneck; on a cluster this is `checkpoint` into the reliable store.
+  * The only driver-side values are the per-round convergence bit and the
+  * round counter — scalar job results (the AQE-statistics contract), never
+  * row data.
+  */
+object ConnectedComponents {
+
+  /** Label every vertex of the undirected graph `edges` (two columns,
+    * either orientation per pair; vertices are the union of endpoints)
+    * with the MINIMUM vertex id reachable from it — a deterministic
+    * component id. Returns (id, component).
+    */
+  def label(edges: DataFrame, src: String = "src", dst: String = "dst",
+            maxRounds: Int = 64): DataFrame = {
+    val both = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .union(edges.select(col(dst).as("src"), col(src).as("dst")))
+      .localCheckpoint()
+    var labels = both.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val prop = both.join(labels, both("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+        .groupBy("id").agg(min("component").as("nbr_min"))
+      val next = labels.as("l")
+        .join(prop.as("p"), col("l.id") === col("p.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.component"), coalesce(col("p.nbr_min"), col("l.component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    require(converged, s"component labels not stable after $rounds rounds")
+    labels
+  }
+}

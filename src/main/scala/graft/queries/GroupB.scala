@@ -683,8 +683,66 @@ object GroupB {
       .orderBy("l_returnflag")
   }
 
+  /** b32: batch sessionization (gaps-and-islands) over the event stream —
+    * the batch twin of `graft.streaming.Sessionize`. A new session starts
+    * when a user is silent for more than 30 minutes. Both window passes
+    * (the lag that detects gaps and the running sum that numbers sessions)
+    * share one partitioning + ordering, so Spark plans a SINGLE shuffle on
+    * `user_id` and a single sort feeding both Window operators; the final
+    * per-session aggregate reuses the same user_id clustering. Session
+    * ordinals come from a cumulative sum of new-session flags — a
+    * per-partition running total, never a global sequence, so the plan is
+    * embarrassingly parallel across users at any scale.
+    */
+  def b32Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+    flagged
+      .withColumn("session_seq",
+        sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** b33: moment statistics per group — sample stddev/variance and the
+    * bivariate covariance/correlation aggregates. All four ride Spark's
+    * partial aggregation as constant-size moment buffers (n, mean, M2,
+    * co-moment) merged associatively — one fixed-size shuffle row per
+    * (group, partition) regardless of corpus size. Doubles are ROUNDed
+    * (determinism contract above): the merge order perturbs only the
+    * trailing ulps and the oracle computes the same moments serially.
+    */
+  def b33StatsCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    events
+      .withColumn("uid_d", col("user_id").cast("double"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("avg_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(covar_samp(col("value"), col("uid_d")), 4).as("cov_value_uid"),
+        round(corr(col("value"), col("uid_d")), 4).as("corr_value_uid"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
+    "b32_sessionize"    -> (b32Sessionize _),
+    "b33_stats_corr"    -> (b33StatsCorr _),
     "b28_set_ops_all"   -> (b28SetOpsAll _),
     "b29_lateral"       -> (b29Lateral _),
     "b30_tpch_q5"       -> (b30TpchQ5 _),
@@ -1025,5 +1083,36 @@ object GroupB {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket, event_type""".stripMargin,
+    "b32_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    LAG(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS f
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT *, CAST(SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  ROUND(SUM(value), 2) AS sum_value
+        |FROM sess
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "b33_stats_corr" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  ROUND(AVG(value), 4) AS avg_value,
+        |  ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+        |  ROUND(VAR_SAMP(value), 4) AS var_value,
+        |  ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 4) AS cov_value_uid,
+        |  ROUND(CORR(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_uid
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

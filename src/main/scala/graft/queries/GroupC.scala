@@ -152,8 +152,42 @@ object GroupC {
       .orderBy("event_id")
   }
 
+  /** Shared PII patterns (c6): plain character-class/quantifier regexes
+    * that parse identically under Java regex (Spark) and RE2 (DuckDB) —
+    * no lookarounds, no backrefs, no dialect-specific escapes.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** c6: PII redaction — the scrub pass every training-data pipeline runs
+    * before anything else. Emails and long digit runs are replaced with
+    * typed placeholder tokens; the query reports per-document match counts
+    * and an md5 fingerprint of the redacted text (the fingerprint, not the
+    * full redacted body, is what the correctness gate hashes — the same
+    * small-shuffle-row discipline as d8). Pure per-row codegen'd
+    * expressions: scan-parallel, zero shuffles before the final sort, so
+    * throughput is scan-bound at any corpus size.
+    */
+  def c6PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+    // lit() pattern columns, not expr() SQL literals: Spark's SQL string
+    // parser would eat the single backslash in `\.` (escapedStringLiterals
+    // is off by default), silently turning the anchor-dot into match-any.
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0)))
+          .cast("long").as("n_longnum"),
+        md5(redacted.cast("binary")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_dedup_exact"     -> (c1DedupExact _),
+    "c6_pii_redact"      -> (c6PiiRedact _),
     "c2_dedup_near"      -> (c2DedupNear _),
     "c3_similarity_topk" -> (c3SimilarityTopk _),
     "c4_text_analysis"   -> (c4TextAnalysis _),
@@ -208,5 +242,13 @@ object GroupC {
         |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "c6_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_longnum,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$LongNumRe', '<NUM>', 'g')) AS redacted_fp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
   )
 }

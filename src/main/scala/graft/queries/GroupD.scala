@@ -535,8 +535,93 @@ object GroupD {
       .orderBy("l_returnflag")
   }
 
+  /** d14: near-duplicate CLUSTERS — connected components over the verified
+    * pair graph that [[d1DedupMinhashLsh]] (the 100 TB near-dup path)
+    * emits. Pair lists answer "which two docs collide"; a dedup pipeline
+    * needs the transitive closure — duplicate GROUPS with one canonical
+    * survivor each (cluster_id = min doc_id in the component, the
+    * deterministic keep-rule).
+    *
+    * Algorithm and scale mechanics live in
+    * [[graft.operators.ConnectedComponents]] (min-label propagation,
+    * lineage-truncated rounds, large-star/small-star escape hatch); this
+    * query feeds it d1's verified pair graph and attaches component sizes.
+    */
+  def d14DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = d1DedupMinhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val labels = graft.operators.ConnectedComponents
+      .label(pairs, src = "doc_a", dst = "doc_b")
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** d15: deterministic stratified train/val/test split — the 80/10/10
+    * assignment a training pipeline makes before anything touches the
+    * corpus. Stratified EXACTLY per language: docs are ranked within each
+    * lang by md5(doc_id) (a content-independent, engine-identical hash —
+    * the same "no RNG" determinism contract as every graft sketch), and
+    * the first ⌊0.8n⌋ / next ⌊0.9n⌋−⌊0.8n⌋ / rest take train/val/test.
+    * Integer arithmetic (n·8 div 10) on both sides — no float boundary to
+    * disagree on. One shuffle on lang (both window passes and the count
+    * share the partitioning); scale caveat: a SINGLE lang's rank is one
+    * window partition — for a corpus where one language dominates, the
+    * rank would instead be computed per (lang, shard) with shard-offset
+    * prefix sums, same plan family as b32's running totals.
+    */
+  def d15StratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("split",
+        when(col("rn") <= expr("(n * 8) div 10"), "train")
+          .when(col("rn") <= expr("(n * 9) div 10"), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** d16: TF-IDF top-5 terms per document. tf = term count in doc, df =
+    * docs containing term, idf = ln(N/df). Two partial-aggregated
+    * shuffles (tf on (doc,term), df on term) + one equi-join back on term;
+    * N joins in as a broadcast 1-row aggregate — the intended
+    * tiny-broadcast cross (same pattern as c3's query vector), never a
+    * data-sized nested loop. Ranking is by the INTEGER triple
+    * (tf desc, df asc, term) — deterministic on both engines — with the
+    * double-valued score as payload; top-5 per doc plans as
+    * WindowGroupLimit, so only ≤5 rows per doc survive to the sort.
+    */
+  def d16Tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(GroupC.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
+    "d14_dedup_clusters"   -> (d14DedupClusters _),
+    "d15_stratified_split" -> (d15StratifiedSplit _),
+    "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
     "d2_dedup_simhash"     -> (d2DedupSimhash _),
     "d3_knn_join"          -> (d3KnnJoin _),
@@ -556,6 +641,58 @@ object GroupD {
   val oracleSql: Map[String, String] = Map(
     // d1 verifies candidates with exact Jaccard — its contract IS c2's.
     "d1_dedup_minhash_lsh" -> GroupC.oracleSql("c2_dedup_near"),
+    // d14's pair graph is d1's output, whose contract is c2's exact pair
+    // SQL — so the oracle recomputes those pairs and takes the transitive
+    // closure with a recursive CTE (min reachable id = component id).
+    "d14_dedup_clusters" -> {
+      val pairSql = GroupC.oracleSql("c2_dedup_near")
+      s"""WITH RECURSIVE pairs AS (
+         |$pairSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS root FROM verts
+         |  UNION
+         |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "d15_stratified_split" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+        |       WHEN rn <= (n * 9) // 10 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM ranked
+        |ORDER BY doc_id""".stripMargin,
+    "d16_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM toks WHERE token <> '' GROUP BY 1, 2),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, token, tf, df,
+         |    ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf DESC, df ASC, token) AS rnk
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tf, df, tfidf, rnk
+         |FROM scored WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin,
     "d2_dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),

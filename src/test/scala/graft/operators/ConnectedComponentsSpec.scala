@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Crafted-graph correctness for the min-label-propagation connected
+  * components (the transitive-closure step behind d14_dedup_clusters).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.label(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, and isolated pair each resolve to their min id") {
+    // chain 1-2-3-4-5 (diameter 4 — forces multiple propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val got = labelsOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 20L -> 21L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
+  test("orientation does not matter: reversed edges give the same labels") {
+    val fwd = labelsOf(Seq(1L -> 7L, 7L -> 3L, 3L -> 9L))
+    val rev = labelsOf(Seq(7L -> 1L, 3L -> 7L, 9L -> 3L))
+    assert(fwd == rev)
+    assert(fwd.values.toSet == Set(1L))
+  }
+
+  test("bridging two clusters merges their components") {
+    val separate = labelsOf(Seq(1L -> 2L, 5L -> 6L))
+    assert(separate(2L) == 1L && separate(6L) == 5L)
+    val bridged = labelsOf(Seq(1L -> 2L, 5L -> 6L, 2L -> 5L))
+    assert(bridged.values.toSet == Set(1L))
+  }
+
+  test("empty edge set yields an empty labeling (and converges)") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.label(empty).isEmpty)
+  }
+}

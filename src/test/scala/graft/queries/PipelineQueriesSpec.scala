@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic invariants for the round-6 pipeline queries (b32 sessionize,
+  * d15 stratified split, d16 tf-idf, c6 PII redaction) — properties the
+  * DuckDB oracle equality can't state directly, checked on real testdata.
+  */
+class PipelineQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("b32: sessions partition the events and respect the 30-minute gap rule") {
+    val sessions = GroupB.b32Sessionize(spark, sf).cache()
+    try {
+      val totalEvents = Tables.events(spark, sf).count()
+      val sessionEvents = sessions.agg(sum("n_events")).collect()(0).getLong(0)
+      assert(sessionEvents == totalEvents, "every event belongs to exactly one session")
+      // within a user, consecutive sessions are separated by > 30 minutes
+      // and ordinals are the contiguous sequence 1..k
+      val bad = sessions
+        .withColumn("prev_end", lag("session_end", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("session_seq")))
+        .withColumn("prev_seq", lag("session_seq", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("session_seq")))
+        .filter(col("prev_end").isNotNull &&
+          (col("session_start") <= col("prev_end") + expr("INTERVAL 30 MINUTES") ||
+            col("session_seq") =!= col("prev_seq") + 1))
+      assert(bad.isEmpty, "adjacent sessions closer than the gap or non-contiguous ordinals")
+      assert(sessions.filter(col("session_start") > col("session_end")).isEmpty)
+    } finally sessions.unpersist()
+  }
+
+  test("d15: split is exactly stratified per lang and deterministic") {
+    val split = GroupD.d15StratifiedSplit(spark, sf).cache()
+    try {
+      val got = split.groupBy("lang", "split").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val perLang = Tables(spark, sf, "documents").groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((lang, n) <- perLang) {
+        val train = n * 8 / 10
+        val valN = n * 9 / 10 - train
+        assert(got.getOrElse((lang, "train"), 0L) == train, s"$lang train")
+        assert(got.getOrElse((lang, "val"), 0L) == valN, s"$lang val")
+        assert(got.getOrElse((lang, "test"), 0L) == n - train - valN, s"$lang test")
+      }
+      // same hash, same ranks: a second evaluation assigns identically
+      val again = GroupD.d15StratifiedSplit(spark, sf)
+      assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+    } finally split.unpersist()
+  }
+
+  test("d16: at most 5 terms per doc with contiguous ranks from 1") {
+    val tfidf = GroupD.d16Tfidf(spark, sf).cache()
+    try {
+      val perDoc = tfidf.groupBy("doc_id")
+        .agg(count(lit(1)).as("k"), min("rnk").as("lo"), max("rnk").as("hi"))
+      assert(perDoc.filter(col("k") > 5 || col("lo") =!= 1 ||
+        col("hi") =!= col("k")).isEmpty)
+      assert(tfidf.filter(col("tfidf") < 0).isEmpty,
+        "idf = ln(N/df) is nonnegative (df <= N)")
+    } finally tfidf.unpersist()
+  }
+
+  test("c6: untouched documents keep their original fingerprint, touched ones change it") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("orig_fp"))
+    val red = GroupC.c6PiiRedact(spark, sf).join(docs, "doc_id")
+    assert(red.filter(length(col("redacted_fp")) =!= 32).isEmpty)
+    assert(red.filter(col("n_email") === 0 && col("n_longnum") === 0 &&
+      col("redacted_fp") =!= col("orig_fp")).isEmpty,
+      "no matches must mean byte-identical text")
+    assert(red.filter((col("n_email") > 0 || col("n_longnum") > 0) &&
+      col("redacted_fp") === col("orig_fp")).isEmpty,
+      "matches must change the text")
+  }
+}

@@ -84,11 +84,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "count-based replication (Generate) missing")
   }
 
+  test("b32/d15: both window passes AND the aggregate ride ONE data shuffle") {
+    // the only other Exchange is the final ORDER BY's range partitioning
+    for (q <- Seq("b32_sessionize", "d15_stratified_split")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      assert(exchanges == 2, s"$q: expected data+sort exchanges only, got $exchanges")
+    }
+  }
+
+  test("d16: top-5 per doc plans as WindowGroupLimit") {
+    assert(plan("d16_tfidf").contains("WindowGroupLimit"))
+  }
+
   test("no B/C/D query plans a nested loop except the intended small-broadcast crosses") {
     // c3 broadcasts a 1-row query vector, d3 a bounded query set, d11 the
-    // centroid table — a cross against a broadcast tiny side is the right
-    // plan. Everything else must stay on equi-keys.
-    val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf")
+    // centroid table, d16 a 1-row corpus-count aggregate — a cross against
+    // a broadcast tiny side is the right plan. Everything else must stay
+    // on equi-keys.
+    val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
+      "d16_tfidf")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
