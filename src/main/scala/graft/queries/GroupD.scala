@@ -617,9 +617,87 @@ object GroupD {
       .orderBy("doc_id", "rnk")
   }
 
+  /** d17: per-(lang, source) quota sampling — cap every stratum at K docs,
+    * keeping a deterministic md5-ranked subset (the "don't let one crawl
+    * dominate the mix" pass; the same no-RNG rank as d15, so reruns and
+    * retries keep identical corpora). The rank filter plans as
+    * WindowGroupLimit: each partition locally drops beyond-K rows BEFORE
+    * the shuffle, so the exchange carries at most K rows per stratum —
+    * at 100 TB the shuffle is quota-bounded, not corpus-bounded.
+    */
+  def d17QuotaSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("doc_id")
+  }
+
+  /** d18: intra-document repetition score — the Gopher-style quality rule
+    * "drop documents whose n-grams repeat" (Rae et al. 2021 §A1.1 use
+    * duplicate n-gram fractions; this is the 3-gram variant). Pure per-row
+    * higher-order functions over the token array (no explode, no shuffle
+    * before the sort): shingle list → distinct count → duplicate fraction
+    * as `floor(x·10⁴)` fixed-point (d6's engine-independent contract —
+    * ROUND half-way behavior differs between engines, floor doesn't).
+    */
+  def d18Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs
+      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(ts) - 3), " +
+          "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))").as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .withColumn("dup_fp",
+        floor((col("n_shingles") - col("n_distinct")) * lit(10000)
+          / col("n_shingles").cast("double")).cast("long"))
+      .withColumn("repetitive", col("dup_fp") >= 1000)
+      .orderBy("doc_id")
+  }
+
+  /** d19: benchmark decontamination — flag training documents sharing any
+    * exact 3-gram shingle with a held-out benchmark set (source `src0`
+    * stands in for the eval corpus). The shape that scales: benchmark
+    * shingles are a DISTINCT hashed-key set (in practice dwarfed by the
+    * training corpus — broadcastable or at worst one small shuffle side);
+    * the train-side probe is an inverted-index EQUI-join on the 8-byte
+    * shingle hash followed by a per-doc count — a semi-join-with-count,
+    * never a doc×doc pair explosion (contamination needs only "shares ≥ 1",
+    * so candidate volume is bounded by index hits, the same argument as
+    * d1's banding). Hash-equality stands in for string equality with the
+    * usual ~n²/2⁶⁵ collision odds (c2's documented contract).
+    */
+  def d19Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = GroupC.shingles(spark, sfDir)
+    val benchSh = sh
+      .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+      .select("shingle").distinct()
+    val train = docs.filter(col("source") =!= "src0")
+    val shared = sh.join(train.select("doc_id"), "doc_id")
+      .join(benchSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
+    "d17_quota_sample"     -> (d17QuotaSample _),
+    "d18_repetition"       -> (d18Repetition _),
+    "d19_decontaminate"    -> (d19Decontaminate _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -663,6 +741,53 @@ object GroupD {
          |FROM comp c JOIN sizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "d17_quota_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, source, rk
+        |FROM ranked WHERE rk <= 5
+        |ORDER BY doc_id""".stripMargin,
+    "d18_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(ts) - 1),
+         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
+         |  FROM base WHERE len(ts) >= 3)
+         |SELECT doc_id,
+         |  CAST(len(s) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+         |  CAST(floor((len(s) - len(list_distinct(s))) * 10000
+         |    / CAST(len(s) AS DOUBLE)) AS BIGINT) AS dup_fp,
+         |  floor((len(s) - len(list_distinct(s))) * 10000
+         |    / CAST(len(s) AS DOUBLE)) >= 1000 AS repetitive
+         |FROM sh
+         |ORDER BY doc_id""".stripMargin,
+    "d19_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+         |  WHERE len(ts) >= 3),
+         |bench AS (
+         |  SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+         |  WHERE source = 'src0'),
+         |shared AS (
+         |  SELECT s.doc_id, COUNT(*) AS n_shared
+         |  FROM sh s JOIN bench b USING (shingle)
+         |  JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+         |  GROUP BY s.doc_id)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  COALESCE(n.n_shared, 0) AS n_shared,
+         |  COALESCE(n.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN shared n ON d.doc_id = n.doc_id
+         |WHERE d.source <> 'src0'
+         |ORDER BY d.doc_id""".stripMargin,
     "d15_stratified_split" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,

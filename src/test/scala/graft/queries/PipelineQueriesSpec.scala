@@ -68,6 +68,38 @@ class PipelineQueriesSpec extends AnyFunSuite {
     } finally tfidf.unpersist()
   }
 
+  test("d17: every stratum is capped at 5 and under-quota strata keep all docs") {
+    val sampled = GroupD.d17QuotaSample(spark, sf)
+    val got = sampled.groupBy("lang", "source").count()
+    assert(got.filter(col("count") > 5).isEmpty, "a stratum exceeded its quota")
+    val full = Tables(spark, sf, "documents").groupBy("lang", "source").count()
+      .withColumnRenamed("count", "n")
+    val under = full.filter(col("n") <= 5)
+      .join(got, Seq("lang", "source"), "left")
+      .filter(col("count").isNull || col("count") =!= col("n"))
+    assert(under.isEmpty, "an under-quota stratum lost docs")
+  }
+
+  test("d18: duplicate fraction is consistent with its own counts") {
+    val rep = GroupD.d18Repetition(spark, sf)
+    assert(rep.filter(col("n_distinct") > col("n_shingles")).isEmpty)
+    val recomputed = floor((col("n_shingles") - col("n_distinct")) * lit(10000)
+      / col("n_shingles").cast("double")).cast("long")
+    assert(rep.filter(col("dup_fp") =!= recomputed).isEmpty)
+    assert(rep.filter(col("repetitive") =!= (col("dup_fp") >= 1000)).isEmpty)
+  }
+
+  test("d19: benchmark docs never appear and zero-shared docs are uncontaminated") {
+    val out = GroupD.d19Decontaminate(spark, sf).cache()
+    try {
+      assert(out.filter(col("source") === "src0").isEmpty)
+      assert(out.filter(col("contaminated") =!= (col("n_shared") > 0)).isEmpty)
+      val trainN = Tables(spark, sf, "documents")
+        .filter(col("source") =!= "src0").count()
+      assert(out.count() == trainN, "every non-benchmark doc gets a verdict")
+    } finally out.unpersist()
+  }
+
   test("c6: untouched documents keep their original fingerprint, touched ones change it") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("orig_fp"))

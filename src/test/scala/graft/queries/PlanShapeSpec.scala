@@ -94,8 +94,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("d16: top-5 per doc plans as WindowGroupLimit") {
+  test("d16/d17: rank-limited queries plan as WindowGroupLimit") {
     assert(plan("d16_tfidf").contains("WindowGroupLimit"))
+    assert(plan("d17_quota_sample").contains("WindowGroupLimit"),
+      "quota cap must drop beyond-K rows before the shuffle")
   }
 
   test("no B/C/D query plans a nested loop except the intended small-broadcast crosses") {
