@@ -692,9 +692,37 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d20: sequence packing — the concat-and-chunk step an LM training
+    * pipeline runs last: documents are laid out in a deterministic order
+    * (md5 rank per lang shard, d15's no-RNG contract) and the
+    * concatenated token stream is cut into fixed 4096-token packs; each
+    * doc reports the pack it STARTS in and its offset there (docs may
+    * straddle a boundary — that is the standard GPT-style packing, not a
+    * bin-packing approximation). One window cumsum per lang shard — same
+    * single-shuffle running-total plan family as b32; integer arithmetic
+    * end to end.
+    */
+  def d20PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 4096L
+    val docs = Tables(spark, sfDir, "documents")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_pos",
+        coalesce(sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"start_pos div $budget").as("pack_id"),
+        expr(s"start_pos % $budget").as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
+    "d20_pack_sequences"   -> (d20PackSequences _),
     "d17_quota_sample"     -> (d17QuotaSample _),
     "d18_repetition"       -> (d18Repetition _),
     "d19_decontaminate"    -> (d19Decontaminate _),
@@ -741,6 +769,23 @@ object GroupD {
          |FROM comp c JOIN sizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "d20_pack_sequences" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           |  FROM documents),
+           |pos AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |      AS start_pos
+           |  FROM toks)
+           |SELECT doc_id, lang, n_tokens,
+           |  start_pos // 4096 AS pack_id,
+           |  start_pos % 4096 AS pack_offset
+           |FROM pos
+           |ORDER BY doc_id""".stripMargin,
     "d17_quota_sample" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang, source,

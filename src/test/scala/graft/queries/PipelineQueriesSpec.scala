@@ -100,6 +100,28 @@ class PipelineQueriesSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("d20: packing is gapless — offsets stay under budget and positions chain") {
+    val packed = GroupD.d20PackSequences(spark, sf).cache()
+    try {
+      assert(packed.filter(col("pack_offset") < 0 ||
+        col("pack_offset") >= 4096).isEmpty)
+      // reconstruct each doc's start position and check the per-lang stream
+      // is contiguous: this doc's start = previous doc's start + its tokens
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("start_pos")
+      val chained = packed
+        .withColumn("start_pos", col("pack_id") * 4096 + col("pack_offset"))
+        .withColumn("prev_end",
+          lag(col("start_pos") + col("n_tokens"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          col("prev_end") =!= col("start_pos"))
+      assert(chained.isEmpty, "a gap or overlap in the packed token stream")
+      assert(packed.filter(col("pack_id") === 0 && col("pack_offset") === 0)
+        .count() == packed.select("lang").distinct().count(),
+        "each lang stream starts exactly once at pack 0, offset 0")
+    } finally packed.unpersist()
+  }
+
   test("c6: untouched documents keep their original fingerprint, touched ones change it") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("orig_fp"))

@@ -84,9 +84,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "count-based replication (Generate) missing")
   }
 
-  test("b32/d15: both window passes AND the aggregate ride ONE data shuffle") {
+  test("b32/d15/d20: window passes AND any aggregate ride ONE data shuffle") {
     // the only other Exchange is the final ORDER BY's range partitioning
-    for (q <- Seq("b32_sessionize", "d15_stratified_split")) {
+    for (q <- Seq("b32_sessionize", "d15_stratified_split", "d20_pack_sequences")) {
       val p = plan(q)
       val exchanges = p.linesIterator.count(l =>
         l.contains("Exchange") && !l.contains("ReusedExchange"))
