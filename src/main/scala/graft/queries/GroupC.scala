@@ -168,22 +168,27 @@ object GroupC {
     * expressions: scan-parallel, zero shuffles before the final sort, so
     * throughput is scan-bound at any corpus size.
     */
-  def c6PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  /** The c6 projection on any (doc_id, text) frame — STATELESS per-row
+    * expressions, so the identical code runs batch or under readStream
+    * (CsvStreamSpec pins the parity). lit() pattern columns, not expr()
+    * SQL literals: Spark's SQL string parser would eat the single
+    * backslash in `\.` (escapedStringLiterals is off by default),
+    * silently turning the anchor-dot into match-any.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(
       regexp_replace(col("text"), EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
-    // lit() pattern columns, not expr() SQL literals: Spark's SQL string
-    // parser would eat the single backslash in `\.` (escapedStringLiterals
-    // is off by default), silently turning the anchor-dot into match-any.
     docs.select(
-        col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
-          .cast("long").as("n_email"),
-        size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0)))
-          .cast("long").as("n_longnum"),
-        md5(redacted.cast("binary")).as("redacted_fp"))
-      .orderBy("doc_id")
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0)))
+        .cast("long").as("n_longnum"),
+      md5(redacted.cast("binary")).as("redacted_fp"))
   }
+
+  def c6PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedact(Tables(spark, sfDir, "documents")).orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
     "c1_dedup_exact"     -> (c1DedupExact _),

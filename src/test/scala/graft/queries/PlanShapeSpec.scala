@@ -94,6 +94,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d19: benchmark-source predicate and column pruning reach the parquet scan") {
+    val p = plan("d19_decontaminate")
+    assert(p.contains("PushedFilters: [IsNotNull(source)"),
+      "source filter not pushed to the documents scan")
+    assert(!p.contains("n_chars"),
+      "documents scan reads columns the query never uses")
+  }
+
   test("d16/d17: rank-limited queries plan as WindowGroupLimit") {
     assert(plan("d16_tfidf").contains("WindowGroupLimit"))
     assert(plan("d17_quota_sample").contains("WindowGroupLimit"),

@@ -195,4 +195,33 @@ class CsvStreamSpec extends AnyFunSuite {
         ("2024-01-01 11:00:00.0", "b", 1L)))
     } finally q.stop()
   }
+
+  test("PII redaction (c6's projection) runs unchanged on a stream, equal to batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val data = Seq(
+      (1L, "mail me at bob@example.com please"),
+      (2L, "plain text with no pii at all"),
+      (3L, "card 1234567890 and backup 99887766"))
+    val dir = tempDir("spii")
+    csvFile(dir, "d1.csv", "doc_id;text\n" +
+      data.map { case (id, t) => s"$id;$t" }.mkString("", "\n", "\n"))
+    val docs = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val out = graft.queries.GroupC.piiRedact(docs)
+    assert(out.isStreaming, "stateless projection must stay streaming-planable")
+    val q = out.writeStream.format("memory")
+      .queryName("pii_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pii_stream")
+      val batch = graft.queries.GroupC.piiRedact(data.toDF("doc_id", "text"))
+      assert(streamed.count() == 3)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream and batch must produce identical redactions")
+      val byId = streamed.collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_longnum"))).toMap
+      assert(byId(1L) == (1L, 0L) && byId(2L) == (0L, 0L) && byId(3L) == (0L, 2L))
+    } finally q.stop()
+  }
 }
