@@ -44,4 +44,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
     assert(ConnectedComponents.label(empty).isEmpty)
   }
+
+  /** Reference union-find (path compression) for the random-graph check. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("seeded random graphs agree with a union-find reference") {
+    for (seed <- Seq(7, 42, 2026)) {
+      val rnd = new scala.util.Random(seed)
+      // ~60 vertices, 45 edges incl. self-loops and duplicate edges —
+      // sparse enough to leave several components and long-ish chains
+      val edges = Seq.fill(45)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val want = unionFind(edges)
+      val got = labelsOf(edges)
+      assert(got == want, s"seed $seed: distributed CC != union-find")
+    }
+  }
 }
