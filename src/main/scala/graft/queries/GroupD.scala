@@ -719,10 +719,40 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d21: int8 embedding quantization — the 4× storage/serving compression
+    * an embedding store applies before ANN indexing. Symmetric per-vector
+    * scheme: scale = max |v_i|, q_i = floor(v_i / scale · 127) ∈ [-127,
+    * 127]. Everything is per-row array math (no shuffle before the sort),
+    * and every step is engine-exact: float→double widening, one division,
+    * one multiplication in a FIXED textual order (a·b/c vs a/c·b differ in
+    * ulps!), then floor — never ROUND, whose half-way rule differs between
+    * engines. The correctness gate hashes an md5 fingerprint of the int
+    * array plus a fixed-point scale, so shuffle/compare rows stay small
+    * (d8's discipline). Zero vectors keep a NULL fingerprint (no 0/0).
+    */
+  def d21QuantizeEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    e.select(col("vec_id"), col("label"),
+        size(col("v")).cast("long").as("n_dims"),
+        expr("array_max(transform(v, x -> abs(x)))").as("scale"),
+        col("v"))
+      .select(col("vec_id"), col("label"), col("n_dims"),
+        floor(col("scale") * lit(1e6)).cast("long").as("scale_fp"),
+        when(col("scale") > 0,
+          md5(array_join(
+            expr("transform(v, x -> cast(cast(floor(x / scale * 127) as long) as string))"),
+            ",").cast("binary")))
+          .as("q_fp"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
     "d20_pack_sequences"   -> (d20PackSequences _),
+    "d21_quantize_embed"   -> (d21QuantizeEmbed _),
     "d17_quota_sample"     -> (d17QuotaSample _),
     "d18_repetition"       -> (d18Repetition _),
     "d19_decontaminate"    -> (d19Decontaminate _),
@@ -769,6 +799,23 @@ object GroupD {
          |FROM comp c JOIN sizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     },
+    "d21_quantize_embed" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |scaled AS (
+        |  SELECT vec_id, label,
+        |    CAST(len(v) AS BIGINT) AS n_dims,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale, v
+        |  FROM base)
+        |SELECT vec_id, label, n_dims,
+        |  CAST(floor(scale * 1e6) AS BIGINT) AS scale_fp,
+        |  CASE WHEN scale > 0 THEN
+        |    md5(array_to_string(list_transform(v,
+        |      x -> CAST(CAST(floor(x / scale * 127) AS BIGINT) AS VARCHAR)), ','))
+        |  END AS q_fp
+        |FROM scaled
+        |ORDER BY vec_id""".stripMargin,
     "d20_pack_sequences" ->
       raw"""WITH toks AS (
            |  SELECT doc_id, lang,

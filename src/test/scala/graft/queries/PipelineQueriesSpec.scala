@@ -122,6 +122,14 @@ class PipelineQueriesSpec extends AnyFunSuite {
     } finally packed.unpersist()
   }
 
+  test("d21: every unit-norm vector quantizes with a positive scale and a fingerprint") {
+    val q = GroupD.d21QuantizeEmbed(spark, sf)
+    assert(q.filter(col("q_fp").isNull =!= (col("scale_fp") === 0)).isEmpty,
+      "fingerprint must be NULL exactly for zero vectors")
+    assert(q.select("n_dims").distinct().count() == 1,
+      "corpus dimensionality is uniform")
+  }
+
   test("c6: untouched documents keep their original fingerprint, touched ones change it") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("orig_fp"))
