@@ -190,9 +190,42 @@ object GroupC {
   def c6PiiRedact(spark: SparkSession, sfDir: String): DataFrame =
     piiRedact(Tables(spark, sfDir, "documents")).orderBy("doc_id")
 
+  /** c7: asymmetric near-dup CONTAINMENT — c2 finds pairs that are
+    * mutually similar (Jaccard is symmetric); containment |A∩B| / |A|
+    * catches a short document quoted inside a long one, which Jaccard
+    * misses (the union dwarfs the intersection). Same inverted shingle
+    * index as c2; the verdict is different: keep pairs where EITHER
+    * direction's containment ≥ 0.9. The threshold is evaluated as an
+    * INTEGER cross-multiplication (10·common ≥ 9·size) — exact on both
+    * engines, no float boundary — and the reported fractions are
+    * `(c·10⁴) div n` fixed-point for the same reason. Scale path: the
+    * symmetric case goes through d1's MinHash banding; containment's
+    * sketch analog is a MinHash CONTAINMENT estimate (|A∩B|/|A| from the
+    * same signatures) over the same candidate pairs — the index shape
+    * does not change.
+    */
+  def c7Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("c") * 10 >= col("na") * 9 || col("c") * 10 >= col("nb") * 9)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 10000) div na").as("cont_a_fp"),
+        expr("(c * 10000) div nb").as("cont_b_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
+    "c7_containment"     -> (c7Containment _),
     "c2_dedup_near"      -> (c2DedupNear _),
     "c3_similarity_topk" -> (c3SimilarityTopk _),
     "c4_text_analysis"   -> (c4TextAnalysis _),
@@ -247,6 +280,26 @@ object GroupC {
         |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
         |FROM events
         |ORDER BY event_id""".stripMargin,
+    "c7_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+         |  WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  (c * 10000) // sa.n AS cont_a_fp,
+         |  (c * 10000) // sb.n AS cont_b_fp
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE c * 10 >= sa.n * 9 OR c * 10 >= sb.n * 9
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "c6_pii_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
