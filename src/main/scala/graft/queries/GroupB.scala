@@ -739,10 +739,48 @@ object GroupB {
       .orderBy("event_type")
   }
 
+  /** b34: recursive CTE (Spark 4's `WITH RECURSIVE`) — a data-dependent
+    * calendar spine: every month between the first and last order date,
+    * LEFT-joined to per-month order counts so empty months still appear
+    * (the gap-revealing report a plain GROUP BY cannot produce). The
+    * recursion is DEPTH-BOUNDED BY THE CALENDAR (~80 levels at any SF —
+    * TPC-H's date range is fixed), each level one row, while the
+    * data-sized work stays in ordinary aggregates; that is the recursion
+    * shape that scales — row-per-level chains over data-sized inputs
+    * (e.g. a 2,400-level day spine) belong in the iterative-operator
+    * form (graft.operators.ConnectedComponents) where each round is
+    * checkpointed, not in an engine-materialized recursion.
+    *
+    * The upper bound rides INSIDE the recursion rows (`spine(m, mx)`)
+    * rather than as a joined `bounds` relation: a per-level join against a
+    * CTE re-evaluates that CTE's orders scan at every level (measured
+    * 12.5 s for ~80 levels at sf0.01 → 0.3 s carried as a column).
+    */
+  def b34RecursiveSpine(spark: SparkSession, sfDir: String): DataFrame =
+    sqlScoped(spark,
+      """WITH RECURSIVE spine(m, mx) MAX RECURSION LEVEL 200 AS (
+        |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE),
+        |         CAST(DATE_TRUNC('MONTH', MAX(o_orderdate)) AS DATE)
+        |  FROM {orders}
+        |  UNION ALL
+        |  SELECT ADD_MONTHS(m, 1), mx FROM spine WHERE m < mx),
+        |per AS (
+        |  SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS m,
+        |         COUNT(*) AS n_orders,
+        |         ROUND(SUM(o_totalprice), 2) AS revenue
+        |  FROM {orders} GROUP BY 1)
+        |SELECT CAST(spine.m AS TIMESTAMP) AS bucket_month,
+        |       COALESCE(per.n_orders, 0) AS n_orders,
+        |       COALESCE(per.revenue, CAST(0 AS DOUBLE)) AS revenue
+        |FROM spine LEFT JOIN per ON spine.m = per.m
+        |ORDER BY bucket_month""".stripMargin,
+      "orders" -> Tables(spark, sfDir, "orders"))
+
   val queries: Map[String, Q] = Map(
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b32_sessionize"    -> (b32Sessionize _),
     "b33_stats_corr"    -> (b33StatsCorr _),
+    "b34_recursive_spine" -> (b34RecursiveSpine _),
     "b28_set_ops_all"   -> (b28SetOpsAll _),
     "b29_lateral"       -> (b29Lateral _),
     "b30_tpch_q5"       -> (b30TpchQ5 _),
@@ -1104,6 +1142,23 @@ object GroupB {
         |FROM sess
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "b34_recursive_spine" ->
+      """WITH RECURSIVE spine(m, mx) AS (
+        |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE),
+        |         CAST(DATE_TRUNC('MONTH', MAX(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE m < mx),
+        |per AS (
+        |  SELECT CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS m,
+        |         COUNT(*) AS n_orders,
+        |         ROUND(SUM(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(spine.m AS TIMESTAMP) AS bucket_month,
+        |       COALESCE(per.n_orders, 0) AS n_orders,
+        |       COALESCE(per.revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN per ON spine.m = per.m
+        |ORDER BY bucket_month""".stripMargin,
     "b33_stats_corr" ->
       """SELECT event_type, COUNT(*) AS n,
         |  ROUND(AVG(value), 4) AS avg_value,
