@@ -694,16 +694,20 @@ object GroupB {
     * per-partition running total, never a global sequence, so the plan is
     * embarrassingly parallel across users at any scale.
     */
-  def b32Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val events = Tables.events(spark, sfDir)
+  /** The b32 core on any (user_id, ts, event_id, value) frame — shared by
+    * the batch query and the stream-parity spec (SessionizeSpec pins that
+    * this produces the same sessions as the stateful streaming
+    * `graft.streaming.Sessionize` on identical input: two formulations of
+    * one contract, diff ≤ 30 min ⇒ same session).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val flagged = events
+    events
       .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
           .otherwise(0L))
-    flagged
       .withColumn("session_seq",
         sum("new_sess").over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -713,8 +717,11 @@ object GroupB {
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         round(sum("value"), 2).as("sum_value"))
-      .orderBy("user_id", "session_seq")
   }
+
+  def b32Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionize(Tables.events(spark, sfDir))
+      .orderBy("user_id", "session_seq")
 
   /** b33: moment statistics per group — sample stddev/variance and the
     * bivariate covariance/correlation aggregates. All four ride Spark's

@@ -107,4 +107,48 @@ class SessionizeSpec extends AnyFunSuite {
     assert(user1.head.n_events == 3L,
       s"state lost across restart: ${user1.head}")
   }
+
+  test("streaming sessions equal the batch window formulation (b32 core) on the same events") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two users, gaps straddling the 30-min rule: user 1 gets two sessions
+    // (40-min gap), user 2 one session (5 + 29-min gaps both inside)
+    val data = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:25:00", 2L),
+      (1L, "2024-01-01 11:05:00", 3L), // 40 min after -> new session
+      (2L, "2024-01-01 09:00:00", 4L), (2L, "2024-01-01 09:05:00", 5L),
+      (2L, "2024-01-01 09:34:00", 6L))
+    val dir = tempDir("sessparity")
+    csvFile(dir, "b1.csv", "ts;user;kind\n" +
+      data.map { case (u, t, _) => s"$t;$u;x" }.mkString("", "\n", "\n"))
+    val raw = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+    val events = raw.selectExpr(
+      "cast(user as bigint) as user_id",
+      "to_timestamp(ts) as ts",
+      "kind as event_type").as[SessionEvent]
+    val out = Sessionize.sessions(spark, events, gapMinutes = 30,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("sessions_parity").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far enough (twice) to flush the open tails
+      csvFile(dir, "b2.csv", "ts;user;kind\n2024-01-01 18:00:00;99;x\n")
+      q.processAllAvailable()
+      csvFile(dir, "b3.csv", "ts;user;kind\n2024-01-01 19:00:00;99;x\n")
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_parity")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "session_end", "n_events")
+      val batch = graft.queries.GroupB.sessionize(
+        data.toDF("user_id", "ts_s", "event_id")
+          .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+            col("event_id"), lit(1.0).as("value")))
+        .select("user_id", "session_start", "session_end", "n_events")
+      assert(streamed.count() == 3)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream and batch sessionization must agree event-for-event")
+    } finally q.stop()
+  }
 }
