@@ -21,11 +21,44 @@ import org.apache.spark.sql.functions._
   * Scale mechanics: every round ends in `localCheckpoint` — an iterative
   * plan would otherwise deepen each round until analysis itself became the
   * bottleneck; on a cluster this is `checkpoint` into the reliable store.
-  * The only driver-side values are the per-round convergence bit and the
-  * round counter — scalar job results (the AQE-statistics contract), never
-  * row data.
+  * Superseded rounds' blocks are freed eagerly ([[freeBlocks]]) so storage
+  * holds at most two vertex labelings at any time, instead of one per
+  * round until driver GC happens to run. The only driver-side values are
+  * the per-round convergence bit and the round counter — scalar job
+  * results (the AQE-statistics contract), never row data.
   */
 object ConnectedComponents {
+
+  /** One propagation round: every vertex's new label is the min of its own
+    * and its neighbors'; `__changed` rides along so the caller's
+    * convergence probe is a scan, not a re-join. Exposed package-private
+    * so the plan shape (equi-join + partial-agg min, no nested loop) is
+    * testable — the loop's eager checkpoints erase it from the final
+    * query's plan.
+    */
+  private[graft] def propagate(both: DataFrame, labels: DataFrame): DataFrame = {
+    val prop = both.join(labels, both("src") === labels("id"))
+      .select(col("dst").as("id"), col("component"))
+      .groupBy("id").agg(min("component").as("nbr_min"))
+    labels.as("l")
+      .join(prop.as("p"), col("l.id") === col("p.id"), "left")
+      .select(col("l.id").as("id"),
+        least(col("l.component"), coalesce(col("p.nbr_min"), col("l.component")))
+          .as("component"),
+        (coalesce(col("p.nbr_min"), col("l.component")) < col("l.component"))
+          .as("__changed"))
+  }
+
+  /** Free the materialized blocks behind a superseded localCheckpoint
+    * frame. Only safe once every consumer of the frame is itself
+    * materialized — the checkpoint truncated lineage, so the data cannot
+    * be recomputed.
+    */
+  private def freeBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Label every vertex of the undirected graph `edges` (two columns,
     * either orientation per pair; vertices are the union of endpoints)
@@ -43,25 +76,13 @@ object ConnectedComponents {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val prop = both.join(labels, both("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-        .groupBy("id").agg(min("component").as("nbr_min"))
-      // the per-vertex changed flag is computed INSIDE the round's join and
-      // rides into the checkpoint, so the convergence probe is a trivial
-      // scan of the already-materialized blocks — not a second join of old
-      // vs new labels (measured: halves the per-round job count)
-      val next = labels.as("l")
-        .join(prop.as("p"), col("l.id") === col("p.id"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.component"), coalesce(col("p.nbr_min"), col("l.component")))
-            .as("component"),
-          (coalesce(col("p.nbr_min"), col("l.component")) < col("l.component"))
-            .as("__changed"))
-        .localCheckpoint()
+      val next = propagate(both, labels).localCheckpoint()
       converged = next.filter(col("__changed")).isEmpty
+      freeBlocks(labels) // superseded: next is materialized, labels unused
       labels = next.drop("__changed")
       rounds += 1
     }
+    freeBlocks(both)
     require(converged, s"component labels not stable after $rounds rounds")
     labels
   }

@@ -72,12 +72,19 @@ object GroupC {
     * candidate generation stays cheap when hot shingles would make this
     * join skew at 100 TB.
     */
-  def c2DedupNear(spark: SparkSession, sfDir: String): DataFrame = {
-    // The shingle subplan feeds both self-join sides and the two size
-    // lookups (4 evaluations — exchanges differ, so ReuseExchange can't
-    // fire). Deliberately NOT persisted: measured at bench scale, cache
-    // population + memory-store churn costs more than the recompute; a
-    // long-lived cluster pipeline would persist and unpersist explicitly.
+  /** Inverted-index candidate pairs with overlap and set sizes —
+    * (doc_a, doc_b, c, na, nb), the shared skeleton c2 (symmetric Jaccard)
+    * and c7 (asymmetric containment) both derive their verdicts from, so a
+    * future change to the join (skew handling, the MinHash-banding scale
+    * path) lands in both.
+    *
+    * The shingle subplan feeds both self-join sides and the two size
+    * lookups (4 evaluations — exchanges differ, so ReuseExchange can't
+    * fire). Deliberately NOT persisted: measured at bench scale, cache
+    * population + memory-store churn costs more than the recompute; a
+    * long-lived cluster pipeline would persist and unpersist explicitly.
+    */
+  def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -88,13 +95,18 @@ object GroupC {
     common
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("c"),
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
+  def c2DedupNear(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlap(spark, sfDir)
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") /
-          (col("sa.n") + col("sb.n") - col("c")).cast("double")).as("jac"))
+          (col("na") + col("nb") - col("c")).cast("double")).as("jac"))
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Cosine similarity via the native codegen'd expression
     * ([[graft.functions.CosineSimilarity]]): one fused loop per row,
@@ -176,13 +188,17 @@ object GroupC {
     * silently turning the anchor-dot into match-any.
     */
   def piiRedact(docs: DataFrame): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(col("text"), EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+    val emailRedacted = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val redacted = regexp_replace(emailRedacted, LongNumRe, "<NUM>")
+    // n_longnum counts on the EMAIL-REDACTED text — the same text the
+    // <NUM> replacement runs on — so every reported count corresponds to
+    // an emitted placeholder (a digit run inside an email address is the
+    // email's redaction, not a phantom <NUM>).
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
         .cast("long").as("n_email"),
-      size(regexp_extract_all(col("text"), lit(LongNumRe), lit(0)))
+      size(regexp_extract_all(emailRedacted, lit(LongNumRe), lit(0)))
         .cast("long").as("n_longnum"),
       md5(redacted.cast("binary")).as("redacted_fp"))
   }
@@ -204,23 +220,13 @@ object GroupC {
     * same signatures) over the same candidate pairs — the index shape
     * does not change.
     */
-  def c7Containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  def c7Containment(spark: SparkSession, sfDir: String): DataFrame =
+    pairOverlap(spark, sfDir)
       .filter(col("c") * 10 >= col("na") * 9 || col("c") * 10 >= col("nb") * 9)
       .select(col("doc_a"), col("doc_b"),
         expr("(c * 10000) div na").as("cont_a_fp"),
         expr("(c * 10000) div nb").as("cont_b_fp"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val queries: Map[String, Q] = Map(
     "c1_dedup_exact"     -> (c1DedupExact _),
@@ -303,7 +309,9 @@ object GroupC {
     "c6_pii_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS n_longnum,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$LongNumRe'))
+         |    AS BIGINT) AS n_longnum,
          |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
          |    '$LongNumRe', '<NUM>', 'g')) AS redacted_fp
          |FROM documents

@@ -37,7 +37,12 @@ object GroupD {
     * memory-store churn cost more than recomputing the shingle subplan; a
     * long-lived cluster pipeline would persist sh and unpersist after.
     */
-  def d1DedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  /** d1's pair pipeline WITHOUT the final presentation sort — d14 consumes
+    * this directly (component labeling is order-insensitive, and the
+    * global ORDER BY would cost a range-partitioning sample + full sort
+    * that the propagation loop's first hash shuffle immediately destroys).
+    */
+  def d1Pairs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // Per-doc distinct shingle ARRAYS (one shuffle-free scan), private to
     // d1: the signature needs no explode/collect round trip, and candidate
@@ -80,8 +85,10 @@ object GroupD {
         (col("c") / (col("na") + col("nb") - col("c"))).as("jac"))
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
+
+  def d1DedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    d1Pairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
   /** d2: SimHash near-dup pairs. 32-bit signatures built from md5 token
     * hashes (md5 is identical in Spark and DuckDB, so the oracle can
@@ -548,7 +555,7 @@ object GroupD {
     * query feeds it d1's verified pair graph and attaches component sizes.
     */
   def d14DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = d1DedupMinhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val pairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
     val labels = graft.operators.ConnectedComponents
       .label(pairs, src = "doc_a", dst = "doc_b")
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
@@ -740,7 +747,12 @@ object GroupD {
         col("v"))
       .select(col("vec_id"), col("label"), col("n_dims"),
         floor(col("scale") * lit(1e6)).cast("long").as("scale_fp"),
-        when(col("scale") > 0,
+        // gated on the FIXED-POINT scale, not the raw one: a vector with
+        // 0 < max|v| < 1e-6 publishes scale_fp = 0, and a fingerprint
+        // whose published scale can't dequantize it would be a
+        // self-contradictory row — sub-resolution vectors are treated as
+        // zero vectors (NULL fingerprint)
+        when(floor(col("scale") * lit(1e6)) > 0,
           md5(array_join(
             expr("transform(v, x -> cast(cast(floor(x / scale * 127) as long) as string))"),
             ",").cast("binary")))
@@ -810,7 +822,7 @@ object GroupD {
         |  FROM base)
         |SELECT vec_id, label, n_dims,
         |  CAST(floor(scale * 1e6) AS BIGINT) AS scale_fp,
-        |  CASE WHEN scale > 0 THEN
+        |  CASE WHEN floor(scale * 1e6) > 0 THEN
         |    md5(array_to_string(list_transform(v,
         |      x -> CAST(CAST(floor(x / scale * 127) AS BIGINT) AS VARCHAR)), ','))
         |  END AS q_fp

@@ -45,6 +45,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ConnectedComponents.label(empty).isEmpty)
   }
 
+  test("a propagation round plans as equi-join + partial-agg min — no nested loop") {
+    // the loop's eager checkpoints erase round plans from the final query,
+    // so the B/C/D sweep can't see them (round-6 review) — assert the
+    // round's shape directly
+    val both = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L).toDF("src", "dst")
+    val labels = Seq(1L -> 1L, 2L -> 2L, 3L -> 3L).toDF("id", "component")
+    val p = ConnectedComponents.propagate(both, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "propagation round lost its equi-join shape")
+    assert(p.contains("HashAggregate"), "neighbor min is not partially aggregated")
+  }
+
   /** Reference union-find (path compression) for the random-graph check. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
