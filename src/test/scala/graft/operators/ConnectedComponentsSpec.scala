@@ -58,6 +58,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "neighbor min is not partially aggregated")
   }
 
+  test("superseded round checkpoints are freed — storage does not grow with rounds") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a 12-vertex chain: diameter 11 forces ~11 propagation rounds, each
+    // with its own localCheckpoint — without eager freeing this leaves
+    // one persisted labeling per round
+    val chain = (1L to 11L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val labels = ConnectedComponents.label(chain)
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2,
+      s"$leaked persisted RDDs remain after label() — round checkpoints not freed")
+  }
+
   /** Reference union-find (path compression) for the random-graph check. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
