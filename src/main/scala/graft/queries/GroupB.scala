@@ -783,11 +783,31 @@ object GroupB {
         |ORDER BY bucket_month""".stripMargin,
       "orders" -> Tables(spark, sfDir, "orders"))
 
+  /** b35: skew-salted join, oracle-checked against the PLAIN join — the
+    * point is result transparency: `Salting.saltedJoin` splits every
+    * big-side key across 8 (key, salt) sub-keys (deterministic row-hash
+    * salt, small side replicated ×8) and must be indistinguishable from
+    * the unsalted join to any observer. The aggregate keeps the compared
+    * output small; the oracle knows nothing about salt.
+    */
+  def b35SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ords = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Salting.saltedJoin(li, ords, "l_orderkey", salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b32_sessionize"    -> (b32Sessionize _),
     "b33_stats_corr"    -> (b33StatsCorr _),
     "b34_recursive_spine" -> (b34RecursiveSpine _),
+    "b35_salted_join"   -> (b35SaltedJoin _),
     "b28_set_ops_all"   -> (b28SetOpsAll _),
     "b29_lateral"       -> (b29Lateral _),
     "b30_tpch_q5"       -> (b30TpchQ5 _),
@@ -1149,6 +1169,12 @@ object GroupB {
         |FROM sess
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "b35_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "b34_recursive_spine" ->
       """WITH RECURSIVE spine(m, mx) AS (
         |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE),
