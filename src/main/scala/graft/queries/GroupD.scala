@@ -760,11 +760,60 @@ object GroupD {
       .orderBy("vec_id")
   }
 
+  /** d22: the training-data pipeline END TO END as one declarative plan —
+    * the north-star composition, each stage a proven operator:
+    *
+    *   1. quality gate: drop repetitive documents (d18's duplicate-3-gram
+    *      rule; documents under 3 tokens have no score and drop too);
+    *   2. near-dup dedup: drop every non-canonical member of a duplicate
+    *      cluster (d1's verified pairs → connected components → keep the
+    *      min-doc_id survivor, d14's rule);
+    *   3. source capping: at most 5 survivors per (lang, source) stratum
+    *      by md5 rank (d17's rule);
+    *   4. stratified 80/10/10 split of what remains (d15's rule).
+    *
+    * Stage order matters and is the real pipeline's: gate before dedup
+    * (a repetitive doc must not be a cluster's surviving canonical),
+    * dedup before quota (duplicates must not consume a stratum's budget),
+    * split last (fractions apply to the final corpus). Everything is one
+    * lazily-composed DataFrame except the component-labeling rounds
+    * (checkpointed, as always); the oracle replays the identical four
+    * stages in SQL.
+    */
+  def d22PipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val rep = d18Repetition(spark, sfDir).select(col("doc_id"), col("repetitive"))
+    val labels = graft.operators.ConnectedComponents
+      .label(d1Pairs(spark, sfDir).select("doc_a", "doc_b"),
+        src = "doc_a", dst = "doc_b")
+    val dupDrops = labels.filter(col("component") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val kept = docs.join(rep, "doc_id").filter(!col("repetitive"))
+      .join(dupDrops, Seq("doc_id"), "left_anti")
+    val wQuota = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capped = kept
+      .withColumn("rk", row_number().over(wQuota))
+      .filter(col("rk") <= 5)
+    val wSplit = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    capped
+      .withColumn("rn", row_number().over(wSplit))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("split",
+        when(col("rn") <= expr("(n * 8) div 10"), "train")
+          .when(col("rn") <= expr("(n * 9) div 10"), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
     "d20_pack_sequences"   -> (d20PackSequences _),
     "d21_quantize_embed"   -> (d21QuantizeEmbed _),
+    "d22_pipeline_e2e"     -> (d22PipelineE2e _),
     "d17_quota_sample"     -> (d17QuotaSample _),
     "d18_repetition"       -> (d18Repetition _),
     "d19_decontaminate"    -> (d19Decontaminate _),
@@ -811,6 +860,67 @@ object GroupD {
          |FROM comp c JOIN sizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin
     },
+    // d22 replays the four stages from the same proven fragments: c2's
+    // exact pair SQL (= d1's contract), d14's recursive closure, d18's
+    // repetition rule, d17's quota rank, d15's split boundaries.
+    "d22_pipeline_e2e" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(ts) - 1),
+         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
+         |  FROM toks WHERE len(ts) >= 3),
+         |rep AS (
+         |  SELECT doc_id,
+         |    floor((len(s) - len(list_distinct(s))) * 10000
+         |      / CAST(len(s) AS DOUBLE)) >= 1000 AS repetitive
+         |  FROM shl),
+         |sh AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM shl),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS root FROM verts
+         |  UNION
+         |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |dupdrop AS (SELECT doc_id FROM comp WHERE cluster_id <> doc_id),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.source
+         |  FROM documents d JOIN rep USING (doc_id)
+         |  WHERE NOT rep.repetitive
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dupdrop)),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, lang, source,
+         |      ROW_NUMBER() OVER (PARTITION BY lang, source
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |    FROM kept) t
+         |  WHERE rk <= 5),
+         |ranked AS (
+         |  SELECT doc_id, lang, source,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM capped)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+         |       WHEN rn <= (n * 9) // 10 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM ranked
+         |ORDER BY doc_id""".stripMargin,
     "d21_quantize_embed" ->
       """WITH base AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

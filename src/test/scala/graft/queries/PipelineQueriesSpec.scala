@@ -130,6 +130,23 @@ class PipelineQueriesSpec extends AnyFunSuite {
       "corpus dimensionality is uniform")
   }
 
+  test("d22: pipeline survivors respect every stage's rule") {
+    val out = GroupD.d22PipelineE2e(spark, sf).cache()
+    try {
+      // no repetitive doc survives the gate
+      val rep = GroupD.d18Repetition(spark, sf)
+        .filter(col("repetitive")).select("doc_id")
+      assert(out.join(rep, "doc_id").isEmpty)
+      // no non-canonical cluster member survives the dedup stage
+      val nonCanon = GroupD.d14DedupClusters(spark, sf)
+        .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+      assert(out.join(nonCanon, "doc_id").isEmpty)
+      // quota holds on the final corpus
+      assert(out.groupBy("lang", "source").count()
+        .filter(col("count") > 5).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("c6: untouched documents keep their original fingerprint, touched ones change it") {
     val docs = Tables(spark, sf, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("orig_fp"))
