@@ -782,13 +782,24 @@ object GroupD {
     */
   def d22PipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val rep = d18Repetition(spark, sfDir).select(col("doc_id"), col("repetitive"))
+    // The tiny groupBy is an OPTIMIZER BARRIER, not an aggregation need
+    // (doc_id is unique): a filter on `repetitive` written directly over
+    // d18's projection chain gets predicate-pushed below it, INLINING the
+    // whole tokenize+3-gram expression ~5x into one Filter evaluated
+    // before the projections recompute it again — measured 38 s for this
+    // stage at sf0.1 vs ~1 s with the barrier. Predicates cannot push
+    // through an aggregate, so the HOFs evaluate once per doc and the
+    // barrier's shuffle carries one (id, bool) row per doc.
+    val gate = d18Repetition(spark, sfDir)
+      .groupBy("doc_id").agg(first("repetitive").as("repetitive"))
+      .filter(!col("repetitive"))
+      .select("doc_id")
     val labels = graft.operators.ConnectedComponents
       .label(d1Pairs(spark, sfDir).select("doc_a", "doc_b"),
         src = "doc_a", dst = "doc_b")
     val dupDrops = labels.filter(col("component") =!= col("id"))
       .select(col("id").as("doc_id"))
-    val kept = docs.join(rep, "doc_id").filter(!col("repetitive"))
+    val kept = docs.join(gate, "doc_id")
       .join(dupDrops, Seq("doc_id"), "left_anti")
     val wQuota = Window.partitionBy("lang", "source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
