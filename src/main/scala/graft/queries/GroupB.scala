@@ -787,19 +787,23 @@ object GroupB {
     * point is result transparency: `Salting.saltedJoin` splits every
     * big-side key across 8 (key, salt) sub-keys (deterministic row-hash
     * salt, small side replicated ×8) and must be indistinguishable from
-    * the unsalted join to any observer. The aggregate keeps the compared
-    * output small; the oracle knows nothing about salt.
+    * the unsalted join to any observer. customer⋈nation is the textbook
+    * salting shape: 25 nation keys means every key is hot (1/25 of the
+    * fact table hashes to ONE task without salting at any SF), and the
+    * replicated side is 25 rows — ×8 is 200, honoring the operator's
+    * genuinely-small contract. The aggregate keeps the compared output
+    * small; the oracle knows nothing about salt.
     */
   def b35SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_quantity"))
-    val ords = Tables(spark, sfDir, "orders")
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.Salting.saltedJoin(li, ords, "l_orderkey", salt = 8)
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_items"),
-        round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy("o_orderpriority")
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"))
+    val nation = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    graft.operators.Salting.saltedJoin(cust, nation, "c_nationkey", salt = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy("n_name")
   }
 
   val queries: Map[String, Q] = Map(
@@ -1170,11 +1174,11 @@ object GroupB {
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "b35_salted_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "b34_recursive_spine" ->
       """WITH RECURSIVE spine(m, mx) AS (
         |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE),

@@ -779,6 +779,13 @@ object GroupD {
     * lazily-composed DataFrame except the component-labeling rounds
     * (checkpointed, as always); the oracle replays the identical four
     * stages in SQL.
+    *
+    * Known duplication, accepted: the gate branch and the pair branch
+    * each scan+tokenize documents (Spark reuses exchanges, not scan-side
+    * projections across DAG branches) — ~1 s of the 5.4 s at sf0.1. A
+    * long-lived cluster pipeline would persist the shared token frame
+    * explicitly and unpersist after (the same policy note as
+    * [[GroupC.pairOverlap]]).
     */
   def d22PipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
@@ -794,9 +801,17 @@ object GroupD {
       .groupBy("doc_id").agg(first("repetitive").as("repetitive"))
       .filter(!col("repetitive"))
       .select("doc_id")
+    // "gate before dedup" is enforced by restricting the pair graph to
+    // gated endpoints BEFORE labeling: a pair's Jaccard doesn't depend on
+    // other documents, so pairs-among-survivors ≡ rerunning d1 on the
+    // gated corpus. Without this, a cluster whose min-id canonical is
+    // repetitive would lose every member (the canonical to the gate, the
+    // rest to dupDrops) instead of keeping its best clean member.
+    val gatedPairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
+      .join(gate.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(gate.withColumnRenamed("doc_id", "doc_b"), "doc_b")
     val labels = graft.operators.ConnectedComponents
-      .label(d1Pairs(spark, sfDir).select("doc_a", "doc_b"),
-        src = "doc_a", dst = "doc_b")
+      .label(gatedPairs, src = "doc_a", dst = "doc_b")
     val dupDrops = labels.filter(col("component") =!= col("id"))
       .select(col("id").as("doc_id"))
     val kept = docs.join(gate, "doc_id")
@@ -893,10 +908,13 @@ object GroupD {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
+         |gate AS (SELECT doc_id FROM rep WHERE NOT repetitive),
          |pairs AS (
          |  SELECT doc_a, doc_b FROM common
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  JOIN gate ga ON ga.doc_id = doc_a
+         |  JOIN gate gb ON gb.doc_id = doc_b
          |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
          |edges AS (
          |  SELECT doc_a AS s, doc_b AS d FROM pairs

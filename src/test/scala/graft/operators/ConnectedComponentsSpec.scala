@@ -58,6 +58,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "neighbor min is not partially aggregated")
   }
 
+  // Caveat: Spark's ContextCleaner can also unpersist superseded rounds
+  // once driver GC collects their references, so a regression here is
+  // detected deterministically only when no GC fires mid-test — the pin
+  // can false-PASS under GC pressure, never false-FAIL (freeBlocks makes
+  // <= 2 a hard guarantee).
   test("superseded round checkpoints are freed — storage does not grow with rounds") {
     val before = spark.sparkContext.getPersistentRDDs.size
     // a 12-vertex chain: diameter 11 forces ~11 propagation rounds, each

@@ -144,6 +144,19 @@ class PipelineQueriesSpec extends AnyFunSuite {
       // quota holds on the final corpus
       assert(out.groupBy("lang", "source").count()
         .filter(col("count") > 5).isEmpty)
+      // the split boundaries apply to the FINAL (gated, deduped, capped)
+      // corpus: per lang, n here is the output's own row count
+      val perLang = out.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bySplit = out.groupBy("lang", "split").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      for ((lang, n) <- perLang) {
+        val train = n * 8 / 10
+        val valN = n * 9 / 10 - train
+        assert(bySplit.getOrElse((lang, "train"), 0L) == train, s"$lang train")
+        assert(bySplit.getOrElse((lang, "val"), 0L) == valN, s"$lang val")
+        assert(bySplit.getOrElse((lang, "test"), 0L) == n - train - valN, s"$lang test")
+      }
     } finally out.unpersist()
   }
 
