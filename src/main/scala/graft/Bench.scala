@@ -54,16 +54,33 @@ object Bench {
     }
     val failed = names.indices.filter(i => times.exists(!_(i)._2)).map(names)
     val minPer = names.indices.map(i => times.map(_(i)._1).min)
-    val qs = names.zip(minPer).map { case (k, v) =>
-      if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + v
+    // The driver captures only the LAST ~2000 chars of stdout (observed:
+    // BENCH_r06 `tail` is exactly 2000 chars and lost the head of our line →
+    // `parsed: null`). sbt's "[success] Total time" trailer eats ~85 of
+    // those, so the stdout line must stay well under ~1900 chars even as the
+    // query count grows. Stdout gets centisecond-rounded times (plenty for
+    // 0.1–5 s queries compared round-over-round); bench_result.json keeps
+    // full precision and the raw pass totals.
+    def fmt(v: Double, dp: Int): String = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    def qsJson(dp: Int): String = names.zip(minPer).map { case (k, v) =>
+      if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + fmt(v, dp)
     }.mkString("{", ",", "}")
     val total = names.indices.collect { case i if !failed.contains(names(i)) => minPer(i) }.sum
-    val passTotals = times.map(_.map(_._1).sum).mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotals,"failed_count":${failed.size},"failed":$failedJson}"""
-    println(json)
-    Files.writeString(Paths.get("bench_result.json"), json + "\n")
+    def line(dp: Int, withPassTotals: Boolean): String = {
+      val passTotals =
+        if (withPassTotals) ",\"pass_totals\":" + times.map(p => fmt(p.map(_._1).sum, 2)).mkString("[", ",", "]")
+        else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qsJson(dp)},"sf":"$sfDir","passes":$passes$passTotals,"failed_count":${failed.size},"failed":$failedJson}"""
+    }
+    println(line(2, withPassTotals = false))
+    val full = names.zip(minPer).map { case (k, v) =>
+      if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val passTotalsFull = times.map(_.map(_._1).sum).mkString("[", ",", "]")
+    Files.writeString(
+      Paths.get("bench_result.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotalsFull,"failed_count":${failed.size},"failed":$failedJson}""" + "\n")
     spark.stop()
   }
 }
