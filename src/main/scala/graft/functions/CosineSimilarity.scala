@@ -111,6 +111,7 @@ object GraftFunctions {
   val LshKeysName = "graft_lsh_keys"
   val SimHashName = "graft_simhash32"
   val PlainDoubleName = "graft_plain_double"
+  val BloomName = "graft_bloom_contains"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -158,6 +159,11 @@ object GraftFunctions {
         }
         HyperplaneLshKeys(exprs.head,
           intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(BloomName,
+      { exprs =>
+        require(exprs.length == 2, s"$BloomName expects (binary, bigint)")
+        BloomContains(exprs.head, exprs(1))
       }, "built-in")
   }
 }

@@ -699,6 +699,73 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d23: bloom-pruned decontamination — d19's exact semantics with a
+    * [[graft.functions.BloomContains]] pre-filter on the corpus side, the
+    * runtime-row-filter pattern a 100 TB decontamination pass actually
+    * runs. d19 shuffles EVERY train shingle into the benchmark equi-join;
+    * here a bloom filter built over the (small, by definition) benchmark
+    * shingle set is embedded in the plan as a binary literal and probed at
+    * scan speed inside whole-stage codegen, so the exchange feeding the
+    * join carries only true matches plus ~1% false positives. The exact
+    * equi-join on the same 64-bit shingle key then removes the false
+    * positives — the result is bit-identical to d19 (same oracle), only
+    * the physical plan differs. Filter size scales with the benchmark
+    * set, not the corpus: 1% FP needs ~9.6 bits/key, so even a 100M-key
+    * benchmark rides in a ~120 MB task-binary broadcast.
+    */
+  def d23BloomDecon(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = GroupC.shingles(spark, sfDir)
+    val benchSh = sh
+      .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+      .select("shingle").distinct()
+    val bloomLit = lit(graft.functions.BloomContains.serialized(benchSh, "shingle"))
+    val train = docs.filter(col("source") =!= "src0")
+    val shared = sh.join(train.select("doc_id"), "doc_id")
+      .filter(call_function(graft.functions.GraftFunctions.BloomName,
+        bloomLit, col("shingle")))
+      .join(benchSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** d24: fuzzy key matching — all pairs of customer names within edit
+    * distance 1, via FastSS deletion-neighborhood blocking (Bocek et al.
+    * 2007, public): two strings are within one edit only if they share a
+    * 1-deletion variant (delete the differing position from both sides of
+    * a substitution; the shorter string itself for an insert/delete), so
+    * exploding each name into its ≤ len+1 DISTINCT variants and
+    * equi-joining on the 64-bit variant hash yields LINEAR candidate
+    * volume — no name×name cross join — with exact `levenshtein` verify
+    * on candidates (the neighborhood test admits rare distance-2 pairs,
+    * e.g. 'ab'/'ba'; verify removes them). The oracle brute-forces the
+    * quadratic join in DuckDB — affordable at oracle scale only, which is
+    * exactly the point of the blocking scheme.
+    */
+  def d24FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val variants = cust.select(col("id"), col("name"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, length(name)), i -> IF(i = 0, name, " +
+          "concat(substr(name, 1, i - 1), substr(name, i + 1))))"))).as("v"))
+      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
+    val a = variants.toDF("ida", "name_a", "vh")
+    val b = variants.toDF("idb", "name_b", "vh")
+    a.hint("merge").join(b.hint("merge"), "vh")
+      .filter(col("ida") < col("idb"))
+      .select("ida", "name_a", "idb", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("ida"), col("idb"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("ida", "idb")
+  }
+
   /** d20: sequence packing — the concat-and-chunk step an LM training
     * pipeline runs last: documents are laid out in a deterministic order
     * (md5 rank per lang shard, d15's no-RNG contract) and the
@@ -843,6 +910,8 @@ object GroupD {
     "d17_quota_sample"     -> (d17QuotaSample _),
     "d18_repetition"       -> (d18Repetition _),
     "d19_decontaminate"    -> (d19Decontaminate _),
+    "d23_bloom_decon"      -> (d23BloomDecon _),
+    "d24_fuzzy_join"       -> (d24FuzzyJoin _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -860,6 +929,28 @@ object GroupD {
   )
 
   private val tokSql = GroupC.tokenizeSql("text")
+
+  private val d19OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokSql AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+       |  WHERE len(ts) >= 3),
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+       |  WHERE source = 'src0'),
+       |shared AS (
+       |  SELECT s.doc_id, COUNT(*) AS n_shared
+       |  FROM sh s JOIN bench b USING (shingle)
+       |  JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
+       |  GROUP BY s.doc_id)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  COALESCE(n.n_shared, 0) AS n_shared,
+       |  COALESCE(n.n_shared, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN shared n ON d.doc_id = n.doc_id
+       |WHERE d.source <> 'src0'
+       |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // d1 verifies candidates with exact Jaccard — its contract IS c2's.
@@ -1010,27 +1101,17 @@ object GroupD {
          |    / CAST(len(s) AS DOUBLE)) >= 1000 AS repetitive
          |FROM sh
          |ORDER BY doc_id""".stripMargin,
-    "d19_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, $tokSql AS ts FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
-         |  WHERE len(ts) >= 3),
-         |bench AS (
-         |  SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
-         |  WHERE source = 'src0'),
-         |shared AS (
-         |  SELECT s.doc_id, COUNT(*) AS n_shared
-         |  FROM sh s JOIN bench b USING (shingle)
-         |  JOIN documents d ON d.doc_id = s.doc_id AND d.source <> 'src0'
-         |  GROUP BY s.doc_id)
-         |SELECT d.doc_id, d.lang, d.source,
-         |  COALESCE(n.n_shared, 0) AS n_shared,
-         |  COALESCE(n.n_shared, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN shared n ON d.doc_id = n.doc_id
-         |WHERE d.source <> 'src0'
-         |ORDER BY d.doc_id""".stripMargin,
+    "d19_decontaminate" -> d19OracleSql,
+    // d23 is d19's exact semantics behind a bloom pre-filter (false
+    // positives removed by the exact join) — the oracle is d19's.
+    "d23_bloom_decon" -> d19OracleSql,
+    "d24_fuzzy_join" ->
+      """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY ida, idb""".stripMargin,
     "d15_stratified_split" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,
