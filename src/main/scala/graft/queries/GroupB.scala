@@ -806,7 +806,45 @@ object GroupB {
       .orderBy("n_name")
   }
 
+  /** b36: upsert / SCD merge — the MERGE-INTO semantics the reference's
+    * data-integration framework implies (its providers feed destination
+    * writers that update-or-insert; `/root/reference/src/CSVProvider.cs:554`
+    * runs one mapping per destination table). Base = each customer's
+    * latest pre-1997 order; delta = latest 1997+ order. The merged
+    * current view takes the delta when present (UPDATE), keeps the base
+    * otherwise (UNCHANGED), and surfaces delta-only keys as INSERT — the
+    * three MERGE actions as a typed change column. Both per-side windows
+    * and the full-outer join hash on the same key, so the whole merge is
+    * one shuffle family; at 100 TB this is the standard CDC-compaction
+    * plan (latest-wins per key, then merge).
+    */
+  def b36MergeScd(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    val base = latest(orders.filter(col("o_orderdate") < cutoff))
+      .select(col("o_custkey"), col("o_orderkey").as("b_key"),
+        col("o_totalprice").as("b_price"), col("o_orderdate").as("b_date"))
+    val delta = latest(orders.filter(col("o_orderdate") >= cutoff))
+      .select(col("o_custkey"), col("o_orderkey").as("d_key"),
+        col("o_totalprice").as("d_price"), col("o_orderdate").as("d_date"))
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("d_key"), col("b_key")).as("cur_orderkey"),
+        round(coalesce(col("d_price"), col("b_price")), 2).as("cur_totalprice"),
+        to_date(coalesce(col("d_date"), col("b_date"))).as("cur_orderdate"),
+        when(col("b_key").isNull, "INSERT")
+          .when(col("d_key").isNull, "UNCHANGED")
+          .otherwise("UPDATE").as("change_type"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b36_merge_scd"     -> (b36MergeScd _),
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b32_sessionize"    -> (b32Sessionize _),
     "b33_stats_corr"    -> (b33StatsCorr _),
@@ -1173,6 +1211,28 @@ object GroupB {
         |FROM sess
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "b36_merge_scd" ->
+      """WITH ranked_base AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |ranked_delta AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        |b AS (SELECT * FROM ranked_base WHERE rn = 1),
+        |d AS (SELECT * FROM ranked_delta WHERE rn = 1)
+        |SELECT COALESCE(d.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(d.o_orderkey, b.o_orderkey) AS cur_orderkey,
+        |  ROUND(COALESCE(d.o_totalprice, b.o_totalprice), 2) AS cur_totalprice,
+        |  CAST(COALESCE(d.o_orderdate, b.o_orderdate) AS DATE) AS cur_orderdate,
+        |  CASE WHEN b.o_custkey IS NULL THEN 'INSERT'
+        |       WHEN d.o_custkey IS NULL THEN 'UNCHANGED'
+        |       ELSE 'UPDATE' END AS change_type
+        |FROM b FULL OUTER JOIN d ON b.o_custkey = d.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "b35_salted_join" ->
       """SELECT n_name, COUNT(*) AS n_customers,
         |  ROUND(SUM(c_acctbal), 2) AS sum_acctbal

@@ -766,6 +766,50 @@ object GroupD {
       .orderBy("ida", "idb")
   }
 
+  /** d25: one-pass column profiling — the data-quality summary every
+    * ingestion pipeline runs before training (row/null/distinct counts,
+    * min/max, mean per column). ALL metrics for all profiled columns ride
+    * one aggregate over one scan; the single result row is then exploded
+    * into a row per column. The exact distinct counts make Catalyst plan
+    * one Expand (×columns) feeding a two-level partial aggregate — at
+    * 100 TB you swap them for `approx_count_distinct` (d12's HLL path)
+    * and the Expand disappears; the means are computed over
+    * `decimal(18,2)` so they are exact and summation-order independent
+    * (double-sum averages wobble in the last ulp across partitionings).
+    */
+  def d25Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    // (column, is numeric, normalize-to-date first)
+    val cols = Seq(
+      ("l_orderkey", true, false), ("l_quantity", true, false),
+      ("l_extendedprice", true, false), ("l_returnflag", false, false),
+      ("l_shipdate", false, true))
+    def c(name: String, asDate: Boolean): Column =
+      if (asDate) to_date(col(name)) else col(name)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap {
+      case (name, numeric, asDate) =>
+        Seq(count(c(name, asDate)).as(s"cnt_$name"),
+          countDistinct(c(name, asDate)).as(s"nd_$name"),
+          min(c(name, asDate)).cast("string").as(s"min_$name"),
+          max(c(name, asDate)).cast("string").as(s"max_$name")) ++
+          (if (numeric)
+            Seq(round(avg(col(name).cast("decimal(18,2)")).cast("double"), 2)
+              .as(s"avg_$name"))
+          else Nil)
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (name, numeric, _) =>
+        struct(lit(name).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"cnt_$name")).as("n_null"),
+          col(s"nd_$name").as("n_distinct"),
+          col(s"min_$name").as("min_s"), col(s"max_$name").as("max_s"),
+          (if (numeric) col(s"avg_$name") else lit(null).cast("double"))
+            .as("avg_r"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** d20: sequence packing — the concat-and-chunk step an LM training
     * pipeline runs last: documents are laid out in a deterministic order
     * (md5 rank per lang shard, d15's no-RNG contract) and the
@@ -912,6 +956,7 @@ object GroupD {
     "d19_decontaminate"    -> (d19Decontaminate _),
     "d23_bloom_decon"      -> (d23BloomDecon _),
     "d24_fuzzy_join"       -> (d24FuzzyJoin _),
+    "d25_profile"          -> (d25Profile _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1105,6 +1150,29 @@ object GroupD {
     // d23 is d19's exact semantics behind a bloom pre-filter (false
     // positives removed by the exact join) — the oracle is d19's.
     "d23_bloom_decon" -> d19OracleSql,
+    "d25_profile" -> {
+      def one(name: String, numeric: Boolean, asDate: Boolean): String = {
+        val e = if (asDate) s"CAST($name AS DATE)" else name
+        val avg =
+          if (numeric)
+            s"ROUND(CAST(AVG(CAST($name AS DECIMAL(18,2))) AS DOUBLE), 2)"
+          else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($e) AS n_null,
+           |  COUNT(DISTINCT $e) AS n_distinct,
+           |  CAST(MIN($e) AS VARCHAR) AS min_s,
+           |  CAST(MAX($e) AS VARCHAR) AS max_s,
+           |  $avg AS avg_r
+           |FROM lineitem""".stripMargin
+      }
+      Seq(
+        one("l_orderkey", numeric = true, asDate = false),
+        one("l_quantity", numeric = true, asDate = false),
+        one("l_extendedprice", numeric = true, asDate = false),
+        one("l_returnflag", numeric = false, asDate = false),
+        one("l_shipdate", numeric = false, asDate = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "d24_fuzzy_join" ->
       """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -172,4 +172,53 @@ class PipelineQueriesSpec extends AnyFunSuite {
       col("redacted_fp") === col("orig_fp")).isEmpty,
       "matches must change the text")
   }
+
+  test("b36: merge covers every customer with orders, change types are consistent") {
+    val orders = Tables(spark, sf, "orders")
+    val out = GroupB.b36MergeScd(spark, sf).cache()
+    try {
+      // one row per customer that has any order; key uniqueness
+      assert(out.count() == orders.select("o_custkey").distinct().count())
+      assert(out.select("o_custkey").distinct().count() == out.count())
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val hasBase = orders.filter(col("o_orderdate") < cutoff)
+        .select("o_custkey").distinct()
+      val hasDelta = orders.filter(col("o_orderdate") >= cutoff)
+        .select("o_custkey").distinct()
+      // INSERT ⟺ delta-only, UNCHANGED ⟺ base-only, UPDATE ⟺ both
+      val joined = out
+        .join(hasBase.withColumn("in_b", lit(true)), Seq("o_custkey"), "left")
+        .join(hasDelta.withColumn("in_d", lit(true)), Seq("o_custkey"), "left")
+      assert(joined.filter(col("change_type") === "INSERT" &&
+        (col("in_b").isNotNull || col("in_d").isNull)).isEmpty)
+      assert(joined.filter(col("change_type") === "UNCHANGED" &&
+        (col("in_b").isNull || col("in_d").isNotNull)).isEmpty)
+      assert(joined.filter(col("change_type") === "UPDATE" &&
+        (col("in_b").isNull || col("in_d").isNull)).isEmpty)
+      // UPDATE/INSERT rows carry a delta-side (post-cutoff) current order
+      assert(out.filter(col("change_type") =!= "UNCHANGED" &&
+        col("cur_orderdate") < to_date(cutoff)).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("d25: profile metrics agree with directly computed column facts") {
+    val li = Tables(spark, sf, "lineitem")
+    val rows = GroupD.d25Profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate"))
+    val n = li.count()
+    val ndFlag = li.select("l_returnflag").distinct().count()
+    val flag = rows("l_returnflag")
+    assert(flag.getLong(1) == n && flag.getLong(2) == 0 &&
+      flag.getLong(3) == ndFlag)
+    assert(flag.isNullAt(6), "non-numeric columns have no mean")
+    val qty = rows("l_quantity")
+    val (mn, mx) = {
+      val r = li.agg(min("l_quantity"), max("l_quantity")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    assert(qty.getString(4).toDouble == mn && qty.getString(5).toDouble == mx)
+    assert(!qty.isNullAt(6), "numeric columns report a mean")
+  }
 }
