@@ -34,7 +34,12 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.queries("b5_hash_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_ONLY="d1_x,d14_y" restricts the timed set — for
+    // surgical perf iteration on one query without a 76-query pass.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Fail loud (round-3 verdict #4): a throwing query must surface as a
     // failure, not as a suspiciously fast time. Each pass records
     // (seconds, ok); a query that failed in ANY pass reports "err" instead
@@ -62,18 +67,34 @@ object Bench {
     // 0.1–5 s queries compared round-over-round); bench_result.json keeps
     // full precision and the raw pass totals.
     def fmt(v: Double, dp: Int): String = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    def qsJson(dp: Int): String = names.zip(minPer).map { case (k, v) =>
-      if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + fmt(v, dp)
+    def qsJson(keep: Set[String]): String = names.zip(minPer).collect {
+      case (k, _) if failed.contains(k) => "\"" + k + "\":\"err\""
+      case (k, v) if keep(k) => "\"" + k + "\":" + fmt(v, 2)
     }.mkString("{", ",", "}")
     val total = names.indices.collect { case i if !failed.contains(names(i)) => minPer(i) }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def line(dp: Int, withPassTotals: Boolean): String = {
-      val passTotals =
-        if (withPassTotals) ",\"pass_totals\":" + times.map(p => fmt(p.map(_._1).sum, 2)).mkString("[", ",", "]")
-        else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qsJson(dp)},"sf":"$sfDir","passes":$passes$passTotals,"failed_count":${failed.size},"failed":$failedJson}"""
+    // "failed" rides on stdout only when nonempty — every byte of the
+    // stdout line competes with query-count growth for the tail window.
+    val failedStdout =
+      if (failed.isEmpty) "" else s""","failed":$failedJson"""
+    def line(keep: Set[String], omitted: Int): String = {
+      val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qsJson(keep)},"sf":"$sfDir","failed_count":${failed.size}$failedStdout$om}"""
     }
-    println(line(2, withPassTotals = false))
+    // The driver records only the last ~2000 stdout chars and sbt appends
+    // an ~85-char trailer; if the full map would overflow that window,
+    // shed the CHEAPEST queries from stdout first (failures always stay).
+    // bench_result.json always carries the complete full-precision map.
+    val budget = 1890
+    val byCost = names.filterNot(failed.contains).sortBy(n => minPer(names.indexOf(n)))
+    var keep = names.toSet -- failed
+    var out = line(keep, 0)
+    var shed = 0
+    while (out.length > budget && shed < byCost.length) {
+      keep -= byCost(shed); shed += 1
+      out = line(keep, shed)
+    }
+    println(out)
     val full = names.zip(minPer).map { case (k, v) =>
       if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + v
     }.mkString("{", ",", "}")

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the semantic
+  * clustering / domain-discovery step of a training-data pipeline (cluster
+  * then inspect/filter/rebalance by cluster). Deterministic end to end,
+  * unlike textbook k-means:
+  *
+  *  - **Seeding**: the k evenly-rank-spaced vectors in `vec_id` order (no
+  *    RNG, no dense-id assumption — rank, not id arithmetic). The rank is
+  *    one global `row_number` window — fine for seeding at any tested SF,
+  *    but at 100 TB the seed step should switch to a per-hash-bucket min
+  *    (k buckets over `xxhash64(vec_id)`, min vec_id each) which is a
+  *    plain partial aggregate; the rest of the algorithm is unchanged.
+  *  - **Centroid update**: per-dimension means are aggregated in
+  *    `decimal(25,10)`, so they are EXACT and summation-order independent;
+  *    double-sum means differ in ulps across partitionings, which flips
+  *    boundary assignments between runs.
+  *  - **Assignment**: argmin over (distance², cluster id) struct ordering —
+  *    exact ties break toward the lower cluster id instead of
+  *    partition order.
+  *
+  * Scale mechanics: each iteration is one assignment scan (k fused
+  * distance folds per row, no shuffle) plus one posexplode + partial-agg
+  * shuffle of (cluster, dim) cells — shuffle rows ∝ k·dim·partitions,
+  * independent of corpus size. The ONLY driver materialization is the
+  * k×dim centroid model (same contract as AnnTuning's sampled stats);
+  * assignments never leave the executors.
+  */
+object KMeans {
+
+  final case class Model(
+      centroids: Array[Array[Double]],
+      /** Sum of squared distances to the assigned centroid, one entry per
+        * iteration (computed on the assignment that PRODUCED the next
+        * centroids) — Lloyd guarantees this sequence non-increasing.
+        */
+      wcss: Seq[Double],
+      assignments: DataFrame)
+
+  /** Nearest-centroid id and its squared distance for every row. */
+  private def assign(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val candidates = cents.zipWithIndex.map { case (c, i) =>
+      val centroid = array(c.map(lit): _*)
+      val d2 = aggregate(
+        zip_with(col("embedding"), centroid,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0d), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(i).as("cluster"))
+    }
+    vectors.withColumn("__best", sort_array(array(candidates: _*))(0))
+      .select(col("vec_id"), col("embedding"),
+        col("__best.cluster").as("cluster"), col("__best.d2").as("d2"))
+  }
+
+  /** Run `iters` Lloyd iterations with deterministic rank-spaced seeding;
+    * k may be reduced if the input has fewer vectors than clusters.
+    */
+  def fit(vectors: DataFrame, k: Int, iters: Int): Model = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val n = vectors.count()
+    require(n > 0, "cannot cluster an empty relation")
+    val kEff = math.min(k.toLong, n).toInt
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val stride = math.max(1L, n / kEff)
+    var cents: Array[Array[Double]] = vectors
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % stride === 0)
+      .orderBy("vec_id").limit(kEff)
+      .collect()
+      .map(_.getSeq[Float](vectors.columns.indexOf("embedding"))
+        .map(_.toDouble).toArray)
+    val wcss = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val assigned = assign(vectors, cents)
+      // ONE aggregate per iteration: the k×dim centroid cells carry the
+      // per-cluster WCSS along (sum_d2 repeats per pos — redundant but
+      // k×dim rows are model-sized, so a second pass would cost more).
+      val cells = assigned
+        .select(col("cluster"), col("d2"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("col").cast("decimal(25,10)")).as("mean"),
+          sum("d2").as("sum_d2"), count(lit(1)).as("n"))
+        .collect()
+      // row layout: (cluster, pos, mean, sum_d2, n)
+      wcss += cells.groupBy(_.getInt(0)).map { case (_, rows) =>
+        rows.head.getDouble(3) // sum_d2 repeats per pos within a cluster
+      }.sum
+      val byCluster = cells.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(_.getDecimal(2).doubleValue()).toArray
+      }
+      // empty clusters keep their previous centroid
+      cents = cents.zipWithIndex.map { case (c, i) => byCluster.getOrElse(i, c) }
+    }
+    Model(cents, wcss.result(),
+      assign(vectors, cents).select("vec_id", "cluster"))
+  }
+}

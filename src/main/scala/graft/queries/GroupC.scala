@@ -39,8 +39,16 @@ object GroupC {
     * negligible at any realistic shingle cardinality.) Documents shorter
     * than 3 tokens have no shingles and drop out — same rule both sides.
     */
-  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(Tables(spark, sfDir, "documents"))
+
+  /** [[shingles]] over an explicit (possibly pre-filtered) documents
+    * relation — filtering docs BEFORE tokenizing commutes with the per-doc
+    * shingle computation, and when a caller needs only a subset (d23's
+    * benchmark side) it avoids tokenizing the whole corpus just to join
+    * most of it away.
+    */
+  def shinglesOf(docs: DataFrame): DataFrame = {
     docs
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 3)

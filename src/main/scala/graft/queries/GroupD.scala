@@ -716,13 +716,14 @@ object GroupD {
   def d23BloomDecon(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables(spark, sfDir, "documents")
-    val sh = GroupC.shingles(spark, sfDir)
-    val benchSh = sh
-      .join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+    // Shingle ONLY each side's documents (filter commutes with the per-doc
+    // shingle computation): the two bloom-build actions and the probe pass
+    // each tokenize just their slice, never the whole corpus.
+    val benchSh = GroupC.shinglesOf(docs.filter(col("source") === "src0"))
       .select("shingle").distinct()
     val bloomLit = lit(graft.functions.BloomContains.serialized(benchSh, "shingle"))
     val train = docs.filter(col("source") =!= "src0")
-    val shared = sh.join(train.select("doc_id"), "doc_id")
+    val shared = GroupC.shinglesOf(train)
       .filter(call_function(graft.functions.GraftFunctions.BloomName,
         bloomLit, col("shingle")))
       .join(benchSh, "shingle")
@@ -764,6 +765,60 @@ object GroupD {
       .select(col("ida"), col("idb"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .orderBy("ida", "idb")
+  }
+
+  /** d26: deterministic source mixing — the weighted up/down-sampling step
+    * that rebalances a multilingual corpus before training (e.g. Pile/ROOTS
+    * style mixture weights). Every doc emits floor(w) copies plus one more
+    * iff an md5-derived uniform falls below frac(w) — so a weight of 0.5
+    * downsamples to half and 3.75 nearly quadruples, with NO RNG: reruns
+    * and the DuckDB oracle reproduce the exact same copy set. The uniform
+    * is the first 8 hex chars of md5 compared against the fraction as an
+    * 8-hex-digit threshold (lowercase hex compares lexicographically =
+    * numerically in both engines). Benchmark docs (src0) are excluded —
+    * d19/d23's decontamination contract. Pure per-row compute + Generate;
+    * nothing shuffles before the presentation sort, so the mixer runs at
+    * scan bandwidth at any corpus size.
+    */
+  def d26MixUpsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("source") =!= "src0")
+    // lang -> (integer copies, fractional-part threshold as 8 hex digits):
+    // en 0.5, de 2.25, es 1.5, fr 1.0, zh 3.75.
+    val wFloor = when(col("lang") === "en", 0)
+      .when(col("lang") === "de", 2)
+      .when(col("lang") === "es", 1)
+      .when(col("lang") === "fr", 1)
+      .when(col("lang") === "zh", 3)
+      .otherwise(1)
+    val fracHex = when(col("lang") === "en", "80000000")
+      .when(col("lang") === "de", "40000000")
+      .when(col("lang") === "es", "80000000")
+      .when(col("lang") === "zh", "c0000000")
+      .otherwise(null)
+    val u8 = substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8)
+    val extra = when(fracHex.isNotNull && u8 < fracHex, 1).otherwise(0)
+    docs
+      .withColumn("n_copies", (wFloor + extra).cast("long"))
+      .filter(col("n_copies") >= 1) // sequence(1, 0) would DESCEND in Spark
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_id"),
+        col("n_copies"))
+      .orderBy("doc_id", "copy_id")
+  }
+
+  /** d27: embedding k-means clustering — semantic clustering / domain
+    * discovery over the corpus embeddings ([[graft.operators.KMeans]]:
+    * deterministic rank-spaced seeding, decimal-exact centroid means,
+    * id-tie-broken argmin — reruns are bit-identical). No SQL oracle (an
+    * iterative fixpoint is not a DuckDB one-liner); the driver records
+    * rows-only, and KMeansSpec pins determinism, the Lloyd WCSS descent,
+    * final-assignment self-consistency, and full coverage.
+    */
+  def d27KMeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    graft.operators.KMeans.fit(emb, k = 8, iters = 3)
+      .assignments.orderBy("vec_id")
   }
 
   /** d25: one-pass column profiling — the data-quality summary every
@@ -957,6 +1012,8 @@ object GroupD {
     "d23_bloom_decon"      -> (d23BloomDecon _),
     "d24_fuzzy_join"       -> (d24FuzzyJoin _),
     "d25_profile"          -> (d25Profile _),
+    "d26_mix_upsample"     -> (d26MixUpsample _),
+    "d27_kmeans"           -> (d27KMeans _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1173,6 +1230,25 @@ object GroupD {
         one("l_shipdate", numeric = false, asDate = true))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    "d26_mix_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 WHEN 'es' THEN 1
+        |                   WHEN 'fr' THEN 1 WHEN 'zh' THEN 3 ELSE 1 END
+        |      + CASE WHEN
+        |          CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |                    WHEN 'es' THEN '80000000' WHEN 'zh' THEN 'c0000000'
+        |                    ELSE NULL END IS NOT NULL
+        |          AND substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+        |          CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |                    WHEN 'es' THEN '80000000' WHEN 'zh' THEN 'c0000000'
+        |                    ELSE NULL END
+        |        THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_id, n_copies
+        |FROM w, LATERAL (SELECT unnest(range(1, n_copies + 1)) AS i)
+        |WHERE n_copies >= 1
+        |ORDER BY doc_id, copy_id""".stripMargin,
     "d24_fuzzy_join" ->
       """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist

@@ -201,6 +201,33 @@ class PipelineQueriesSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("d26: copy counts bracket the mixture weights and reruns are identical") {
+    val out = GroupD.d26MixUpsample(spark, sf).cache()
+    try {
+      // per-doc copy count must equal the declared n_copies, which itself
+      // must sit in [floor(w), ceil(w)] for that lang
+      val bounds = Map("en" -> (0L, 1L), "de" -> (2L, 3L), "es" -> (1L, 2L),
+        "fr" -> (1L, 1L), "zh" -> (3L, 4L))
+      val perDoc = out.groupBy("doc_id", "lang", "n_copies")
+        .agg(count(lit(1)).as("emitted"),
+          max("copy_id").as("max_copy")).collect()
+      perDoc.foreach { r =>
+        val (lo, hi) = bounds(r.getString(1))
+        val n = r.getLong(2)
+        assert(n >= lo && n <= hi, s"lang ${r.getString(1)} emitted $n")
+        assert(r.getLong(3) == n && r.getLong(4) == n,
+          "copy_id must be the contiguous 1..n_copies sequence")
+      }
+      // src0 (benchmark) docs never appear
+      val src0 = Tables(spark, sf, "documents")
+        .filter(col("source") === "src0").select("doc_id")
+      assert(out.join(src0, "doc_id").isEmpty)
+      // deterministic rerun
+      assert(GroupD.d26MixUpsample(spark, sf).collect().toSeq ==
+        out.orderBy("doc_id", "copy_id").collect().toSeq)
+    } finally out.unpersist()
+  }
+
   test("d25: profile metrics agree with directly computed column facts") {
     val li = Tables(spark, sf, "lineitem")
     val rows = GroupD.d25Profile(spark, sf).collect()
