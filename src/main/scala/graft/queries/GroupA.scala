@@ -120,8 +120,40 @@ object GroupA {
     )).compile(region).orderBy("r_regionkey")
   }
 
+  /** a9: schema drift across ingest batches (R19's editable/overridable
+    * schema, exercised the way a long-running feed actually hits it): an
+    * old extract lacks a column a newer extract added. Each batch
+    * round-trips our CSV sink+source with ITS OWN schema, maps/casts
+    * independently, and the union is BY NAME with missing columns
+    * null-filled (`unionByName(allowMissingColumns = true)`) — positional
+    * UNION would silently misalign. `src_ver` tags each batch; the
+    * old batch's absent `l_discount` surfaces as SQL NULL.
+    */
+  def a9SchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val v1 = Tables.csvRoundTrip(spark, sfDir, "lineitem", "a9v1",
+      prepare = _.filter(col("l_linenumber") === 1)
+        .select("l_orderkey", "l_partkey", "l_quantity"))
+    val v2 = Tables.csvRoundTrip(spark, sfDir, "lineitem", "a9v2",
+      prepare = _.filter(col("l_linenumber") === 2)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_discount"))
+    val m1 = Mapping("lineitem_v1", "lineitem_out", Seq(
+      ColumnMapping(Some("l_orderkey"), "l_orderkey", castTo = Some(LongType)),
+      ColumnMapping(Some("l_partkey"), "l_partkey", castTo = Some(LongType)),
+      ColumnMapping(Some("l_quantity"), "l_quantity", castTo = Some(DoubleType)),
+    )).compile(v1).withColumn("src_ver", lit(1L))
+    val m2 = Mapping("lineitem_v2", "lineitem_out", Seq(
+      ColumnMapping(Some("l_orderkey"), "l_orderkey", castTo = Some(LongType)),
+      ColumnMapping(Some("l_partkey"), "l_partkey", castTo = Some(LongType)),
+      ColumnMapping(Some("l_quantity"), "l_quantity", castTo = Some(DoubleType)),
+      ColumnMapping(Some("l_discount"), "l_discount", castTo = Some(DoubleType)),
+    )).compile(v2).withColumn("src_ver", lit(2L))
+    m1.unionByName(m2, allowMissingColumns = true)
+      .orderBy("l_orderkey", "src_ver")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
+    "a9_schema_drift" -> (a9SchemaDrift _),
     "a2_filter_conditionals" -> (a2FilterConditionals _),
     "a3_null_sentinel" -> (a3NullSentinel _),
     "a4_decimal_separator" -> (a4DecimalSeparator _),
@@ -163,5 +195,14 @@ object GroupA {
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
         |  'csv-import' AS src
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    "a9_schema_drift" ->
+      """SELECT l_orderkey, l_partkey, l_quantity,
+        |  CAST(NULL AS DOUBLE) AS l_discount, CAST(1 AS BIGINT) AS src_ver
+        |FROM lineitem WHERE l_linenumber = 1
+        |UNION ALL
+        |SELECT l_orderkey, l_partkey, l_quantity,
+        |  l_discount, CAST(2 AS BIGINT) AS src_ver
+        |FROM lineitem WHERE l_linenumber = 2
+        |ORDER BY l_orderkey, src_ver""".stripMargin,
   )
 }

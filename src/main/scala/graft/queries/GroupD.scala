@@ -42,20 +42,24 @@ object GroupD {
     * global ORDER BY would cost a range-partitioning sample + full sort
     * that the propagation loop's first hash shuffle immediately destroys).
     */
-  def d1Pairs(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    // Per-doc distinct shingle ARRAYS (one shuffle-free scan), private to
-    // d1: the signature needs no explode/collect round trip, and candidate
-    // verification is a per-pair array_intersect instead of an exploded
-    // intersection join. (c2's exploded inverted index stays separate —
-    // its pair GENERATION needs it; d1 generates pairs from signatures.)
-    val docs = Tables(spark, sfDir, "documents")
-    val arrs = docs
+  /** Per-doc DISTINCT hashed-shingle arrays (one shuffle-free scan) — the
+    * signature input for d1 (no explode/collect round trip; candidate
+    * verification is a per-pair array_intersect instead of an exploded
+    * intersection join) and the probe/verify frame for d30. (c2's exploded
+    * inverted index stays separate — its pair GENERATION needs it; d1/d30
+    * generate pairs from signatures/samples.)
+    */
+  private[queries] def shingleArrays(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), array_distinct(
         expr("transform(sequence(0, size(ts) - 3), " +
           "i -> xxhash64(concat_ws(' ', ts[i], ts[i+1], ts[i+2])))")).as("sh"))
+
+  def d1Pairs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val arrs = shingleArrays(spark, sfDir)
     val sigs = arrs.select(col("doc_id"),
       expr(s"${graft.functions.GraftFunctions.MinHashName}(sh)").as("mh"))
     val bands = sigs.select(col("doc_id"),
@@ -1000,6 +1004,144 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d28: overlapping token-window chunking — the RAG/embedding chunker
+    * that cuts each document's token stream into fixed windows of 64
+    * tokens at stride 48 (16-token overlap, so no boundary sentence is
+    * lost to a hard cut). Unlike d20's pack-to-budget (chunks cross doc
+    * boundaries there), chunks here are per-document and OVERLAP — the
+    * two different layout disciplines a training/serving pipeline needs.
+    * Pure per-row higher-order functions (sequence → slice per chunk) +
+    * one Generate: nothing shuffles before the presentation sort, so the
+    * chunker runs at scan bandwidth at any corpus size. Each chunk ships
+    * as an md5 fingerprint + counts, never the token text — d8's
+    * small-shuffle-row discipline for the correctness gate.
+    */
+  def d28ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 64; val S = 48
+    val docs = Tables(spark, sfDir, "documents")
+    docs
+      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 1 && col("ts").getItem(0) =!= "")
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("n"))
+      // chunk count: 1 + ceil((n-W)/S) when n > W else 1; integer ceil as
+      // (n - W + S - 1) div S — exact in both engines, no float boundary.
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(expr(
+          s"sequence(0L, IF(n <= $W, 0L, (n - $W + ${S - 1}) div $S))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * S + 1).as("chunk_start"),
+        expr(s"slice(ts, int(chunk_id * $S + 1), $W)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** d29: bigram collocation statistics — the corpus n-gram analysis pass
+    * (top co-occurring word pairs per language with a PMI-style lift).
+    * Bigrams explode from the per-doc token array (adjacent pairs, the
+    * word-order signal c4's unigram tf/df and d16's tfidf don't see);
+    * counts ride one partial-agg shuffle per level. Lift
+    * P(w1w2)/(P(w1)P(w2)) is published as the exact INTEGER fixed point
+    * `(cnt·T·10⁴) div (c1·c2)` — no float division, so both engines agree
+    * bit-for-bit (d6/c7's contract). Top-5 per lang by (count desc, w1,
+    * w2) plans as WindowGroupLimit: partitions locally drop beyond-5 rows
+    * before the shuffle.
+    */
+  def d29BigramPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(col("lang"), GroupC.tokens(col("text")).as("ts"))
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val uni = docs
+      .select(col("lang"), explode(GroupC.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c1"))
+    val tot = uni.groupBy("lang").agg(sum("c1").as("t"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+    bi
+      .join(uni.select(col("lang"), col("w").as("w1"), col("c1").as("c1a")),
+        Seq("lang", "w1"))
+      .join(uni.select(col("lang"), col("w").as("w2"), col("c1").as("c1b")),
+        Seq("lang", "w2"))
+      .join(tot, "lang")
+      .withColumn("lift_fp",
+        expr("(cnt * t * 10000) div (c1a * c1b)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("lang"), col("w1"), col("w2"), col("cnt"),
+        col("lift_fp"), col("rnk").cast("long").as("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  /** d30: containment near-dup via PREFIX-FILTERED probes — c7's declared
+    * scale path. c7's inverted-index self-join meets every co-shingled
+    * pair (Σ df² — quadratic on hot shingles); d1's Jaccard banding can't
+    * replace it because containment pairs (short doc quoted inside a long
+    * one) have LOW Jaccard. Prefix filtering (Bayardo et al., WWW'07
+    * AllPairs; Chaudhuri et al., ICDE'06 — public) instead: rank each
+    * document's shingles by GLOBAL rarity (df asc, shingle asc) and probe
+    * the index with only the first `floor(na/10)+1` of them. Pigeonhole
+    * makes the candidate set provably complete: containment ≥ 0.9 allows
+    * at most `na − ceil(0.9·na) = floor(na/10)` of A's shingles to miss
+    * B, so at least one PREFIX shingle of A is in B — no probabilistic
+    * miss, unlike hash-bottom-k sampling (measured here: the hash-min
+    * shingles of every doc concentrate on the same few hot shingles of
+    * this small-vocabulary corpus, blowing the probe join to df² on
+    * exactly the keys sampling was meant to avoid — 35 s vs 3 s at
+    * sf0.1). Rarest-first probing is also the skew guard: the hottest
+    * shingles are probed only by docs whose whole vocabulary is hot.
+    * Candidates then verify EXACTLY (array_intersect on the per-doc
+    * arrays) and apply c7's integer cross-multiplied threshold, so the
+    * output is bit-identical to c7 — same DuckDB oracle, different (and
+    * scalable) physical plan, the d23-vs-d19 relationship.
+    */
+  def d30ContainmentProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    // Every branch consumes the SAME exploded distinct-shingle frame (c2's
+    // inverted-index machinery): the distinct is an aggregation whose
+    // exchange is textually identical across consumers, so the runtime
+    // reuses one shuffle instead of re-tokenizing per branch. A first cut
+    // used per-doc shingle ARRAYS (d1's frame) + array_intersect verify —
+    // constraint propagation inlined the tokenize+hash HOF into every one
+    // of SIX document scans (3× per scan via inferred isnotnull/size
+    // filters): 152 s at sf0.1 vs ~3 s this way.
+    val sh = GroupC.shingles(spark, sfDir)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wRare = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val probes = sh.join(dfreq, "shingle")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wRare))
+      .filter(col("rn") <= expr("n div 10 + 1"))
+      .select("doc_id", "shingle")
+    val cand = probes.as("p").join(sh.as("i"), "shingle")
+      .filter(col("p.doc_id") =!= col("i.doc_id"))
+      .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b"))
+      .distinct()
+    // exact verify on candidates only: count the common shingles of each
+    // candidate pair (a semi-join-restricted version of c7's `common`)
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("c") * 10 >= col("na") * 9 || col("c") * 10 >= col("nb") * 9)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 10000) div na").as("cont_a_fp"),
+        expr("(c * 10000) div nb").as("cont_b_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -1014,6 +1156,9 @@ object GroupD {
     "d25_profile"          -> (d25Profile _),
     "d26_mix_upsample"     -> (d26MixUpsample _),
     "d27_kmeans"           -> (d27KMeans _),
+    "d28_chunk_overlap"    -> (d28ChunkOverlap _),
+    "d29_bigram_pmi"       -> (d29BigramPmi _),
+    "d30_containment_probe" -> (d30ContainmentProbe _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1057,6 +1202,50 @@ object GroupD {
   val oracleSql: Map[String, String] = Map(
     // d1 verifies candidates with exact Jaccard — its contract IS c2's.
     "d1_dedup_minhash_lsh" -> GroupC.oracleSql("c2_dedup_near"),
+    // d30 verifies candidates with the exact containment test, and its
+    // prefix-filter candidate set is complete by pigeonhole — its contract
+    // IS c7's, exactly.
+    "d30_containment_probe" -> GroupC.oracleSql("c7_containment"),
+    "d28_chunk_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |base AS (
+         |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM toks
+         |  WHERE len(ts) >= 1 AND ts[1] <> ''),
+         |chunks AS (
+         |  SELECT doc_id, i AS chunk_id, i * 48 + 1 AS chunk_start,
+         |    list_slice(ts, i * 48 + 1, least(i * 48 + 64, n)) AS chunk
+         |  FROM base, LATERAL (SELECT unnest(range(0,
+         |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END)) AS i))
+         |SELECT doc_id, chunk_id, chunk_start,
+         |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM chunks
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "d29_bigram_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT lang, $tokSql AS ts FROM documents),
+         |bi AS (
+         |  SELECT lang, ts[i] AS w1, ts[i+1] AS w2, count(*) AS cnt
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+         |  GROUP BY 1, 2, 3),
+         |uc AS (
+         |  SELECT lang, w, count(*) AS c1
+         |  FROM (SELECT lang, unnest(ts) AS w FROM toks)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS t FROM uc GROUP BY 1),
+         |j AS (
+         |  SELECT b.lang, b.w1, b.w2, b.cnt,
+         |    CAST((b.cnt * tt.t * 10000) // (ua.c1 * ub.c1) AS BIGINT) AS lift_fp,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY b.lang ORDER BY b.cnt DESC, b.w1, b.w2) AS rnk
+         |  FROM bi b
+         |  JOIN uc ua ON ua.lang = b.lang AND ua.w = b.w1
+         |  JOIN uc ub ON ub.lang = b.lang AND ub.w = b.w2
+         |  JOIN tt ON tt.lang = b.lang)
+         |SELECT lang, w1, w2, cnt, lift_fp, CAST(rnk AS BIGINT) AS rnk
+         |FROM j WHERE rnk <= 5
+         |ORDER BY lang, rnk""".stripMargin,
     // d14's pair graph is d1's output, whose contract is c2's exact pair
     // SQL — so the oracle recomputes those pairs and takes the transitive
     // closure with a recursive CTE (min reachable id = component id).

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Semantic invariants for the round-7 widening queries: d28 overlapping
+  * chunking, d29 bigram collocations, d30 containment probes, a9 schema
+  * drift — properties the DuckDB oracle equality can't state directly.
+  */
+class ChunkCollocationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d28: chunks tile every document at stride 48 and cover the last token") {
+    val chunks = GroupD.d28ChunkOverlap(spark, sf).cache()
+    try {
+      val docs = Tables(spark, sf, "documents")
+        .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 1 && col("ts").getItem(0) =!= "")
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n"))
+      // per doc: ids are 0..k-1, starts are id*48+1, every chunk is 64
+      // tokens except possibly the last, and the last chunk reaches token n
+      val per = chunks.groupBy("doc_id").agg(
+        count(lit(1)).as("k"),
+        max("chunk_id").as("max_id"),
+        sum(when(col("n_chunk_tokens") === 64, 0).otherwise(1)).as("short_chunks"),
+        max(col("chunk_start") + col("n_chunk_tokens") - 1).as("covered"))
+      val joined = per.join(docs, "doc_id")
+      assert(joined.filter(col("max_id") =!= col("k") - 1).isEmpty,
+        "chunk ids must be contiguous from 0")
+      assert(joined.filter(col("short_chunks") > 1).isEmpty,
+        "only the final chunk may be shorter than the window")
+      assert(joined.filter(col("covered") =!= col("n")).isEmpty,
+        "the last chunk must end exactly at the last token")
+      assert(chunks.filter(col("chunk_start") =!= col("chunk_id") * 48 + 1).isEmpty,
+        "starts must advance by exactly the stride")
+      // every document with tokens is chunked
+      assert(docs.join(per, Seq("doc_id"), "left_anti").isEmpty)
+    } finally chunks.unpersist()
+  }
+
+  test("d29: top-5 per lang, contiguous ranks, counts recomputable") {
+    val top = GroupD.d29BigramPmi(spark, sf).cache()
+    try {
+      val perLang = top.groupBy("lang")
+        .agg(count(lit(1)).as("k"), max("rnk").as("maxr"), min("rnk").as("minr"))
+      assert(perLang.filter(col("k") > 5 || col("maxr") =!= col("k") ||
+        col("minr") =!= 1).isEmpty, "ranks must be the contiguous prefix 1..k≤5")
+      // recount one winning bigram directly from the corpus
+      val row = top.filter(col("rnk") === 1).orderBy("lang").limit(1)
+        .collect()(0)
+      val (lang, w1, w2, cnt) =
+        (row.getString(0), row.getString(1), row.getString(2), row.getLong(3))
+      val direct = Tables(spark, sf, "documents")
+        .filter(col("lang") === lang)
+        .select(GroupC.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+        .filter(col("b.w1") === w1 && col("b.w2") === w2)
+        .count()
+      assert(direct == cnt, s"recount of top bigram ($w1,$w2) in $lang")
+      assert(top.filter(col("lift_fp") <= 0).isEmpty,
+        "a bigram that occurs has positive lift")
+    } finally top.unpersist()
+  }
+
+  test("d30: probe-generated containment equals c7's exact result") {
+    val probe = GroupD.d30ContainmentProbe(spark, sf)
+    val exact = GroupC.c7Containment(spark, sf)
+    assert(probe.exceptAll(exact).isEmpty && exact.exceptAll(probe).isEmpty,
+      "prefix-filtered probing + exact verify must reproduce c7 bit-for-bit")
+  }
+
+  test("a9: drifted batches union by name with nulls exactly where the column was absent") {
+    val out = GroupA.a9SchemaDrift(spark, sf).cache()
+    try {
+      assert(out.filter(col("src_ver") === 1 && col("l_discount").isNotNull).isEmpty,
+        "v1 lacked l_discount — must surface as NULL")
+      assert(out.filter(col("src_ver") === 2 && col("l_discount").isNull).isEmpty,
+        "v2 carries l_discount for every row")
+      val li = Tables(spark, sf, "lineitem")
+      assert(out.filter(col("src_ver") === 1).count() ==
+        li.filter(col("l_linenumber") === 1).count())
+      assert(out.filter(col("src_ver") === 2).count() ==
+        li.filter(col("l_linenumber") === 2).count())
+    } finally out.unpersist()
+  }
+}
