@@ -1,0 +1,170 @@
+/** Custom whole-operator plan: bounded top-k per group.
+  *
+  * This file lives in an `org.apache.spark.sql` subpackage on purpose —
+  * the standard technique for Spark extension libraries that need the
+  * `private[sql]`/`private[spark]` planner seams (`Dataset.ofRows`, the
+  * codegen'd `RowOrdering`, `BoundedPriorityQueue`). Everything used is
+  * the public-source Spark 4 API surface.
+  *
+  * WHY a custom operator (SURVEY §2.2's preference ladder, step (c)):
+  * "top-k rows per group" is the one hot-path shape where the composed
+  * plan (`row_number().over(window).filter(rn <= k)` — b10) does
+  * strictly more work than the semantics need. Spark 4 already pushes a
+  * partial `WindowGroupLimit` below the exchange, but both the partial
+  * and final stages still SORT each partition's rows per group
+  * (O(n log n) per partition, sort buffers in memory/spill), then run
+  * the full Window machinery to compute a rank that a top-k consumer
+  * immediately filters away. The heap formulation does O(n log k) with
+  * O(groups·k) memory and shuffles at most `partitions·groups·k` rows —
+  * the same partial/final contract as a hash aggregate, with a
+  * bounded-priority-queue buffer instead of a running value.
+  *
+  * Scale shape: identical to partial aggregation — map-side heaps bound
+  * the exchange at k rows per (group, partition) regardless of skew (a
+  * hot group ships k rows per upstream partition, never its full row
+  * set), and the final stage merges ≤ partitions·k rows per group.
+  * Memory is O(groups-per-partition · k) rows; for k beyond heap
+  * comfort, fall back to the window formulation (b10) — documented, not
+  * hidden.
+  *
+  * Reference seam: the reference has no query engine (its only "top" is
+  * the row-at-a-time pull loop, /root/reference/src/CSVProvider.cs:563) —
+  * this operator is part of the beyond-reference analytics surface, built
+  * on the documented extension points (`SparkStrategy`,
+  * `SparkSessionExtensions.injectPlannerStrategy`,
+  * `experimental.extraStrategies`).
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.util.BoundedPriorityQueue
+
+/** Logical marker: keep the first `k` rows of each group under `orders`.
+  * Output = child output (no rank column — a top-k consumer that needs
+  * ranks can window over the ≤ groups·k surviving rows for pennies).
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    orders: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Planner rule: partial heap (any distribution) feeding a final heap
+  * that requires clustering on the group keys — EnsureRequirements
+  * inserts the single hash exchange between them, exactly like a
+  * two-phase aggregate.
+  */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(groupExprs, orders, k, child) =>
+      val partial =
+        TopKPerGroupExec(groupExprs, orders, k, partial = true, planLater(child))
+      TopKPerGroupExec(groupExprs, orders, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical heap top-k. Each partition keeps one bounded priority queue
+  * per group key (the queue's ordering is the REVERSE of the requested
+  * sort, so the retained k are the sort-first rows); emission order
+  * within a group is unspecified, as with any aggregate — callers
+  * needing a total order sort the (already k-bounded) result.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    orders: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupLocal = groupExprs
+    val ordersLocal = orders
+    val outputLocal = child.output
+    val kLocal = k
+    child.execute().mapPartitionsInternal { rows =>
+      val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
+      // codegen'd comparator, built executor-side from the serialized
+      // SortOrder trees; reversed so the queue evicts the sort-LAST row
+      implicit val keepFirst: Ordering[InternalRow] =
+        RowOrdering.create(ordersLocal, outputLocal).reverse
+      val heaps =
+        scala.collection.mutable.HashMap.empty[UnsafeRow, BoundedPriorityQueue[InternalRow]]
+      rows.foreach { row =>
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          new BoundedPriorityQueue[InternalRow](kLocal))
+        heap += row.copy()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** User-facing construction + registration. */
+object TopKPerGroup {
+  /** Logical-node constructor: resolves the named columns against `df`'s
+    * analyzed output and wraps it in [[TopKPerGroupNode]]. `orderBy` is
+    * (column, descending?) pairs evaluated in sequence — include a
+    * unique tie-break column for deterministic results.
+    */
+  def apply(df: DataFrame, groupCols: Seq[String],
+            orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = ds.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val orders = orderBy.map { case (c, desc) =>
+      SortOrder(attr(c), if (desc) Descending else Ascending)
+    }
+    classic.Dataset.ofRows(ds.sparkSession,
+      TopKPerGroupNode(groupCols.map(attr), orders, k, plan))
+  }
+
+  /** Same-session registration via the experimental strategy hook. */
+  def register(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies = TopKPerGroupStrategy +: strategies
+    }
+  }
+}
+
+/** Builder-time injection for cluster deployments:
+  * `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftSparkExtensions`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+}
+
+object GraftSparkExtensions {
+  /** Test seam: the strategies an extensions instance would contribute
+    * (`buildPlannerStrategies` is `private[sql]`, so specs outside this
+    * package can't call it directly).
+    */
+  def plannedStrategies(ext: SparkSessionExtensions,
+                        spark: SparkSession): Seq[SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+}

@@ -843,8 +843,30 @@ object GroupB {
       .orderBy("o_custkey")
   }
 
+  /** b37: b10's top-k-per-group via the CUSTOM heap operator
+    * ([[org.apache.spark.sql.graft.TopKPerGroup]] — logical node +
+    * planner strategy + partial/final physical heaps, SURVEY §2.2 ladder
+    * step (c)). Semantics identical to the window-rank formulation; the
+    * physical plan replaces the two per-partition SORTS + Window machinery
+    * with O(n log k) bounded heaps, and the exchange carries at most k
+    * rows per (group, upstream-partition) by construction — skew-proof
+    * map-side limiting, the same contract as partial aggregation.
+    * TopKPlanSpec pins result-equality vs b10's window plan, the
+    * partial/final node pair around one exchange, and the absence of
+    * Sort/Window below the operator.
+    */
+  def b37TopkNative(spark: SparkSession, sfDir: String): DataFrame = {
+    org.apache.spark.sql.graft.TopKPerGroup.register(spark)
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    org.apache.spark.sql.graft.TopKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "b36_merge_scd"     -> (b36MergeScd _),
+    "b37_topk_native"   -> (b37TopkNative _),
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b32_sessionize"    -> (b32Sessionize _),
     "b33_stats_corr"    -> (b33StatsCorr _),
@@ -1211,6 +1233,14 @@ object GroupB {
         |FROM sess
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "b37_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "b36_merge_scd" ->
       """WITH ranked_base AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftSparkExtensions, TopKPerGroup, TopKPerGroupStrategy}
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.Tables
+
+/** The custom top-k-per-group operator (logical node + strategy +
+  * partial/final heap execs): result-transparency against the window-rank
+  * formulation, the two-phase physical shape, and registration paths.
+  */
+class TopKPerGroupSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; TopKPerGroup.register(s); s }
+  private val sf = "/root/testdata/sf0.001"
+
+  private def native() = {
+    val orders = Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    TopKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+  }
+
+  test("heap top-k equals the window-rank formulation exactly") {
+    val win = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .drop("rn")
+    }
+    val got = native()
+    assert(got.exceptAll(win).isEmpty && win.exceptAll(got).isEmpty)
+    // deterministic: a second evaluation returns the identical multiset
+    val again = native()
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("plans as partial+final heaps around one exchange, no sort or window") {
+    val plan = native().queryExecution.executedPlan.toString
+    // the exec node renders without its Exec suffix; partial=true/false
+    // show as the trailing boolean
+    assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2,
+      s"expected partial+final operator pair, got:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"final heap must cluster on the group key:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"the heap plan must not sort or window:\n$plan")
+  }
+
+  test("groups smaller than k keep all rows; k=1 keeps the per-group max") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 12L, 1.0))
+      .toDF("g", "id", "v")
+    val top1 = TopKPerGroup(tiny, Seq("g"), Seq(("v", true), ("id", false)), k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == Set((1L, 11L), (2L, 12L)))
+    val top5 = TopKPerGroup(tiny, Seq("g"), Seq(("v", true), ("id", false)), k = 5)
+    assert(top5.count() == 3, "k larger than any group keeps everything")
+  }
+
+  test("builder-time extension injects the strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftSparkExtensions().apply(ext)
+    assert(GraftSparkExtensions.plannedStrategies(ext, spark)
+      .contains(TopKPerGroupStrategy))
+  }
+}
