@@ -86,4 +86,83 @@ object ConnectedComponents {
     require(converged, s"component labels not stable after $rounds rounds")
     labels
   }
+
+  /** Large-star round (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — public): for every vertex u, connect each
+    * STRICTLY LARGER neighbor to the minimum of u's closed neighborhood.
+    * Input/output edges are canonical (src > dst), self-loop-free,
+    * distinct. One groupBy-min + one equi-join — the same shuffle family
+    * as [[propagate]], but the alternation with [[smallStar]] contracts
+    * components in O(log n) rounds instead of O(diameter).
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = bi.groupBy("src").agg(min("dst").as("nbr_min"))
+      .select(col("src").as("u"), least(col("src"), col("nbr_min")).as("m"))
+    bi.join(mins, bi("src") === mins("u"))
+      .filter(col("dst") > col("src"))
+      // dst > src >= m, so (dst, m) is canonical and never a self-loop
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star round: for every vertex u, connect u and each of its
+    * (all strictly smaller, by canonical orientation) neighbors to u's
+    * minimum neighbor. Canonical in, canonical out.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("src").agg(min("dst").as("m"))
+    val moved = e.join(mins, "src")
+      .filter(col("dst") =!= col("m"))
+      // dst > m (m is the minimum), so (dst, m) is canonical
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val kept = mins.select(col("src"), col("m").as("dst"))
+    moved.union(kept).distinct()
+  }
+
+  /** [[label]] by large-star/small-star alternation — the scale path the
+    * min-propagation loop's scaladoc names: propagation needs O(diameter)
+    * rounds (fine for tight near-dup clusters), star contraction needs
+    * O(log n) on ANY topology, so an adversarially chained graph (each
+    * round a join over the full edge set) stops being a round-count
+    * hazard. Same checkpoint-every-round + eager block-freeing discipline
+    * as [[label]]; converged when a full large+small alternation is a
+    * fixed point (edge-set equality — at the fixed point the edges form a
+    * star forest, every non-root pointing at its component minimum).
+    * Returns (id, component), bit-identical to [[label]].
+    */
+  def labelByStars(edges: DataFrame, src: String = "src", dst: String = "dst",
+                   maxRounds: Int = 32): DataFrame = {
+    // checkpoint the RAW edge frame once and derive both the vertex set
+    // and the canonical edges from it — verts and cur would otherwise
+    // each materialize the (possibly expensive — d31 feeds d1's whole
+    // candidate pipeline here) upstream plan independently (measured:
+    // 4.9 s → 3.0 s for d31 at sf0.1)
+    val raw = edges.select(col(src).as("a"), col(dst).as("b")).localCheckpoint()
+    val verts = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id")))
+      .distinct().localCheckpoint()
+    var cur = raw
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct().localCheckpoint()
+    freeBlocks(raw) // superseded: verts and cur are materialized
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged = next.exceptAll(cur).union(cur.exceptAll(next)).isEmpty
+      freeBlocks(cur) // superseded: next is materialized, cur unused
+      cur = next
+      rounds += 1
+    }
+    require(converged, s"star contraction not stable after $rounds rounds")
+    // defensive min: the fixed point has one root edge per non-root, but
+    // an agg-min costs one already-tiny shuffle and makes that a proof
+    val roots = cur.groupBy("src").agg(min("dst").as("component"))
+      .select(col("src").as("id"), col("component"))
+    verts.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
 }

@@ -151,9 +151,41 @@ object GroupA {
       .orderBy("l_orderkey", "src_ver")
   }
 
+  /** a10: JSONL (newline-delimited JSON) round-trip — the training-data
+    * interchange format next to the reference's CSV. Write: one JSON
+    * object per line via `to_json(struct(...))` into a text sink
+    * (partitioned directory — the 100 TB path, same discipline as
+    * [[Tables.csvRoundTrip]]). Read: `spark.read.json` with schema
+    * inference disabled in spirit — an explicit schema, because inference
+    * is a second full scan and a schema drift hazard at scale. Doubles
+    * survive exactly (shortest-round-trip rendering parses back to the
+    * identical bits); the oracle reads the ORIGINAL parquet, so the whole
+    * JSONL write+read cycle is what's verified.
+    */
+  def a10JsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val sf = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-jsonl-${ProcessHandle.current().pid()}", sf, "a10")
+    Files.createDirectories(dir)
+    src.select(to_json(struct(src.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", DoubleType)))
+    spark.read.schema(schema).json(dir.toString)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
     "a9_schema_drift" -> (a9SchemaDrift _),
+    "a10_jsonl_roundtrip" -> (a10JsonlRoundTrip _),
     "a2_filter_conditionals" -> (a2FilterConditionals _),
     "a3_null_sentinel" -> (a3NullSentinel _),
     "a4_decimal_separator" -> (a4DecimalSeparator _),
@@ -195,6 +227,9 @@ object GroupA {
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
         |  'csv-import' AS src
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    "a10_jsonl_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "a9_schema_drift" ->
       """SELECT l_orderkey, l_partkey, l_quantity,
         |  CAST(NULL AS DOUBLE) AS l_discount, CAST(1 AS BIGINT) AS src_ver

@@ -864,9 +864,36 @@ object GroupB {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** b38: time-RANGE window frame — the sliding-interval aggregate b9's
+    * ROWS frame can't express (a ROWS frame counts rows; a RANGE frame
+    * bounds by VALUE distance, here "all of this user's events in the
+    * trailing hour"). Spark's `rangeBetween` takes numeric offsets, so
+    * the order key is epoch seconds and the frame is [-3600, 0]; peers
+    * (equal timestamps) are in-frame together, making the result
+    * peer-order independent. The summed value rides `decimal(18,2)`
+    * (d25's rule) so the trailing-hour sum is exact and summation-order
+    * independent — a double sum's last ulp would wobble with frame
+    * evaluation order. One hash shuffle on user_id + one per-partition
+    * sort: b8's window family.
+    */
+  def b38RangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-3600, 0)
+    events
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        sum(col("v")).over(w).cast("double").as("sum_trailing_1h"),
+        count(lit(1)).over(w).cast("long").as("n_trailing_1h"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "b36_merge_scd"     -> (b36MergeScd _),
     "b37_topk_native"   -> (b37TopkNative _),
+    "b38_range_frame"   -> (b38RangeFrame _),
     "b27_udaf_wmedian"  -> (b27UdafWeightedMedian _),
     "b32_sessionize"    -> (b32Sessionize _),
     "b33_stats_corr"    -> (b33StatsCorr _),
@@ -1233,6 +1260,15 @@ object GroupB {
         |FROM sess
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "b38_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "b37_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1004,6 +1004,25 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d31: d14's duplicate clusters via STAR CONTRACTION — the scale path
+    * the min-propagation operator's scaladoc names. Propagation converges
+    * in O(diameter) rounds (fine for tight near-dup clusters); large-star/
+    * small-star alternation ([[graft.operators.ConnectedComponents
+    * .labelByStars]], Kiveris et al. SoCC'14) converges in O(log n) on ANY
+    * topology, so adversarially chained duplicate graphs stop being a
+    * round-count hazard. Identical output contract — same oracle as d14.
+    */
+  def d31DedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
+    val labels = graft.operators.ConnectedComponents
+      .labelByStars(pairs, src = "doc_a", dst = "doc_b")
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** d28: overlapping token-window chunking — the RAG/embedding chunker
     * that cuts each document's token stream into fixed windows of 64
     * tokens at stride 48 (16-token overlap, so no boundary sentence is
@@ -1159,6 +1178,7 @@ object GroupD {
     "d28_chunk_overlap"    -> (d28ChunkOverlap _),
     "d29_bigram_pmi"       -> (d29BigramPmi _),
     "d30_containment_probe" -> (d30ContainmentProbe _),
+    "d31_dedup_clusters_star" -> (d31DedupClustersStar _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1176,6 +1196,26 @@ object GroupD {
   )
 
   private val tokSql = GroupC.tokenizeSql("text")
+
+  private val d14OracleSql: String = {
+    val pairSql = GroupC.oracleSql("c2_dedup_near")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairSql),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS root FROM verts
+       |  UNION
+       |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
+       |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c JOIN sizes s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val d19OracleSql: String =
     s"""WITH toks AS (
@@ -1249,25 +1289,10 @@ object GroupD {
     // d14's pair graph is d1's output, whose contract is c2's exact pair
     // SQL — so the oracle recomputes those pairs and takes the transitive
     // closure with a recursive CTE (min reachable id = component id).
-    "d14_dedup_clusters" -> {
-      val pairSql = GroupC.oracleSql("c2_dedup_near")
-      s"""WITH RECURSIVE pairs AS (
-         |$pairSql),
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS s, doc_a AS d FROM pairs),
-         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS root FROM verts
-         |  UNION
-         |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
-         |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
-         |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
-         |SELECT c.doc_id, c.cluster_id, s.cluster_size
-         |FROM comp c JOIN sizes s USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "d14_dedup_clusters" -> d14OracleSql,
+    // d31 labels the identical pair graph by star contraction — same
+    // output contract, same oracle.
+    "d31_dedup_clusters_star" -> d14OracleSql,
     // d22 replays the four stages from the same proven fragments: c2's
     // exact pair SQL (= d1's contract), d14's recursive closure, d18's
     // repetition rule, d17's quota rank, d15's split boundaries.

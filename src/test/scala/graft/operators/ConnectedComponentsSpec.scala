@@ -102,4 +102,49 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       assert(got == want, s"seed $seed: distributed CC != union-find")
     }
   }
+
+  // --- large-star/small-star contraction (labelByStars) -------------------
+
+  private def starLabelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.labelByStars(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("star contraction: chain, triangle, isolated pair resolve to min ids") {
+    val got = starLabelsOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 20L -> 21L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("star contraction: empty edges, self-loops, and duplicates are safe") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.labelByStars(empty).isEmpty)
+    assert(starLabelsOf(Seq(5L -> 5L)) == Map(5L -> 5L))
+    assert(starLabelsOf(Seq(1L -> 2L, 2L -> 1L, 1L -> 2L)) ==
+      Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("star contraction agrees with union-find AND with min-propagation") {
+    for (seed <- Seq(7, 42, 2026)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(45)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      val want = unionFind(edges)
+      val star = starLabelsOf(edges)
+      assert(star == want, s"seed $seed: star contraction != union-find")
+      assert(star == labelsOf(edges), s"seed $seed: star != propagation")
+    }
+  }
+
+  test("star contraction frees superseded round checkpoints") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // a 64-vertex chain: diameter 63 — propagation territory; contraction
+    // must converge in O(log n) rounds and leave <= 2 persisted frames
+    val chain = (1L to 63L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val labels = ConnectedComponents.labelByStars(chain)
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2,
+      s"$leaked persisted RDDs remain after labelByStars()")
+  }
 }
