@@ -39,11 +39,13 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, EqualTo, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.util.BoundedPriorityQueue
 
 /** Logical marker: keep the first `k` rows of each group under `orders`.
@@ -120,6 +122,54 @@ case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
+/** Optimizer rewrite: the canonical DataFrame top-k idiom
+  *
+  *   `withColumn("rn", row_number().over(w)).filter(rn <= k).drop("rn")`
+  *
+  * optimizes into [[TopKPerGroupNode]] — users keep writing the idiom and
+  * get the heap plan for free. Fires ONLY when the rewrite is provably
+  * transparent: the window computes exactly one expression (the
+  * row_number), the filter is a plain rank bound, the rank column is NOT
+  * in the output (a kept rank needs the window), the partition spec is
+  * non-empty (a global top-k is Spark's TakeOrderedAndProject territory),
+  * and the projection reads only the window child's columns. Everything
+  * else keeps its window plan — the rule is an optimization, never a
+  * semantics change. Opt-in via [[TopKPerGroup.registerRewrite]] or the
+  * builder-time [[GraftSparkExtensions]]; deliberately NOT bundled into
+  * [[TopKPerGroup.register]] so declared queries' plans don't depend on
+  * which query ran first in a shared session.
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] {
+  /** The k of a `rank <= k`-shaped predicate on `rn`, if that is what
+    * `cond` is.
+    */
+  private def rankBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+      if a.exprId == rn.exprId => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.exprId == rn.exprId => Some(k - 1)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+      if a.exprId == rn.exprId => Some(k)
+    // rn = 1 <=> rn <= 1 (row_number is 1-based and unique per group)
+    case EqualTo(a: Attribute, Literal(1, IntegerType))
+      if a.exprId == rn.exprId => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute)
+      if a.exprId == rn.exprId => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Project(projectList, Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partitionSpec, orderSpec, child, _)))
+      if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+        rankBound(cond, alias.toAttribute).exists(_ > 0) &&
+        projectList.forall(_.references.subsetOf(child.outputSet)) =>
+      Project(projectList, TopKPerGroupNode(partitionSpec, orderSpec,
+        rankBound(cond, alias.toAttribute).get, child))
+  }
+}
+
 /** User-facing construction + registration. */
 object TopKPerGroup {
   /** Logical-node constructor: resolves the named columns against `df`'s
@@ -149,14 +199,35 @@ object TopKPerGroup {
       spark.experimental.extraStrategies = TopKPerGroupStrategy +: strategies
     }
   }
+
+  /** Opt-in window→heap rewrite (see [[TopKWindowRewrite]]); implies
+    * [[register]] — a rewritten node needs the strategy to plan.
+    */
+  def registerRewrite(spark: SparkSession): Unit = {
+    register(spark)
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(TopKWindowRewrite)) {
+      spark.experimental.extraOptimizations = TopKWindowRewrite +: opts
+    }
+  }
+
+  /** Undo [[registerRewrite]] — session-shared test harnesses restore the
+    * optimizer so other suites' plan pins stay deterministic.
+    */
+  def unregisterRewrite(spark: SparkSession): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopKWindowRewrite)
+  }
 }
 
 /** Builder-time injection for cluster deployments:
   * `--conf spark.sql.extensions=org.apache.spark.sql.graft.GraftSparkExtensions`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => TopKWindowRewrite)
+  }
 }
 
 object GraftSparkExtensions {

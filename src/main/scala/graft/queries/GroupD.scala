@@ -1023,6 +1023,45 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d32: bigram-novelty quality score — the n-gram-LM filtering family
+    * (CCNet/KenLM-style "does this document look like the corpus"
+    * scoring) with EXACT integer arithmetic instead of log-probs: a
+    * document's score is the fraction of its bigram OCCURRENCES that are
+    * out-of-vocabulary, where the vocabulary is the lang's corpus bigrams
+    * occurring ≥ 5 times. High novelty = gibberish/boilerplate candidates
+    * for the quality gate (d6/d18's family, but CROSS-document evidence —
+    * d18 only sees repetition within one doc). No floating log anywhere
+    * (libm last-ulp behavior differs between engines; d6's contract), so
+    * the fixed point `floor(n_oov·10⁴ / n_bi)` is engine-identical.
+    * Plan: bigram occurrences explode once; vocab is a partial-agg count
+    * ≥ 5; membership is one left join on (lang, w1, w2) against the
+    * (deduplicated, so fanout-free) vocab; one per-doc count. At 100 TB
+    * the vocab side is corpus-bounded and hot bigrams are single vocab
+    * rows — the join fans out only to real occurrences.
+    */
+  def d32BigramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val occ = docs
+      .select(col("doc_id"), col("lang"), GroupC.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = occ.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .select(col("lang"), col("w1"), col("w2"), lit(1).as("in_vocab"))
+    occ.join(vocab, Seq("lang", "w1", "w2"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("novelty_fp",
+        floor(col("n_oov") * lit(10000) / col("n_bigrams").cast("double"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** d28: overlapping token-window chunking — the RAG/embedding chunker
     * that cuts each document's token stream into fixed windows of 64
     * tokens at stride 48 (16-token overlap, so no boundary sentence is
@@ -1179,6 +1218,7 @@ object GroupD {
     "d29_bigram_pmi"       -> (d29BigramPmi _),
     "d30_containment_probe" -> (d30ContainmentProbe _),
     "d31_dedup_clusters_star" -> (d31DedupClustersStar _),
+    "d32_bigram_novelty"   -> (d32BigramNovelty _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1262,6 +1302,26 @@ object GroupD {
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM chunks
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "d32_bigram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $tokSql AS ts FROM documents),
+         |occ AS (
+         |  SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+         |  WHERE len(ts) >= 2),
+         |vocab AS (
+         |  SELECT lang, w1, w2 FROM occ
+         |  GROUP BY lang, w1, w2 HAVING count(*) >= 5)
+         |SELECT o.doc_id, o.lang,
+         |  count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN v.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(floor(sum(CASE WHEN v.w1 IS NULL THEN 1 ELSE 0 END) * 10000
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS novelty_fp
+         |FROM occ o
+         |LEFT JOIN vocab v
+         |  ON v.lang = o.lang AND v.w1 = o.w1 AND v.w2 = o.w2
+         |GROUP BY o.doc_id, o.lang
+         |ORDER BY o.doc_id""".stripMargin,
     "d29_bigram_pmi" ->
       s"""WITH toks AS (
          |  SELECT lang, $tokSql AS ts FROM documents),

@@ -68,4 +68,34 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(GraftSparkExtensions.plannedStrategies(ext, spark)
       .contains(TopKPerGroupStrategy))
   }
+
+  private def windowTopK(dropRank: Boolean) = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ranked = Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    if (dropRank) ranked.drop("rn") else ranked
+  }
+
+  test("opt-in rewrite turns the window-rank-filter idiom into the heap plan") {
+    TopKPerGroup.registerRewrite(spark)
+    try {
+      val rewritten = windowTopK(dropRank = true)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2,
+        s"drop-rank idiom should heap-plan:\n$plan")
+      // transparent: same rows as the explicit operator
+      val explicit = native()
+      assert(rewritten.exceptAll(explicit).isEmpty &&
+        explicit.exceptAll(rewritten).isEmpty)
+      // a KEPT rank column needs the window — must NOT rewrite
+      val kept = windowTopK(dropRank = false)
+      assert(!kept.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "rank in output must keep the window plan")
+    } finally TopKPerGroup.unregisterRewrite(spark)
+    // restored: the idiom window-plans again after unregister
+    assert(!windowTopK(dropRank = true)
+      .queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
 }

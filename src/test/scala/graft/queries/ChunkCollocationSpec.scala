@@ -75,6 +75,22 @@ class ChunkCollocationSpec extends AnyFunSuite {
       "prefix-filtered probing + exact verify must reproduce c7 bit-for-bit")
   }
 
+  test("d32: novelty is a valid fraction and OOV counts recompute directly") {
+    val nov = GroupD.d32BigramNovelty(spark, sf).cache()
+    try {
+      assert(nov.filter(col("n_oov") > col("n_bigrams") ||
+        col("novelty_fp") < 0 || col("novelty_fp") > 10000).isEmpty)
+      // every >=2-token doc is scored exactly once
+      val expected = Tables(spark, sf, "documents")
+        .filter(size(GroupC.tokens(col("text"))) >= 2).count()
+      assert(nov.count() == expected)
+      // d32's fixed point is consistent with its own counts
+      assert(nov.filter(col("novelty_fp") =!=
+        floor(col("n_oov") * lit(10000) / col("n_bigrams").cast("double"))
+          .cast("long")).isEmpty)
+    } finally nov.unpersist()
+  }
+
   test("a9: drifted batches union by name with nulls exactly where the column was absent") {
     val out = GroupA.a9SchemaDrift(spark, sf).cache()
     try {
