@@ -1074,9 +1074,13 @@ object GroupD {
     * as an md5 fingerprint + counts, never the token text — d8's
     * small-shuffle-row discipline for the correctness gate.
     */
-  def d28ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The d28 projection on any (doc_id, text) frame — STATELESS per-row
+    * operations (no window, no aggregate), so the identical code runs
+    * batch or under readStream (CsvStreamSpec pins the parity, c6's
+    * pattern): chunking is the same ingest-time transform either way.
+    */
+  def chunkOverlap(docs: DataFrame): DataFrame = {
     val W = 64; val S = 48
-    val docs = Tables(spark, sfDir, "documents")
     docs
       .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 1 && col("ts").getItem(0) =!= "")
@@ -1093,8 +1097,11 @@ object GroupD {
       .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def d28ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    chunkOverlap(Tables(spark, sfDir, "documents"))
+      .orderBy("doc_id", "chunk_id")
 
   /** d29: bigram collocation statistics — the corpus n-gram analysis pass
     * (top co-occurring word pairs per language with a PMI-style lift).

@@ -62,6 +62,19 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(top5.count() == 3, "k larger than any group keeps everything")
   }
 
+  test("null group keys and null order values are ordinary values") {
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Double)](
+      (null, 1L, 5.0), (null, 2L, 7.0), (null, 3L, 6.0),
+      (1L, 4L, null), (1L, 5L, 2.0))
+      .toDF("g", "id", "v")
+    val got = TopKPerGroup(rows, Seq("g"), Seq(("v", true), ("id", false)), k = 2)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+    // null group: top-2 of {5.0, 7.0, 6.0} by v desc = ids 2, 3.
+    // group 1: NULLS LAST under desc (Spark default), so 2.0 beats null.
+    assert(got == Set((None, 2L), (None, 3L), (Some(1L), 5L), (Some(1L), 4L)))
+  }
+
   test("builder-time extension injects the strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)

@@ -224,4 +224,31 @@ class CsvStreamSpec extends AnyFunSuite {
       assert(byId(1L) == (1L, 0L) && byId(2L) == (0L, 0L) && byId(3L) == (0L, 2L))
     } finally q.stop()
   }
+
+  test("overlapping chunker (d28's projection) runs unchanged on a stream, equal to batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // doc 2 is long enough (70 tokens > the 64-token window) to straddle
+    // a stride boundary and produce two overlapping chunks
+    val data = Seq(
+      (1L, "short doc with a few tokens"),
+      (2L, (1 to 70).map(i => s"w$i").mkString(" ")))
+    val dir = tempDir("schunk")
+    csvFile(dir, "c1.csv", "doc_id;text\n" +
+      data.map { case (id, t) => s"$id;$t" }.mkString("", "\n", "\n"))
+    val docs = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val out = graft.queries.GroupD.chunkOverlap(docs)
+    assert(out.isStreaming, "stateless chunking must stay streaming-planable")
+    val q = out.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream")
+      val batch = graft.queries.GroupD.chunkOverlap(data.toDF("doc_id", "text"))
+      assert(streamed.count() == 3, "1 chunk for doc 1 + 2 overlapping for doc 2")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "stream and batch must produce identical chunks")
+    } finally q.stop()
+  }
 }
