@@ -1023,6 +1023,90 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d33: PQ-compressed retrieval — the product-quantization serving path
+    * (the FAISS-style IVF/PQ family's second half, composing d27's
+    * deterministic k-means with d21's compression story). Vectors are
+    * L2-normalized (so inner product = cosine), cut into 4 subspaces of
+    * dim/4, and each subspace is vector-quantized against a 16-entry
+    * codebook trained by [[graft.operators.KMeans]] on that slice — a
+    * vector becomes a 4-byte CODE (4×4 bits of information vs 256 bytes
+    * of floats, the 64× store shrink an embedding-serving tier runs on).
+    * Retrieval is the standard two-stage plan: (1) ADC shortlist — each
+    * query scores the RECONSTRUCTED (codebook-decoded) vectors, top-C per
+    * query via WindowGroupLimit; (2) exact rerank — true vectors are
+    * fetched for the C candidates only and exact cosine picks the top-5.
+    * At scale, stage 1 touches only codes + the model-sized codebooks
+    * (broadcast as plan literals) and stage 2's vector fetch is
+    * shortlist-bounded — full vectors never join against the whole corpus.
+    * Deterministic end to end (k-means seeding/means/argmin are d27's
+    * no-RNG contract); approximate ⇒ rows-only + PipelineOpsSpec pins
+    * top-5 overlap vs d3 and the 4-bit code range.
+    */
+  def d33AnnPq(spark: SparkSession, sfDir: String): DataFrame =
+    annPq(Tables(spark, sfDir, "embeddings"), spark, s"pq|$sfDir")
+
+  /** d33's body on an arbitrary (vec_id, embedding: array<float>) frame —
+    * reusable in specs (the clustered-regime pin builds its own corpus,
+    * the same pattern as [[annLsh]]). `key` scopes the memoized codebook
+    * model ([[graft.operators.PqIndex]]) to the corpus.
+    */
+  private[queries] def annPq(e: DataFrame, spark: SparkSession, key: String,
+      M: Int = 4, K: Int = 16, C: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // L2-normalize (zero vectors can't be normalized or cosine-ranked —
+    // dropped, matching their null-cosine rank in d3)
+    val norm = sqrt(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x))
+    val nv = e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> float(x / nrm))").as("nvec"))
+    // one-time training per corpus (memoized; the codebooks are
+    // driver-sized), then code assignment + reconstruction FUSE into a
+    // single projection over codebook literals — a bench/serving pass
+    // after the first never runs a training job (AnnTuning's discipline)
+    val model = graft.operators.PqIndex.train(key, nv, M, K, iters = 2)
+    val recon = concat((0 until M).map { m =>
+      val slice = expr(
+        s"transform(slice(nvec, ${m * model.sub + 1}, ${model.sub}), " +
+          "x -> cast(x AS double))")
+      val cands = model.codebooks(m).zipWithIndex.map { case (cvec, j) =>
+        val cent = array(cvec.map(lit): _*)
+        struct(
+          aggregate(zip_with(slice, cent, (x, y) => (x - y) * (x - y)),
+            lit(0d), (a, x) => a + x).as("d2"),
+          lit(j).as("j"))
+      }
+      // argmin by (d2, j) — KMeans.assign's exact tie-break
+      val code = sort_array(array(cands: _*))(0).getField("j")
+      element_at(
+        array(model.codebooks(m).map(c => array(c.map(lit): _*)): _*),
+        code + 1)
+    }: _*)
+    val q = nv.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("nvec").cast("array<double>").as("qv"))
+    val adc = nv.select(col("vec_id").as("nn_id"), recon.as("rv"))
+      .join(broadcast(q), col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"), GroupC.cosine("rv", "qv").as("adc"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nn_id"))
+    val shortlist = adc.withColumn("rc", row_number().over(wAdc))
+      .filter(col("rc") <= C)
+      .select("qid", "nn_id")
+    // stage 2: exact rerank over the C-bounded shortlist only
+    val exact = shortlist
+      .join(nv.select(col("vec_id").as("nn_id"),
+        col("nvec").cast("array<double>").as("nv")), "nn_id")
+      .join(q, "qid")
+      .select(col("qid"), col("nn_id"), GroupC.cosine("nv", "qv").as("s"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
+    exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** d32: bigram-novelty quality score — the n-gram-LM filtering family
     * (CCNet/KenLM-style "does this document look like the corpus"
     * scoring) with EXACT integer arithmetic instead of log-probs: a
@@ -1226,6 +1310,9 @@ object GroupD {
     "d30_containment_probe" -> (d30ContainmentProbe _),
     "d31_dedup_clusters_star" -> (d31DedupClustersStar _),
     "d32_bigram_novelty"   -> (d32BigramNovelty _),
+    // d33 is approximate (PQ distortion) — no oracle by the driver
+    // contract, rows-only; overlap-vs-exact pinned in PipelineOpsSpec.
+    "d33_ann_pq"           -> (d33AnnPq _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),

@@ -25,7 +25,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // rows-only (oracle-less) declarations are the approximate ops only
     val rowsOnly = queries -- graft.SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats",
-      "d13_ann_topk", "d27_kmeans"),
+      "d13_ann_topk", "d27_kmeans", "d33_ann_pq"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
@@ -113,8 +113,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // centroid table, d16 a 1-row corpus-count aggregate — a cross against
     // a broadcast tiny side is the right plan. Everything else must stay
     // on equi-keys.
+    // d33 broadcasts the bounded query set against PQ-reconstructed
+    // vectors (d3's pattern, stage 1 of the two-stage retrieval)
     val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
-      "d16_tfidf")
+      "d16_tfidf", "d33_ann_pq")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
