@@ -180,6 +180,9 @@ object TopKPerGroup {
   def apply(df: DataFrame, groupCols: Seq[String],
             orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
+    // a node the planner can't translate is an internal error at plan
+    // time — constructing one implies wanting the strategy (idempotent)
+    register(ds.sparkSession)
     val plan = ds.queryExecution.analyzed
     def attr(name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(

@@ -75,6 +75,30 @@ class ChunkCollocationSpec extends AnyFunSuite {
       "prefix-filtered probing + exact verify must reproduce c7 bit-for-bit")
   }
 
+  test("d30: the prefix filter's candidate volume is a small fraction of c7's meets (visible)") {
+    // d4's discipline: the claimed pruning must be a measured number, not
+    // prose. Candidate volume = probe-join meets; c7's volume = the full
+    // inverted-index self-join meets (Σ df·(df−1)/2).
+    val sh = GroupC.shingles(spark, "/root/testdata/sf0.01")
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val probes = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wRare))
+      .filter(col("rn") <= expr("n div 10 + 1"))
+      .select("doc_id", "shingle")
+    val candidateMeets = probes.as("p").join(sh.as("i"), "shingle")
+      .filter(col("p.doc_id") =!= col("i.doc_id")).count()
+    val fullMeets = sh.as("a").join(sh.as("b"),
+      col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id")).count()
+    val fraction = candidateMeets.toDouble / fullMeets
+    info(f"candidate meets $candidateMeets vs full $fullMeets -> fraction $fraction%.3f")
+    assert(fraction < 0.25,
+      f"prefix filter stopped pruning: fraction $fraction%.3f")
+  }
+
   test("d32: novelty is a valid fraction and OOV counts recompute directly") {
     val nov = GroupD.d32BigramNovelty(spark, sf).cache()
     try {
