@@ -34,8 +34,17 @@ object PqIndex {
     (if (prior != null) prior else fresh).value
   }
 
+  /** Test seam: drop every memoized model (e.g. to pin that a RETRAIN is
+    * deterministic, which a memo hit would vacuously pass) — the same
+    * seam AnnTuning provides.
+    */
+  def clearMemo(): Unit = memo.clear()
+
   private def doTrain(nv: DataFrame, m: Int, k: Int, iters: Int): Model = {
-    val dim = nv.select(max(size(col("nvec")))).collect()(0).getInt(0)
+    val dimRow = nv.select(max(size(col("nvec")))).collect()(0)
+    require(!dimRow.isNullAt(0),
+      "cannot train PQ codebooks on an empty corpus (no normalizable vectors)")
+    val dim = dimRow.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val books = (0 until m).map { i =>

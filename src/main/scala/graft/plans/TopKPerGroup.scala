@@ -146,8 +146,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   private def rankBound(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
       if a.exprId == rn.exprId => Some(k)
+    // k > MinValue: `rn < Int.MinValue` must stay an (always-false)
+    // filter, not wrap to top-Int.MaxValue
     case LessThan(a: Attribute, Literal(k: Int, IntegerType))
-      if a.exprId == rn.exprId => Some(k - 1)
+      if a.exprId == rn.exprId && k > Int.MinValue => Some(k - 1)
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
       if a.exprId == rn.exprId => Some(k)
     // rn = 1 <=> rn <= 1 (row_number is 1-based and unique per group)
@@ -179,6 +181,10 @@ object TopKPerGroup {
     */
   def apply(df: DataFrame, groupCols: Seq[String],
             orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "top-k per group needs group columns — a GLOBAL top-k is orderBy(...).limit(k), " +
+        "which Spark plans as TakeOrderedAndProject")
+    require(orderBy.nonEmpty, "top-k needs an ordering")
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     // a node the planner can't translate is an internal error at plan
     // time — constructing one implies wanting the strategy (idempotent)

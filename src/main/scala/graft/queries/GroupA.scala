@@ -163,13 +163,9 @@ object GroupA {
     * JSONL write+read cycle is what's verified.
     */
   def a10JsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val src = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val sf = Paths.get(sfDir).getFileName.toString
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-jsonl-${ProcessHandle.current().pid()}", sf, "a10")
-    Files.createDirectories(dir)
+    val dir = Tables.stagingDir(sfDir, "a10", kind = "jsonl")
     src.select(to_json(struct(src.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").text(dir.toString)
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -1140,9 +1140,10 @@ object GroupD {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("novelty_fp",
-        floor(col("n_oov") * lit(10000) / col("n_bigrams").cast("double"))
-          .cast("long"))
+      // integer `div`, honoring the documented exact-arithmetic contract
+      // (d29/d30's convention) — a double division is exact only while
+      // n_oov·10⁴ < 2⁵³ and the quotient isn't ulp-adjacent
+      .withColumn("novelty_fp", expr("(n_oov * 10000) div n_bigrams"))
       .orderBy("doc_id")
   }
 
@@ -1220,8 +1221,11 @@ object GroupD {
       .join(uni.select(col("lang"), col("w").as("w2"), col("c1").as("c1b")),
         Seq("lang", "w2"))
       .join(tot, "lang")
+      // the product rides decimal(38,0): cnt·t·10⁴ outgrows int64 around
+      // 10¹⁰ tokens/lang (review finding) — decimal `div` keeps the fixed
+      // point exact at any corpus size, and DuckDB's HUGEINT mirrors it
       .withColumn("lift_fp",
-        expr("(cnt * t * 10000) div (c1a * c1b)"))
+        expr("cast((cast(cnt AS decimal(38,0)) * t * 10000) div (c1a * c1b) AS bigint)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("w1"), col("w2"), col("cnt"),
@@ -1251,6 +1255,22 @@ object GroupD {
     * output is bit-identical to c7 — same DuckDB oracle, different (and
     * scalable) physical plan, the d23-vs-d19 relationship.
     */
+  /** d30's prefix-filter probe frame on an exploded distinct-shingle
+    * frame: each doc's `floor(na/10)+1` globally RAREST shingles
+    * ((df asc, shingle asc) rank). Shared with the spec's candidate-volume
+    * pin so the measured fraction can never drift from the shipped rule.
+    */
+  private[queries] def containmentProbes(sh: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wRare = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    sh.join(dfreq, "shingle")
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(wRare))
+      .filter(col("rn") <= expr("n div 10 + 1"))
+      .select("doc_id", "shingle")
+  }
+
   def d30ContainmentProbe(spark: SparkSession, sfDir: String): DataFrame = {
     // Every branch consumes the SAME exploded distinct-shingle frame (c2's
     // inverted-index machinery): the distinct is an aggregation whose
@@ -1261,14 +1281,8 @@ object GroupD {
     // of SIX document scans (3× per scan via inferred isnotnull/size
     // filters): 152 s at sf0.1 vs ~3 s this way.
     val sh = GroupC.shingles(spark, sfDir)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val wRare = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val probes = sh.join(dfreq, "shingle")
-      .join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(wRare))
-      .filter(col("rn") <= expr("n div 10 + 1"))
-      .select("doc_id", "shingle")
+    val probes = containmentProbes(sh)
     val cand = probes.as("p").join(sh.as("i"), "shingle")
       .filter(col("p.doc_id") =!= col("i.doc_id"))
       .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
@@ -1409,8 +1423,8 @@ object GroupD {
          |SELECT o.doc_id, o.lang,
          |  count(*) AS n_bigrams,
          |  CAST(sum(CASE WHEN v.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-         |  CAST(floor(sum(CASE WHEN v.w1 IS NULL THEN 1 ELSE 0 END) * 10000
-         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS novelty_fp
+         |  CAST((sum(CASE WHEN v.w1 IS NULL THEN 1 ELSE 0 END) * 10000)
+         |    // count(*) AS BIGINT) AS novelty_fp
          |FROM occ o
          |LEFT JOIN vocab v
          |  ON v.lang = o.lang AND v.w1 = o.w1 AND v.w2 = o.w2
@@ -1430,7 +1444,7 @@ object GroupD {
          |tt AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS t FROM uc GROUP BY 1),
          |j AS (
          |  SELECT b.lang, b.w1, b.w2, b.cnt,
-         |    CAST((b.cnt * tt.t * 10000) // (ua.c1 * ub.c1) AS BIGINT) AS lift_fp,
+         |    CAST((CAST(b.cnt AS HUGEINT) * tt.t * 10000) // (ua.c1 * ub.c1) AS BIGINT) AS lift_fp,
          |    ROW_NUMBER() OVER (
          |      PARTITION BY b.lang ORDER BY b.cnt DESC, b.w1, b.w2) AS rnk
          |  FROM bi b

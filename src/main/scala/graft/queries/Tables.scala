@@ -28,14 +28,18 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Staging dir for CSV round-trip fixtures: derived from (sf, tag) so
+  /** Staging dir for round-trip fixtures: derived from (sf, tag) so
     * repeated calls in one process overwrite rather than accumulate, and
     * from the pid so concurrent runs of the same SF don't collide.
+    * `kind` separates format families (csv, jsonl) — every round-trip
+    * fixture shares this one scheme so staging hygiene changes in one
+    * place.
     */
-  private def stagingDir(sfDir: String, tag: String): Path = {
+  private[queries] def stagingDir(sfDir: String, tag: String,
+                                  kind: String = "csv"): Path = {
     val sf = Paths.get(sfDir).getFileName.toString
     val pid = ProcessHandle.current().pid()
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-csv-$pid", sf, tag)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-$kind-$pid", sf, tag)
     Files.createDirectories(dir)
     dir
   }

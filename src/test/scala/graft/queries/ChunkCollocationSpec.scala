@@ -80,14 +80,8 @@ class ChunkCollocationSpec extends AnyFunSuite {
     // prose. Candidate volume = probe-join meets; c7's volume = the full
     // inverted-index self-join meets (Σ df·(df−1)/2).
     val sh = GroupC.shingles(spark, "/root/testdata/sf0.01")
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val wRare = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val probes = sh.join(dfreq, "shingle").join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(wRare))
-      .filter(col("rn") <= expr("n div 10 + 1"))
-      .select("doc_id", "shingle")
+    // the SHIPPED probe rule, not a copy — the pin measures d30's code
+    val probes = GroupD.containmentProbes(sh)
     val candidateMeets = probes.as("p").join(sh.as("i"), "shingle")
       .filter(col("p.doc_id") =!= col("i.doc_id")).count()
     val fullMeets = sh.as("a").join(sh.as("b"),
@@ -110,8 +104,7 @@ class ChunkCollocationSpec extends AnyFunSuite {
       assert(nov.count() == expected)
       // d32's fixed point is consistent with its own counts
       assert(nov.filter(col("novelty_fp") =!=
-        floor(col("n_oov") * lit(10000) / col("n_bigrams").cast("double"))
-          .cast("long")).isEmpty)
+        expr("(n_oov * 10000) div n_bigrams")).isEmpty)
     } finally nov.unpersist()
   }
 

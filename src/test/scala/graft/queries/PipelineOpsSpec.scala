@@ -393,8 +393,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // hurts most when true neighbors are barely above the noise floor.
     // The clustered-regime pin below is where PQ serves; both are visible.
     assert(overlap >= 0.45, f"PQ top-5 overlap $overlap%.3f below pin")
-    // determinism: a second full run (fresh k-means training included)
-    // reproduces the identical neighbor sets
+    // determinism: a second full run with the model memo CLEARED — so the
+    // k-means training genuinely reruns — reproduces the identical
+    // neighbor sets (a memo hit would make this assertion vacuous)
+    graft.operators.PqIndex.clearMemo()
     val again = GroupD.d33AnnPq(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == pq.toSeq.flatMap { case (q, s) => s.map(q -> _) }.toSet)
