@@ -1107,6 +1107,50 @@ object GroupD {
       .orderBy("qid", "rn")
   }
 
+  /** d34: INCREMENTAL near-dup dedup — the production shape: a new crawl
+    * batch (sources src17–19 stand in for "this week's data") is deduped
+    * AGAINST the already-ingested base without re-deduping the base. A
+    * delta doc survives unless it near-duplicates (Jaccard ≥ 0.6, c2's
+    * threshold as the EXACT integer cross-multiplication 8c ≥ 3(nd+no))
+    * any base document (the base is canonical by definition — either
+    * direction) or any smaller-id delta document (first-arrival-wins
+    * inside the batch, [[graft.streaming.StreamingDedup]]'s rule in batch
+    * form). Scale shape is d19's: candidate generation probes the
+    * inverted index with DELTA shingles only, so the join is bounded by
+    * the batch — the base corpus streams once and is never self-joined
+    * (c2 re-run on base ∪ delta would redo the full corpus²-shaped work
+    * every week). Verification is d30's candidate-restricted common-count
+    * join.
+    */
+  def d34DedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val deltaPred = col("source").isin("src17", "src18", "src19")
+    val sh = GroupC.shingles(spark, sfDir)
+    val shDelta = sh.join(docs.filter(deltaPred).select("doc_id"), "doc_id")
+    val cand = shDelta.as("d").join(sh.as("o"), "shingle")
+      .filter(col("d.doc_id") =!= col("o.doc_id"))
+      .select(col("d.doc_id").as("did"), col("o.doc_id").as("oid"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("did"), col("shingle")), "did")
+      .join(sh.select(col("doc_id").as("oid"), col("shingle")),
+        Seq("oid", "shingle"))
+      .groupBy("did", "oid").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val matched = common
+      .join(sizes.toDF("did", "nd"), "did")
+      .join(sizes.toDF("oid", "no"), "oid")
+      // J >= 0.6  <=>  c/(nd+no-c) >= 3/5  <=>  8c >= 3(nd+no), exact
+      .filter(col("c") * 8 >= (col("nd") + col("no")) * 3)
+      .join(docs.select(col("doc_id").as("oid"), deltaPred.as("o_delta")), "oid")
+      .filter(!col("o_delta") || col("oid") < col("did"))
+      .select(col("did").as("doc_id")).distinct()
+    docs.filter(deltaPred)
+      .join(matched, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** d32: bigram-novelty quality score — the n-gram-LM filtering family
     * (CCNet/KenLM-style "does this document look like the corpus"
     * scoring) with EXACT integer arithmetic instead of log-probs: a
@@ -1327,6 +1371,7 @@ object GroupD {
     // d33 is approximate (PQ distortion) — no oracle by the driver
     // contract, rows-only; overlap-vs-exact pinned in PipelineOpsSpec.
     "d33_ann_pq"           -> (d33AnnPq _),
+    "d34_dedup_incremental" -> (d34DedupIncremental _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1410,6 +1455,39 @@ object GroupD {
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM chunks
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "d34_dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+         |  WHERE len(ts) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |delta AS (SELECT doc_id FROM documents
+         |  WHERE source IN ('src17', 'src18', 'src19')),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS did, o.doc_id AS oid
+         |  FROM sh d
+         |  JOIN delta dl ON dl.doc_id = d.doc_id
+         |  JOIN sh o ON o.shingle = d.shingle AND o.doc_id <> d.doc_id),
+         |common AS (
+         |  SELECT c.did, c.oid, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.did
+         |  JOIN sh sb ON sb.doc_id = c.oid AND sb.shingle = sa.shingle
+         |  GROUP BY c.did, c.oid),
+         |matched AS (
+         |  SELECT DISTINCT cm.did AS doc_id
+         |  FROM common cm
+         |  JOIN sizes sd ON sd.doc_id = cm.did
+         |  JOIN sizes so ON so.doc_id = cm.oid
+         |  WHERE cm.c * 8 >= (sd.n + so.n) * 3
+         |    AND (cm.oid NOT IN (SELECT doc_id FROM delta) OR cm.oid < cm.did))
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |JOIN delta USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
+         |ORDER BY d.doc_id""".stripMargin,
     "d32_bigram_novelty" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, $tokSql AS ts FROM documents),

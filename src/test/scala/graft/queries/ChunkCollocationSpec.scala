@@ -108,6 +108,30 @@ class ChunkCollocationSpec extends AnyFunSuite {
     } finally nov.unpersist()
   }
 
+  test("d34: survivors are exactly the delta docs without a base or earlier-delta match") {
+    val deltaSrc = Set("src17", "src18", "src19")
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val delta = docs.collect { case (id, s) if deltaSrc(s) => id }.toSet
+    // qualifying pairs under d34's exact integer threshold, recomputed
+    // independently from the shared pair-overlap skeleton
+    val pairs = GroupC.pairOverlap(spark, sf)
+      .filter(col("c") * 8 >= (col("na") + col("nb")) * 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val matchesOf = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expected = delta.filter { d =>
+      !matchesOf.getOrElse(d, Set.empty).exists(o => !delta(o) || o < d)
+    }
+    val got = GroupD.d34DedupIncremental(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    assert(got.subsetOf(delta), "output must contain only delta documents")
+  }
+
   test("a9: drifted batches union by name with nulls exactly where the column was absent") {
     val out = GroupA.a9SchemaDrift(spark, sf).cache()
     try {
