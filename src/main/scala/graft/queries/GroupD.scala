@@ -1107,6 +1107,36 @@ object GroupD {
       .orderBy("qid", "rn")
   }
 
+  /** d35: FILTERED vector search — exact top-5 cosine neighbors per query
+    * among vectors satisfying a metadata predicate (label = 1), the
+    * "vector search with a WHERE clause" every serving API exposes. The
+    * predicate applies to the INDEX side before any distance work
+    * (pre-filtering — the exact-search baseline; an ANN index would
+    * choose pre- vs post-filter by predicate selectivity, d4/d13's
+    * candidate machinery unchanged). Plan shape is d3's: bounded query
+    * side broadcast, filtered corpus streams once, rank-limited window.
+    * Queries keep their own labels — a query vector need not satisfy the
+    * predicate to search under it.
+    */
+  def d35FilteredKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val sims = e.filter(col("label") === 1)
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        GroupC.cosine("v", "qv").as("s"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** d34: INCREMENTAL near-dup dedup — the production shape: a new crawl
     * batch (sources src17–19 stand in for "this week's data") is deduped
     * AGAINST the already-ingested base without re-deduping the base. A
@@ -1123,6 +1153,13 @@ object GroupD {
     * join.
     */
   def d34DedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    // Measured NON-path: d23's bloom trick with the sides swapped (bloom
+    // the delta's shingles, prune the corpus side before the exchange)
+    // costs 3.9 → 6.1 s here — this corpus's tiny shared vocabulary means
+    // the delta's shingle set covers most of the corpus shingle space, so
+    // the filter prunes nothing and its build action is pure overhead. At
+    // a realistic vocabulary (web-scale shingle sparsity) it's the
+    // drop-in next step; see SURVEY §7.3.
     val docs = Tables(spark, sfDir, "documents")
     val deltaPred = col("source").isin("src17", "src18", "src19")
     val sh = GroupC.shingles(spark, sfDir)
@@ -1372,6 +1409,7 @@ object GroupD {
     // contract, rows-only; overlap-vs-exact pinned in PipelineOpsSpec.
     "d33_ann_pq"           -> (d33AnnPq _),
     "d34_dedup_incremental" -> (d34DedupIncremental _),
+    "d35_filtered_knn"     -> (d35FilteredKnn _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1775,6 +1813,20 @@ object GroupD {
         |SELECT qid, nn_id, ROUND(s, 6) AS sim, rn FROM (
         |  SELECT qid, nn_id, s,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nn_id) AS INT) AS rn
+        |  FROM pairs) t
+        |WHERE rn <= 5
+        |ORDER BY qid, rn""".stripMargin,
+    "d35_filtered_knn" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a
+        |  JOIN embeddings b ON b.vec_id <> a.vec_id AND b.label = 1
+        |  WHERE a.vec_id < 50)
+        |SELECT qid, nn_id, ROUND(s, 6) AS sim, rn FROM (
+        |  SELECT qid, nn_id, s,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nn_id) AS BIGINT) AS rn
         |  FROM pairs) t
         |WHERE rn <= 5
         |ORDER BY qid, rn""".stripMargin,

@@ -116,7 +116,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // d33 broadcasts the bounded query set against PQ-reconstructed
     // vectors (d3's pattern, stage 1 of the two-stage retrieval)
     val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
-      "d16_tfidf", "d33_ann_pq")
+      "d16_tfidf", "d33_ann_pq", "d35_filtered_knn")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
