@@ -41,10 +41,14 @@ object PqIndex {
   def clearMemo(): Unit = memo.clear()
 
   private def doTrain(nv: DataFrame, m: Int, k: Int, iters: Int): Model = {
-    val dimRow = nv.select(max(size(col("nvec")))).collect()(0)
+    val dimRow = nv.select(max(size(col("nvec"))), min(size(col("nvec")))).collect()(0)
     require(!dimRow.isNullAt(0),
       "cannot train PQ codebooks on an empty corpus (no normalizable vectors)")
     val dim = dimRow.getInt(0)
+    // a mixed-dimension corpus would pass the divisibility gate yet slice
+    // short/misaligned subvectors, silently degrading codes — fail fast
+    require(dimRow.getInt(1) == dim,
+      s"PQ needs a fixed-dimension corpus; saw sizes ${dimRow.getInt(1)}..$dim")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val books = (0 until m).map { i =>

@@ -23,9 +23,20 @@
   * the exchange at k rows per (group, partition) regardless of skew (a
   * hot group ships k rows per upstream partition, never its full row
   * set), and the final stage merges ≤ partitions·k rows per group.
-  * Memory is O(groups-per-partition · k) rows; for k beyond heap
-  * comfort, fall back to the window formulation (b10) — documented, not
-  * hidden.
+  *
+  * SPILL SAFETY (round 8): the heap map is O(groups-per-partition · k)
+  * rows, which for high-cardinality groups or large k can outgrow task
+  * memory. Both stages bound it at `spark.graft.topk.maxBufferedRows`
+  * buffered rows (ObjectHashAggregate's fallback discipline):
+  *   - the PARTIAL stage flushes its heaps downstream and resets — always
+  *     sound (it is a pruning combiner; the final stage re-merges), worst
+  *     case the exchange degrades toward the unpruned input, never OOM;
+  *   - the FINAL stage (all rows of a group co-located by the exchange)
+  *     switches to sort-based: buffered heaps + remaining input drain
+  *     into an [[org.apache.spark.sql.execution.UnsafeKVExternalSorter]]
+  *     keyed on the group columns (Tungsten-managed memory, disk spill),
+  *     then equal-key runs stream through ONE k-bounded heap at a time —
+  *     peak state after fallback is a single group's k rows.
   *
   * Reference seam: the reference has no query engine (its only "top" is
   * the row-at-a-time pull loop, /root/reference/src/CSVProvider.cs:563) —
@@ -36,6 +47,8 @@
   */
 package org.apache.spark.sql.graft
 
+import org.apache.spark.{SparkEnv, TaskContext}
+import org.apache.spark.internal.config
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -44,8 +57,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeKVExternalSorter}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.apache.spark.util.BoundedPriorityQueue
 
 /** Logical marker: keep the first `k` rows of each group under `orders`.
@@ -101,25 +114,146 @@ case class TopKPerGroupExec(
     val ordersLocal = orders
     val outputLocal = child.output
     val kLocal = k
+    val partialLocal = partial
+    val budget = conf.getConfString(TopKPerGroup.MaxBufferedRowsKey,
+      TopKPerGroup.MaxBufferedRowsDefault.toString).toLong
     child.execute().mapPartitionsInternal { rows =>
-      val keyProj = UnsafeProjection.create(groupLocal, outputLocal)
-      // codegen'd comparator, built executor-side from the serialized
-      // SortOrder trees; reversed so the queue evicts the sort-LAST row
-      implicit val keepFirst: Ordering[InternalRow] =
-        RowOrdering.create(ordersLocal, outputLocal).reverse
-      val heaps =
-        scala.collection.mutable.HashMap.empty[UnsafeRow, BoundedPriorityQueue[InternalRow]]
-      rows.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          new BoundedPriorityQueue[InternalRow](kLocal))
-        heap += row.copy()
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
+      new TopKPartitionIterator(
+        rows, groupLocal, ordersLocal, outputLocal, kLocal, partialLocal, budget)
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** Per-partition heap top-k with a hard buffered-row budget (docs on
+  * [[TopKPerGroupExec]]): hash-of-heaps while the map fits; at the budget
+  * the partial stage flushes-and-resets, the final stage drains into a
+  * spillable group-keyed external sort and streams one group at a time.
+  */
+private[graft] final class TopKPartitionIterator(
+    rows: Iterator[InternalRow],
+    groupExprs: Seq[Expression],
+    orders: Seq[SortOrder],
+    output: Seq[Attribute],
+    k: Int,
+    partial: Boolean,
+    maxBufferedRows: Long) extends Iterator[InternalRow] {
+  require(maxBufferedRows >= k,
+    s"${TopKPerGroup.MaxBufferedRowsKey} ($maxBufferedRows) must cover one group's k ($k)")
+
+  private val keyProj = UnsafeProjection.create(groupExprs, output)
+  // codegen'd comparator, built executor-side from the serialized
+  // SortOrder trees; reversed so the queue evicts the sort-LAST row
+  private implicit val keepFirst: Ordering[InternalRow] =
+    RowOrdering.create(orders, output).reverse
+  private val heaps =
+    scala.collection.mutable.HashMap.empty[UnsafeRow, BoundedPriorityQueue[InternalRow]]
+  private var bufferedCnt = 0L
+  private var out: Iterator[InternalRow] = Iterator.empty
+  // non-null once the final stage has fallen back to sort-based
+  private var sorted: UnsafeKVExternalSorter#KVSorterIterator = _
+  private var sortedHasRow = false
+  private var inputDone = false
+
+  override def hasNext: Boolean = {
+    while (!out.hasNext && !inputDone) refill()
+    out.hasNext
+  }
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException("empty iterator")
+    out.next()
+  }
+
+  /** Advance one phase: consume input up to the budget, then emit either
+    * a partial flush, the sort-fallback stream, or the end-of-input drain.
+    */
+  private def refill(): Unit = {
+    if (sorted != null) { out = nextSortedGroup(); return }
+    var over = false
+    while (rows.hasNext && !over) {
+      val row = rows.next()
+      val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+        new BoundedPriorityQueue[InternalRow](k))
+      val before = heap.size
+      heap += row.copy()
+      if (heap.size > before) bufferedCnt += 1
+      over = bufferedCnt >= maxBufferedRows
+    }
+    if (!over) {
+      out = snapshotAndClear()
+      inputDone = true
+    } else if (partial) {
+      // pruning combiner: emitting early is always sound, the final
+      // stage re-merges; worst case the exchange carries unpruned rows
+      out = snapshotAndClear()
+    } else {
+      sortFallback()
+      out = nextSortedGroup()
+    }
+  }
+
+  /** Emit everything buffered and reset the map (snapshot first — the
+    * values iterator must not race the clear).
+    */
+  private def snapshotAndClear(): Iterator[InternalRow] = {
+    val flushed = heaps.values.toArray
+    heaps.clear()
+    bufferedCnt = 0L
+    flushed.iterator.flatMap(_.iterator)
+  }
+
+  /** Final-stage fallback: heaps + remaining input drain into a
+    * Tungsten-managed, disk-spilling sort keyed on the group columns
+    * (the exchange already co-located each group in this partition, so a
+    * local sort suffices); equal keys come out adjacent.
+    */
+  private def sortFallback(): Unit = {
+    val keySchema = StructType(groupExprs.zipWithIndex.map { case (e, i) =>
+      StructField(s"k$i", e.dataType, e.nullable)
+    })
+    val valueSchema = StructType(output.map(a => StructField(a.name, a.dataType, a.nullable)))
+    val env = SparkEnv.get
+    val sorter = new UnsafeKVExternalSorter(
+      keySchema, valueSchema, env.blockManager, env.serializerManager,
+      TaskContext.get().taskMemoryManager().pageSizeBytes(),
+      env.conf.get(config.SHUFFLE_SPILL_NUM_ELEMENTS_FORCE_SPILL_THRESHOLD),
+      env.conf.get(config.SHUFFLE_SPILL_MAX_SIZE_FORCE_SPILL_THRESHOLD))
+    val toUnsafe = UnsafeProjection.create(output.map(_.dataType).toArray)
+    heaps.foreach { case (key, heap) =>
+      heap.iterator.foreach(r => sorter.insertKV(key, toUnsafe(r)))
+    }
+    heaps.clear()
+    bufferedCnt = 0L
+    while (rows.hasNext) {
+      val r = rows.next()
+      sorter.insertKV(keyProj(r), toUnsafe(r))
+    }
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+    sorted = sorter.sortedIterator()
+    sortedHasRow = sorted.next()
+  }
+
+  /** One equal-key run of the sorted stream through a single k-bounded
+    * heap — peak state after fallback is one group's k rows.
+    */
+  private def nextSortedGroup(): Iterator[InternalRow] = {
+    if (!sortedHasRow) {
+      inputDone = true
+      return Iterator.empty
+    }
+    val groupKey = sorted.getKey.copy()
+    val heap = new BoundedPriorityQueue[InternalRow](k)
+    heap += sorted.getValue.copy()
+    sortedHasRow = sorted.next()
+    while (sortedHasRow && sorted.getKey == groupKey) {
+      heap += sorted.getValue.copy()
+      sortedHasRow = sorted.next()
+    }
+    heap.iterator
+  }
 }
 
 /** Optimizer rewrite: the canonical DataFrame top-k idiom
@@ -160,20 +294,40 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Project(projectList, Filter(cond,
-        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-          partitionSpec, orderSpec, child, _)))
-      if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
-        rankBound(cond, alias.toAttribute).exists(_ > 0) &&
-        projectList.forall(_.references.subsetOf(child.outputSet)) =>
-      Project(projectList, TopKPerGroupNode(partitionSpec, orderSpec,
-        rankBound(cond, alias.toAttribute).get, child))
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // the heap plan's win region is small k (O(log k) inserts, k rows per
+    // group buffered); past this ceiling keep the window-sort plan, whose
+    // sort machinery is the better fit as k approaches the group size
+    val maxK = conf.getConfString(TopKPerGroup.RewriteMaxKKey,
+      TopKPerGroup.RewriteMaxKDefault.toString).toInt
+    plan.transformUp {
+      case Project(projectList, Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+            partitionSpec, orderSpec, child, _)))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          rankBound(cond, alias.toAttribute).exists(b => b > 0 && b <= maxK) &&
+          projectList.forall(_.references.subsetOf(child.outputSet)) =>
+        Project(projectList, TopKPerGroupNode(partitionSpec, orderSpec,
+          rankBound(cond, alias.toAttribute).get, child))
+    }
   }
 }
 
 /** User-facing construction + registration. */
 object TopKPerGroup {
+  /** Per-task buffered-row budget before the exec leaves pure hash-of-
+    * heaps mode (partial: flush downstream; final: spillable sort).
+    */
+  val MaxBufferedRowsKey = "spark.graft.topk.maxBufferedRows"
+  val MaxBufferedRowsDefault: Long = 1L << 20
+
+  /** Largest k [[TopKWindowRewrite]] converts — larger bounds keep the
+    * window-sort plan (review finding: an unbounded rewrite turned a
+    * spill-tested plan into a heap plan for any k a filter names).
+    */
+  val RewriteMaxKKey = "spark.graft.topk.rewriteMaxK"
+  val RewriteMaxKDefault: Int = 65536
+
   /** Logical-node constructor: resolves the named columns against `df`'s
     * analyzed output and wraps it in [[TopKPerGroupNode]]. `orderBy` is
     * (column, descending?) pairs evaluated in sequence — include a
@@ -190,10 +344,17 @@ object TopKPerGroup {
     // time — constructing one implies wanting the strategy (idempotent)
     register(ds.sparkSession)
     val plan = ds.queryExecution.analyzed
+    // resolve like the analyzer: a duplicated name is an error, not a
+    // silent bind to whichever attribute happens to come first
     def attr(name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.size} attributes match " +
+            "(disambiguate with aliases before TopKPerGroup)")
+      }
     val orders = orderBy.map { case (c, desc) =>
       SortOrder(attr(c), if (desc) Descending else Ascending)
     }

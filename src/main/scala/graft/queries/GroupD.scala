@@ -1302,11 +1302,13 @@ object GroupD {
       .join(uni.select(col("lang"), col("w").as("w2"), col("c1").as("c1b")),
         Seq("lang", "w2"))
       .join(tot, "lang")
-      // the product rides decimal(38,0): cnt·t·10⁴ outgrows int64 around
-      // 10¹⁰ tokens/lang (review finding) — decimal `div` keeps the fixed
-      // point exact at any corpus size, and DuckDB's HUGEINT mirrors it
+      // BOTH products ride decimal(38,0): cnt·t·10⁴ outgrows int64 around
+      // 10¹⁰ tokens/lang, and the denominator c1a·c1b does the same for
+      // hot-word pairs (exactly the ones that rank) — decimal `div` keeps
+      // the fixed point exact at any corpus size; DuckDB HUGEINT mirrors it
       .withColumn("lift_fp",
-        expr("cast((cast(cnt AS decimal(38,0)) * t * 10000) div (c1a * c1b) AS bigint)"))
+        expr("cast((cast(cnt AS decimal(38,0)) * t * 10000) " +
+          "div (cast(c1a AS decimal(38,0)) * c1b) AS bigint)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("w1"), col("w2"), col("cnt"),
@@ -1560,7 +1562,8 @@ object GroupD {
          |tt AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS t FROM uc GROUP BY 1),
          |j AS (
          |  SELECT b.lang, b.w1, b.w2, b.cnt,
-         |    CAST((CAST(b.cnt AS HUGEINT) * tt.t * 10000) // (ua.c1 * ub.c1) AS BIGINT) AS lift_fp,
+         |    CAST((CAST(b.cnt AS HUGEINT) * tt.t * 10000)
+         |      // (CAST(ua.c1 AS HUGEINT) * ub.c1) AS BIGINT) AS lift_fp,
          |    ROW_NUMBER() OVER (
          |      PARTITION BY b.lang ORDER BY b.cnt DESC, b.w1, b.w2) AS rnk
          |  FROM bi b

@@ -75,6 +75,29 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(got == Set((None, 2L), (None, 3L), (Some(1L), 5L), (Some(1L), 4L)))
   }
 
+  test("tiny buffer budget (partial flush + final sort fallback) is result-transparent") {
+    // budget of 4 rows (≥ k=3) forces every partial partition to flush
+    // repeatedly AND every final partition into the external-sort path;
+    // the result must still equal the window formulation exactly
+    spark.conf.set(TopKPerGroup.MaxBufferedRowsKey, "4")
+    try {
+      val got = native()
+      val win = windowTopK(dropRank = true)
+      assert(got.exceptAll(win).isEmpty && win.exceptAll(got).isEmpty,
+        "spill-path result must match the window plan")
+      assert(got.count() == win.count())
+    } finally spark.conf.unset(TopKPerGroup.MaxBufferedRowsKey)
+  }
+
+  test("duplicate column names are an error, not a silent first-match bind") {
+    import spark.implicits._
+    val dup = Seq((1L, 2L, 3.0)).toDF("g", "id", "v").select(col("g"), col("g"), col("v"))
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup(dup, Seq("g"), Seq(("v", true)), k = 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("builder-time extension injects the strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)
@@ -110,5 +133,25 @@ class TopKPerGroupSpec extends AnyFunSuite {
     // restored: the idiom window-plans again after unregister
     assert(!windowTopK(dropRank = true)
       .queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+  }
+
+  test("rewrite skips k beyond the configured ceiling (window plan kept)") {
+    def bigK = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(spark, sf, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1000000).drop("rn")
+    }
+    TopKPerGroup.registerRewrite(spark)
+    try {
+      assert(!bigK.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "k=1e6 is past the default ceiling — the spill-tested window plan must stay")
+      spark.conf.set(TopKPerGroup.RewriteMaxKKey, "2000000")
+      try assert(bigK.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+        "an explicitly raised ceiling re-enables the rewrite")
+      finally spark.conf.unset(TopKPerGroup.RewriteMaxKKey)
+    } finally TopKPerGroup.unregisterRewrite(spark)
   }
 }

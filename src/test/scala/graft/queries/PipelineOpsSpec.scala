@@ -432,6 +432,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered PQ recall $hits/${exact.size} below 0.9")
   }
 
+  test("PQ training fails fast on a mixed-dimension corpus") {
+    // a shorter vector passes the dim % m gate yet would slice misaligned
+    // subvectors — the trainer must reject it, not degrade silently
+    import spark.implicits._
+    val mixed = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "nvec")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.PqIndex.train("pq|spec-mixed-dims", mixed, m = 2, k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("fixed-dimension"))
+  }
+
   test("d33 PQ codes are 4-bit per subspace on the small corpus too") {
     // run the query end to end at sf0.001 (cheap) and sanity the shape
     val rows = GroupD.d33AnnPq(spark, sf).collect()
