@@ -1137,6 +1137,102 @@ object GroupD {
       .orderBy("qid", "rn")
   }
 
+  /** Filtered-ANN policy thresholds (see [[filteredAnnLsh]]). */
+  private[queries] val FilteredAnnBruteMax = 0.02
+  private[queries] val FilteredAnnPreMax = 0.5
+
+  /** How a filtered vector search composes a metadata predicate with the
+    * ANN machinery, by measured predicate selectivity — the decision every
+    * serving API makes per query (d35's docs deferred it; round 8 codes it):
+    *   - `brute` (≤ 2% match): the subset is so small an EXACT scan over
+    *     it (d35/d3's broadcast plan) beats any index work — pre-filtering
+    *     degenerates to brute force, the standard serving-path answer.
+    *   - `pre` (≤ 50%): bucket ONLY the matching vectors with their own
+    *     tuned banding; every candidate satisfies the predicate by
+    *     construction. A post-filter here would starve: most of a query's
+    *     bucket-mates fail the predicate, leaving ≪ k survivors.
+    *   - `post` (> 50%): probe the corpus-tuned index unchanged and apply
+    *     the predicate to CANDIDATES before the exact rerank. Models the
+    *     shared-index serving path — one index amortized over every loose
+    *     predicate, no per-predicate re-index.
+    */
+  private[queries] def filteredAnnPolicy(selectivity: Double): String =
+    if (selectivity <= FilteredAnnBruteMax) "brute"
+    else if (selectivity <= FilteredAnnPreMax) "pre"
+    else "post"
+
+  /** Filtered approximate top-k on a (vec_id, matches, v) frame — d36's
+    * body, reusable in specs. `matches` is the evaluated metadata
+    * predicate; queries (selected by `queryPred`) need not satisfy it.
+    * Selectivity is ONE tiny aggregate (at serving scale: a catalog stat
+    * or a sampled count); the policy then picks the plan above.
+    */
+  private[queries] def filteredAnnLsh(e: DataFrame, spark: SparkSession,
+      key: String, k: Int = 5,
+      queryPred: Column = col("vec_id") < 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val statsRow = e.agg(count(lit(1)), count(when(col("matches"), lit(1)))).collect()(0)
+    val sel = statsRow.getLong(1).toDouble / math.max(statsRow.getLong(0), 1L)
+    val policy = filteredAnnPolicy(sel)
+    val q = e.filter(queryPred).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val sims = policy match {
+      case "brute" =>
+        e.filter(col("matches"))
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nn_id"),
+            GroupC.cosine("v", "qv").as("s"))
+      case _ =>
+        val indexSide =
+          (if (policy == "pre") e.filter(col("matches")) else e)
+            .select("vec_id", "v")
+        val tuned = graft.operators.AnnTuning.tunedLsh(
+          spark, indexSide, s"$key|$policy")
+        def keyed(df: DataFrame) = df.select(col("vec_id"), posexplode(expr(
+          s"${graft.functions.GraftFunctions.LshKeysName}" +
+            s"(v, ${tuned.config.tables}, ${tuned.config.bits})"))
+          .as(Seq("tbl", "bucket")))
+        val index = graft.operators.AnnTuning.capBuckets(
+          keyed(indexSide), graft.operators.AnnTuning.effectiveCap(tuned))
+        val cand0 = keyed(e.filter(queryPred).select("vec_id", "v")).as("x")
+          .join(index.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nn_id"))
+          .distinct()
+        // post-filter: the shared index knows nothing of the predicate —
+        // drop non-matching candidates BEFORE any distance work
+        val cand =
+          if (policy == "post")
+            cand0.join(
+              e.filter(col("matches")).select(col("vec_id").as("nn_id")), "nn_id")
+          else cand0
+        cand
+          .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+          .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
+          .select(col("qid"), col("nn_id"), GroupC.cosine("nv", "qv").as("s"))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** d36: FILTERED approximate vector search — d35's exact filtered top-5
+    * with the policy-routed ANN machinery. The declared predicate
+    * (label = 1, ~9% of the corpus) routes to the PRE-FILTER branch:
+    * tuned banding over the matching vectors only. Approximate ⇒
+    * rows-only; PipelineOpsSpec pins the policy thresholds, the measured
+    * top-5 overlap vs d35's exact answer, and that each branch returns
+    * only in-predicate neighbors.
+    */
+  def d36FilteredAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), (col("label") === 1).as("matches"),
+        col("embedding").cast("array<double>").as("v"))
+    filteredAnnLsh(e, spark, s"fann|$sfDir")
+  }
+
   /** d34: INCREMENTAL near-dup dedup — the production shape: a new crawl
     * batch (sources src17–19 stand in for "this week's data") is deduped
     * AGAINST the already-ingested base without re-deduping the base. A
@@ -1412,6 +1508,9 @@ object GroupD {
     "d33_ann_pq"           -> (d33AnnPq _),
     "d34_dedup_incremental" -> (d34DedupIncremental _),
     "d35_filtered_knn"     -> (d35FilteredKnn _),
+    // d36 is approximate (policy-routed ANN under a predicate) — rows-only;
+    // policy thresholds + overlap-vs-d35 pinned in PipelineOpsSpec.
+    "d36_filtered_ann"     -> (d36FilteredAnn _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),

@@ -432,6 +432,85 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered PQ recall $hits/${exact.size} below 0.9")
   }
 
+  test("d36 policy: brute for rare predicates, pre for selective, post for loose") {
+    assert(GroupD.filteredAnnPolicy(0.01) == "brute")
+    assert(GroupD.filteredAnnPolicy(0.02) == "brute")
+    assert(GroupD.filteredAnnPolicy(0.09) == "pre")
+    assert(GroupD.filteredAnnPolicy(0.5) == "pre")
+    assert(GroupD.filteredAnnPolicy(0.8) == "post")
+  }
+
+  test("d36 filtered ANN (pre branch): in-predicate neighbors, overlap vs d35 exact") {
+    val sf01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    val labels = Tables(spark, sf01, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = GroupD.d36FilteredAnn(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor satisfies the predicate (label = 1)
+    assert(rows.forall(r => labels(r.getLong(1)) == 1),
+      "a non-matching neighbor escaped the filter")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val exact = GroupD.d35FilteredKnn(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(approx.keySet == exact.keySet, "every query answered")
+    val overlap = exact.map { case (q, nns) =>
+      (nns intersect approx(q)).size.toDouble / nns.size }.sum / exact.size
+    info(f"d36 pre-filter top-5 overlap vs d35 exact: $overlap%.3f")
+    // measured 0.98: the ~46-vector matching subset lets the tuner pick a
+    // high-recall banding cheaply — the pre-filter branch's whole point
+    assert(overlap >= 0.9, f"overlap $overlap%.3f below pin")
+  }
+
+  test("d36 brute branch IS exact: rare predicate equals the brute-force answer") {
+    val sf01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), (pmod(col("vec_id"), lit(97)) === 0).as("matches"),
+        col("embedding").cast("array<double>").as("v"))
+    val got = GroupD.filteredAnnLsh(e, spark, "fann|spec-brute", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // exact reference: full scan over the matching subset
+    val vecs = e.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val sub = vecs.filter(_._2)
+    val want = vecs.filter(_._1 < 50).flatMap { case (q, _, qv) =>
+      sub.filter(_._1 != q)
+        .map { case (id, _, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), i) => (q, id, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == want, "brute branch must be bit-exact vs the scan")
+  }
+
+  test("d36 post branch: loose predicate keeps only matching neighbors") {
+    val sf01 = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, sf01, "embeddings")
+      .select(col("vec_id"), (col("label") <= 7).as("matches"),
+        col("embedding").cast("array<double>").as("v"))
+    val rows = GroupD.filteredAnnLsh(e, spark, "fann|spec-post").collect()
+    assert(rows.nonEmpty)
+    val labels = Tables(spark, sf01, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labels(r.getLong(1)) <= 7),
+      "post-filter let a non-matching candidate through")
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    info(s"d36 post branch: ${perQ.size} queries, " +
+      s"min ${perQ.values.min} max ${perQ.values.max} neighbors")
+    assert(perQ.values.max <= 5)
+  }
+
   test("PQ training fails fast on a mixed-dimension corpus") {
     // a shorter vector passes the dim % m gate yet would slice misaligned
     // subvectors — the trainer must reject it, not degrade silently
