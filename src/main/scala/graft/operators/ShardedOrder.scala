@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dominant-key escape for per-key window ranks and running totals — the
+  * scale hazard d15/d17/d20 document: `Window.partitionBy(lang)` puts a
+  * whole language in ONE window partition, so a corpus where one language
+  * dominates (English at web scale) serializes its rank/cumsum into a
+  * single task no matter how many executors exist.
+  *
+  * The escape is the classic two-level prefix sum (b32's running-total
+  * plan family): range-partition each key group by the LEADING NIBBLE of
+  * the md5 order key (16 shards), rank/cumsum within (key, shard) — 16×
+  * smaller window partitions, embarrassingly parallel — then add per-shard
+  * offsets computed from a tiny (keys × 16)-row aggregate that broadcasts.
+  * Because shard order equals the order key's lexicographic order (single
+  * hex digits sort '0'<…<'9'<'a'<…<'f' both numerically and as text), the
+  * shard ranges PARTITION the total order, and ranks/sums over a total
+  * order decompose exactly across ordered ranges — the sharded result is
+  * bit-identical to the single-window formulation (pinned in
+  * PipelineOpsSpec against d15/d20), not an approximation.
+  *
+  * At 100 TB: one nibble (16 shards) multiplies per-key parallelism by 16;
+  * deeper sharding is the same plan with more leading nibbles. The offset
+  * aggregate stays keys × shards rows — always broadcastable.
+  *
+  * Reference seam: the reference has no ordering surface at all (pull loop,
+  * /root/reference/src/CSVProvider.cs:563-577); this operator serves the
+  * beyond-reference layout/split queries (SURVEY §2.3 d15/d20/d37).
+  */
+object ShardedOrder {
+
+  /** Adds to `df`:
+    *   - `rn`:     1-based rank over (h asc, tie asc) within each key group
+    *   - `n`:      the key group's row count
+    *   - `prefix`: exclusive running sum of `weight` in the same order
+    *     (0 for the first row; only when `weight` is set)
+    * computed per (key, leading-nibble-of-h shard) with shard-offset
+    * prefix sums. `h` must be a lowercase hex string (e.g. `md5(...)`).
+    */
+  def rankAndPrefixSum(df: DataFrame, keys: Seq[String], h: Column,
+      tie: Column, weight: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "sharded order needs at least one key column")
+    val kCols = keys.map(col)
+    val keyed = df.withColumn("__h", h)
+      .withColumn("__shard", conv(substring(col("__h"), 1, 1), 16, 10).cast("int"))
+      .withColumn("__w", weight.getOrElse(lit(1L)).cast("long"))
+    val wShard = Window.partitionBy(kCols :+ col("__shard"): _*)
+      .orderBy(col("__h"), tie)
+    val ranked = keyed
+      .withColumn("__srn", row_number().over(wShard))
+      .withColumn("__spre", coalesce(sum(col("__w")).over(
+        wShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // keys × 16 rows: counts and weight sums per shard → exclusive offsets
+    val wOff = Window.partitionBy(kCols: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(kCols :+ col("__shard"): _*)
+      .agg(count(lit(1)).as("__c"), sum(col("__w")).as("__s"))
+      .withColumn("__coff", coalesce(sum("__c").over(wOff), lit(0L)))
+      .withColumn("__soff", coalesce(sum("__s").over(wOff), lit(0L)))
+      .withColumn("n", sum("__c").over(Window.partitionBy(kCols: _*)))
+      .select(kCols ++ Seq(col("__shard"), col("__coff"), col("__soff"), col("n")): _*)
+    val out = ranked.join(broadcast(offs), keys :+ "__shard")
+      .withColumn("rn", col("__srn") + col("__coff"))
+    (if (weight.isDefined) out.withColumn("prefix", col("__spre") + col("__soff"))
+     else out)
+      .drop("__h", "__shard", "__w", "__srn", "__spre", "__coff", "__soff")
+  }
+}

@@ -178,10 +178,27 @@ object GroupA {
       .orderBy("event_id")
   }
 
+  /** a11: ORC round-trip — the second columnar interchange format next to
+    * parquet (Spark's built-in `orc` source). Unlike a10's JSONL, ORC's
+    * file metadata preserves exact types, so the read needs no explicit
+    * schema — which is itself the behavior being verified. Partitioned
+    * directory write (the 100 TB path, [[Tables.csvRoundTrip]]'s
+    * discipline); the oracle reads the ORIGINAL parquet, so the whole ORC
+    * write+read cycle is what the hash compare checks.
+    */
+  def a11OrcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = Tables.stagingDir(sfDir, "a11", kind = "orc")
+    src.write.mode("overwrite").orc(dir.toString)
+    spark.read.orc(dir.toString).orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
     "a9_schema_drift" -> (a9SchemaDrift _),
     "a10_jsonl_roundtrip" -> (a10JsonlRoundTrip _),
+    "a11_orc_roundtrip" -> (a11OrcRoundTrip _),
     "a2_filter_conditionals" -> (a2FilterConditionals _),
     "a3_null_sentinel" -> (a3NullSentinel _),
     "a4_decimal_separator" -> (a4DecimalSeparator _),
@@ -224,6 +241,9 @@ object GroupA {
         |  'csv-import' AS src
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "a10_jsonl_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a11_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a9_schema_drift" ->

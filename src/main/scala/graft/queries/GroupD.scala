@@ -1233,6 +1233,99 @@ object GroupD {
     filteredAnnLsh(e, spark, s"fann|$sfDir")
   }
 
+  /** d37: d15's stratified split via SHARDED rank — the dominant-language
+    * escape d15/d20 document, coded ([[graft.operators.ShardedOrder]]):
+    * rank per (lang, leading-md5-nibble shard) + shard-offset prefix sums
+    * instead of one window partition per lang. Bit-identical to d15 by the
+    * total-order decomposition argument (and pinned so in
+    * PipelineOpsSpec), same DuckDB oracle verbatim — the d30-vs-c7
+    * relationship: same contract, the physical plan that survives a corpus
+    * where one language is most of the data.
+    */
+  def d37SplitSharded(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    graft.operators.ShardedOrder.rankAndPrefixSum(
+      docs.select("doc_id", "lang"), Seq("lang"),
+      md5(col("doc_id").cast("string")), col("doc_id"))
+      .withColumn("split",
+        when(col("rn") <= expr("(n * 8) div 10"), "train")
+          .when(col("rn") <= expr("(n * 9) div 10"), "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** d38: BPE merge-pair statistics — one round of byte-pair-encoding
+    * vocabulary induction (Sennrich et al. 2016, public): count adjacent
+    * character pairs across the corpus weighted by word frequency; the top
+    * pair is the next merge a tokenizer trainer would make. The scale
+    * trick: pair counting runs over the DISTINCT-WORD frame (vocabulary-
+    * sized — sublinear in the corpus) with each word's corpus count as the
+    * weight, never over the raw token stream — one corpus-bounded
+    * partial-agg shuffle builds the word counts, everything after is
+    * vocabulary-bounded. The alphabet² pair frame then reduces to top-20
+    * by (cnt desc, p1, p2), integer arithmetic end to end.
+    */
+  def d38BpePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val words = docs
+      .select(explode(GroupC.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // Spark's sequence(1, n) DESCENDS for n < 1 — the length gate is
+    // load-bearing, not just an optimization (d29 hit the same edge)
+    val pairs = words.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS p1, substring(w, i + 1, 1) AS p2))"))
+        .as("p"))
+      .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+      .agg(sum("wc").as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("p1"), col("p2")).limit(20)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("p1"), col("p2"))).cast("long"))
+      .select("p1", "p2", "cnt", "rnk")
+      .orderBy("rnk")
+  }
+
+  /** d39: SemDeDup — semantic deduplication via k-means blocking (Abbas
+    * et al. 2023, arXiv:2303.09540, public): cluster the embeddings
+    * (d27's deterministic [[graft.operators.KMeans]]), then inside each
+    * cluster drop every vector cosine-similar (≥ τ) to a smaller-id
+    * vector — d9's drop rule with the cluster id as the blocking key.
+    * Candidate volume falls from n² to Σ|cluster|² while keeping the
+    * drops near-dup pipelines care about: semantic duplicates co-locate
+    * in embedding clusters (the paper's premise — pinned on a clustered
+    * corpus in PipelineOpsSpec; on THIS weakly-correlated corpus the
+    * cross-cluster misses are measured there too). Iterative-fixpoint
+    * clustering ⇒ no SQL oracle (d27's contract): rows-only + pins
+    * (subset-of-d9, determinism, clustered-regime recall).
+    */
+  def d39SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val assign = graft.operators.KMeans.fit(emb, k = 8, iters = 3).assignments
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("cluster"),
+        col("embedding").cast("array<double>").as("v"))
+    semDedupDrops(assign)
+  }
+
+  /** SemDeDup's within-cluster drop pass on a (vec_id, cluster, v) frame —
+    * d39's body, reusable in specs on synthetic clustered corpora.
+    * Survivors only; τ = 0.3 mirrors d9 so the subset pin is meaningful.
+    */
+  private[queries] def semDedupDrops(assign: DataFrame): DataFrame = {
+    val dropped = assign.as("a").join(assign.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") > col("b.vec_id"))
+      .filter(GroupC.cosine("a.v", "b.v") >= 0.3)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+    assign.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** d34: INCREMENTAL near-dup dedup — the production shape: a new crawl
     * batch (sources src17–19 stand in for "this week's data") is deduped
     * AGAINST the already-ingested base without re-deduping the base. A
@@ -1511,6 +1604,11 @@ object GroupD {
     // d36 is approximate (policy-routed ANN under a predicate) — rows-only;
     // policy thresholds + overlap-vs-d35 pinned in PipelineOpsSpec.
     "d36_filtered_ann"     -> (d36FilteredAnn _),
+    "d37_split_sharded"    -> (d37SplitSharded _),
+    "d38_bpe_pairs"        -> (d38BpePairs _),
+    // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
+    // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
+    "d39_semdedup"         -> (d39SemDedup _),
     "d15_stratified_split" -> (d15StratifiedSplit _),
     "d16_tfidf"            -> (d16Tfidf _),
     "d1_dedup_minhash_lsh" -> (d1DedupMinhashLsh _),
@@ -1528,6 +1626,20 @@ object GroupD {
   )
 
   private val tokSql = GroupC.tokenizeSql("text")
+
+  private val d15OracleSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+      |       WHEN rn <= (n * 9) // 10 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM ranked
+      |ORDER BY doc_id""".stripMargin
 
   private val d14OracleSql: String = {
     val pairSql = GroupC.oracleSql("c2_dedup_near")
@@ -1856,19 +1968,27 @@ object GroupD {
         |  ON a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY ida, idb""".stripMargin,
-    "d15_stratified_split" ->
-      """WITH ranked AS (
-        |  SELECT doc_id, lang,
-        |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-        |    COUNT(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN rn <= (n * 8) // 10 THEN 'train'
-        |       WHEN rn <= (n * 9) // 10 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM ranked
-        |ORDER BY doc_id""".stripMargin,
+    "d15_stratified_split" -> d15OracleSql,
+    // d37 computes the identical split via sharded ranks — same contract,
+    // same oracle (the d31/d14 pattern).
+    "d37_split_sharded" -> d15OracleSql,
+    "d38_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS wc FROM (
+         |    SELECT unnest($tokSql) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(w, i, 1) AS p1, substr(w, i + 1, 1) AS p2,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+         |  WHERE len(w) >= 2
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT p1, p2, cnt, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY cnt DESC, p1, p2) AS BIGINT) AS rnk
+         |  FROM pairs)
+         |SELECT p1, p2, cnt, rnk FROM ranked
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "d16_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($tokSql) AS token FROM documents),

@@ -432,6 +432,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered PQ recall $hits/${exact.size} below 0.9")
   }
 
+  test("d37 sharded split is bit-identical to d15's single-window split") {
+    val a = GroupD.d15StratifiedSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val b = GroupD.d37SplitSharded(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("sharded prefix sum equals the single-window running total (d20's shape)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val plain = docs.withColumn("start_pos",
+        coalesce(sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "start_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sharded = graft.operators.ShardedOrder.rankAndPrefixSum(
+        docs, Seq("lang"), md5(col("doc_id").cast("string")), col("doc_id"),
+        weight = Some(col("n_tokens")))
+      .select("doc_id", "prefix").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain.nonEmpty && sharded == plain)
+  }
+
   test("d36 policy: brute for rare predicates, pre for selective, post for loose") {
     assert(GroupD.filteredAnnPolicy(0.01) == "brute")
     assert(GroupD.filteredAnnPolicy(0.02) == "brute")
@@ -509,6 +538,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"d36 post branch: ${perQ.size} queries, " +
       s"min ${perQ.values.min} max ${perQ.values.max} neighbors")
     assert(perQ.values.max <= 5)
+  }
+
+  test("d39 SemDeDup drops are a subset of d9's corpus-wide drops; reruns identical") {
+    val sf01 = "/root/testdata/sf0.01"
+    // every within-cluster drop's witness pair is also a corpus-wide pair,
+    // so d9's survivors must all survive d39's blocked pass too
+    val d9Surv = GroupD.d9DedupEmbedding(spark, sf01).collect()
+      .map(_.getLong(0)).toSet
+    val d39 = GroupD.d39SemDedup(spark, sf01).collect()
+    val d39Surv = d39.map(_.getLong(0)).toSet
+    assert(d39Surv.nonEmpty && d9Surv.subsetOf(d39Surv))
+    info(s"d9 survivors ${d9Surv.size}, d39 (cluster-blocked) ${d39Surv.size} of 500")
+    assert(d39Surv.size < 500, "SemDeDup must actually drop something here")
+    val again = GroupD.d39SemDedup(spark, sf01).collect().map(_.getLong(0)).toSet
+    assert(again == d39Surv, "k-means + drop pass must be deterministic")
+  }
+
+  test("d39 SemDeDup catches the in-cluster near-dups on a clustered corpus") {
+    // the paper's premise: semantic duplicates co-locate in embedding
+    // clusters — on a corpus of tight clusters, blocking loses (almost)
+    // nothing vs the corpus-wide quadratic rule
+    val rnd = new scala.util.Random(1717)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val vecs = (0 until 8).flatMap { c =>
+      val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+      (0 until 25).map(m =>
+        (c * 25L + m, unit(base.map(_ + 0.02 * rnd.nextGaussian())).map(_.toFloat)))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val assign = graft.operators.KMeans.fit(df, k = 8, iters = 3).assignments
+      .join(df, "vec_id")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cluster"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+    val surv = GroupD.semDedupDrops(assign).collect().map(_.getLong(0)).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // corpus-wide (unblocked) drop set at the same threshold
+    val bruteDrops = vecs.filter { case (id, v) =>
+      vecs.exists { case (oid, ov) => oid < id && cos(ov, v) >= 0.3 }
+    }.map(_._1).toSet
+    val blockedDrops = vecs.map(_._1).toSet -- surv
+    assert(blockedDrops.subsetOf(bruteDrops))
+    val recall = blockedDrops.size.toDouble / math.max(bruteDrops.size, 1)
+    info(f"SemDeDup blocked-drop recall vs corpus-wide: $recall%.3f " +
+      s"(${blockedDrops.size}/${bruteDrops.size})")
+    assert(recall >= 0.9, f"clustered-regime recall $recall%.3f below pin")
+  }
+
+  test("d38 BPE pairs: ranks contiguous, counts non-increasing, weights positive") {
+    val rows = GroupD.d38BpePairs(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+    val cnts = rows.map(_.getLong(2)).toSeq
+    assert(cnts == cnts.sorted.reverse && cnts.forall(_ > 0))
+    assert(rows.forall(r => r.getString(0).length == 1 && r.getString(1).length == 1))
   }
 
   test("PQ training fails fast on a mixed-dimension corpus") {

@@ -25,7 +25,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // rows-only (oracle-less) declarations are the approximate ops only
     val rowsOnly = queries -- graft.SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats",
-      "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann"),
+      "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann",
+      "d39_semdedup"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
