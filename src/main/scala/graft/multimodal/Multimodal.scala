@@ -74,6 +74,58 @@ object Multimodal {
     }
   }
 
+  // --- REAL container-header decoding (round 8) ---------------------------
+  // Not everything needs the stub: image container DIMENSIONS live at fixed
+  // offsets in PNG/GIF/BMP headers, so they parse as pure codegen'd byte
+  // arithmetic (substring-on-binary + hex + conv) — no UDF, no library, no
+  // mapPartitions. This is the metadata-backfill pass a multimodal pipeline
+  // runs over billions of crawled images before any pixel decode.
+
+  /** Unsigned byte at 1-based `pos` of a binary column. */
+  private def u8(c: org.apache.spark.sql.Column, pos: Int) =
+    conv(hex(substring(c, pos, 1)), 16, 10).cast("long")
+  /** Big-endian u32 at `pos` (PNG's network byte order). */
+  private def beU32(c: org.apache.spark.sql.Column, pos: Int) =
+    conv(hex(substring(c, pos, 4)), 16, 10).cast("long")
+  /** Little-endian u16 / s32-as-abs at `pos` (GIF / BMP). */
+  private def leU16(c: org.apache.spark.sql.Column, pos: Int) =
+    u8(c, pos) + u8(c, pos + 1) * 256L
+  private def leS32Abs(c: org.apache.spark.sql.Column, pos: Int) = {
+    val u = u8(c, pos) + u8(c, pos + 1) * 256L +
+      u8(c, pos + 2) * 65536L + u8(c, pos + 3) * 16777216L
+    // BMP stores top-down bitmaps as NEGATIVE height (two's complement)
+    when(u > 2147483647L, lit(4294967296L) - u).otherwise(u)
+  }
+
+  /** Appends `img_format` / `img_width` / `img_height` parsed from the
+    * leading bytes of `bytesCol` — real decoding of the real container
+    * layouts (all public file-format specs):
+    *   - PNG:  8-byte signature, IHDR width/height big-endian at 17/21
+    *   - GIF:  "GIF8?a", logical screen u16 little-endian at 7/9
+    *   - BMP:  "BM", BITMAPINFOHEADER s32 little-endian at 19/23
+    *     (negative = top-down; |height| is reported)
+    * Unknown or truncated content yields NULLs, never an error — this runs
+    * before any validity filter.
+    */
+  def imageDimsPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
+    val c = col(bytesCol)
+    val len = length(c)
+    val isPng = len >= 24 && hex(substring(c, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(c, 13, 4)) === "49484452"
+    val isGif = len >= 10 &&
+      (hex(substring(c, 1, 6)) === "474946383961" || // GIF89a
+        hex(substring(c, 1, 6)) === "474946383761")  // GIF87a
+    val isBmp = len >= 26 && hex(substring(c, 1, 2)) === "424D"
+    df.withColumn("img_format",
+        when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp"))
+      .withColumn("img_width",
+        when(isPng, beU32(c, 17)).when(isGif, leU16(c, 7))
+          .when(isBmp, leS32Abs(c, 19)))
+      .withColumn("img_height",
+        when(isPng, beU32(c, 21)).when(isGif, leU16(c, 9))
+          .when(isBmp, leS32Abs(c, 23)))
+  }
+
   /** Video frame sampling plan: for each asset, the timestamps (ms) at
     * which frames would be decoded, one row per frame — pure declarative
     * `sequence` + `explode`, so Catalyst prunes and parallelizes it like

@@ -1326,6 +1326,27 @@ object GroupD {
       .orderBy("vec_id")
   }
 
+  /** d40: document-length histogram — the distribution summary every
+    * corpus report leads with (how long are the documents, per language),
+    * bucketed on a log2 scale so 1-token noise and 100k-token books land
+    * in readably-spaced bins. The bucket is INTEGER-EXACT on both engines:
+    * `length(bin(n))` = floor(log2(n)) + 1 via the binary-string length —
+    * never floor(log2(x)) on doubles, whose libm rounding at exact powers
+    * of two is engine-specific (d6/d21's no-float-boundary contract).
+    * One partial-agg shuffle of (lang, bucket) cells; scan-bandwidth.
+    */
+  def d40LengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .withColumn("bucket", length(bin(col("n"))).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("tok_sum"))
+      .orderBy("lang", "bucket")
+  }
+
   /** d34: INCREMENTAL near-dup dedup — the production shape: a new crawl
     * batch (sources src17–19 stand in for "this week's data") is deduped
     * AGAINST the already-ingested base without re-deduping the base. A
@@ -1606,6 +1627,7 @@ object GroupD {
     "d36_filtered_ann"     -> (d36FilteredAnn _),
     "d37_split_sharded"    -> (d37SplitSharded _),
     "d38_bpe_pairs"        -> (d38BpePairs _),
+    "d40_length_histogram" -> (d40LengthHistogram _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -1972,6 +1994,16 @@ object GroupD {
     // d37 computes the identical split via sharded ranks — same contract,
     // same oracle (the d31/d14 pattern).
     "d37_split_sharded" -> d15OracleSql,
+    "d40_length_histogram" ->
+      raw"""WITH toks AS (
+           |  SELECT lang,
+           |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+           |  FROM documents)
+           |SELECT lang, CAST(len(bin(n)) AS BIGINT) AS bucket,
+           |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_sum
+           |FROM toks WHERE n >= 1
+           |GROUP BY 1, 2
+           |ORDER BY lang, bucket""".stripMargin,
     "d38_bpe_pairs" ->
       s"""WITH words AS (
          |  SELECT w, count(*) AS wc FROM (

@@ -22,6 +22,40 @@ class MultimodalSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
   }
 
+  test("imageDimsPlan parses REAL png/gif/bmp headers; junk yields nulls") {
+    import java.nio.ByteBuffer
+    // a real PNG prefix: signature, IHDR length, "IHDR", 640x480 big-endian
+    val png = ByteBuffer.allocate(26)
+      .put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      .putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(640).putInt(480).array()
+    // a real GIF89a prefix: 320x200 little-endian u16 logical screen
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0, 0, 0, 0)
+    // a real BMP prefix: "BM", 12 filler bytes, header size 40,
+    // width 123, height -456 (top-down: parsed as |height|)
+    val bmp = ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).putInt(0).putInt(0).putInt(54)
+      .putInt(40).putInt(123).putInt(-456).array()
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+      11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26)
+    import spark.implicits._
+    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, junk))
+      .toDF("asset_id", "content")
+    val got = Multimodal.imageDimsPlan(df).orderBy("asset_id").collect()
+      .map(r => (Option(r.getString(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got(0) == (Some("png"), Some(640L), Some(480L)))
+    assert(got(1) == (Some("gif"), Some(320L), Some(200L)))
+    assert(got(2) == (Some("bmp"), Some(123L), Some(456L)))
+    assert(got(3) == (None, None, None))
+    // truncated content is null-dims, never an error
+    val short = Seq((9L, Array[Byte](0x89.toByte, 0x50))).toDF("asset_id", "content")
+    assert(Multimodal.imageDimsPlan(short).collect()(0).isNullAt(2))
+  }
+
   test("extractFeatures appends array<float> of the requested dim") {
     val out = Multimodal.extractFeatures(assets(), dim = 8)
     assert(out.schema("features").dataType.typeName == "array")
