@@ -40,6 +40,33 @@ object KMeans {
       wcss: Seq[Double],
       assignments: DataFrame)
 
+  /** Nearest-centroid id and its squared distance for every row —
+    * public so a memoized model can re-derive assignments for any frame
+    * with ONE scan and no training actions (the d33/AnnTuning serving
+    * discipline). Output: (vec_id, embedding, cluster, d2).
+    */
+  def assignWith(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assign(vectors, cents)
+
+  /** Fit once per `key`, then serve the model from the memo — training is
+    * `iters` driver-coordinated aggregate actions, so a bench/serving pass
+    * after the first should pay ZERO training jobs (PqIndex's contract;
+    * same putIfAbsent-lazy-holder lock discipline).
+    */
+  def fitMemoized(key: String, vectors: DataFrame, k: Int, iters: Int): Model = {
+    val fresh = new Memo(() => fit(vectors, k, iters))
+    val prior = memo.putIfAbsent(s"$key|$k|$iters", fresh)
+    (if (prior != null) prior else fresh).value
+  }
+
+  /** Test seam: force retrains (a memo hit would make determinism pins
+    * vacuous) — PqIndex.clearMemo's twin.
+    */
+  def clearMemo(): Unit = memo.clear()
+
+  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Model]]()
+
   /** Nearest-centroid id and its squared distance for every row. */
   private def assign(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val candidates = cents.zipWithIndex.map { case (c, i) =>

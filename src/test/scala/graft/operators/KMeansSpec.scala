@@ -58,6 +58,18 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("memoized fit serves the cached model; a cleared retrain is identical") {
+    KMeans.clearMemo()
+    val a = KMeans.fitMemoized("kmeans|spec-memo", vectors, k = 4, iters = 2)
+    val b = KMeans.fitMemoized("kmeans|spec-memo", vectors, k = 4, iters = 2)
+    assert(a eq b, "second call must hit the memo (no retraining jobs)")
+    KMeans.clearMemo()
+    val c = KMeans.fitMemoized("kmeans|spec-memo", vectors, k = 4, iters = 2)
+    assert(!(a eq c) &&
+      a.centroids.map(_.toSeq).toSeq == c.centroids.map(_.toSeq).toSeq,
+      "a genuine retrain must reproduce the identical model")
+  }
+
   test("k larger than the corpus degrades to one cluster per vector") {
     val tiny = vectors.filter(col("vec_id") < 3)
     val m = KMeans.fit(tiny, k = 8, iters = 1)
