@@ -112,6 +112,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash32"
   val PlainDoubleName = "graft_plain_double"
   val BloomName = "graft_bloom_contains"
+  val JpegDimsName = "graft_jpeg_dims"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -164,6 +165,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 2, s"$BloomName expects (binary, bigint)")
         BloomContains(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(JpegDimsName,
+      { exprs =>
+        require(exprs.length == 1, s"$JpegDimsName expects 1 argument")
+        JpegDims(exprs.head)
       }, "built-in")
   }
 }

@@ -98,16 +98,20 @@ object Multimodal {
   }
 
   /** Appends `img_format` / `img_width` / `img_height` parsed from the
-    * leading bytes of `bytesCol` — real decoding of the real container
-    * layouts (all public file-format specs):
+    * bytes of `bytesCol` — real decoding of the real container layouts
+    * (all public file-format specs):
     *   - PNG:  8-byte signature, IHDR width/height big-endian at 17/21
     *   - GIF:  "GIF8?a", logical screen u16 little-endian at 7/9
     *   - BMP:  "BM", BITMAPINFOHEADER s32 little-endian at 19/23
     *     (negative = top-down; |height| is reported)
+    *   - JPEG: FF D8 SOI; dimensions sit behind a variable-offset marker
+    *     chain, so the walk runs in the native codegen'd
+    *     [[graft.functions.JpegDims]] expression (§2.2 ladder step (b))
     * Unknown or truncated content yields NULLs, never an error — this runs
     * before any validity filter.
     */
   def imageDimsPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val c = col(bytesCol)
     val len = length(c)
     val isPng = len >= 24 && hex(substring(c, 1, 8)) === "89504E470D0A1A0A" &&
@@ -116,14 +120,20 @@ object Multimodal {
       (hex(substring(c, 1, 6)) === "474946383961" || // GIF89a
         hex(substring(c, 1, 6)) === "474946383761")  // GIF87a
     val isBmp = len >= 26 && hex(substring(c, 1, 2)) === "424D"
+    val jpegDims = expr(
+      s"${graft.functions.GraftFunctions.JpegDimsName}($bytesCol)")
+    val isJpeg = hex(substring(c, 1, 2)) === "FFD8" && jpegDims.isNotNull
     df.withColumn("img_format",
-        when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp"))
+        when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
+          .when(isJpeg, "jpeg"))
       .withColumn("img_width",
         when(isPng, beU32(c, 17)).when(isGif, leU16(c, 7))
-          .when(isBmp, leS32Abs(c, 19)))
+          .when(isBmp, leS32Abs(c, 19))
+          .when(isJpeg, element_at(jpegDims, 1).cast("long")))
       .withColumn("img_height",
         when(isPng, beU32(c, 21)).when(isGif, leU16(c, 9))
-          .when(isBmp, leS32Abs(c, 23)))
+          .when(isBmp, leS32Abs(c, 23))
+          .when(isJpeg, element_at(jpegDims, 2).cast("long")))
   }
 
   /** Video frame sampling plan: for each asset, the timestamps (ms) at

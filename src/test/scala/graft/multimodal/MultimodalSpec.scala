@@ -40,8 +40,18 @@ class MultimodalSpec extends AnyFunSuite {
       .putInt(40).putInt(123).putInt(-456).array()
     val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
       11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26)
+    // a real JPEG prefix: SOI, APP0/JFIF segment, SOF0 with 480x640
+    val jpeg = Array(
+      0xFF, 0xD8, // SOI
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, // APP0 len 16
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, // SOF0 len 17, precision 8
+      0x01, 0xE0, // height 480
+      0x02, 0x80, // width 640
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01,
+    ).map(_.toByte)
     import spark.implicits._
-    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, junk))
+    val df = Seq((1L, png), (2L, gif), (3L, bmp), (4L, junk), (5L, jpeg))
       .toDF("asset_id", "content")
     val got = Multimodal.imageDimsPlan(df).orderBy("asset_id").collect()
       .map(r => (Option(r.getString(2)),
@@ -51,6 +61,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1) == (Some("gif"), Some(320L), Some(200L)))
     assert(got(2) == (Some("bmp"), Some(123L), Some(456L)))
     assert(got(3) == (None, None, None))
+    assert(got(4) == (Some("jpeg"), Some(640L), Some(480L)))
     // truncated content is null-dims, never an error
     val short = Seq((9L, Array[Byte](0x89.toByte, 0x50))).toDF("asset_id", "content")
     assert(Multimodal.imageDimsPlan(short).collect()(0).isNullAt(2))

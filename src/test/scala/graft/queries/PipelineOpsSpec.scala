@@ -538,6 +538,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"d36 post branch: ${perQ.size} queries, " +
       s"min ${perQ.values.min} max ${perQ.values.max} neighbors")
     assert(perQ.values.max <= 5)
+    // overlap vs the exact filtered answer (brute force over 500 vectors)
+    val vecs = e.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sub = vecs.filter(_._2)
+    val exact = vecs.filter(_._1 < 50).map { case (q, _, qv) =>
+      q -> sub.filter(_._1 != q)
+        .map { case (id, _, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+    val approx = rows.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = exact.map { case (q, nns) =>
+      (nns intersect approx.getOrElse(q, Set.empty)).size.toDouble / nns.size
+    }.sum / exact.size
+    info(f"d36 post-filter top-5 overlap vs exact filtered: $overlap%.3f")
+    // measured 0.916: at ~80% selectivity most of a query's candidates
+    // survive the predicate, so the shared index barely loses recall —
+    // exactly why post-filter is the loose-predicate policy
+    assert(overlap >= 0.8, f"post-branch overlap $overlap%.3f below pin")
   }
 
   test("d39 SemDeDup drops are a subset of d9's corpus-wide drops; reruns identical") {

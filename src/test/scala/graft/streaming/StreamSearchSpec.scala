@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.TestSpark.{csvFile, tempDir}
+import graft.queries.Tables
+import graft.sources.CsvDialect
+
+/** Streaming filtered vector search: each micro-batch of queries is
+  * answered against the static corpus with the proven batch plan; results
+  * match the batch answer exactly and respect the predicate.
+  */
+class StreamSearchSpec extends AnyFunSuite {
+
+  test("each micro-batch is answered exactly like the batch plan") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), (col("label") === 1).as("matches"),
+        col("embedding").cast("array<double>").as("v"))
+    val vecs = corpus.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dir = tempDir("ssearch")
+    csvFile(dir, "q1.csv", "qid\n0\n1\n")
+    // the query stream carries ids; a stream-static join attaches vectors
+    val qStream = CsvStream.readStream(spark, dir, CsvDialect(),
+        maxFilesPerTrigger = 1)
+      .select(col("qid").cast("long").as("qid"))
+      .join(vecs, "qid")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = StreamSearch.serve(qStream, corpus, k = 3, "ssearch_spec",
+      (df, _) => got ++= df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(3))))
+    try {
+      q.processAllAvailable()
+      def batchAnswer(pred: org.apache.spark.sql.Column): Set[(Long, Long, Long)] =
+        StreamSearch.topKBatch(vecs.filter(pred), corpus, 3).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got.toSet == batchAnswer(col("qid") < 2),
+        "first micro-batch must equal the batch plan's answer")
+      // a later batch of queries is served independently (stateless)
+      csvFile(dir, "q2.csv", "qid\n2\n")
+      q.processAllAvailable()
+      assert(got.toSet == batchAnswer(col("qid") < 3))
+      assert(got.groupBy(_._1).keySet == Set(0L, 1L, 2L))
+      assert(got.groupBy(_._1).values.forall(_.size == 3))
+      // every served neighbor satisfies the predicate
+      val matching = corpus.filter(col("matches")).collect()
+        .map(_.getLong(0)).toSet
+      assert(got.forall { case (_, nn, _) => matching(nn) })
+    } finally q.stop()
+  }
+}
