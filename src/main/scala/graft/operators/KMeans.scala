@@ -44,9 +44,32 @@ object KMeans {
     * public so a memoized model can re-derive assignments for any frame
     * with ONE scan and no training actions (the d33/AnnTuning serving
     * discipline). Output: (vec_id, embedding, cluster, d2).
+    *
+    * Mechanism differs from training's [[assign]] on purpose: the
+    * literal-centroid expression tree grows O(k·dim) — at k beyond ~10 the
+    * DRIVER pays seconds of codegen/compile per query (measured: d39 at
+    * k=31 cost ~2 s of plan time). Serving instead broadcasts the k
+    * centroids as ROWS and takes the window argmin — plan size constant in
+    * k, same arithmetic (float→double widening, zip_with/aggregate fold
+    * order) and the same (d2, cluster) tie-break, so assignments are
+    * bit-identical (pinned in KMeansSpec).
     */
-  def assignWith(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame =
-    assign(vectors, cents)
+  def assignWith(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = vectors.sparkSession
+    val cdf = spark.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cluster", "cv")
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("cv"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0d), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    vectors.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("embedding"), col("cluster"), d2.as("d2"))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") === 1).drop("__crn")
+  }
 
   /** Fit once per `key`, then serve the model from the memo — training is
     * `iters` driver-coordinated aggregate actions, so a bench/serving pass

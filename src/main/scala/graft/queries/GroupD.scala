@@ -819,13 +819,24 @@ object GroupD {
     * rows-only, and KMeansSpec pins determinism, the Lloyd WCSS descent,
     * final-assignment self-consistency, and full coverage.
     */
-  def d27KMeans(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The corpus's shared k-means model (d27 + d39): trained once per
+    * corpus and served from the memo (round 8 — d33's discipline; repeat
+    * runs re-derive assignments in ONE scan with zero training actions;
+    * deterministic fit ⇒ memo == retrain, pinned via the clearMemo seam).
+    * k grows with the corpus at a CONSTANT ~64-vector target cluster size
+    * (SemDeDup's k ∝ n regime) with a floor of 8 — so within-cluster
+    * pairwise work in d39 stays LINEAR (n/64 clusters × 64² pairs = 64n).
+    */
+  private[queries] def corpusKMeans(spark: SparkSession, sfDir: String)
+      : (DataFrame, graft.operators.KMeans.Model) = {
     val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    // train once per corpus, serve from the memoized model (round 8 —
-    // d33's discipline): repeat runs re-derive assignments in ONE scan
-    // with zero training actions; deterministic fit ⇒ memo == retrain
-    // (pinned with the clearMemo seam in KMeansSpec)
-    val model = graft.operators.KMeans.fitMemoized(s"kmeans|$sfDir", emb, k = 8, iters = 3)
+    val n = emb.count()
+    val k = math.max(8, math.min(4096, (n / 64).toInt))
+    (emb, graft.operators.KMeans.fitMemoized(s"kmeans|$sfDir|$k", emb, k, iters = 3))
+  }
+
+  def d27KMeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, model) = corpusKMeans(spark, sfDir)
     graft.operators.KMeans.assignWith(emb, model.centroids)
       .select("vec_id", "cluster").orderBy("vec_id")
   }
@@ -1308,10 +1319,7 @@ object GroupD {
     */
   def d39SemDedup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    // shares d27's memoized model (same corpus key): the assignment is one
-    // scan, and no join back is needed — assignWith keeps the vectors
-    val model = graft.operators.KMeans.fitMemoized(s"kmeans|$sfDir", emb, k = 8, iters = 3)
+    val (emb, model) = corpusKMeans(spark, sfDir)
     val assign = graft.operators.KMeans.assignWith(emb, model.centroids)
       .select(col("vec_id"), col("cluster"),
         col("embedding").cast("array<double>").as("v"))

@@ -58,6 +58,17 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("serving assignWith (broadcast argmin) equals training's literal-centroid assign") {
+    val m = KMeans.fit(vectors, k = 8, iters = 2)
+    val trained = m.assignments.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val served = KMeans.assignWith(vectors, m.centroids)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(trained.nonEmpty && served == trained,
+      "the two assignment mechanisms must agree bit-for-bit")
+  }
+
   test("memoized fit serves the cached model; a cleared retrain is identical") {
     KMeans.clearMemo()
     val a = KMeans.fitMemoized("kmeans|spec-memo", vectors, k = 4, iters = 2)

@@ -30,6 +30,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
+  test("d38: global top-20 plans as TakeOrderedAndProject, never a full sort") {
+    val p = plan("d38_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("d40: pure two-level aggregate — no join, no window") {
+    val p = plan("d40_length_histogram")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("d37: shard offsets join as a broadcast (model-sized side)") {
+    assert(plan("d37_split_sharded").contains("BroadcastHashJoin"))
+  }
+
   test("a2: conditional filters are pushed into the CSV scan (PushedFilters)") {
     val p = plan("a2_filter_conditionals")
     assert(p.contains("PushedFilters: ["), p.linesIterator.take(30).mkString("\n"))
@@ -115,9 +130,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // a broadcast tiny side is the right plan. Everything else must stay
     // on equi-keys.
     // d33 broadcasts the bounded query set against PQ-reconstructed
-    // vectors (d3's pattern, stage 1 of the two-stage retrieval)
+    // vectors (d3's pattern, stage 1 of the two-stage retrieval);
+    // d27/d39 broadcast the k-row centroid table for the serving-path
+    // argmin assignment (d11's centroid pattern); d36's brute/pre
+    // branches broadcast the bounded query set (d35's pattern)
     val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
-      "d16_tfidf", "d33_ann_pq", "d35_filtered_knn")
+      "d16_tfidf", "d33_ann_pq", "d35_filtered_knn", "d27_kmeans",
+      "d39_semdedup", "d36_filtered_ann")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
