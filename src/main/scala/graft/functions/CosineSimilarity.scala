@@ -113,6 +113,7 @@ object GraftFunctions {
   val PlainDoubleName = "graft_plain_double"
   val BloomName = "graft_bloom_contains"
   val JpegDimsName = "graft_jpeg_dims"
+  val CmsCountName = "graft_cms_count"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -170,6 +171,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$JpegDimsName expects 1 argument")
         JpegDims(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(CmsCountName,
+      { exprs =>
+        require(exprs.length == 2, s"$CmsCountName expects (binary, bigint)")
+        CmsCount(exprs.head, exprs(1))
       }, "built-in")
   }
 }

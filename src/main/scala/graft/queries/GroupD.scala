@@ -1429,9 +1429,9 @@ object GroupD {
     * the vocab side is corpus-bounded and hot bigrams are single vocab
     * rows — the join fans out only to real occurrences.
     */
-  def d32BigramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-    val occ = docs
+  /** Per-doc bigram occurrences — d32/d41's shared frame. */
+  private[queries] def bigramOccurrences(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), GroupC.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -1439,6 +1439,10 @@ object GroupD {
           "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
       .select(col("doc_id"), col("lang"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def d32BigramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val occ = bigramOccurrences(docs)
     val vocab = occ.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 5)
       .select(col("lang"), col("w1"), col("w2"), lit(1).as("in_vocab"))
@@ -1451,6 +1455,48 @@ object GroupD {
       // n_oov·10⁴ < 2⁵³ and the quotient isn't ulp-adjacent
       .withColumn("novelty_fp", expr("(n_oov * 10000) div n_bigrams"))
       .orderBy("doc_id")
+  }
+
+  /** d41: d32's novelty scoring with the vocabulary gate approximated by
+    * a COUNT-MIN SKETCH — the sound version of the "cap the long-tail
+    * bigram shuffle" idea (the exact map-side min-count was proven
+    * unsound, SCALE d29 row). d32 materializes the ≥5-count vocab as a
+    * TABLE (scales with distinct bigrams; must shuffle + join); here the
+    * frequencies live in a fixed depth×width sketch built in one pass,
+    * embedded as a plan literal, and probed at scan speed by the native
+    * [[graft.functions.CmsCount]] expression — NO join anywhere. CMS
+    * error is one-sided (estimate ≥ truth), so the gate can only move
+    * bigrams INTO the vocab: `novelty_cms ≤ novelty_exact` per doc,
+    * pinned in PipelineOpsSpec alongside the measured deviation.
+    * Approximate ⇒ rows-only (d4's contract). Sketch bytes are memoized
+    * per corpus (AnnTuning's one-time-build discipline).
+    */
+  def d41BigramNoveltyCms(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val occ = bigramOccurrences(Tables(spark, sfDir, "documents"))
+      .withColumn("h", xxhash64(col("lang"), col("w1"), col("w2")))
+    val bytes = cmsBytes(s"cms|$sfDir")(
+      graft.functions.CmsCount.serialized(occ.select("h"), "h"))
+    occ
+      .withColumn("est", call_function(
+        graft.functions.GraftFunctions.CmsCountName, lit(bytes), col("h")))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("est") < 5, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("novelty_fp", expr("(n_oov * 10000) div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
+  private val cmsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Memo[Array[Byte]]]()
+  /** One sketch build per corpus key (the putIfAbsent-lazy-holder lock
+    * discipline shared with AnnTuning/PqIndex/KMeans).
+    */
+  private def cmsBytes(key: String)(build: => Array[Byte]): Array[Byte] = {
+    val fresh = new Memo(() => build)
+    val prior = cmsMemo.putIfAbsent(key, fresh)
+    (if (prior != null) prior else fresh).value
   }
 
   /** d28: overlapping token-window chunking — the RAG/embedding chunker
@@ -1643,6 +1689,9 @@ object GroupD {
     "d37_split_sharded"    -> (d37SplitSharded _),
     "d38_bpe_pairs"        -> (d38BpePairs _),
     "d40_length_histogram" -> (d40LengthHistogram _),
+    // d41 is approximate (CMS-gated vocab) — rows-only; one-sidedness and
+    // deviation vs d32's exact gate pinned in PipelineOpsSpec.
+    "d41_bigram_novelty_cms" -> (d41BigramNoveltyCms _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),

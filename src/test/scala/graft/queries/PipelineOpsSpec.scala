@@ -613,6 +613,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"clustered-regime recall $recall%.3f below pin")
   }
 
+  test("d41 CMS-gated novelty is one-sided vs d32's exact gate, and deterministic") {
+    val exact = GroupD.d32BigramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cms = GroupD.d41BigramNoveltyCms(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(cms.nonEmpty && cms.keySet == exact.keySet)
+    // same denominators; CMS can only over-count, so OOV (and novelty)
+    // can only shrink
+    assert(cms.forall { case (id, (nb, noov, nov)) =>
+      nb == exact(id)._1 && noov <= exact(id)._2 && nov <= exact(id)._3 })
+    val agree = cms.count { case (id, v) => v == exact(id) }
+    info(f"d41 exact-agreement: $agree/${cms.size} docs")
+    assert(agree.toDouble / cms.size >= 0.95,
+      "at eps=1e-4 on this corpus the sketch should almost never collide")
+    val again = GroupD.d41BigramNoveltyCms(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == cms, "fixed-seed sketch must be deterministic")
+  }
+
   test("d38 BPE pairs: ranks contiguous, counts non-increasing, weights positive") {
     val rows = GroupD.d38BpePairs(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
