@@ -1185,12 +1185,30 @@ object GroupD {
     */
   private[queries] def filteredAnnLsh(e: DataFrame, spark: SparkSession,
       key: String, k: Int = 5,
-      queryPred: Column = col("vec_id") < 50): DataFrame = {
+      queryPred: Column = col("vec_id") < 50): DataFrame =
+    filteredAnnCore(
+      e.filter(queryPred).select(col("vec_id").as("qid"), col("v").as("qv")),
+      e, spark, key, k, selectivity(e))
+
+  /** The measured fraction of `e` satisfying its `matches` predicate —
+    * ONE tiny aggregate (at serving scale: a catalog stat). Computed once
+    * per corpus by batch callers; a streaming server computes it once at
+    * START (the static side never changes mid-stream).
+    */
+  private[graft] def selectivity(e: DataFrame): Double = {
+    val r = e.agg(count(lit(1)), count(when(col("matches"), lit(1)))).collect()(0)
+    r.getLong(1).toDouble / math.max(r.getLong(0), 1L)
+  }
+
+  /** Policy-routed filtered top-k with an EXPLICIT query frame (qid, qv) —
+    * [[filteredAnnLsh]]'s body, also the per-micro-batch worker of
+    * [[graft.streaming.StreamSearch.servePolicy]].
+    */
+  private[graft] def filteredAnnCore(q: DataFrame, e: DataFrame,
+      spark: SparkSession, key: String, k: Int, sel: Double): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val statsRow = e.agg(count(lit(1)), count(when(col("matches"), lit(1)))).collect()(0)
-    val sel = statsRow.getLong(1).toDouble / math.max(statsRow.getLong(0), 1L)
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val policy = filteredAnnPolicy(sel)
-    val q = e.filter(queryPred).select(col("vec_id").as("qid"), col("v").as("qv"))
     val sims = policy match {
       case "brute" =>
         e.filter(col("matches"))
@@ -1209,7 +1227,8 @@ object GroupD {
           .as(Seq("tbl", "bucket")))
         val index = graft.operators.AnnTuning.capBuckets(
           keyed(indexSide), graft.operators.AnnTuning.effectiveCap(tuned))
-        val cand0 = keyed(e.filter(queryPred).select("vec_id", "v")).as("x")
+        val cand0 = keyed(q.select(col("qid").as("vec_id"), col("qv").as("v")))
+          .as("x")
           .join(index.as("y"),
             col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
               col("x.vec_id") =!= col("y.vec_id"))
@@ -1223,7 +1242,7 @@ object GroupD {
               e.filter(col("matches")).select(col("vec_id").as("nn_id")), "nn_id")
           else cand0
         cand
-          .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+          .join(q, Seq("qid"))
           .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
           .select(col("qid"), col("nn_id"), GroupC.cosine("nv", "qv").as("s"))
     }

@@ -56,4 +56,26 @@ object StreamSearch {
         sink(topKBatch(batch.toDF(), corpus, k), batchId)
       }
       .start()
+
+  /** Policy-routed serving (d36's brute/pre/post decision on a stream):
+    * the static side never changes mid-stream, so predicate SELECTIVITY is
+    * measured ONCE at start — every micro-batch then runs the routed plan
+    * (`GroupD.filteredAnnCore`), with the pre/post branch's banding tuned
+    * and memoized on the first batch and served as plan literals after.
+    * `corpus` = (vec_id, matches: boolean, v: array<double>).
+    */
+  def servePolicy(queries: DataFrame, corpus: DataFrame, k: Int,
+      key: String, queryName: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val sel = graft.queries.GroupD.selectivity(corpus)
+    val spark = corpus.sparkSession
+    queries.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(graft.queries.GroupD.filteredAnnCore(
+          batch.toDF(), corpus, spark, key, k, sel), batchId)
+      }
+      .start()
+  }
 }

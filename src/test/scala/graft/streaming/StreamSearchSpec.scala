@@ -52,4 +52,36 @@ class StreamSearchSpec extends AnyFunSuite {
       assert(got.forall { case (_, nn, _) => matching(nn) })
     } finally q.stop()
   }
+
+  test("policy-routed serving answers micro-batches through the d36 machinery") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), (col("label") === 1).as("matches"),
+        col("embedding").cast("array<double>").as("v"))
+    val vecs = corpus.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dir = tempDir("ssearch_pol")
+    csvFile(dir, "q1.csv", "qid\n0\n1\n2\n")
+    val qStream = CsvStream.readStream(spark, dir, CsvDialect(),
+        maxFilesPerTrigger = 1)
+      .select(col("qid").cast("long").as("qid"))
+      .join(vecs, "qid")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = StreamSearch.servePolicy(qStream, corpus, k = 3,
+      key = "fann|stream-spec", queryName = "ssearch_policy_spec",
+      (df, _) => got ++= df.collect().map(r => (r.getLong(0), r.getLong(1))))
+    try {
+      q.processAllAvailable()
+      assert(got.nonEmpty && got.map(_._1).toSet == Set(0L, 1L, 2L))
+      // the routed batch plan gives the identical answer
+      val batch = graft.queries.GroupD.filteredAnnCore(
+        vecs.filter(col("qid") < 3), corpus, spark, "fann|stream-spec",
+        k = 3, graft.queries.GroupD.selectivity(corpus)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == batch)
+      val matching = corpus.filter(col("matches")).collect()
+        .map(_.getLong(0)).toSet
+      assert(got.forall { case (_, nn) => matching(nn) })
+    } finally q.stop()
+  }
 }
