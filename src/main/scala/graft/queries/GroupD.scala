@@ -1518,6 +1518,35 @@ object GroupD {
     (if (prior != null) prior else fresh).value
   }
 
+  /** d42: robust outlier flagging — the data-quality pass that catches
+    * truncated fragments and runaway concatenations by LENGTH, per
+    * language: a document is an outlier when its token count deviates
+    * from the lang median by more than 3× the median absolute deviation
+    * (median/MAD, not mean/stddev — one 100k-token monster would drag a
+    * mean-based gate, the standard robust-statistics argument). Exact on
+    * both engines: the measures are integers, so every interpolated
+    * median is a binary fraction (halves, then quarters for the MAD of
+    * half-valued deviations) — representable exactly in doubles, b21's
+    * percentile-parity contract. Two partial-agg shuffles (lang medians,
+    * lang MADs) + broadcast-sized joins back.
+    */
+  def d42OutlierDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val med = docs.groupBy("lang")
+      .agg(percentile(col("n_tokens"), lit(0.5)).as("med"))
+    val dev = docs.join(broadcast(med), "lang")
+      .withColumn("adev", abs(col("n_tokens") - col("med")))
+    val mad = dev.groupBy("lang")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("med"), col("mad"),
+        (col("adev") > lit(3d) * col("mad")).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** d28: overlapping token-window chunking — the RAG/embedding chunker
     * that cuts each document's token stream into fixed windows of 64
     * tokens at stride 48 (16-token overlap, so no boundary sentence is
@@ -1711,6 +1740,7 @@ object GroupD {
     // d41 is approximate (CMS-gated vocab) — rows-only; one-sidedness and
     // deviation vs d32's exact gate pinned in PipelineOpsSpec.
     "d41_bigram_novelty_cms" -> (d41BigramNoveltyCms _),
+    "d42_outlier_docs"     -> (d42OutlierDocs _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2077,6 +2107,25 @@ object GroupD {
     // d37 computes the identical split via sharded ranks — same contract,
     // same oracle (the d31/d14 pattern).
     "d37_split_sharded" -> d15OracleSql,
+    "d42_outlier_docs" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+           |  FROM documents),
+           |med AS (
+           |  SELECT lang, quantile_cont(n_tokens, 0.5) AS med
+           |  FROM toks GROUP BY 1),
+           |dev AS (
+           |  SELECT t.doc_id, t.lang, t.n_tokens, m.med,
+           |    abs(t.n_tokens - m.med) AS adev
+           |  FROM toks t JOIN med m USING (lang)),
+           |mad AS (
+           |  SELECT lang, quantile_cont(adev, 0.5) AS mad
+           |  FROM dev GROUP BY 1)
+           |SELECT d.doc_id, d.lang, d.n_tokens, d.med, m2.mad,
+           |  (d.adev > 3 * m2.mad) AS is_outlier
+           |FROM dev d JOIN mad m2 USING (lang)
+           |ORDER BY d.doc_id""".stripMargin,
     "d40_length_histogram" ->
       raw"""WITH toks AS (
            |  SELECT lang,
