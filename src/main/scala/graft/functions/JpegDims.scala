@@ -77,8 +77,9 @@ object JpegDims {
       if (j >= b.length) return null
       val m = b(j) & 0xff
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
-        // SOFn: LEN(2) precision(1) height(2) width(2)
-        if (j + 8 >= b.length) return null
+        // SOFn: LEN(2) precision(1) height(2) width(2) — the last needed
+        // byte is b(j+7), so a buffer of exactly j+8 bytes is complete
+        if (j + 8 > b.length) return null
         val h = ((b(j + 4) & 0xff) << 8) | (b(j + 5) & 0xff)
         val w = ((b(j + 6) & 0xff) << 8) | (b(j + 7) & 0xff)
         return Array(w, h)

@@ -87,9 +87,12 @@ object Multimodal {
   /** Big-endian u32 at `pos` (PNG's network byte order). */
   private def beU32(c: org.apache.spark.sql.Column, pos: Int) =
     conv(hex(substring(c, pos, 4)), 16, 10).cast("long")
-  /** Little-endian u16 / s32-as-abs at `pos` (GIF / BMP). */
+  /** Little-endian u16 / u32 / s32-as-abs at `pos` (GIF / BMP). */
   private def leU16(c: org.apache.spark.sql.Column, pos: Int) =
     u8(c, pos) + u8(c, pos + 1) * 256L
+  private def leU32(c: org.apache.spark.sql.Column, pos: Int) =
+    u8(c, pos) + u8(c, pos + 1) * 256L +
+      u8(c, pos + 2) * 65536L + u8(c, pos + 3) * 16777216L
   private def leS32Abs(c: org.apache.spark.sql.Column, pos: Int) = {
     val u = u8(c, pos) + u8(c, pos + 1) * 256L +
       u8(c, pos + 2) * 65536L + u8(c, pos + 3) * 16777216L
@@ -119,21 +122,31 @@ object Multimodal {
     val isGif = len >= 10 &&
       (hex(substring(c, 1, 6)) === "474946383961" || // GIF89a
         hex(substring(c, 1, 6)) === "474946383761")  // GIF87a
-    val isBmp = len >= 26 && hex(substring(c, 1, 2)) === "424D"
-    val jpegDims = expr(
-      s"${graft.functions.GraftFunctions.JpegDimsName}($bytesCol)")
-    val isJpeg = hex(substring(c, 1, 2)) === "FFD8" && jpegDims.isNotNull
-    df.withColumn("img_format",
+    // the 'BM' magic alone also matches 12-byte BITMAPCOREHEADER bitmaps,
+    // whose dims are u16 at 19/21 — gate on the DIB header size (u32 at
+    // 15): 40+ (INFO/V4/V5) is the s32-at-19/23 layout parsed here; CORE
+    // files fall through to NULLs rather than garbage
+    val isBmp = len >= 26 && hex(substring(c, 1, 2)) === "424D" &&
+      leU32(c, 15) >= 40L
+    // the marker-chain walk scans the bytes: evaluate it ONCE into a
+    // column (CaseWhen branches are outside codegen's subexpression
+    // elimination — inlining it would re-scan per output column)
+    val jd = col("__graft_jd")
+    val isJpeg = hex(substring(c, 1, 2)) === "FFD8" && jd.isNotNull
+    df.withColumn("__graft_jd", expr(
+        s"${graft.functions.GraftFunctions.JpegDimsName}($bytesCol)"))
+      .withColumn("img_format",
         when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
           .when(isJpeg, "jpeg"))
       .withColumn("img_width",
         when(isPng, beU32(c, 17)).when(isGif, leU16(c, 7))
           .when(isBmp, leS32Abs(c, 19))
-          .when(isJpeg, element_at(jpegDims, 1).cast("long")))
+          .when(isJpeg, element_at(jd, 1).cast("long")))
       .withColumn("img_height",
         when(isPng, beU32(c, 21)).when(isGif, leU16(c, 9))
           .when(isBmp, leS32Abs(c, 23))
-          .when(isJpeg, element_at(jpegDims, 2).cast("long")))
+          .when(isJpeg, element_at(jd, 2).cast("long")))
+      .drop("__graft_jd")
   }
 
   /** Video frame sampling plan: for each asset, the timestamps (ms) at

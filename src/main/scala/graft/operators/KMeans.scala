@@ -63,12 +63,17 @@ object KMeans {
       zip_with(col("embedding"), col("cv"),
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0d), (acc, x) => acc + x)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+    // argmin as min(struct(d2, cluster, embedding)): the partial aggregate
+    // combines MAP-SIDE, so the exchange carries ~n rows instead of the
+    // n·k a window-over-crossJoin would shuffle and sort (review finding);
+    // (d2, cluster) never ties within a vec_id (cluster ids are distinct),
+    // so the struct order is exactly the (d2 asc, cluster asc) tie-break
     vectors.crossJoin(broadcast(cdf))
       .select(col("vec_id"), col("embedding"), col("cluster"), d2.as("d2"))
-      .withColumn("__crn", row_number().over(w))
-      .filter(col("__crn") === 1).drop("__crn")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cluster"), col("embedding"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.cluster").as("cluster"), col("b.d2").as("d2"))
   }
 
   /** Fit once per `key`, then serve the model from the memo — training is

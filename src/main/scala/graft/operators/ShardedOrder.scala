@@ -43,6 +43,14 @@ object ShardedOrder {
   def rankAndPrefixSum(df: DataFrame, keys: Seq[String], h: Column,
       tie: Column, weight: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "sharded order needs at least one key column")
+    // fail fast on name clashes: silently overwriting a caller's column
+    // (and dropping the internal ones at the end) would destroy user data
+    val reserved = Seq("__h", "__shard", "__w", "__srn", "__spre",
+      "__coff", "__soff", "rn", "n") ++ (if (weight.isDefined) Seq("prefix") else Nil)
+    val clashes = df.columns.toSet intersect reserved.toSet
+    require(clashes.isEmpty,
+      s"input columns collide with sharded-order outputs/internals: " +
+        s"${clashes.mkString(", ")} — rename them first")
     val kCols = keys.map(col)
     val keyed = df.withColumn("__h", h)
       .withColumn("__shard", conv(substring(col("__h"), 1, 1), 16, 10).cast("int"))

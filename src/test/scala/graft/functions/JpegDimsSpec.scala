@@ -32,6 +32,13 @@ class JpegDimsSpec extends AnyFunSuite {
     assert(JpegDims.scan(b).toSeq == Seq(20, 10))
   }
 
+  test("a buffer ending exactly at the SOF width field still parses") {
+    // all four dimension bytes present, nothing after: b.length == j+8
+    val sofPrefix = Seq(0xFF, 0xC0, 0x00, 0x11, 0x08, 0x00, 0x07, 0x00, 0x09)
+    val b = bytes(Seq(0xFF, 0xD8) ++ app0 ++ sofPrefix: _*)
+    assert(JpegDims.scan(b).toSeq == Seq(9, 7))
+  }
+
   test("refusals: no SOI, EOI before SOF, truncation, bad length, null") {
     assert(JpegDims.scan(bytes(0x89, 0x50, 0x4E, 0x47)) == null)
     assert(JpegDims.scan(bytes(0xFF, 0xD8, 0xFF, 0xD9)) == null) // EOI first

@@ -62,6 +62,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2) == (Some("bmp"), Some(123L), Some(456L)))
     assert(got(3) == (None, None, None))
     assert(got(4) == (Some("jpeg"), Some(640L), Some(480L)))
+    // a 12-byte BITMAPCOREHEADER bmp has u16 dims at other offsets — it
+    // must yield NULLs, not the INFOHEADER layout's garbage
+    val coreBmp = ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).putInt(0).putInt(0).putInt(26)
+      .putInt(12).putShort(100.toShort).putShort(50.toShort).array()
+    val core = Seq((9L, coreBmp)).toDF("asset_id", "content")
+    val coreRow = Multimodal.imageDimsPlan(core).collect()(0)
+    assert(coreRow.isNullAt(2) && coreRow.isNullAt(3) && coreRow.isNullAt(4))
     // truncated content is null-dims, never an error
     val short = Seq((9L, Array[Byte](0x89.toByte, 0x50))).toDF("asset_id", "content")
     assert(Multimodal.imageDimsPlan(short).collect()(0).isNullAt(2))

@@ -461,6 +461,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plain.nonEmpty && sharded == plain)
   }
 
+  test("sharded order fails fast when input columns collide with its outputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    val df = Seq((1L, "a", 2L)).toDF("id", "k", "n")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ShardedOrder.rankAndPrefixSum(
+        df, Seq("k"), md5(col("id").cast("string")), col("id"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("d36 policy: brute for rare predicates, pre for selective, post for loose") {
     assert(GroupD.filteredAnnPolicy(0.01) == "brute")
     assert(GroupD.filteredAnnPolicy(0.02) == "brute")
