@@ -82,6 +82,10 @@ object JpegDims {
         if (j + 8 > b.length) return null
         val h = ((b(j + 4) & 0xff) << 8) | (b(j + 5) & 0xff)
         val w = ((b(j + 6) & 0xff) << 8) | (b(j + 7) & 0xff)
+        // SOF may legally carry height=0 with the real height deferred to a
+        // DNL marker (ITU T.81 §B.2.2); treat either zero dim as unparseable
+        // so such files land in the NULL-dims bucket, not as height 0
+        if (w == 0 || h == 0) return null
         return Array(w, h)
       } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
         i = j + 1 // standalone marker, no length field

@@ -114,6 +114,13 @@ object Multimodal {
     * before any validity filter.
     */
   def imageDimsPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
+    // fail fast on name clashes (ShardedOrder.rankAndPrefixSum discipline):
+    // withColumn would silently overwrite pre-existing caller columns
+    val reserved = Seq("img_format", "img_width", "img_height", "__graft_jd")
+    val clashes = df.columns.toSet intersect reserved.toSet
+    require(clashes.isEmpty,
+      s"input columns collide with imageDimsPlan outputs/internals: " +
+        s"${clashes.mkString(", ")} — rename them first")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val c = col(bytesCol)
     val len = length(c)

@@ -39,6 +39,14 @@ object ShardedOrder {
     *     (0 for the first row; only when `weight` is set)
     * computed per (key, leading-nibble-of-h shard) with shard-offset
     * prefix sums. `h` must be a lowercase hex string (e.g. `md5(...)`).
+    *
+    * CONTRACT — small key cardinality: the offsets frame is
+    * |distinct keys| × 16 rows and is force-broadcast, so `keys` must be a
+    * LOW-cardinality grouping (languages, splits, source buckets — the
+    * dominant-key scenario this operator exists for). Sharding by a
+    * high-cardinality key (doc prefix, user id) would push the broadcast
+    * past the threshold / driver memory; such keys don't have the
+    * dominant-key problem in the first place — use a plain window.
     */
   def rankAndPrefixSum(df: DataFrame, keys: Seq[String], h: Column,
       tie: Column, weight: Option[Column] = None): DataFrame = {

@@ -220,6 +220,10 @@ private[graft] final class TopKPartitionIterator(
       TaskContext.get().taskMemoryManager().pageSizeBytes(),
       env.conf.get(config.SHUFFLE_SPILL_NUM_ELEMENTS_FORCE_SPILL_THRESHOLD),
       env.conf.get(config.SHUFFLE_SPILL_MAX_SIZE_FORCE_SPILL_THRESHOLD))
+    // register cleanup BEFORE inserting: an exception while draining input
+    // (spill IO failure) must still release the sorter's spill files/pages
+    Option(TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
     val toUnsafe = UnsafeProjection.create(output.map(_.dataType).toArray)
     heaps.foreach { case (key, heap) =>
       heap.iterator.foreach(r => sorter.insertKV(key, toUnsafe(r)))
@@ -230,8 +234,6 @@ private[graft] final class TopKPartitionIterator(
       val r = rows.next()
       sorter.insertKV(keyProj(r), toUnsafe(r))
     }
-    Option(TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
     sorted = sorter.sortedIterator()
     sortedHasRow = sorted.next()
   }

@@ -33,8 +33,13 @@ object StreamSearch {
     // temp function must exist on both
     graft.functions.GraftFunctions.register(queries.sparkSession)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // file replay / at-least-once sources can redeliver a qid within one
+    // micro-batch; duplicate qid rows would duplicate sims rows and the
+    // row_number window would then interleave them, returning ~k/2 distinct
+    // neighbors per query — dedup the (tiny, broadcast-bound) query side
+    val uniq = queries.dropDuplicates("qid")
     val sims = corpus.filter(col("matches"))
-      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .join(broadcast(uniq), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nn_id"),
         expr(s"${graft.functions.GraftFunctions.CosineName}(v, qv)").as("s"))
     val w = Window.partitionBy("qid").orderBy(col("s").desc, col("nn_id"))

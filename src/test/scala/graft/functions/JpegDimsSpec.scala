@@ -39,6 +39,15 @@ class JpegDimsSpec extends AnyFunSuite {
     assert(JpegDims.scan(b).toSeq == Seq(9, 7))
   }
 
+  test("DNL-deferred height (SOF height=0) is unparseable, not img_height=0") {
+    // ITU T.81 §B.2.2 allows SOF height 0 with the real value in a later
+    // DNL marker; the scan must refuse rather than report a 0 dimension
+    val hZero = bytes(Seq(0xFF, 0xD8) ++ app0 ++ sof(0xC0, 0, 640): _*)
+    val wZero = bytes(Seq(0xFF, 0xD8) ++ app0 ++ sof(0xC0, 480, 0): _*)
+    assert(JpegDims.scan(hZero) == null)
+    assert(JpegDims.scan(wZero) == null)
+  }
+
   test("refusals: no SOI, EOI before SOF, truncation, bad length, null") {
     assert(JpegDims.scan(bytes(0x89, 0x50, 0x4E, 0x47)) == null)
     assert(JpegDims.scan(bytes(0xFF, 0xD8, 0xFF, 0xD9)) == null) // EOI first

@@ -75,6 +75,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageDimsPlan(short).collect()(0).isNullAt(2))
   }
 
+  test("imageDimsPlan fails fast on output-column name clashes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val df = Seq((1L, "x")).toDF("asset_id", "img_width")
+      .withColumn("content", lit(Array[Byte](1, 2)))
+    val e = intercept[IllegalArgumentException](Multimodal.imageDimsPlan(df))
+    assert(e.getMessage.contains("img_width"))
+  }
+
   test("extractFeatures appends array<float> of the requested dim") {
     val out = Multimodal.extractFeatures(assets(), dim = 8)
     assert(out.schema("features").dataType.typeName == "array")

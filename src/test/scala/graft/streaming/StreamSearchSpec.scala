@@ -53,6 +53,26 @@ class StreamSearchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("duplicate qids in one micro-batch (at-least-once redelivery) still get k neighbors") {
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val corpus = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), (col("label") === 1).as("matches"),
+        col("embedding").cast("array<double>").as("v"))
+    val vecs = corpus.select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dup = vecs.filter(col("qid") < 2).unionAll(vecs.filter(col("qid") < 2))
+    val rows = StreamSearch.topKBatch(dup, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // without the qid dedup, duplicated sims rows interleave under the
+    // row_number window and each query surfaces only ~k/2 distinct neighbors
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L))
+    assert(byQ.values.forall(g => g.map(_._2).distinct.size == 3))
+    val clean = StreamSearch.topKBatch(vecs.filter(col("qid") < 2), corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rows.toSet == clean)
+  }
+
   test("policy-routed serving answers micro-batches through the d36 machinery") {
     val spark = TestSpark.spark
     val sf = "/root/testdata/sf0.001"
