@@ -132,6 +132,41 @@ class ChunkCollocationSpec extends AnyFunSuite {
     assert(got.subsetOf(delta), "output must contain only delta documents")
   }
 
+  test("d34: rarest-first probing prunes the candidate join (visible) and stays complete") {
+    // round-9: d34 probes with each delta doc's floor(2n/5)+1 rarest
+    // shingles instead of ALL delta shingles — the pruning must be a
+    // measured number (d30's discipline), and pigeonhole completeness
+    // means the candidate PAIR set must still cover every J>=0.6 match
+    val sf01 = "/root/testdata/sf0.01"
+    val deltaIds = Tables(spark, sf01, "documents")
+      .filter(col("source").isin("src17", "src18", "src19")).select("doc_id")
+    val sh = GroupC.shingles(spark, sf01)
+    val shDelta = sh.join(deltaIds, "doc_id")
+    // the SHIPPED probe rule, not a copy
+    val probes = GroupD.incrementalProbes(sh, deltaIds)
+    val probeMeets = probes.as("d").join(sh.as("o"), "shingle")
+      .filter(col("d.doc_id") =!= col("o.doc_id")).count()
+    val fullMeets = shDelta.as("d").join(sh.as("o"), "shingle")
+      .filter(col("d.doc_id") =!= col("o.doc_id")).count()
+    val fraction = probeMeets.toDouble / fullMeets
+    info(f"probe meets $probeMeets vs full $fullMeets -> fraction $fraction%.3f")
+    assert(fraction < 0.6, f"prefix filter stopped pruning: $fraction%.3f")
+    // completeness: every qualifying pair (delta doc, partner) appears
+    // among the prefix-probe candidates
+    val candPairs = probes.as("d").join(sh.as("o"), "shingle")
+      .filter(col("d.doc_id") =!= col("o.doc_id"))
+      .select(col("d.doc_id").as("did"), col("o.doc_id").as("oid"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qualifying = GroupC.pairOverlap(spark, sf01)
+      .filter(col("c") * 8 >= (col("na") + col("nb")) * 3)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val deltaSet = deltaIds.collect().map(_.getLong(0)).toSet
+    val required = qualifying.filter { case (d, _) => deltaSet(d) }.toSet
+    assert(required.subsetOf(candPairs),
+      s"prefix probes missed qualifying pairs: ${required -- candPairs}")
+  }
+
   test("a9: drifted batches union by name with nulls exactly where the column was absent") {
     val out = GroupA.a9SchemaDrift(spark, sf).cache()
     try {

@@ -624,6 +624,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"clustered-regime recall $recall%.3f below pin")
   }
 
+  test("d39 SemDeDup bounds pair volume on an adversarially dense cluster") {
+    // one embedding region concentrating into a single k-means cell is
+    // exactly the workload SemDeDup exists for — the pair join must stay
+    // LINEAR in the cluster size (≤ |c|·maxCluster), not |c|²
+    val rnd = new scala.util.Random(2929)
+    val dim = 8
+    val n = 2000
+    def unit(v: Array[Double]) = {
+      val m = math.sqrt(v.map(x => x * x).sum); v.map(_ / m)
+    }
+    val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until n).map(i =>
+      (i.toLong, unit(base.map(_ + 0.01 * rnd.nextGaussian()))))
+    import org.apache.spark.sql.functions.{col, lit}
+    val assign = spark.createDataFrame(vecs).toDF("vec_id", "v")
+      .withColumn("cluster", lit(0)) // all 2000 vectors in ONE cluster
+      .select("vec_id", "cluster", "v")
+    val maxC = GroupD.SemDedupMaxCluster
+    val pairs = GroupD.semDedupPairs(assign, maxC).count()
+    val uncapped = n.toLong * (n - 1) / 2 // 1,999,000
+    assert(pairs <= n.toLong * maxC,
+      s"dense-cluster pair volume $pairs exceeds the |c|*maxCluster bound")
+    info(s"dense cluster: $pairs candidate pairs vs $uncapped uncapped " +
+      f"(${pairs.toDouble / uncapped * 100}%.1f%%)")
+    // the shards still do SemDeDup's job: near-identical vectors find an
+    // in-shard witness, so almost everything but per-shard minima drops
+    val surv = GroupD.semDedupDrops(assign, maxC).count()
+    val shards = (n + maxC - 1) / maxC
+    assert(surv <= shards,
+      s"$surv survivors from a near-identical cluster; expected ≤ $shards (one per shard)")
+    // and the guard must not touch normal-size clusters: below the cap the
+    // pair frame is the plain within-cluster quadratic
+    val small = assign.filter(col("vec_id") < maxC)
+    assert(GroupD.semDedupPairs(small, maxC).count() ===
+      maxC.toLong * (maxC - 1) / 2)
+  }
+
   test("d41 CMS-gated novelty is one-sided vs d32's exact gate, and deterministic") {
     val exact = GroupD.d32BigramNovelty(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
