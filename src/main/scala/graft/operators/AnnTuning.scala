@@ -281,6 +281,27 @@ object AnnTuning {
       Tuned(picked, n)
     }
 
+  /** Seed the LSH memo with a persisted decision ([[ModelStore.loadLsh]])
+    * so a later [[tunedLsh]] with the same key and targets serves it with
+    * zero sampling/tuning jobs — [[KMeans.install]]'s twin. The parameter
+    * list mirrors [[tunedLsh]] because the memo key carries everything the
+    * decision depends on (round-4 ADVICE).
+    */
+  def installLsh(key: String, tuned: Tuned[LshConfig],
+      recallTarget: Double = 0.9, budgetFraction: Double = 0.25,
+      maxSample: Int = 500, ladder: Seq[LshConfig] = LshLadder): Unit =
+    lshMemo.put(
+      s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}",
+      new Memo(() => tuned))
+
+  /** [[installLsh]] for IVF decisions. */
+  def installIvf(key: String, tuned: Tuned[IvfConfig],
+      recallTarget: Double = 0.65, budgetFraction: Double = 0.25,
+      maxSample: Int = 500, ladder: Seq[IvfConfig] = IvfLadder): Unit =
+    ivfMemo.put(
+      s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}",
+      new Memo(() => tuned))
+
   /** Test seam: clear the memo (specs tune the same key with different
     * corpora). */
   private[graft] def clearMemo(): Unit = { lshMemo.clear(); ivfMemo.clear() }

@@ -92,6 +92,16 @@ object KMeans {
     */
   def clearMemo(): Unit = memo.clear()
 
+  /** Seed the memo with a persisted model ([[ModelStore.loadKMeans]]): a
+    * later [[fitMemoized]] with the same (key, k, iters) serves it with
+    * ZERO training actions — the serving half of the reference's
+    * persisted-config round-trip (CSVProvider.cs:363-454) applied to
+    * learned state. Deterministic fit ⇒ installed == retrained (pinned in
+    * ModelStoreSpec via a job-count listener).
+    */
+  def install(key: String, k: Int, iters: Int, model: Model): Unit =
+    memo.put(s"$key|$k|$iters", new Memo(() => model))
+
   private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Model]]()
 

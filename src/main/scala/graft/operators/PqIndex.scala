@@ -40,6 +40,13 @@ object PqIndex {
     */
   def clearMemo(): Unit = memo.clear()
 
+  /** Seed the memo with a persisted model ([[ModelStore.loadPq]]) so a
+    * later [[train]] with the same parameters serves it without the
+    * M-codebook training pass — [[KMeans.install]]'s twin.
+    */
+  def install(key: String, m: Int, k: Int, iters: Int, model: Model): Unit =
+    memo.put(s"$key|$m|$k|$iters", new Memo(() => model))
+
   private def doTrain(nv: DataFrame, m: Int, k: Int, iters: Int): Model = {
     val dimRow = nv.select(max(size(col("nvec"))), min(size(col("nvec")))).collect()(0)
     require(!dimRow.isNullAt(0),
