@@ -114,6 +114,7 @@ object GraftFunctions {
   val BloomName = "graft_bloom_contains"
   val JpegDimsName = "graft_jpeg_dims"
   val CmsCountName = "graft_cms_count"
+  val SigMatchName = "graft_sig_matches"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -176,6 +177,12 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 2, s"$CmsCountName expects (binary, bigint)")
         CmsCount(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(SigMatchName,
+      { exprs =>
+        require(exprs.length == 2,
+          s"$SigMatchName expects (array<bigint>, array<bigint>)")
+        SigMatchCount(exprs.head, exprs(1))
       }, "built-in")
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -238,4 +238,61 @@ object HyperplaneLshKeys {
     z = z ^ (z >>> 31)
     if ((z & 1L) == 1L) 1.0 else -1.0
   }
+}
+
+/** Count of positions where two equal-length signature arrays agree — the
+  * MinHash Jaccard estimator's numerator (matches/perms ≈ J, Broder 1997,
+  * public). A native fused loop instead of
+  * `size(filter(zip_with(a, b, eq), id))`: the HOF chain is
+  * CodegenFallback, so when Catalyst inlines the single-use alias into a
+  * join condition (d43's screen) every probe pays interpreted lambda
+  * dispatch per element, and any projection containing it drops out of
+  * whole-stage codegen. This expression stays inside codegen anywhere it
+  * lands. (Note: d43's 33 s → 2.3 s screen fix was the signature-frame
+  * LINEAGE, not this swap — see [[graft.queries.GroupD.d43Sigs]]; this
+  * expression keeps the probe itself branch-tight either way.)
+  */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sig_matches"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.getLong(i) == ys.getLong(i)) c += 1L
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
 }

@@ -1790,6 +1790,94 @@ object GroupD {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d43: containment with the exact first-pass verify replaced by a
+    * MINHASH SIGNATURE estimate — the SCALE.md c7/d30 promise ("at 100 TB
+    * containment is estimated from the SAME signatures as d1") made code.
+    * Candidates still come from d30's pigeonhole-complete prefix probes
+    * (banding can't generate them: containment pairs have low Jaccard);
+    * but instead of running the two-sided exploded common-count join on
+    * EVERY candidate, each pair is first screened on d1's 64-perm MinHash
+    * signatures: Ĵ = matching-position fraction (Broder's estimator,
+    * public), ĉ = Ĵ/(1+Ĵ)·(n_a+n_b) (from J = c/(n_a+n_b−c)), and the
+    * pair survives when ĉ ≥ 0.5·min(n_a,n_b) — half the exact 0.9·min
+    * threshold, a wide noise margin (σ_Ĵ ≤ 1/√256 per position count).
+    * Survivors — and only survivors — get d30's exact verify, so every
+    * EMITTED row is exactly correct (output ⊆ d30 by construction; the
+    * screen can only miss, never fabricate — d41's one-sidedness shape).
+    * At 100 TB the screen probes fixed 64-long signatures (a per-doc
+    * constant, computed once for d1 anyway) instead of re-exploding
+    * shingles per candidate — the verify join's volume drops from all
+    * candidates to true-positive-ish survivors. Approximate ⇒ rows-only;
+    * subset-of-d30 + measured recall pinned in PipelineOpsSpec.
+    */
+  def d43ContainmentMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = GroupC.shingles(spark, sfDir)
+    val cand = containmentProbes(sh).as("p").join(sh.as("i"), "shingle")
+      .filter(col("p.doc_id") =!= col("i.doc_id"))
+      .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
+        greatest(col("p.doc_id"), col("i.doc_id")).as("doc_b"))
+      .distinct()
+    // screen carries (na, nb) = the per-doc distinct-shingle counts from
+    // the signature frame, so the exact verify needs no separate size joins
+    val screened = d43Screen(cand, d43Sigs(sh))
+      .select("doc_a", "doc_b", "na", "nb")
+    val common = screened
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
+    common
+      .filter(col("c") * 10 >= col("na") * 9 || col("c") * 10 >= col("nb") * 9)
+      .select(col("doc_a"), col("doc_b"),
+        expr("(c * 10000) div na").as("cont_a_fp"),
+        expr("(c * 10000) div nb").as("cont_b_fp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d43's (doc_id, mh, n) signature frame, derived from the SAME exploded
+    * `sh` relation the candidates come from — NOT from the per-doc shingle
+    * ARRAY frame. MinHash is a min over the shingle SET, so
+    * `minhash(collect_list(shingle))` post-shuffle is bit-identical to
+    * `minhash(sh)` on the array frame; but the array-frame lineage re-hits
+    * the d30 lesson (GroupD.scala d30 comment: constraint propagation
+    * inlines the tokenize+hash HOF into every consumer): here the screen
+    * condition's inferred constraints pushed the tokenizer INTO the
+    * per-shingle lambda of the signature broadcast build — interpreted,
+    * one task, re-running regexp per element: measured 33 s vs 2.3 s at
+    * sf0.1 for the whole screen (a repartition barrier does NOT stop the
+    * inline; deriving from the shuffled exploded frame does, and reuses
+    * the one tokenization exchange all d30-family consumers share).
+    */
+  private[queries] def d43Sigs(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      expr(s"${graft.functions.GraftFunctions.MinHashName}" +
+        "(collect_list(shingle))").as("mh"),
+      count(lit(1)).as("n"))
+
+  /** d43's signature screen on a (doc_a, doc_b) candidate frame against a
+    * (doc_id, mh, n) signature frame — shared with the spec's pruning /
+    * recall pins so the measured numbers can never drift from the shipped
+    * rule. Either-direction containment ≥ 0.9 ⇔ c ≥ 0.9·min(n_a,n_b)
+    * (c ≤ min always), screened at HALF that bar on the estimate.
+    */
+  private[queries] def d43Screen(cand: DataFrame, sigs: DataFrame): DataFrame =
+    cand
+      .join(sigs.toDF("doc_a", "mha", "na"), "doc_a")
+      .join(sigs.toDF("doc_b", "mhb", "nb"), "doc_b")
+      // the match count runs as the native codegen'd SigMatchCount — the
+      // single-consumer aliases below get INLINED into the join condition
+      // by Catalyst, where a CodegenFallback HOF chain would evaluate
+      // interpreted per probed pair. Callers must pass [[d43Sigs]]-shaped
+      // signatures (exploded-frame lineage); see that doc for the 33 s
+      // inline trap the array frame re-triggers here.
+      .withColumn("jhat", call_function(
+          graft.functions.GraftFunctions.SigMatchName, col("mha"), col("mhb"))
+        / expr("cast(size(mha) as double)"))
+      .withColumn("chat",
+        col("jhat") / (col("jhat") + 1.0) * (col("na") + col("nb")))
+      .filter(col("chat") >= lit(0.5) * least(col("na"), col("nb")))
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -1824,6 +1912,9 @@ object GroupD {
     // deviation vs d32's exact gate pinned in PipelineOpsSpec.
     "d41_bigram_novelty_cms" -> (d41BigramNoveltyCms _),
     "d42_outlier_docs"     -> (d42OutlierDocs _),
+    // d43 is approximate (signature-screened verify) — rows-only;
+    // subset-of-d30 + measured recall pinned in PipelineOpsSpec.
+    "d43_containment_minhash" -> (d43ContainmentMinhash _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),

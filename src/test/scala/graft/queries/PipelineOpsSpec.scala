@@ -661,6 +661,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       maxC.toLong * (maxC - 1) / 2)
   }
 
+  test("d43 signature-screened containment is a subset of d30 with high recall") {
+    val sf01 = "/root/testdata/sf0.01"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = GroupD.d30ContainmentProbe(spark, sf01).collect().map(key).toSet
+    val approx = GroupD.d43ContainmentMinhash(spark, sf01).collect().map(key).toSet
+    // one-sided: every emitted pair passed the exact verify, so d43 can
+    // only MISS pairs the signature screen rejected — never fabricate
+    assert(approx.subsetOf(exact), s"fabricated pairs: ${approx -- exact}")
+    val recall = approx.size.toDouble / math.max(exact.size, 1)
+    info(f"d43 recall vs d30: $recall%.3f (${approx.size}/${exact.size})")
+    assert(exact.nonEmpty && recall >= 0.9, f"recall $recall%.3f below pin")
+    // and the screen must actually prune junk (the point of the
+    // estimator). d30's prefix candidates at this SF are already ~pure
+    // (25 of 26 are true pairs — nothing to prune there), so measure the
+    // screen against ALL co-shingled pairs: the junk-heavy population it
+    // faces when candidate generation is less selective
+    val sh = GroupC.shingles(spark, sf01)
+    val sigs = GroupD.d43Sigs(sh)
+    val allPairs = GroupC.pairOverlap(spark, sf01).select("doc_a", "doc_b")
+    val nAll = allPairs.count()
+    val nScreened = GroupD.d43Screen(allPairs, sigs).count()
+    val frac = nScreened.toDouble / math.max(nAll, 1)
+    info(f"screen kept $nScreened of $nAll co-shingled pairs ($frac%.3f)")
+    assert(frac < 0.2, f"signature screen stopped pruning: $frac%.3f")
+  }
+
   test("d41 CMS-gated novelty is one-sided vs d32's exact gate, and deterministic") {
     val exact = GroupD.d32BigramNovelty(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap

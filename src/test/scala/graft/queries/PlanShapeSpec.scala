@@ -26,7 +26,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val rowsOnly = queries -- graft.SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats",
       "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann",
-      "d39_semdedup", "d41_bigram_novelty_cms"),
+      "d39_semdedup", "d41_bigram_novelty_cms", "d43_containment_minhash"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
