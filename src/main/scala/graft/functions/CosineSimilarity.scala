@@ -115,6 +115,8 @@ object GraftFunctions {
   val JpegDimsName = "graft_jpeg_dims"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
+  val WavMetaName = "graft_wav_meta"
+  val Mp4MetaName = "graft_mp4_meta"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -183,6 +185,16 @@ object GraftFunctions {
         require(exprs.length == 2,
           s"$SigMatchName expects (array<bigint>, array<bigint>)")
         SigMatchCount(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(WavMetaName,
+      { exprs =>
+        require(exprs.length == 1, s"$WavMetaName expects 1 argument")
+        WavMeta(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(Mp4MetaName,
+      { exprs =>
+        require(exprs.length == 1, s"$Mp4MetaName expects 1 argument")
+        Mp4Meta(exprs.head)
       }, "built-in")
   }
 }

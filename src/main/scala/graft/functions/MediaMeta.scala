@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Audio/video container-header metadata as pure byte arithmetic — the
+  * [[JpegDims]] family extended to the two dominant media containers
+  * (both walks follow variable-offset chunk/box chains, so like JPEG they
+  * are scan loops behind a native codegen'd expression, not fixed-offset
+  * substring reads). This is the metadata-backfill pass a multimodal
+  * pipeline runs over billions of crawled assets BEFORE any sample
+  * decode: sample rate, channel count, and duration come straight from
+  * the container header bytes, no codec library involved.
+  *
+  * Both expressions return `array<bigint>` with NULLABLE elements: a
+  * header can be parseable while one field is legitimately unknown
+  * (a WAV streamed with a 0xFFFFFFFF data size, an MP4 mvhd with the
+  * all-ones "unknown duration" sentinel, a crawl prefix that ends before
+  * the data chunk). Whole-result NULL means "not this container /
+  * corrupt"; a NULL element means "container recognized, field unknown".
+  */
+abstract class MediaMetaExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  /** FQN of the static scan entry point the generated code calls. */
+  protected def scanMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val ad = ctx.freshName("meta")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $ad =
+         |  $scanMethod($bytes);
+         |if ($ad == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $ad;
+         |}
+       """.stripMargin
+    })
+}
+
+/** `[sample_rate_hz, channels, bits_per_sample, duration_ms]` from WAV
+  * (RIFF) bytes; NULL when the bytes are not a parseable RIFF/WAVE
+  * stream. Format facts used (public RIFF/WAVE spec): "RIFF" u32size
+  * "WAVE" header, then a chain of `id(4) size(4 LE) payload` chunks,
+  * each padded to even length; the `fmt ` chunk carries
+  * format(2) channels(2) sampleRate(4) byteRate(4) blockAlign(2)
+  * bits(2), all little-endian; duration derives from the `data` chunk's
+  * DECLARED size over byteRate — so a header-only crawl prefix still
+  * yields the full row when both chunks' headers are present, with no
+  * need for the audio payload bytes themselves.
+  */
+case class WavMeta(child: Expression) extends MediaMetaExpression {
+  override def prettyName: String = "graft_wav_meta"
+  override protected def scanMethod: String = "graft.functions.WavMeta.scan"
+  override def nullSafeEval(input: Any): Any =
+    WavMeta.scan(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): WavMeta =
+    copy(child = newChild)
+}
+
+object WavMeta {
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private val RIFF = 0x52494646
+  private val WAVE = 0x57415645
+  private val FMT = 0x666d7420 // "fmt "
+  private val DATA = 0x64617461
+  private val UNKNOWN_SIZE = 0xffffffffL
+
+  /** The chunk walk; static so generated code calls it directly. Returns
+    * the 4-element metadata array (nullable elements) or null.
+    */
+  def scan(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 12) return null
+    if (tag(b, 0) != RIFF || tag(b, 8) != WAVE) return null
+    var sr: java.lang.Long = null
+    var ch: java.lang.Long = null
+    var bits: java.lang.Long = null
+    var byteRate = 0L
+    var dataSize = -1L
+    var i = 12
+    // stop as soon as both chunks are seen: on a full file this skips the
+    // (typically dominant) data payload the moment its header is read
+    while (i + 8 <= b.length && (sr == null || dataSize < 0)) {
+      val id = tag(b, i)
+      val size = leU32(b, i + 4)
+      if (id == FMT) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        ch = leU16(b, i + 10).toLong
+        sr = leU32(b, i + 12)
+        byteRate = leU32(b, i + 16)
+        bits = leU16(b, i + 22).toLong
+      } else if (id == DATA) {
+        dataSize = size
+      }
+      // declared sizes are trusted for the SKIP too; a size that overflows
+      // the buffer just ends the walk with whatever was already found
+      // (crawl prefixes end mid-chunk routinely). Chunks pad to even; the
+      // arithmetic stays in Long so a ~2³¹ declared size can't wrap an Int
+      // and send the cursor negative.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > b.length) b.length else next.toInt
+    }
+    if (sr == null) return null // no fmt chunk ⇒ not a usable WAVE
+    val dur: java.lang.Long =
+      if (dataSize < 0 || dataSize == UNKNOWN_SIZE || byteRate <= 0) null
+      else dataSize * 1000L / byteRate
+    new GenericArrayData(Array[Any](sr, ch, bits, dur))
+  }
+}
+
+/** `[duration_ms, timescale]` from MP4 / ISO BMFF bytes (the movie-level
+  * values every player shows); NULL when the bytes are not a parseable
+  * BMFF stream with a reachable `moov`→`mvhd`. Format facts used (public
+  * ISO/IEC 14496-12 spec): the file is a chain of `size(4 BE) type(4)`
+  * boxes — size 1 means a 64-bit largesize follows, size 0 means
+  * to-end-of-buffer; `mvhd` (inside `moov`) carries version(1) flags(3),
+  * then v0: created(4) modified(4) timescale(4) duration(4) /
+  * v1: created(8) modified(8) timescale(4) duration(8), all big-endian;
+  * duration is in timescale units, all-ones means unknown.
+  *
+  * Scale note: non-faststart MP4s put `moov` AFTER `mdat`, so a
+  * header-only crawl prefix of such a file yields NULL — that is the
+  * honest answer (the metadata genuinely is not in the prefix), and why
+  * crawl pipelines fetch byte-range tails for MP4s.
+  */
+case class Mp4Meta(child: Expression) extends MediaMetaExpression {
+  override def prettyName: String = "graft_mp4_meta"
+  override protected def scanMethod: String = "graft.functions.Mp4Meta.scan"
+  override def nullSafeEval(input: Any): Any =
+    Mp4Meta.scan(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Mp4Meta =
+    copy(child = newChild)
+}
+
+object Mp4Meta {
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def beU64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+  private val MOOV = 0x6d6f6f76L
+  private val MVHD = 0x6d766864L
+
+  /** Walks one box level over b[from, to); returns `[start, end)` payload
+    * bounds of the first box of `boxType`, or null. Static array return
+    * keeps the two-level walk allocation-free until the hit.
+    */
+  private def findBox(b: Array[Byte], from: Int, to: Int,
+      boxType: Long): Array[Int] = {
+    var i = from
+    while (i + 8 <= to) {
+      val size32 = beU32(b, i)
+      val t = beU32(b, i + 4)
+      var header = 8L
+      var size = size32
+      if (size32 == 1L) {
+        if (i + 16 > to) return null
+        size = beU64(b, i + 8); header = 16L
+      } else if (size32 == 0L) {
+        size = (to - i).toLong // final box: extends to end
+      }
+      if (size < header) return null // malformed: box smaller than header
+      val end = math.min(i + size, to.toLong).toInt
+      if (t == boxType) return Array((i + header).toInt, end)
+      if (i + size > to) return null // next box would start past the buffer
+      i = (i + size).toInt
+    }
+    null
+  }
+
+  /** The two-level box walk; static so generated code calls it directly. */
+  def scan(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 8) return null
+    val moov = findBox(b, 0, b.length, MOOV)
+    if (moov == null) return null
+    val mvhd = findBox(b, moov(0), moov(1), MVHD)
+    if (mvhd == null) return null
+    val p = mvhd(0)
+    if (p + 4 > mvhd(1)) return null
+    val version = b(p) & 0xff
+    var timescale = 0L
+    var duration = 0L
+    var unknown = false
+    if (version == 0) {
+      if (p + 20 > mvhd(1)) return null
+      timescale = beU32(b, p + 12)
+      duration = beU32(b, p + 16)
+      unknown = duration == 0xffffffffL
+    } else if (version == 1) {
+      if (p + 32 > mvhd(1)) return null
+      timescale = beU32(b, p + 20)
+      duration = beU64(b, p + 24)
+      unknown = duration == -1L // all-ones u64
+    } else return null
+    if (timescale <= 0L) return null
+    val dur: java.lang.Long =
+      if (unknown) null else duration * 1000L / timescale
+    new GenericArrayData(Array[Any](dur, java.lang.Long.valueOf(timescale)))
+  }
+}

@@ -156,6 +156,49 @@ object Multimodal {
       .drop("__graft_jd")
   }
 
+  /** Appends `media_format` / `audio_sample_rate_hz` / `audio_channels` /
+    * `audio_bits` / `media_duration_ms` parsed from container header
+    * bytes — the audio/video sibling of [[imageDimsPlan]], backfilling
+    * [[metaSchema]]'s `sample_rate_hz`/`duration_ms` fields from the real
+    * header layouts (public RIFF/WAVE and ISO BMFF specs; the chunk/box
+    * walks run in the native codegen'd [[graft.functions.WavMeta]] /
+    * [[graft.functions.Mp4Meta]] expressions). Unknown or truncated
+    * content yields NULLs, never an error; an MP4 whose `moov` trails the
+    * media data (non-faststart) yields NULL duration from a prefix — the
+    * honest answer, see [[graft.functions.Mp4Meta]].
+    */
+  def mediaMetaPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
+    val reserved = Seq("media_format", "audio_sample_rate_hz",
+      "audio_channels", "audio_bits", "media_duration_ms",
+      "__graft_wav", "__graft_mp4")
+    val clashes = df.columns.toSet intersect reserved.toSet
+    require(clashes.isEmpty,
+      s"input columns collide with mediaMetaPlan outputs/internals: " +
+        s"${clashes.mkString(", ")} — rename them first")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // like imageDimsPlan's jpeg walk: evaluate each scan ONCE into a
+    // column — CaseWhen branches sit outside codegen's subexpression
+    // elimination, so inlining would re-walk the bytes per output column
+    val wav = col("__graft_wav")
+    val mp4 = col("__graft_mp4")
+    df.withColumn("__graft_wav", expr(
+        s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
+      .withColumn("__graft_mp4", expr(
+        s"${graft.functions.GraftFunctions.Mp4MetaName}($bytesCol)"))
+      .withColumn("media_format",
+        when(wav.isNotNull, "wav").when(mp4.isNotNull, "mp4"))
+      .withColumn("audio_sample_rate_hz",
+        when(wav.isNotNull, element_at(wav, 1)))
+      .withColumn("audio_channels",
+        when(wav.isNotNull, element_at(wav, 2)))
+      .withColumn("audio_bits",
+        when(wav.isNotNull, element_at(wav, 3)))
+      .withColumn("media_duration_ms",
+        when(wav.isNotNull, element_at(wav, 4))
+          .when(mp4.isNotNull, element_at(mp4, 1)))
+      .drop("__graft_wav", "__graft_mp4")
+  }
+
   /** Video frame sampling plan: for each asset, the timestamps (ms) at
     * which frames would be decoded, one row per frame — pure declarative
     * `sequence` + `explode`, so Catalyst prunes and parallelizes it like

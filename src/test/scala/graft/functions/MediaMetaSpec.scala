@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WAV chunk walk and MP4 box walk ([[WavMeta.scan]] /
+  * [[Mp4Meta.scan]]): genuine header layouts per the public RIFF/WAVE and
+  * ISO BMFF specs, crawl-prefix behavior, every refusal path, and
+  * eval/codegen parity.
+  */
+class MediaMetaSpec extends AnyFunSuite {
+
+  // --- byte builders (little-endian for RIFF, big-endian for BMFF) -------
+  private def leU16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def leU32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  private def beU32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+  private def beU64(v: Long) = beU32(v >>> 32) ++ beU32(v & 0xffffffffL)
+  private def ascii(s: String) = s.getBytes("US-ASCII")
+
+  /** A genuine PCM fmt chunk: format 1, given channels/rate/bits. */
+  private def fmtChunk(ch: Int, rate: Long, bits: Int): Array[Byte] = {
+    val byteRate = rate * ch * bits / 8
+    ascii("fmt ") ++ leU32(16) ++ leU16(1) ++ leU16(ch) ++ leU32(rate) ++
+      leU32(byteRate) ++ leU16(ch * bits / 8) ++ leU16(bits)
+  }
+  private def wavFile(chunks: Array[Byte]*): Array[Byte] = {
+    val body = ascii("WAVE") ++ chunks.flatten
+    ascii("RIFF") ++ leU32(body.length.toLong) ++ body
+  }
+  private def dataChunk(size: Long, payload: Array[Byte] = Array.emptyByteArray) =
+    ascii("data") ++ leU32(size) ++ payload
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    beU32(payload.length + 8L) ++ ascii(tpe) ++ payload
+  /** Full-length (100-byte payload) version-0 mvhd per ISO 14496-12. */
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", Array[Byte](0, 0, 0, 0) ++ leU32pad(0) ++ leU32pad(0) ++
+      beU32(timescale) ++ beU32(duration) ++ Array.fill[Byte](80)(0))
+  private def leU32pad(v: Long) = beU32(v) // creation/modification times
+
+  test("WAV: 44.1kHz stereo 16-bit with 1s of declared data") {
+    // byteRate = 44100*2*2 = 176400; data size 176400 -> exactly 1000 ms.
+    // Header-only (no payload bytes): duration derives from the declared
+    // size, the crawl-prefix contract.
+    val b = wavFile(fmtChunk(2, 44100, 16), dataChunk(176400))
+    val m = WavMeta.scan(b)
+    assert(m.toSeq[Any](org.apache.spark.sql.types.LongType) ==
+      Seq(44100L, 2L, 16L, 1000L))
+  }
+
+  test("WAV: odd-size chunk before fmt is skipped with its pad byte") {
+    val junk = ascii("LIST") ++ leU32(3) ++ Array[Byte](1, 2, 3, 0) // +pad
+    val b = wavFile(junk, fmtChunk(1, 8000, 8), dataChunk(4000))
+    assert(WavMeta.scan(b).getLong(0) == 8000L)
+    assert(WavMeta.scan(b).getLong(3) == 500L) // 4000 B at 8000 B/s
+  }
+
+  test("WAV: prefix with fmt but no data keeps fields, NULL duration") {
+    val b = wavFile(fmtChunk(1, 16000, 16))
+    val m = WavMeta.scan(b)
+    assert(m.getLong(0) == 16000L && m.getLong(1) == 1L && m.getLong(2) == 16L)
+    assert(m.isNullAt(3))
+  }
+
+  test("WAV: streamed 0xFFFFFFFF data size and zero byteRate give NULL duration") {
+    val streamed = wavFile(fmtChunk(2, 48000, 16), dataChunk(0xffffffffL))
+    assert(streamed != null && WavMeta.scan(streamed).isNullAt(3))
+    // byteRate 0: hand-build a fmt with zeroed byteRate
+    val fmt0 = ascii("fmt ") ++ leU32(16) ++ leU16(1) ++ leU16(1) ++
+      leU32(44100) ++ leU32(0) ++ leU16(2) ++ leU16(16)
+    val m0 = WavMeta.scan(wavFile(fmt0, dataChunk(100)))
+    assert(m0.getLong(0) == 44100L && m0.isNullAt(3))
+  }
+
+  test("WAV: a ~2^31 declared chunk size ends the walk instead of wrapping") {
+    // a junk chunk declaring 0x80000000 bytes: the Long-arithmetic skip
+    // must clamp to end-of-buffer, not wrap Int and loop on a negative i
+    val junk = ascii("LIST") ++ leU32(0x80000000L)
+    assert(WavMeta.scan(wavFile(junk, fmtChunk(1, 8000, 8))) == null)
+  }
+
+  test("WAV refusals: wrong magic, not WAVE, truncated fmt, short, null") {
+    assert(WavMeta.scan(ascii("RIFX") ++ leU32(4) ++ ascii("WAVE")) == null)
+    assert(WavMeta.scan(ascii("RIFF") ++ leU32(4) ++ ascii("AVI ")) == null)
+    val truncFmt = ascii("RIFF") ++ leU32(20) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ leU32(16) ++ leU16(1) // size says 16, 2 present
+    assert(WavMeta.scan(truncFmt) == null)
+    assert(WavMeta.scan(ascii("RIFF")) == null)
+    assert(WavMeta.scan(null) == null)
+    assert(WavMeta.scan(Array.emptyByteArray) == null)
+  }
+
+  test("MP4: ftyp + moov/mvhd v0 parses duration and timescale") {
+    val ftyp = box("ftyp", ascii("isom") ++ beU32(512) ++ ascii("isomiso2"))
+    // timescale 600, duration 1200 units -> 2000 ms
+    val b = ftyp ++ box("moov", mvhdV0(600, 1200))
+    val m = Mp4Meta.scan(b)
+    assert(m.getLong(0) == 2000L && m.getLong(1) == 600L)
+  }
+
+  test("MP4: mvhd v1 (64-bit duration) parses") {
+    val v1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ beU64(0) ++ beU64(0) ++
+      beU32(1000) ++ beU64(90061) ++ Array.fill[Byte](80)(0))
+    val b = box("ftyp", ascii("isom")) ++ box("moov", v1)
+    val m = Mp4Meta.scan(b)
+    assert(m.getLong(0) == 90061L && m.getLong(1) == 1000L)
+  }
+
+  test("MP4: largesize (size==1) skip and size==0 final moov both walk") {
+    val big = beU32(1) ++ ascii("free") ++ beU64(24) ++ Array.fill[Byte](8)(0)
+    val moovPayload = mvhdV0(90000, 450000) // 5000 ms
+    val lastMoov = beU32(0) ++ ascii("moov") ++ moovPayload // to-end box
+    val m = Mp4Meta.scan(big ++ lastMoov)
+    assert(m.getLong(0) == 5000L && m.getLong(1) == 90000L)
+  }
+
+  test("MP4: non-faststart prefix (mdat first, moov beyond buffer) is NULL") {
+    // mdat declares 1 MiB but the crawl prefix ends after 16 bytes of it:
+    // moov is genuinely absent from the prefix -> NULL, the honest answer
+    val prefix = box("ftyp", ascii("isom")) ++
+      beU32(1048576) ++ ascii("mdat") ++ Array.fill[Byte](16)(0)
+    assert(Mp4Meta.scan(prefix) == null)
+  }
+
+  test("MP4: unknown duration sentinel keeps timescale, zero timescale refuses") {
+    val unk = box("ftyp", ascii("isom")) ++
+      box("moov", mvhdV0(600, 0xffffffffL))
+    val m = Mp4Meta.scan(unk)
+    assert(m.isNullAt(0) && m.getLong(1) == 600L)
+    val ts0 = box("moov", mvhdV0(0, 100))
+    assert(Mp4Meta.scan(ts0) == null)
+  }
+
+  test("MP4 refusals: garbage, box smaller than header, short, null") {
+    assert(Mp4Meta.scan(ascii("RIFF") ++ leU32(100) ++ ascii("WAVE")) == null)
+    assert(Mp4Meta.scan(beU32(4) ++ ascii("moov")) == null) // size < header
+    assert(Mp4Meta.scan(beU32(16)) == null)
+    assert(Mp4Meta.scan(null) == null)
+    assert(Mp4Meta.scan(Array.emptyByteArray) == null)
+  }
+
+  test("interpreted eval and codegen agree (the expression contract)") {
+    val spark = graft.TestSpark.spark
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val wav = wavFile(fmtChunk(2, 44100, 16), dataChunk(176400))
+    val mp4 = box("ftyp", ascii("isom")) ++ box("moov", mvhdV0(600, 1200))
+    val rows = Seq((1L, wav), (2L, mp4), (3L, ascii("not media")))
+      .toDF("id", "content")
+      .selectExpr("id",
+        s"${GraftFunctions.WavMetaName}(content) AS w",
+        s"${GraftFunctions.Mp4MetaName}(content) AS m")
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[java.lang.Long](1) == Seq(44100L, 2L, 16L, 1000L))
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1))
+    assert(rows(1).getSeq[java.lang.Long](2) == Seq(2000L, 600L))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+}

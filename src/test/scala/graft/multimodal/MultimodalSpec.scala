@@ -85,6 +85,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("img_width"))
   }
 
+  test("mediaMetaPlan parses REAL wav/mp4 headers; junk yields nulls") {
+    import spark.implicits._
+    // a real 8kHz mono 8-bit WAV header with 4000 declared data bytes
+    val wav = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](36, 0, 0, 0) ++ "WAVEfmt ".getBytes("US-ASCII") ++
+      Array[Byte](16, 0, 0, 0, 1, 0, 1, 0, 0x40, 0x1F, 0, 0, 0x40, 0x1F,
+        0, 0, 1, 0, 8, 0) ++
+      "data".getBytes("US-ASCII") ++ Array[Byte](0xA0.toByte, 0x0F, 0, 0)
+    // a real MP4 prefix: ftyp + moov/mvhd v0, timescale 600, duration 1200
+    val mp4 = Array[Byte](0, 0, 0, 16) ++ "ftypisommm41".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 116) ++ "moov".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 108) ++ "mvhd".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0x02, 0x58, 0, 0, 0x04, 0xB0.toByte) ++ Array.fill[Byte](80)(0)
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val out = Multimodal.mediaMetaPlan(
+        Seq((1L, wav), (2L, mp4), (3L, junk)).toDF("asset_id", "content"))
+      .orderBy("asset_id").collect()
+      .map(r => (Option(r.getString(2)),
+        Option(r.getAs[Any]("media_duration_ms")).map(_.asInstanceOf[Long])))
+    assert(out(0) == (Some("wav"), Some(500L)))  // 4000 B at 8000 B/s
+    assert(out(1) == (Some("mp4"), Some(2000L))) // 1200 units at 600/s
+    assert(out(2) == (None, None))
+  }
+
+  test("mediaMetaPlan fails fast on output-column name clashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val df = Seq((1L, "x")).toDF("asset_id", "media_duration_ms")
+      .withColumn("content", lit(Array[Byte](1, 2)))
+    val e = intercept[IllegalArgumentException](Multimodal.mediaMetaPlan(df))
+    assert(e.getMessage.contains("media_duration_ms"))
+  }
+
   test("extractFeatures appends array<float> of the requested dim") {
     val out = Multimodal.extractFeatures(assets(), dim = 8)
     assert(out.schema("features").dataType.typeName == "array")
