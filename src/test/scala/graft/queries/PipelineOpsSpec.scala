@@ -432,6 +432,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered PQ recall $hits/${exact.size} below 0.9")
   }
 
+  test("d33 PQ under an adversarially dense cell: bounded output, honest recall split") {
+    // one embedding region holds 90% of the corpus as near-duplicates of a
+    // single point — the density regime the d39 cluster cap guards
+    // against. In d33's serving path the VOLUME hazard does not exist
+    // (the ADC top-C prunes map-side; PlanShapeSpec pins the partial
+    // WindowGroupLimit), but near-duplicates quantize to IDENTICAL codes,
+    // so ADC ties inside the cell break by nn_id and a cell denser than C
+    // can hide a dense query's true neighbor — recall inside the cell is
+    // the honest casualty, while sparse queries outside it keep their
+    // neighbors. This test pins both halves.
+    val rnd = new scala.util.Random(777)
+    val dim = 64
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+    // ids 0..24: dense-cell queries; ids 100..524: the rest of the cell
+    val dense = ((0 until 25).map(_.toLong) ++ (100 until 525).map(_.toLong))
+      .map(id => (id, unit(base.map(_ + 0.005 * rnd.nextGaussian())).map(_.toFloat)))
+    // ids 25..49: sparse queries, each with one true partner at 1000+i
+    val sparse = (25 until 50).flatMap { i =>
+      val b = unit(Array.fill(dim)(rnd.nextGaussian()))
+      Seq((i.toLong, unit(b.map(_ + 0.025 * rnd.nextGaussian())).map(_.toFloat)),
+        (1000L + i, unit(b.map(_ + 0.025 * rnd.nextGaussian())).map(_.toFloat)))
+    }
+    val all = dense ++ sparse
+    val df = spark.createDataFrame(all).toDF("vec_id", "embedding")
+    val out = GroupD.annPq(df, spark, "pq|spec-dense-777").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // bounded, complete, deterministic output under the skew
+    val perQ = out.groupBy(_._1)
+    assert(perQ.size == 50 && perQ.values.forall(_.length == 5),
+      "every query answers exactly 5 under the dense cell")
+    val again = GroupD.annPq(df, spark, "pq|spec-dense-777").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == again.toSeq, "deterministic under ties")
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val byId = all.toMap
+    def exactTop1(q: Long) = all.filter(_._1 != q)
+      .maxBy { case (oid, ov) => (cos(ov, byId(q)), -oid.toDouble) }._1
+    val top1 = out.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    val sparseHits = (25 until 50).count(i => top1(i.toLong) == exactTop1(i.toLong))
+    val denseHits = (0 until 25).count(i => top1(i.toLong) == exactTop1(i.toLong))
+    info(s"dense-cell top-1 recall: $denseHits/25; sparse top-1 recall: $sparseHits/25")
+    assert(sparseHits >= 20,
+      s"sparse queries must keep their true partners: $sparseHits/25")
+    // dense-cell recall may legitimately collapse (C=50 shortlist over a
+    // 450-strong ADC-tied cell picks by id) — the assert is only that the
+    // engine still answers correctly-SHAPED results there, pinned above.
+  }
+
   test("d37 sharded split is bit-identical to d15's single-window split") {
     val a = GroupD.d15StratifiedSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

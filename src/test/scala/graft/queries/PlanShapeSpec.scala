@@ -118,6 +118,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "documents scan reads columns the query never uses")
   }
 
+  test("d33: ADC shortlist prunes map-side (partial WindowGroupLimit at C)") {
+    // the shortlist bound under adversarial density is a PLAN property:
+    // the top-C rank filter must apply per-task BEFORE the qid exchange,
+    // so a dense embedding region can never send more than C rows per
+    // query per task into the shuffle (the volume half of the skew story;
+    // the recall half is measured in PipelineOpsSpec's dense-cell test)
+    val p = plan("d33_ann_pq")
+    assert(p.contains("row_number(), 50, Partial"),
+      "ADC top-C must prune before the exchange")
+    assert(p.contains("row_number(), 5, Final"), "rerank top-5 limit")
+  }
+
   test("d16/d17: rank-limited queries plan as WindowGroupLimit") {
     assert(plan("d16_tfidf").contains("WindowGroupLimit"))
     assert(plan("d17_quota_sample").contains("WindowGroupLimit"),
