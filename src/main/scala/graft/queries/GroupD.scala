@@ -1878,6 +1878,103 @@ object GroupD {
         col("jhat") / (col("jhat") + 1.0) * (col("na") + col("nb")))
       .filter(col("chat") >= lit(0.5) * least(col("na"), col("nb")))
 
+  /** d44: contamination ATTRIBUTION — d19 answers "is this train doc
+    * contaminated?"; this answers the auditor's follow-up "by WHICH
+    * benchmark item, and how much?": for every contaminated train doc,
+    * the single benchmark doc sharing the most 3-gram shingles
+    * (ties → lowest bench_id) with the shared count and the contaminated
+    * fraction of the train doc's shingle set, `(n_shared·10⁴) div n`
+    * integer fixed-point (c7's exact-arithmetic rule). The pair join is
+    * BIPARTITE inverted-index (train shingles ⋈ benchmark shingles):
+    * only real overlaps produce pair rows, and the benchmark side is
+    * small by definition — the d19/d23 asymmetry — so at 100 TB it
+    * broadcasts (or rides d23's bloom) while the train side streams once;
+    * the top-1 attribution plans as WindowGroupLimit, so at most one row
+    * per train doc survives to the sort.
+    */
+  def d44ContaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = GroupC.shingles(spark, sfDir)
+    val trainSh = sh.join(
+      docs.filter(col("source") =!= "src0").select("doc_id"), "doc_id")
+    val benchSh = sh.join(
+        docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pair = trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("bench_id"))
+    pair
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(sizes, "doc_id")
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("bench_id"),
+        col("n_shared"), expr("(n_shared * 10000) div n").as("contam_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** d45: unigram-LM token rarity — the cheap perplexity proxy a quality
+    * gate runs when a real LM is too expensive: per-doc mean corpus
+    * document-frequency of its token OCCURRENCES, normalized by corpus
+    * size to `(Σ df)·10⁴ div (n_occ·N)` — 10⁴ ≡ every token in every doc,
+    * low ≡ the doc is dominated by corpus-rare tokens (novel or noise;
+    * both deserve a look). All-integer arithmetic; the Σ df accumulator
+    * is decimal(38,0) because at 100 TB df reaches ~10¹⁰ and a 10³-token
+    * doc puts the raw sum × 10⁴ near the long boundary (d29's overflow
+    * rule). The df table is vocab-sized — the standing LM asset, the
+    * same partial-agg + token equi-join shape as d16 — and docs with no
+    * tokens have no occurrences and drop out (same rule both sides).
+    */
+  def d45TokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val occ = docs.select(col("doc_id"),
+        explode(GroupC.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val dfreq = occ.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    occ.join(dfreq, "token")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"),
+        sum(col("df").cast("decimal(38,0)")).as("sum_df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n_occ"),
+        expr("cast((sum_df * 10000) div (n_occ * n_docs) as bigint)")
+          .as("commonness_fp"))
+      .withColumn("rare", col("commonness_fp") < 2000)
+      .orderBy("doc_id")
+  }
+
+  /** d46: cluster dedup keeping the BEST doc — d14 labels near-dup
+    * clusters and c1/d9-style rules keep the lowest id; a production
+    * pipeline keeps the highest-QUALITY member (longest, cleanest), so
+    * this composes d14's components with d6's quality gate: per cluster,
+    * keep the doc with (quality_ok desc, n_tokens desc, doc_id asc) —
+    * the flag first, then the longest, id as the deterministic tiebreak —
+    * and every unclustered doc survives untouched. The keep rule plans as
+    * WindowGroupLimit over cluster_id (one survivor per cluster past the
+    * shuffle); singletons bypass the window entirely (no "all the
+    * singletons in one NULL partition" hazard — they union around it).
+    */
+  def d46DedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val qual = d6QualityScore(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_ok")
+    val labeled = docs.select("doc_id", "lang", "source")
+      .join(qual, "doc_id")
+      .join(d14DedupClusters(spark, sfDir).select("doc_id", "cluster_id",
+        "cluster_size"), Seq("doc_id"), "left")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_ok").desc, col("n_tokens").desc, col("doc_id"))
+    val kept = labeled.filter(col("cluster_id").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+    kept.unionByName(labeled.filter(col("cluster_id").isNull))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality_ok"), coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -1915,6 +2012,9 @@ object GroupD {
     // d43 is approximate (signature-screened verify) — rows-only;
     // subset-of-d30 + measured recall pinned in PipelineOpsSpec.
     "d43_containment_minhash" -> (d43ContainmentMinhash _),
+    "d44_contamination_report" -> (d44ContaminationReport _),
+    "d45_token_rarity"     -> (d45TokenRarity _),
+    "d46_dedup_keep_best"  -> (d46DedupKeepBest _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2228,6 +2328,97 @@ object GroupD {
     // d23 is d19's exact semantics behind a bloom pre-filter (false
     // positives removed by the exact join) — the oracle is d19's.
     "d23_bloom_decon" -> d19OracleSql,
+    "d44_contamination_report" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i)
+         |  WHERE len(ts) >= 3),
+         |train_sh AS (
+         |  SELECT s.doc_id, s.shingle FROM sh s
+         |  JOIN documents d USING (doc_id) WHERE d.source <> 'src0'),
+         |bench_sh AS (
+         |  SELECT s.doc_id AS bench_id, s.shingle FROM sh s
+         |  JOIN documents d USING (doc_id) WHERE d.source = 'src0'),
+         |sizes AS (
+         |  SELECT doc_id, COUNT(*) AS n FROM train_sh GROUP BY doc_id),
+         |pair AS (
+         |  SELECT t.doc_id, b.bench_id, COUNT(*) AS n_shared
+         |  FROM train_sh t JOIN bench_sh b USING (shingle)
+         |  GROUP BY t.doc_id, b.bench_id),
+         |top AS (
+         |  SELECT doc_id, bench_id, n_shared,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_shared DESC, bench_id) AS rn
+         |  FROM pair)
+         |SELECT d.doc_id, d.lang, d.source, t.bench_id, t.n_shared,
+         |  (t.n_shared * 10000) // s.n AS contam_fp
+         |FROM top t JOIN sizes s USING (doc_id) JOIN documents d USING (doc_id)
+         |WHERE t.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
+    "d45_token_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |occ AS (
+         |  SELECT doc_id, t.token
+         |  FROM toks, LATERAL (SELECT unnest(ts) AS token) t
+         |  WHERE t.token <> ''),
+         |dfreq AS (
+         |  SELECT token, COUNT(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, token FROM occ) GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT o.doc_id, COUNT(*) AS n_occ,
+         |  CAST((SUM(f.df) * 10000) // (COUNT(*) * n.n_docs) AS BIGINT)
+         |    AS commonness_fp,
+         |  CAST((SUM(f.df) * 10000) // (COUNT(*) * n.n_docs) AS BIGINT)
+         |    < 2000 AS rare
+         |FROM occ o JOIN dfreq f USING (token) CROSS JOIN n
+         |GROUP BY o.doc_id, n.n_docs
+         |ORDER BY o.doc_id""".stripMargin,
+    "d46_dedup_keep_best" -> {
+      val pairSql = GroupC.oracleSql("c2_dedup_near")
+      val tok = tokSql
+      s"""WITH RECURSIVE pairs AS (
+         |$pairSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS root FROM verts
+         |  UNION
+         |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+         |qual AS (
+         |  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+         |    (len(ts) >= 5 AND
+         |     CAST(floor(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |       / CAST(greatest(len(text), 1) AS DOUBLE) * 10000) AS BIGINT) <= 3000 AND
+         |     CAST(floor(list_sum(list_transform(ts, x -> len(x)))
+         |       / CAST(greatest(len(ts), 1) AS DOUBLE) * 10000) AS BIGINT) BETWEEN 15000 AND 120000
+         |    ) AS quality_ok
+         |  FROM (SELECT doc_id, text, $tok AS ts FROM documents)),
+         |labeled AS (
+         |  SELECT d.doc_id, d.lang, d.source, q.n_tokens, q.quality_ok,
+         |    c.cluster_id, s.cluster_size
+         |  FROM documents d JOIN qual q USING (doc_id)
+         |  LEFT JOIN comp c USING (doc_id)
+         |  LEFT JOIN csizes s USING (cluster_id)),
+         |kept AS (
+         |  SELECT doc_id, lang, source, n_tokens, quality_ok, cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality_ok DESC, n_tokens DESC, doc_id) AS rn
+         |  FROM labeled WHERE cluster_id IS NOT NULL)
+         |SELECT doc_id, lang, source, n_tokens, quality_ok, cluster_size
+         |FROM kept WHERE rn = 1
+         |UNION ALL
+         |SELECT doc_id, lang, source, n_tokens, quality_ok, 1::BIGINT AS cluster_size
+         |FROM labeled WHERE cluster_id IS NULL
+         |ORDER BY doc_id""".stripMargin
+    },
     "d25_profile" -> {
       def one(name: String, numeric: Boolean, asDate: Boolean): String = {
         val e = if (asDate) s"CAST($name AS DATE)" else name

@@ -130,6 +130,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("row_number(), 5, Final"), "rerank top-5 limit")
   }
 
+  test("d44/d46: attribution and keep-best rules plan as WindowGroupLimit") {
+    // d44's top-1 benchmark attribution and d46's one-survivor-per-cluster
+    // rule must both prune map-side before their shuffles — at 100 TB the
+    // pair/cluster frames are the big relations, the survivors tiny
+    assert(plan("d44_contamination_report").contains("WindowGroupLimit"))
+    assert(plan("d46_dedup_keep_best").contains("WindowGroupLimit"))
+  }
+
   test("d16/d17: rank-limited queries plan as WindowGroupLimit") {
     assert(plan("d16_tfidf").contains("WindowGroupLimit"))
     assert(plan("d17_quota_sample").contains("WindowGroupLimit"),
@@ -146,9 +154,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // d27/d39 broadcast the k-row centroid table for the serving-path
     // argmin assignment (d11's centroid pattern); d36's brute/pre
     // branches broadcast the bounded query set (d35's pattern)
+    // d45 broadcasts the same 1-row corpus-count aggregate as d16
     val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
       "d16_tfidf", "d33_ann_pq", "d35_filtered_knn", "d27_kmeans",
-      "d39_semdedup", "d36_filtered_ann")
+      "d39_semdedup", "d36_filtered_ann", "d45_token_rarity")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
