@@ -117,6 +117,7 @@ object GraftFunctions {
   val SigMatchName = "graft_sig_matches"
   val WavMetaName = "graft_wav_meta"
   val Mp4MetaName = "graft_mp4_meta"
+  val ShingleHashesName = "graft_shingle_hashes"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -195,6 +196,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$Mp4MetaName expects 1 argument")
         Mp4Meta(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(ShingleHashesName,
+      { exprs =>
+        require(exprs.length == 1, s"$ShingleHashesName expects 1 argument")
+        ShingleHashes(exprs.head)
       }, "built-in")
   }
 }
