@@ -32,12 +32,26 @@ object GroupC {
 
   /** Distinct word-3-gram shingles per document, pre-hashed to 64-bit
     * longs (xxhash64): the unit of near-dup comparison for c2 and the
-    * MinHash input for d1. Hashing before the distinct/joins keeps every
+    * MinHash input for d1. Hashing before the joins keeps every
     * downstream shuffle and join key at 8 bytes instead of a multi-word
     * string — the thing that matters when the corpus is 100 TB. (Set
     * semantics are preserved modulo 64-bit hash collisions: ~n²/2⁶⁵,
     * negligible at any realistic shingle cardinality.) Documents shorter
     * than 3 tokens have no shingles and drop out — same rule both sides.
+    *
+    * Since round 9 the per-doc set comes from the native codegen'd
+    * [[graft.functions.ShingleHashes]] kernel (set-identical to the old
+    * tokenize→transform→explode→distinct pipeline, pinned in
+    * ShingleHashesSpec) — which DELETES the per-(doc,shingle) distinct
+    * aggregation and its full-corpus exchange: the kernel emits each
+    * doc's distinct set directly, so `explode` yields the final frame
+    * with zero shuffles. Measured across the family at sf0.1 (min-of-3,
+    * with the pairOverlap merge pin below): c2 2.38→1.24, c7 2.55→0.98,
+    * d30 3.82→1.92, d34 3.66→2.32, d43 2.75→1.71, d1 2.23→1.71 s. Two
+    * plan consequences, both handled at the JOIN sites: the frame no
+    * longer carries an exchange for AQE to size (see pairOverlap's merge
+    * pin), and the old constraint-propagation inline trap is moot (the
+    * kernel is one cheap char scan wherever Catalyst copies it).
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
     shinglesOf(Tables(spark, sfDir, "documents"))
@@ -49,13 +63,11 @@ object GroupC {
     * most of it away.
     */
   def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(0, size(ts) - 3), " +
-          "i -> xxhash64(concat_ws(' ', ts[i], ts[i+1], ts[i+2])))")).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(org.apache.spark.sql.functions
+        .call_function(graft.functions.GraftFunctions.ShingleHashesName,
+          col("text"))).as("shingle"))
   }
 
   /** c1: exact deduplication — keep the smallest doc_id per identical text
@@ -91,12 +103,24 @@ object GroupC {
     * fire). Deliberately NOT persisted: measured at bench scale, cache
     * population + memory-store churn costs more than the recompute; a
     * long-lived cluster pipeline would persist and unpersist explicitly.
+    *
+    * The self-join is PINNED merge: both sides are the same bare exploded
+    * frame, which since the kernel lineage has no exchange beneath it —
+    * the static planner would size it from pre-explode scan stats and
+    * commit a broadcast AQE can never revisit. Broadcasting a full
+    * exploded corpus side is wrong at every scale — and measured slower
+    * locally too (c2 2.00 s estimate-broadcast vs 1.00 s pinned at sf0.1;
+    * the per-task hash table over the whole inverted index costs more
+    * than the shuffle it avoids). The probe/verify joins in the
+    * d30-family deliberately do NOT carry this pin — their small sides
+    * sit above real exchanges, so estimate-driven broadcast is right
+    * locally and degrades to SMJ at scale (see d30ContainmentProbe).
     */
   def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
+    val common = sh.as("a").hint("merge")
+      .join(sh.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))

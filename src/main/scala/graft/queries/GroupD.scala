@@ -1758,16 +1758,26 @@ object GroupD {
 
   def d30ContainmentProbe(spark: SparkSession, sfDir: String): DataFrame = {
     // Every branch consumes the SAME exploded distinct-shingle frame (c2's
-    // inverted-index machinery): the distinct is an aggregation whose
-    // exchange is textually identical across consumers, so the runtime
-    // reuses one shuffle instead of re-tokenizing per branch. A first cut
-    // used per-doc shingle ARRAYS (d1's frame) + array_intersect verify —
-    // constraint propagation inlined the tokenize+hash HOF into every one
-    // of SIX document scans (3× per scan via inferred isnotnull/size
-    // filters): 152 s at sf0.1 vs ~3 s this way.
+    // inverted-index machinery). History of this frame's lineage: a first
+    // cut used per-doc shingle ARRAYS (d1's frame) + array_intersect
+    // verify — constraint propagation inlined the tokenize+hash HOF into
+    // every one of SIX document scans (3× per scan via inferred
+    // isnotnull/size filters): 152 s at sf0.1. The explode+distinct
+    // lineage fixed that with an aggregation exchange (~3 s); since
+    // round 9 the frame comes from the native ShingleHashes kernel with
+    // NO exchange at all (1.9 s) — the inline hazard is gone outright
+    // because the kernel is one cheap char scan wherever Catalyst copies
+    // it (see GroupC.shingles).
     val sh = GroupC.shingles(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val probes = containmentProbes(sh)
+    // NO merge hint on the probe/verify joins (unlike pairOverlap's
+    // self-join): the probes/cand sides sit above their own exchanges, so
+    // the planner sizes them accurately — small here (broadcast, measured
+    // 1.8 vs 3.2 s hinted at sf0.1), huge at 100 TB (degrades to the SMJ
+    // the scale plan wants). The bare exploded side can't win the
+    // build-side choice: probes derive FROM it, so its estimate is never
+    // the smaller one.
     val cand = probes.as("p").join(sh.as("i"), "shingle")
       .filter(col("p.doc_id") =!= col("i.doc_id"))
       .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
@@ -1836,18 +1846,18 @@ object GroupD {
   }
 
   /** d43's (doc_id, mh, n) signature frame, derived from the SAME exploded
-    * `sh` relation the candidates come from — NOT from the per-doc shingle
-    * ARRAY frame. MinHash is a min over the shingle SET, so
-    * `minhash(collect_list(shingle))` post-shuffle is bit-identical to
-    * `minhash(sh)` on the array frame; but the array-frame lineage re-hits
-    * the d30 lesson (GroupD.scala d30 comment: constraint propagation
-    * inlines the tokenize+hash HOF into every consumer): here the screen
-    * condition's inferred constraints pushed the tokenizer INTO the
-    * per-shingle lambda of the signature broadcast build — interpreted,
-    * one task, re-running regexp per element: measured 33 s vs 2.3 s at
-    * sf0.1 for the whole screen (a repartition barrier does NOT stop the
-    * inline; deriving from the shuffled exploded frame does, and reuses
-    * the one tokenization exchange all d30-family consumers share).
+    * `sh` relation the candidates come from. MinHash is a min over the
+    * shingle SET, so `minhash(collect_list(shingle))` post-shuffle is
+    * bit-identical to `minhash(sh)` on a per-doc array frame. Lineage
+    * history: with the old HOF tokenizer, the array-frame derivation
+    * re-hit the d30 inline trap (the screen condition's inferred
+    * constraints pushed the tokenizer INTO the per-shingle lambda of the
+    * signature broadcast build — interpreted, one task, regexp per
+    * element: measured 33 s vs 2.3 s at sf0.1; a repartition barrier did
+    * NOT stop the inline, deriving from the shuffled exploded frame did).
+    * Since the round-9 ShingleHashes kernel the trap is moot, but this
+    * derivation stays: it shares the exploded frame's one groupBy
+    * exchange with the size counts it also needs.
     */
   private[queries] def d43Sigs(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
