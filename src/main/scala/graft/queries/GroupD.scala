@@ -1985,6 +1985,114 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d47: cross-source near-dup overlap matrix — the crawl-provenance
+    * audit a pipeline runs before mixing sources: for each unordered pair
+    * of sources {s1 ≤ s2}, how many near-dup pairs (c2's J ≥ 0.6 contract)
+    * have one doc in each, and what fraction of the possible cross pairs
+    * that is (`(n_pairs·10⁴) div (n_a·n_b)`, diagonal cells use
+    * `C(n_a, 2)`) — high off-diagonal cells mean two crawls scraped the
+    * same sites and one should be dropped or down-weighted (d26's mix
+    * knobs), high diagonal cells mean a source self-duplicates (c1/d46
+    * territory). Pure integer output; the rate numerator rides
+    * decimal(38,0) under d29's overflow rule (n_pairs can reach ~10¹²
+    * at 100 TB; ×10⁴ would sit past the long boundary).
+    *
+    * Scale shape: the pair frame is c2's (already linear-ish via the
+    * shingle equi-join; d1's banded variant is the swap-in at 100 TB —
+    * same (doc_a, doc_b) contract, so this matrix composes unchanged);
+    * attaching sources is two joins against the slim (doc_id, source)
+    * projection, and everything after the (src_a, src_b) group-by is
+    * sources²-sized — a broadcast-joined report frame.
+    */
+  def d47SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = GroupC.pairOverlap(spark, sfDir)
+      .filter((col("c").cast("double") /
+        (col("na") + col("nb") - col("c")).cast("double")) >= 0.6)
+      .select("doc_a", "doc_b")
+    val cells = pairs
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+        greatest(col("sa.source"), col("sb.source")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val ca = counts.select(col("source").as("src_a"), col("n_docs").as("na_docs"))
+    val cb = counts.select(col("source").as("src_b"), col("n_docs").as("nb_docs"))
+    cells.join(broadcast(ca), "src_a").join(broadcast(cb), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        expr("""cast((cast(n_pairs as decimal(38,0)) * 10000) div
+          (case when src_a = src_b then (na_docs * (na_docs - 1)) div 2
+           else na_docs * nb_docs end) as bigint)""").as("dup_rate_fp"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** d48: kNN label propagation — the pseudo-labeling / label-error audit
+    * over the labeled embedding table: every vector's predicted label is
+    * the majority label among its 5 exact nearest cosine neighbors
+    * (excluding itself; vote ties → smallest label, neighbor-rank ties →
+    * smallest vec_id), reported next to the true label with an `agree`
+    * flag — disagreements are the label-error candidates (Confident
+    * Learning's cheap cousin), and on unlabeled data the same plan IS the
+    * pseudo-labeler. All-pairs meet through d9's block-matrix
+    * decomposition (B=8: queries key (own, explode 0..B-1), corpus keys
+    * (explode 0..B-1, own) — every ordered pair meets in exactly one of
+    * the B² equi-join cells, so parallelism is B², not B). The top-5
+    * plans as WindowGroupLimit — each task keeps ≤5 rows per query before
+    * the qid exchange — and the vote tail is ≤5 rows per vector.
+    *
+    * This exact scan is the oracle-checkable baseline and is quadratic by
+    * construction — the declared 100 TB path swaps the sims frame for
+    * d13's tuned-LSH candidates or d11's IVF cell (bounded candidates per
+    * query, same window + vote tail unchanged); d3/d13 pin that trade's
+    * recall.
+    */
+  def d48LabelKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val B = 8
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val blocked = e.withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    // d9's triangular block pairing: each unordered pair meets once
+    // (diagonal cells see both orientations — the ida < idb filter keeps
+    // one), the cosine evaluates once, and BOTH orientations then explode
+    // from that single row — half the kernel work of the full matrix
+    val left = blocked.select(col("vec_id").as("ida"),
+        col("label").as("la"), col("v").as("va"), col("blk").as("bi"))
+      .withColumn("bj", explode(expr(s"sequence(bi, ${B - 1})")))
+    val right = blocked.select(col("vec_id").as("idb"),
+        col("label").as("lb"), col("v").as("vb"), col("blk").as("bj"))
+      .withColumn("bi", explode(expr("sequence(0, bj)")))
+    val tri = left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ida") < col("idb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("la"), col("idb"), col("lb"),
+        GroupC.cosine("va", "vb").as("s"))
+    val sims = tri.select(explode(array(
+        struct(col("ida").as("qid"), col("idb").as("nn_id"),
+          col("lb").as("nn_label"), col("s")),
+        struct(col("idb").as("qid"), col("ida").as("nn_id"),
+          col("la").as("nn_label"), col("s")))).as("p"))
+      .select(col("p.qid"), col("p.nn_id"), col("p.nn_label"), col("p.s"))
+    // exact top-5 per query via the native heap operator (b37's plan):
+    // O(rows) heap inserts against the window plan's per-task sorts, same
+    // deterministic set (total order — nn_id is unique within a query)
+    val knn = org.apache.spark.sql.graft.TopKPerGroup(sims, Seq("qid"),
+      Seq(("s", true), ("nn_id", false)), k = 5)
+    val votes = knn.groupBy("qid", "nn_label").agg(count(lit(1)).as("votes"))
+    val vw = Window.partitionBy("qid").orderBy(col("votes").desc, col("nn_label"))
+    val pred = votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("qid").as("vec_id"), col("nn_label").as("pred_label"),
+        col("votes"))
+    e.select("vec_id", "label").join(pred, "vec_id")
+      .select(col("vec_id"), col("label"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("label")).as("agree"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2025,6 +2133,8 @@ object GroupD {
     "d44_contamination_report" -> (d44ContaminationReport _),
     "d45_token_rarity"     -> (d45TokenRarity _),
     "d46_dedup_keep_best"  -> (d46DedupKeepBest _),
+    "d47_source_overlap"   -> (d47SourceOverlap _),
+    "d48_label_knn"        -> (d48LabelKnn _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2429,6 +2539,51 @@ object GroupD {
          |FROM labeled WHERE cluster_id IS NULL
          |ORDER BY doc_id""".stripMargin
     },
+    "d47_source_overlap" -> {
+      val pairSql = GroupC.oracleSql("c2_dedup_near")
+      s"""WITH c2 AS (
+         |$pairSql),
+         |cells AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b,
+         |    COUNT(*) AS n_pairs
+         |  FROM c2 p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+         |SELECT c.src_a, c.src_b, c.n_pairs,
+         |  CAST((c.n_pairs * 10000) // (CASE WHEN c.src_a = c.src_b
+         |    THEN (ca.n_docs * (ca.n_docs - 1)) // 2
+         |    ELSE ca.n_docs * cb.n_docs END) AS BIGINT) AS dup_rate_fp
+         |FROM cells c
+         |JOIN counts ca ON ca.source = c.src_a
+         |JOIN counts cb ON cb.source = c.src_b
+         |ORDER BY c.src_a, c.src_b""".stripMargin
+    },
+    "d48_label_knn" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nn_id, b.label AS nn_label,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+        |knn AS (
+        |  SELECT qid, nn_label FROM (
+        |    SELECT qid, nn_label,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nn_id) AS rn
+        |    FROM sims) t WHERE rn <= 5),
+        |votes AS (
+        |  SELECT qid, nn_label, COUNT(*) AS votes FROM knn GROUP BY qid, nn_label),
+        |pred AS (
+        |  SELECT qid, nn_label, votes FROM (
+        |    SELECT qid, nn_label, votes,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |        ORDER BY votes DESC, nn_label) AS vr
+        |    FROM votes) t WHERE vr = 1)
+        |SELECT e.vec_id, e.label, p.nn_label AS pred_label, p.votes,
+        |  e.label = p.nn_label AS agree
+        |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "d25_profile" -> {
       def one(name: String, numeric: Boolean, asDate: Boolean): String = {
         val e = if (asDate) s"CAST($name AS DATE)" else name

@@ -138,6 +138,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("d46_dedup_keep_best").contains("WindowGroupLimit"))
   }
 
+  test("d48: exact kNN top-5 runs as partial+final heap operators") {
+    // the triangular block self-join emits O(n²/B²) rows per task; the
+    // top-5 must prune per task BEFORE the qid exchange (partial heap,
+    // ≤5 rows per (query, task) into the shuffle) with the final heap
+    // after — the b37 operator pair, O(rows) vs the window plan's
+    // per-task sorts (measured 7.8 → 2.1 s at sf0.1)
+    val p = plan("d48_label_knn")
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2,
+      "both partial and final heap stages expected")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs must meet on block equi-keys, not a cross")
+  }
+
   test("d16/d17: rank-limited queries plan as WindowGroupLimit") {
     assert(plan("d16_tfidf").contains("WindowGroupLimit"))
     assert(plan("d17_quota_sample").contains("WindowGroupLimit"),
