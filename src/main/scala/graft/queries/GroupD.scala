@@ -2093,6 +2093,50 @@ object GroupD {
       .orderBy("vec_id")
   }
 
+  /** d49: label purity audit — d48's counterpart from the geometry side:
+    * each vector's cosine to its OWN label's centroid, ranked worst-first
+    * within the label; the bottom 5% (`label_rank ≤ max(1, n div 20)`)
+    * are the mislabel candidates a curation pass reviews. The centroid
+    * is represented by the per-label SUM vector, not the mean — cosine is
+    * scale-invariant so they rank identically, and the sum avoids a
+    * division whose decimal scale rules differ across engines. Summing in
+    * decimal(38,18) makes the aggregation ORDER-INDEPENDENT (float sums
+    * are not: parallel partial-agg merge order would perturb ulps run to
+    * run), so the Spark and DuckDB centroids agree and the oracle
+    * hash-matches; the one cast back to double rounds a single exact
+    * decimal per element.
+    *
+    * Scale shape: posexplode is scan-bandwidth; the (label, i) partial
+    * agg combines map-side so the shuffle carries labels × dim rows per
+    * task; centroids (labels rows) broadcast back. The per-label rank
+    * window is the one full sort — a dominant label at 100 TB takes
+    * d37's ShardedOrder escape (rank = shard rank + broadcast offset).
+    */
+  def d49LabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("decimal(38,18)")).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, m))), " +
+        "s -> cast(s.m as double))").as("c"))
+    val sims = e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"), GroupC.cosine("v", "c").as("s"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("s").asc_nulls_last, col("vec_id"))
+    sims
+      .withColumn("label_rank", row_number().over(w))
+      .withColumn("n_label", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("vec_id"), col("label"), round(col("s"), 6).as("centroid_sim"),
+        col("label_rank"),
+        (col("label_rank") <= greatest(lit(1), expr("n_label div 20")))
+          .as("outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2135,6 +2179,7 @@ object GroupD {
     "d46_dedup_keep_best"  -> (d46DedupKeepBest _),
     "d47_source_overlap"   -> (d47SourceOverlap _),
     "d48_label_knn"        -> (d48LabelKnn _),
+    "d49_label_purity"     -> (d49LabelPurity _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2584,6 +2629,29 @@ object GroupD {
         |  e.label = p.nn_label AS agree
         |FROM embeddings e JOIN pred p ON p.qid = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+    "d49_label_purity" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |pos AS (
+        |  SELECT label, i, SUM(CAST(v[i] AS DECIMAL(38,18))) AS m
+        |  FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(CAST(m AS DOUBLE) ORDER BY i) AS c
+        |  FROM pos GROUP BY label),
+        |sims AS (
+        |  SELECT e.vec_id, e.label, list_cosine_similarity(e.v, c.c) AS s
+        |  FROM e JOIN cent c USING (label)),
+        |ranked AS (
+        |  SELECT vec_id, label, s,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY s ASC, vec_id) AS INT) AS label_rank,
+        |    COUNT(*) OVER (PARTITION BY label) AS n_label
+        |  FROM sims)
+        |SELECT vec_id, label, ROUND(s, 6) AS centroid_sim, label_rank,
+        |  label_rank <= greatest(1, n_label // 20) AS outlier
+        |FROM ranked
+        |ORDER BY vec_id""".stripMargin,
     "d25_profile" -> {
       def one(name: String, numeric: Boolean, asDate: Boolean): String = {
         val e = if (asDate) s"CAST($name AS DATE)" else name
