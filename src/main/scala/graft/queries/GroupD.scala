@@ -2137,6 +2137,53 @@ object GroupD {
       .orderBy("vec_id")
   }
 
+  /** d50: temperature-based source sampling — the Pile/ROOTS mixing
+    * recipe with DATA-DERIVED quotas (d17 hard-codes its caps): at τ=0.5
+    * each source's share of the K-doc target budget is
+    * p_s^τ / Σ p_t^τ — rarer sources get a super-proportional share —
+    * capped at the source's own size. All cross-engine arithmetic is
+    * integer once the weight is built: w_s = floor(sqrt(n_s/N)·10⁶)
+    * (IEEE sqrt and double division are correctly rounded in both
+    * engines, and the fixed-point floor happens per source BEFORE any
+    * sum, so no float accumulation order exists), k_s =
+    * min(n_s, (K·w_s) div Σw), K = (6·N) div 10. Selection within a
+    * source is d17's deterministic md5 rank.
+    *
+    * Scale shape: quotas are a sources-row aggregate broadcast back; the
+    * varying per-source cap can't be a WindowGroupLimit by itself, so the
+    * plan pre-prunes with the GLOBAL max quota as a rank ≤ literal
+    * (WindowGroupLimit, map-side) read from the quota frame — a
+    * model-sized stat action, d36's selectivity-read discipline — then
+    * applies the exact per-source filter on the survivors.
+    */
+  def d50TemperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val weighted = counts
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .withColumn("w_s",
+        floor(sqrt(col("n_s").cast("double") / col("n_total").cast("double"))
+          * 1e6).cast("long"))
+    val quotas = weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("w_s")).as("w_sum"))))
+      .select(col("source"),
+        least(col("n_s"),
+          expr("(((6 * n_total) div 10) * w_s) div w_sum")).as("k_s"))
+    // the stat read: one sources-row action for the global WGL pre-prune
+    val kMax = quotas.agg(max(col("k_s"))).head().getLong(0)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":temp"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(kMax.toInt))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("k_s"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").cast("long").as("src_rank"), col("k_s"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2180,6 +2227,7 @@ object GroupD {
     "d47_source_overlap"   -> (d47SourceOverlap _),
     "d48_label_knn"        -> (d48LabelKnn _),
     "d49_label_purity"     -> (d49LabelPurity _),
+    "d50_temperature_sample" -> (d50TemperatureSample _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2652,6 +2700,30 @@ object GroupD {
         |  label_rank <= greatest(1, n_label // 20) AS outlier
         |FROM ranked
         |ORDER BY vec_id""".stripMargin,
+    "d50_temperature_sample" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |total AS (SELECT COUNT(*) AS n_total FROM documents),
+        |weighted AS (
+        |  SELECT source, n_s,
+        |    CAST(floor(sqrt(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS w_s,
+        |    n_total
+        |  FROM counts CROSS JOIN total),
+        |quotas AS (
+        |  SELECT source,
+        |    CAST(least(n_s, (((6 * n_total) // 10) * w_s)
+        |      // (SELECT SUM(w_s) FROM weighted)) AS BIGINT) AS k_s
+        |  FROM weighted),
+        |ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':temp'), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.source, CAST(r.rk AS BIGINT) AS src_rank, q.k_s
+        |FROM ranked r JOIN quotas q USING (source)
+        |WHERE r.rk <= q.k_s
+        |ORDER BY r.doc_id""".stripMargin,
     "d25_profile" -> {
       def one(name: String, numeric: Boolean, asDate: Boolean): String = {
         val e = if (asDate) s"CAST($name AS DATE)" else name

@@ -158,6 +158,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "quota cap must drop beyond-K rows before the shuffle")
   }
 
+  test("d50: global-max-quota pre-prune plans as WindowGroupLimit") {
+    // the varying per-source cap itself can't be a WindowGroupLimit; the
+    // rank ≤ k_max literal (read from the sources-row stat action) must
+    // be — it bounds the shuffle at k_max rows per (source, task) before
+    // the exact per-source filter
+    assert(plan("d50_temperature_sample").contains("WindowGroupLimit"))
+  }
+
   test("no B/C/D query plans a nested loop except the intended small-broadcast crosses") {
     // c3 broadcasts a 1-row query vector, d3 a bounded query set, d11 the
     // centroid table, d16 a 1-row corpus-count aggregate — a cross against
@@ -169,9 +177,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // argmin assignment (d11's centroid pattern); d36's brute/pre
     // branches broadcast the bounded query set (d35's pattern)
     // d45 broadcasts the same 1-row corpus-count aggregate as d16
+    // d50 crosses the sources-row quota frame with 1-row corpus-count
+    // and weight-sum aggregates (d16's pattern, twice)
     val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
       "d16_tfidf", "d33_ann_pq", "d35_filtered_knn", "d27_kmeans",
-      "d39_semdedup", "d36_filtered_ann", "d45_token_rarity")
+      "d39_semdedup", "d36_filtered_ann", "d45_token_rarity",
+      "d50_temperature_sample")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
