@@ -2050,10 +2050,17 @@ object GroupD {
     */
   def d48LabelKnn(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val B = 8
-    val e = Tables(spark, sfDir, "embeddings")
+    labelKnnOf(Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+        col("embedding").cast("array<double>").as("v")))
+  }
+
+  /** d48's body over an arbitrary (vec_id, label, v) frame — reusable in
+    * specs against synthetic labeled corpora. Callers must have
+    * registered [[graft.functions.GraftFunctions]] on the session.
+    */
+  private[queries] def labelKnnOf(e: DataFrame): DataFrame = {
+    val B = 8
     val blocked = e.withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
     // d9's triangular block pairing: each unordered pair meets once
     // (diagonal cells see both orientations — the ida < idb filter keeps
@@ -2114,9 +2121,15 @@ object GroupD {
     */
   def d49LabelPurity(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val e = Tables(spark, sfDir, "embeddings")
+    labelPurityOf(Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+        col("embedding").cast("array<double>").as("v")))
+  }
+
+  /** d49's body over an arbitrary (vec_id, label, v) frame — reusable in
+    * specs. Callers must have registered GraftFunctions on the session.
+    */
+  private[queries] def labelPurityOf(e: DataFrame): DataFrame = {
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("label", "i")
       .agg(sum(col("x").cast("decimal(38,18)")).as("m"))
@@ -2156,8 +2169,13 @@ object GroupD {
     * model-sized stat action, d36's selectivity-read discipline — then
     * applies the exact per-source filter on the survivors.
     */
-  def d50TemperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  def d50TemperatureSample(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureSampleOf(Tables(spark, sfDir, "documents"))
+
+  /** d50's body over an arbitrary (doc_id, lang, source, ...) frame —
+    * reusable in specs against synthetic source mixes.
+    */
+  private[queries] def temperatureSampleOf(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val weighted = counts
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))

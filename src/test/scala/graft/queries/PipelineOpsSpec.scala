@@ -786,4 +786,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
   }
+
+  test("d48 label kNN: tight clusters vote their own label; a planted mislabel is outvoted") {
+    // 4 well-separated tight clusters, constant label per cluster, one
+    // vector in cluster 0 deliberately mislabeled — every prediction must
+    // be the cluster's geometric label, so agree=false exactly there
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(4242)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(4)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val vecs = (0 until 4).flatMap { c =>
+      (0 until 20).map { m =>
+        val id = c * 20L + m
+        val lbl = if (id == 5L) 3 else c // plant: cluster 0, label 3
+        (id, lbl, unit(bases(c).map(_ + 0.01 * rnd.nextGaussian())))
+      }
+    }
+    val e = spark.createDataFrame(vecs).toDF("vec_id", "label", "v")
+    val out = GroupD.labelKnnOf(e).collect()
+    assert(out.length == vecs.length)
+    out.foreach { r =>
+      val (id, pred, agree) = (r.getLong(0), r.getInt(2), r.getBoolean(4))
+      val geom = (id / 20).toInt
+      assert(pred == geom, s"vec $id predicted $pred, cluster label $geom")
+      assert(agree == (id != 5L), s"vec $id agree flag wrong")
+    }
+  }
+
+  test("d49 label purity: a planted far-out vector ranks worst in its label") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5151)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val far = unit(base.map(-_)) // antipode: cosine to centroid ≈ -1
+    val vecs = (0 until 40).map { m =>
+      (m.toLong, 0, if (m == 7) far else unit(base.map(_ + 0.01 * rnd.nextGaussian())))
+    } :+ (99L, 1, unit(Array.fill(dim)(rnd.nextGaussian()))) // singleton label
+    val e = spark.createDataFrame(vecs).toDF("vec_id", "label", "v")
+    val out = GroupD.labelPurityOf(e).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getBoolean(4))).toMap
+    assert(out(7L) == ((1, true)), "antipode must rank worst and flag")
+    // bottom 5% of 40 = 2 flagged rows in label 0; the singleton label's
+    // only member is its own bottom 5% (max(1, 1 div 20) = 1) and flags
+    assert(out.count { case (id, (_, o)) => o && id != 99L } == 2)
+    assert(out(99L)._2, "singleton label's sole member flags by the max(1, n/20) rule")
+  }
+
+  test("d50 temperature quotas: budget-bounded, rare sources super-proportional, deterministic") {
+    // 1000 docs: src_big 900, src_mid 90, src_rare 10 — at τ=0.5 the keep
+    // FRACTION must rise as source size falls, and Σ k_s ≤ the 60% budget
+    val docs = spark.range(1000).selectExpr("id as doc_id", "'en' as lang",
+      "case when id < 900 then 'src_big' when id < 990 then 'src_mid' " +
+        "else 'src_rare' end as source")
+    val out = GroupD.temperatureSampleOf(docs)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Map("src_big" -> 900.0, "src_mid" -> 90.0, "src_rare" -> 10.0)
+    val frac = sizes.map { case (s, n) => s -> kept.getOrElse(s, 0L) / n }
+    assert(kept.values.sum <= 600, s"Σ quotas ${kept.values.sum} exceeds the 60% budget")
+    // smaller sources keep a no-smaller fraction (the two below-average
+    // sources here both hit their n_s cap → fraction 1.0; the dominant
+    // source is the one being cut)
+    assert(frac("src_rare") >= frac("src_mid") && frac("src_mid") > frac("src_big"),
+      s"temperature must upweight rarity: $frac")
+    val again = GroupD.temperatureSampleOf(docs).collect().map(_.toString).sorted
+    assert(again.sameElements(out.collect().map(_.toString).sorted), "reruns must be identical")
+  }
 }
