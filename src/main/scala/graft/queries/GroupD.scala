@@ -2202,6 +2202,65 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d51: embedding distribution drift — the index-maintenance monitor a
+    * serving deployment runs on every ingest batch: assign the delta
+    * (vec_id ≡ 8,9 mod 10 — d34's deterministic delta discipline) under
+    * the STANDING reference model (k-means trained on the other 80%,
+    * memoized per corpus — the in-JVM twin of the ModelStore parquet
+    * round-trip), and report per cluster: reference/delta member counts,
+    * both shares in 10⁴ fixed-point, the absolute share shift, and the
+    * out-of-distribution count (delta members farther from their centroid
+    * than the reference's p95 squared distance). A large shift or OOD
+    * fraction is the retrain/re-shard trigger. Training derives from the
+    * reference split only — the delta must not leak into the model it is
+    * being judged against.
+    *
+    * K-means ⇒ no oracle (iterative fixpoint, the d27 family); drift
+    * detection, OOD counting, and determinism pinned in PipelineOpsSpec
+    * on synthetic shifted batches.
+    *
+    * Scale shape: the model is the standing asset (zero training actions
+    * on a memo hit; ModelStore persists it across JVMs); assignment is
+    * one broadcast-centroid scan per side; p95 is a model-sized stat
+    * action (d36's discipline); everything after the per-cluster
+    * aggregates is k-sized report arithmetic.
+    */
+  def d51EmbeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val ref = e.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    val fresh = new Memo(() => ref.count())
+    val prior = corpusNMemo.putIfAbsent(s"drift|$sfDir", fresh)
+    val n = (if (prior != null) prior else fresh).value
+    val k = math.max(8, math.min(4096, (n / 64).toInt))
+    val model = graft.operators.KMeans.fitMemoized(s"drift|$sfDir|$k", ref, k, iters = 3)
+    embeddingDriftOf(ref, delta, model.centroids)
+  }
+
+  /** d51's report over arbitrary (vec_id, embedding) reference/delta
+    * frames and centroids — reusable in specs against planted shifts.
+    */
+  private[queries] def embeddingDriftOf(ref: DataFrame, delta: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val aRef = graft.operators.KMeans.assignWith(ref, cents)
+    val aDel = graft.operators.KMeans.assignWith(delta, cents)
+    // the reference's p95 squared distance: one model-sized stat action
+    val p95 = aRef.agg(expr("percentile(d2, 0.95)")).head().getDouble(0)
+    val r = aRef.groupBy("cluster").agg(count(lit(1)).as("n_ref"))
+    val d = aDel.groupBy("cluster").agg(count(lit(1)).as("n_delta"),
+      sum(when(col("d2") > p95, 1L).otherwise(0L)).as("n_ood"))
+    val joined = r.join(d, Seq("cluster"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_delta", "n_ood"))
+    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_delta").as("t_delta"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("share_ref_fp", expr("(n_ref * 10000) div greatest(t_ref, 1)"))
+      .withColumn("share_delta_fp", expr("(n_delta * 10000) div greatest(t_delta, 1)"))
+      .select(col("cluster"), col("n_ref"), col("n_delta"), col("n_ood"),
+        col("share_ref_fp"), col("share_delta_fp"),
+        abs(col("share_delta_fp") - col("share_ref_fp")).as("shift_fp"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2246,6 +2305,9 @@ object GroupD {
     "d48_label_knn"        -> (d48LabelKnn _),
     "d49_label_purity"     -> (d49LabelPurity _),
     "d50_temperature_sample" -> (d50TemperatureSample _),
+    // d51 composes k-means (iterative fixpoint — no oracle); drift/OOD
+    // detection and determinism pinned in PipelineOpsSpec.
+    "d51_embedding_drift"  -> (d51EmbeddingDrift _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),

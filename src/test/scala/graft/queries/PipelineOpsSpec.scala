@@ -838,6 +838,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(99L)._2, "singleton label's sole member flags by the max(1, n/20) rule")
   }
 
+  test("d51 drift: a delta drawn from ONE cluster shifts shares; far vectors count as OOD") {
+    val rnd = new scala.util.Random(6161)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(4)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    // balanced reference: 4 tight clusters × 30
+    val refVecs = (0 until 4).flatMap { c =>
+      (0 until 30).map(m => (c * 30L + m,
+        unit(bases(c).map(_ + 0.01 * rnd.nextGaussian())).map(_.toFloat)))
+    }
+    val ref = spark.createDataFrame(refVecs).toDF("vec_id", "embedding")
+    val model = graft.operators.KMeans.fit(ref, k = 4, iters = 5)
+    // delta: 20 vectors ALL near base 0 + 5 far OOD vectors (antipode of
+    // base 1 keeps them off every training mode)
+    val deltaVecs = (0 until 20).map(m => (1000L + m,
+      unit(bases(0).map(_ + 0.01 * rnd.nextGaussian())).map(_.toFloat))) ++
+      (0 until 5).map(m => (2000L + m,
+        unit(bases(1).map(-_)).map(_.toFloat)))
+    val delta = spark.createDataFrame(deltaVecs).toDF("vec_id", "embedding")
+    val out = GroupD.embeddingDriftOf(ref, delta, model.centroids).collect()
+    assert(out.length == 4, "one report row per cluster")
+    // reference shares are balanced at 2500 each; the planted delta mass
+    // concentrates, so SOME cluster's share must shift by ≥ 2000 fp
+    assert(out.map(_.getLong(6)).max >= 2000,
+      s"planted concentration must show as share shift: ${out.mkString("; ")}")
+    // all 5 antipodes are certainly past the reference p95; a p95 bar
+    // also tags ~5% of in-distribution vectors, so allow a small tail
+    val ood = out.map(_.getLong(3)).sum
+    assert(ood >= 5L && ood <= 8L,
+      s"OOD count $ood outside [5, 8]: antipodes must count, tail stays small")
+    val again = GroupD.embeddingDriftOf(ref, delta, model.centroids).collect()
+    assert(again.map(_.toString).sameElements(out.map(_.toString)), "deterministic")
+  }
+
   test("d50 temperature quotas: budget-bounded, rare sources super-proportional, deterministic") {
     // 1000 docs: src_big 900, src_mid 90, src_rare 10 — at τ=0.5 the keep
     // FRACTION must rise as source size falls, and Σ k_s ≤ the 60% budget

@@ -26,7 +26,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val rowsOnly = queries -- graft.SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats",
       "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann",
-      "d39_semdedup", "d41_bigram_novelty_cms", "d43_containment_minhash"),
+      "d39_semdedup", "d41_bigram_novelty_cms", "d43_containment_minhash",
+      "d51_embedding_drift"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
@@ -182,7 +183,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val allowedCross = Set("c3_similarity_topk", "d3_knn_join", "d11_ann_ivf",
       "d16_tfidf", "d33_ann_pq", "d35_filtered_knn", "d27_kmeans",
       "d39_semdedup", "d36_filtered_ann", "d45_token_rarity",
-      "d50_temperature_sample")
+      "d50_temperature_sample",
+      // d51 broadcasts the centroid rows (d27's serving argmin) and a
+      // 1-row totals aggregate
+      "d51_embedding_drift")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
