@@ -117,6 +117,7 @@ object GraftFunctions {
   val SigMatchName = "graft_sig_matches"
   val WavMetaName = "graft_wav_meta"
   val Mp4MetaName = "graft_mp4_meta"
+  val NearestCentroidName = "graft_nearest_centroid"
   val ShingleHashesName = "graft_shingle_hashes"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
@@ -134,6 +135,12 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 2, s"$CosineName expects 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(NearestCentroidName,
+      { exprs =>
+        require(exprs.length == 2,
+          s"$NearestCentroidName expects (array<double>, array<array<double>>)")
+        NearestCentroid(exprs.head, exprs(1))
       }, "built-in")
     reg.createOrReplaceTempFunction(MinHashName,
       { exprs =>
