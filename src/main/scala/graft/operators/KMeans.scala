@@ -45,35 +45,29 @@ object KMeans {
     * with ONE scan and no training actions (the d33/AnnTuning serving
     * discipline). Output: (vec_id, embedding, cluster, d2).
     *
-    * Mechanism differs from training's [[assign]] on purpose: the
-    * literal-centroid expression tree grows O(k·dim) — at k beyond ~10 the
-    * DRIVER pays seconds of codegen/compile per query (measured: d39 at
-    * k=31 cost ~2 s of plan time). Serving instead broadcasts the k
-    * centroids as ROWS and takes the window argmin — plan size constant in
-    * k, same arithmetic (float→double widening, zip_with/aggregate fold
-    * order) and the same (d2, cluster) tie-break, so assignments are
-    * bit-identical (pinned in KMeansSpec).
+    * Mechanism history (both prior forms measured and retired): the
+    * literal-centroid expression TREE costs O(k·dim) driver
+    * codegen/compile (~2 s of plan time at k=31 — the round-8
+    * dead-end), and the broadcast-rows + min-struct argmin AGGREGATE
+    * (rounds 8–9) pays a full ~n-row exchange per assignment. Since
+    * round 9 assignment is one stateless projection through the native
+    * codegen'd [[graft.functions.NearestCentroid]] expression — the
+    * k×dim model rides as a plan literal (constant PLAN size), the scan
+    * is exchange-free, and the same plan serves batch and streaming
+    * (StreamDrift). Arithmetic is bit-identical to both retired forms:
+    * left-to-right squared-diff fold after float→double widening, strict
+    * `<` keeping the earliest centroid = the (d2 asc, cluster asc)
+    * tie-break (pinned in NearestCentroidSpec and KMeansSpec).
     */
   def assignWith(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val spark = vectors.sparkSession
-    val cdf = spark.createDataFrame(
-      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
-      .toDF("cluster", "cv")
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("cv"),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0d), (acc, x) => acc + x)
-    // argmin as min(struct(d2, cluster, embedding)): the partial aggregate
-    // combines MAP-SIDE, so the exchange carries ~n rows instead of the
-    // n·k a window-over-crossJoin would shuffle and sort (review finding);
-    // (d2, cluster) never ties within a vec_id (cluster ids are distinct),
-    // so the struct order is exactly the (d2 asc, cluster asc) tie-break
-    vectors.crossJoin(broadcast(cdf))
-      .select(col("vec_id"), col("embedding"), col("cluster"), d2.as("d2"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cluster"), col("embedding"))).as("b"))
-      .select(col("vec_id"), col("b.embedding").as("embedding"),
-        col("b.cluster").as("cluster"), col("b.d2").as("d2"))
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors
+      .withColumn("__nc", call_function(
+        graft.functions.GraftFunctions.NearestCentroidName,
+        col("embedding").cast("array<double>"),
+        typedLit(cents.map(_.toSeq).toSeq)))
+      .select(col("vec_id"), col("embedding"),
+        col("__nc.cluster").as("cluster"), col("__nc.d2").as("d2"))
   }
 
   /** Fit once per `key`, then serve the model from the memo — training is
@@ -105,20 +99,13 @@ object KMeans {
   private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Model]]()
 
-  /** Nearest-centroid id and its squared distance for every row. */
-  private def assign(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val candidates = cents.zipWithIndex.map { case (c, i) =>
-      val centroid = array(c.map(lit): _*)
-      val d2 = aggregate(
-        zip_with(col("embedding"), centroid,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0d), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(i).as("cluster"))
-    }
-    vectors.withColumn("__best", sort_array(array(candidates: _*))(0))
-      .select(col("vec_id"), col("embedding"),
-        col("__best.cluster").as("cluster"), col("__best.d2").as("d2"))
-  }
+  /** Nearest-centroid id and its squared distance for every row —
+    * training's per-iteration assignment, same native-expression
+    * projection as [[assignWith]] (bit-identical by construction; the
+    * retired literal-tree form is documented there).
+    */
+  private def assign(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assignWith(vectors, cents)
 
   /** Run `iters` Lloyd iterations with deterministic rank-spaced seeding;
     * k may be reduced if the input has fewer vectors than clusters.
