@@ -12,20 +12,31 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Load `events`, whose `ts` is parquet TIMESTAMP(NANOS) — a type Spark's
-    * vectorized reader rejects outright. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, which Verify/Bench (and
-    * the test harness) set ONCE at session build — a query function must
-    * not silently mutate session-global conf. The nanos-long is converted
-    * with integer division (ns values exceed 2^53, so a double-typed
-    * divide would lose micros).
+  /** Load `events`, normalizing `ts` to session-TZ TIMESTAMP across the
+    * generator's storage choices (both observed across driver rounds):
+    *
+    *  - parquet TIMESTAMP(NANOS) — a type Spark's vectorized reader
+    *    rejects outright; requires `spark.sql.legacy.parquet.nanosAsLong=
+    *    true` (set ONCE at session build by Verify/Bench and the test
+    *    harness — a query function must not silently mutate session
+    *    conf), read as a nanos BIGINT and converted with integer division
+    *    (ns values exceed 2^53, so a double-typed divide would lose
+    *    micros);
+    *  - parquet TIMESTAMP(MICROS) without isAdjustedToUTC — arrives as
+    *    TIMESTAMP_NTZ, cast straight to TIMESTAMP (identical instants
+    *    under the UTC session both mains pin).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Staging dir for round-trip fixtures: derived from (sf, tag) so
