@@ -211,8 +211,12 @@ object Mp4Meta {
       unknown = duration == -1L // all-ones u64
     } else return null
     if (timescale <= 0L) return null
+    // beU64 values above Long.MaxValue arrive negative, and duration*1000
+    // can overflow for hostile mvhd payloads: both surface as NULL, the
+    // same contract as every other unparseable field.
     val dur: java.lang.Long =
-      if (unknown) null else duration * 1000L / timescale
+      if (unknown || duration < 0L || duration > Long.MaxValue / 1000L) null
+      else duration * 1000L / timescale
     new GenericArrayData(Array[Any](dur, java.lang.Long.valueOf(timescale)))
   }
 }

@@ -264,12 +264,18 @@ case class SigMatchCount(left: Expression, right: Expression)
           s"got (${l.simpleString}, ${r.simpleString})")
     }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_sig_matches"
 
+  // Length-mismatched signatures (wrong perm count) are a malformed model,
+  // not a weak match: comparing the shorter prefix would bias the Jaccard
+  // estimate low silently. Surface NULL instead — NearestCentroid's
+  // malformed-model contract.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
     var c = 0L
     var i = 0
     while (i < n) {
@@ -284,10 +290,14 @@ case class SigMatchCount(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |${ev.value} = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) ${ev.value}++;
+         |  }
          |}
        """.stripMargin
     })

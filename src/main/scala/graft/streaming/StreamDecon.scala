@@ -67,7 +67,11 @@ object StreamDecon {
       call_function(graft.functions.GraftFunctions.BloomName,
         lit(bloomBytes), s))
     docs
-      .withColumn("n_shared_est", size(hits).cast("long"))
+      // NULL text shares no shingles: coalesce keeps the contract two-state
+      // (the batch shingle frame drops null-text rows for the same reason),
+      // so filter(contaminated_est) / filter(!contaminated_est) partition
+      // the stream with no silently-dropped third state.
+      .withColumn("n_shared_est", coalesce(size(hits).cast("long"), lit(0L)))
       .withColumn("contaminated_est", col("n_shared_est") > 0)
   }
 }

@@ -83,4 +83,29 @@ class CosineSimilaritySpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(v == -1.0)
   }
+
+  test("sig_matches counts agreeing positions; length mismatch is NULL, not a short-prefix count") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L)), // 2 agree
+      (2L, Array(5L, 5L), Array(5L, 5L)),                 // all agree
+      (3L, Array(1L, 2L, 3L), Array(1L, 2L)),             // mismatched perms
+      (4L, Array.empty[Long], Array.empty[Long]))         // empty = 0, not NULL
+      .toDF("id", "a", "b")
+      .select(col("id"), expr(s"${GraftFunctions.SigMatchName}(a, b)").as("m"))
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) == 2L && rows(1).getLong(1) == 2L)
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).getLong(1) == 0L)
+    // interpreted eval agrees with the codegen path above
+    val e = SigMatchCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 2L, 3L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == null)
+  }
 }

@@ -132,6 +132,21 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(Mp4Meta.scan(ts0) == null)
   }
 
+  test("MP4: hostile v1 durations (overflow / u64 high bit) give NULL, keep timescale") {
+    // duration * 1000 would overflow Long: NULL, not a garbage negative
+    def v1(dur: Array[Byte]) = box("ftyp", ascii("isom")) ++
+      box("moov", box("mvhd", Array[Byte](1, 0, 0, 0) ++ beU64(0) ++ beU64(0) ++
+        beU32(1000) ++ dur ++ Array.fill[Byte](80)(0)))
+    val tooBig = Mp4Meta.scan(v1(beU64(Long.MaxValue / 1000L + 1L)))
+    assert(tooBig.isNullAt(0) && tooBig.getLong(1) == 1000L)
+    // u64 with the high bit set arrives negative through beU64: also NULL
+    val highBit = Mp4Meta.scan(v1(Array[Byte](0x80.toByte, 0, 0, 0, 0, 0, 0, 1)))
+    assert(highBit.isNullAt(0) && highBit.getLong(1) == 1000L)
+    // boundary: exactly Long.MaxValue/1000 still computes
+    val atBound = Mp4Meta.scan(v1(beU64(Long.MaxValue / 1000L)))
+    assert(atBound.getLong(0) == Long.MaxValue / 1000L * 1000L / 1000L)
+  }
+
   test("MP4 refusals: garbage, box smaller than header, short, null") {
     assert(Mp4Meta.scan(ascii("RIFF") ++ leU32(100) ++ ascii("WAVE")) == null)
     assert(Mp4Meta.scan(beU32(4) ++ ascii("moov")) == null) // size < header

@@ -69,4 +69,20 @@ class StreamDeconSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate") && !plan.contains("Join"),
       "tag() must stay map-only (no shuffle, no stream state)")
   }
+
+  test("NULL text tags as clean (0 shared), not as a silent third state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = graft.queries.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val bloom = StreamDecon.benchmarkBloom(docs.filter(col("source") === "src0"))
+    val tagged = StreamDecon.tag(
+      Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("xy")))
+        .toDF("doc_id", "text"), bloom)
+      .orderBy("doc_id").collect()
+    // filter(contaminated) and filter(!contaminated) must partition the
+    // stream: every row carries a non-NULL tag
+    assert(tagged.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    assert(tagged.forall(_.getLong(2) == 0L), "no text -> no shared shingles")
+    assert(tagged.forall(!_.getBoolean(3)))
+  }
 }
