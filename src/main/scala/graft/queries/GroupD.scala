@@ -220,26 +220,35 @@ object GroupD {
     * [[graft.operators.AnnTuning.capBuckets]]); `queryPred` optionally
     * restricts the query side (the index side always spans the corpus).
     */
-  private[queries] def annLsh(e: DataFrame, spark: SparkSession,
+  /** Tuned-LSH candidate (qid, nn_id) pairs on an arbitrary (vec_id, v)
+    * frame — the candidate generator shared by d4/d13 (via [[annLsh]])
+    * and d52's label propagation. Candidate pairs are deduplicated as
+    * 16-byte ID pairs BEFORE the vectors are attached: a distinct over
+    * rows that carry two 64-double arrays would shuffle the whole corpus
+    * once per colliding table (measured 67 s vs 4 s at sf0.1).
+    */
+  private[queries] def lshCandidatePairs(e: DataFrame, spark: SparkSession,
       tables: Int, bits: Int, bucketCap: Int,
-      k: Int = 1, queryPred: Option[Column] = None): DataFrame = {
+      queryPred: Option[Column] = None): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // Candidate pairs are deduplicated as 16-byte ID pairs BEFORE the
-    // vectors are attached: a distinct over rows that carry two 64-double
-    // arrays would shuffle the whole corpus once per colliding table
-    // (measured 67 s vs 4 s at sf0.1).
     val keyed = e.select(col("vec_id"),
       posexplode(expr(
         s"${graft.functions.GraftFunctions.LshKeysName}(v, $tables, $bits)"))
         .as(Seq("tbl", "bucket")))
     val queries = queryPred.fold(keyed)(keyed.filter)
     val index = graft.operators.AnnTuning.capBuckets(keyed, bucketCap)
-    val cand = queries.as("x")
+    queries.as("x")
       .join(index.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nn_id"))
       .distinct()
+  }
+
+  private[queries] def annLsh(e: DataFrame, spark: SparkSession,
+      tables: Int, bits: Int, bucketCap: Int,
+      k: Int = 1, queryPred: Option[Column] = None): DataFrame = {
+    val cand = lshCandidatePairs(e, spark, tables, bits, bucketCap, queryPred)
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
@@ -2086,6 +2095,15 @@ object GroupD {
     // exact top-5 per query via the native heap operator (b37's plan):
     // O(rows) heap inserts against the window plan's per-task sorts, same
     // deterministic set (total order — nn_id is unique within a query)
+    voteTail(e, sims)
+  }
+
+  /** The kNN-vote tail shared by d48 (exact sims) and d52 (ANN candidate
+    * sims): top-5 neighbors per query via the native heap operator, then
+    * the majority vote (ties → smallest label) reported next to the true
+    * label. `sims` must carry (qid, nn_id, nn_label, s).
+    */
+  private def voteTail(e: DataFrame, sims: DataFrame): DataFrame = {
     val knn = org.apache.spark.sql.graft.TopKPerGroup(sims, Seq("qid"),
       Seq(("s", true), ("nn_id", false)), k = 5)
     val votes = knn.groupBy("qid", "nn_label").agg(count(lit(1)).as("votes"))
@@ -2098,6 +2116,57 @@ object GroupD {
       .select(col("vec_id"), col("label"), col("pred_label"), col("votes"),
         (col("pred_label") === col("label")).as("agree"))
       .orderBy("vec_id")
+  }
+
+  /** d52: kNN label propagation over ANN candidates — d48's declared
+    * 100 TB path made a first-class query. Same contract (majority label
+    * among the top-5 cosine neighbors, same tie rules, same output shape)
+    * but the neighbor pool comes from the auto-tuned hyperplane-LSH
+    * banding ([[graft.operators.AnnTuning.tunedLsh]] + the big-bucket
+    * cap) instead of the all-pairs block join — candidate volume is
+    * tables × bucket membership per vector, NOT n², so the pseudo-labeler
+    * survives the 100× corpus that kills d48's exact scan.
+    *
+    * Approximate ⇒ rows-only (no oracle), the d4/d13 discipline; d48 is
+    * the exact baseline it trades against. PipelineOpsSpec pins the trade
+    * on a clustered labeled corpus (the regime where pseudo-labeling is
+    * run): prediction agreement vs d48 ≥ 0.9 over full coverage,
+    * candidate volume ≪ n², and determinism. Vectors with zero bucket
+    * mates drop from the report (no neighbors → no vote), matching d48's
+    * inner-join contract.
+    *
+    * Scale shape: one posexplode scan keys the corpus (tables rows per
+    * vector), the bucket equi-join is the only shuffle that grows with
+    * collisions (capped per bucket), the heap top-5 keeps ≤5 rows per
+    * query before the qid exchange, and the vote tail is ≤5 rows per
+    * vector — no stage materializes anything n²-shaped.
+    */
+  def d52LabelKnnAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    labelKnnAnnOf(Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")),
+      spark, s"lsh|$sfDir")
+  }
+
+  /** d52's body over an arbitrary (vec_id, label, v) frame — reusable in
+    * specs against synthetic labeled corpora. `tuneKey` memoizes the LSH
+    * tuning per corpus (d4's discipline).
+    */
+  private[queries] def labelKnnAnnOf(e: DataFrame, spark: SparkSession,
+      tuneKey: String): DataFrame = {
+    val vecs = e.select("vec_id", "v")
+    val tuned = graft.operators.AnnTuning.tunedLsh(spark, vecs, tuneKey)
+    val cand = lshCandidatePairs(vecs, spark,
+      tuned.config.tables, tuned.config.bits,
+      graft.operators.AnnTuning.effectiveCap(tuned))
+    val sims = cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nn_id"), col("label").as("nn_label"),
+        col("v").as("nv")), Seq("nn_id"))
+      .select(col("qid"), col("nn_id"), col("nn_label"),
+        GroupC.cosine("nv", "qv").as("s"))
+    voteTail(e, sims)
   }
 
   /** d49: label purity audit — d48's counterpart from the geometry side:
@@ -2194,7 +2263,7 @@ object GroupD {
         col("doc_id"))
     docs.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= lit(kMax.toInt))
+      .filter(col("rk") <= lit(kMax))
       .join(broadcast(quotas), "source")
       .filter(col("rk") <= col("k_s"))
       .select(col("doc_id"), col("lang"), col("source"),
@@ -2261,6 +2330,65 @@ object GroupD {
       .orderBy("cluster")
   }
 
+  /** d53: index cell maintenance — the consumer of d51's drift trigger.
+    * Reads the same drift report off the same standing model, flags the
+    * cells whose share shift or OOD fraction crosses the maintenance bar
+    * (shift ≥ 1500 fp, or OOD ≥ 20% of the cell's delta members), splits
+    * exactly those cells via [[graft.operators.CellMaintenance]] grouped
+    * 2-means over the combined corpus, and reports one audit row per
+    * original cell: the drift evidence, the action taken, and the child
+    * cell ids. Unflagged cells are untouched BY CONSTRUCTION (bit-identical
+    * centroids, stable ids) — the FAISS "retrain when drifted" loop with
+    * cost ∝ flagged share, not corpus size.
+    *
+    * Composes k-means ⇒ no oracle (the d27/d51 family); rows-only here,
+    * with recall-non-regression, only-flagged-cells-retrain, and
+    * determinism pinned in CellMaintenanceSpec on planted-shift corpora.
+    *
+    * Scale shape: the report is k-sized (one collect — d36's model-sized
+    * discipline), the full-corpus work is ONE assignment scan, and the
+    * split loop touches only flagged members (persisted once).
+    */
+  def d53IvfMaintain(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val ref = e.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    val fresh = new Memo(() => ref.count())
+    val prior = corpusNMemo.putIfAbsent(s"drift|$sfDir", fresh)
+    val n = (if (prior != null) prior else fresh).value
+    val k = math.max(8, math.min(4096, (n / 64).toInt))
+    val model = graft.operators.KMeans.fitMemoized(s"drift|$sfDir|$k", ref, k, iters = 3)
+    maintainOf(spark, ref, delta, model.centroids)
+  }
+
+  /** d53's body over arbitrary reference/delta frames and a standing
+    * model — reusable in specs against planted shifts.
+    */
+  private[queries] def maintainOf(spark: SparkSession, ref: DataFrame,
+      delta: DataFrame, cents: Array[Array[Double]],
+      shiftBarFp: Long = 1500L, oodBarFp: Long = 2000L): DataFrame = {
+    val report = embeddingDriftOf(ref, delta, cents).collect() // k rows
+    val flagged = report.filter { r =>
+      val (nDelta, nOod, shift) = (r.getLong(2), r.getLong(3), r.getLong(6))
+      shift >= shiftBarFp || (nDelta > 0 && nOod * 10000L / nDelta >= oodBarFp)
+    }.map(_.getInt(0))
+    val res = graft.operators.CellMaintenance.splitCells(
+      ref.unionByName(delta), cents, flagged.toSeq)
+    val audit = report.map { r =>
+      val c = r.getInt(0)
+      res.children.get(c) match {
+        case Some((a, b)) => (c, r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(6), "split", a, b)
+        case None => (c, r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(6), "keep", c, -1)
+      }
+    }
+    spark.createDataFrame(audit.toSeq)
+      .toDF("cluster", "n_ref", "n_delta", "n_ood", "shift_fp",
+        "action", "child_a", "child_b")
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2303,11 +2431,17 @@ object GroupD {
     "d46_dedup_keep_best"  -> (d46DedupKeepBest _),
     "d47_source_overlap"   -> (d47SourceOverlap _),
     "d48_label_knn"        -> (d48LabelKnn _),
+    // d52 is approximate (ANN candidate pool) — rows-only; agreement vs
+    // d48's exact scan + candidate-volume bound pinned in PipelineOpsSpec.
+    "d52_label_knn_ann"    -> (d52LabelKnnAnn _),
     "d49_label_purity"     -> (d49LabelPurity _),
     "d50_temperature_sample" -> (d50TemperatureSample _),
     // d51 composes k-means (iterative fixpoint — no oracle); drift/OOD
     // detection and determinism pinned in PipelineOpsSpec.
     "d51_embedding_drift"  -> (d51EmbeddingDrift _),
+    // d53 consumes d51's trigger (k-means family — no oracle); recall
+    // non-regression + only-flagged-retrain pinned in CellMaintenanceSpec.
+    "d53_ivf_maintain"     -> (d53IvfMaintain _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),

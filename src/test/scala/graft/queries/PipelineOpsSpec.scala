@@ -816,6 +816,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d52 ANN label kNN agrees >= 0.9 with d48's exact scan on a clustered corpus, sub-quadratic") {
+    // the declared 100 TB trade: same vote contract, LSH candidate pool.
+    // Clustered labeled corpus (pseudo-labeling's regime): 8 tight
+    // clusters x 25, constant label per cluster, one planted mislabel.
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5252)
+    val dim = 32
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(8)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val vecs = (0 until 8).flatMap { c =>
+      (0 until 25).map { m =>
+        val id = c * 25L + m
+        val lbl = if (id == 3L) 7 else c
+        (id, lbl, unit(bases(c).map(_ + 0.02 * rnd.nextGaussian())))
+      }
+    }
+    val e = spark.createDataFrame(vecs).toDF("vec_id", "label", "v")
+    val exact = GroupD.labelKnnOf(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val approx = GroupD.labelKnnAnnOf(e, spark, "lsh|spec-d52").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // full coverage in this regime (every vector has bucket mates) and
+    // >= 0.9 prediction agreement with the exact baseline
+    assert(approx.size >= (vecs.size * 9) / 10,
+      s"coverage ${approx.size}/${vecs.size} below 0.9")
+    val common = exact.keySet intersect approx.keySet
+    val agree = common.count(id => exact(id) == approx(id))
+    info(f"d52 vs d48 agreement: $agree/${common.size}")
+    assert(agree.toDouble / common.size >= 0.9,
+      s"agreement $agree/${common.size} below 0.9")
+    // sub-quadratic: the candidate pool must be well under all-pairs
+    val tuned = graft.operators.AnnTuning.tunedLsh(spark,
+      e.select("vec_id", "v"), "lsh|spec-d52")
+    val nCand = GroupD.lshCandidatePairs(e.select("vec_id", "v"), spark,
+      tuned.config.tables, tuned.config.bits,
+      graft.operators.AnnTuning.effectiveCap(tuned)).count()
+    val n = vecs.size.toLong
+    info(s"d52 candidates: $nCand of ${n * (n - 1)} ordered pairs")
+    assert(nCand <= n * (n - 1) / 2,
+      s"candidate volume $nCand not sub-quadratic vs ${n * (n - 1)}")
+    // deterministic across reruns
+    val again = GroupD.labelKnnAnnOf(e, spark, "lsh|spec-d52").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again == approx, "reruns must be identical")
+  }
+
   test("d49 label purity: a planted far-out vector ranks worst in its label") {
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(5151)
@@ -871,6 +919,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ood >= 5L && ood <= 8L,
       s"OOD count $ood outside [5, 8]: antipodes must count, tail stays small")
     val again = GroupD.embeddingDriftOf(ref, delta, model.centroids).collect()
+    assert(again.map(_.toString).sameElements(out.map(_.toString)), "deterministic")
+  }
+
+  test("d53 maintenance audit: the drifted cell splits, quiet cells keep, report is deterministic") {
+    // planted shift (d51's fixture shape): standing model on 4 balanced
+    // clusters; the delta concentrates in cluster 0's region plus OOD
+    // antipodes — d53 must flag and split ONLY the hit cells
+    val rnd = new scala.util.Random(6464)
+    val dim = 16
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = Array.fill(4)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val refVecs = (0 until 4).flatMap { c =>
+      (0 until 30).map(m => (c * 30L + m,
+        unit(bases(c).map(_ + 0.01 * rnd.nextGaussian())).map(_.toFloat)))
+    }
+    val ref = spark.createDataFrame(refVecs).toDF("vec_id", "embedding")
+    val model = graft.operators.KMeans.fit(ref, k = 4, iters = 5)
+    val deltaVecs = (0 until 25).map(m => (1000L + m,
+      unit(bases(0).map(_ + 0.01 * rnd.nextGaussian())).map(_.toFloat)))
+    val delta = spark.createDataFrame(deltaVecs).toDF("vec_id", "embedding")
+    val out = GroupD.maintainOf(spark, ref, delta, model.centroids).collect()
+    assert(out.length == 4, "one audit row per ORIGINAL cell")
+    val byAction = out.groupBy(_.getString(5))
+    val splits = byAction.getOrElse("split", Array.empty)
+    assert(splits.nonEmpty, "the concentrated delta must flag its cell")
+    // split rows allocate fresh child ids past the original k; keeps point
+    // at themselves with child_b = -1
+    val newIds = splits.map(_.getInt(7))
+    assert(newIds.forall(_ >= 4) && newIds.distinct.length == newIds.length)
+    for (r <- byAction.getOrElse("keep", Array.empty))
+      assert(r.getInt(6) == r.getInt(0) && r.getInt(7) == -1)
+    val again = GroupD.maintainOf(spark, ref, delta, model.centroids).collect()
     assert(again.map(_.toString).sameElements(out.map(_.toString)), "deterministic")
   }
 
