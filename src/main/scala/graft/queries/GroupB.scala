@@ -325,13 +325,20 @@ object GroupB {
     * an engine's summation order (b9's rule).
     */
   def b29Lateral(spark: SparkSession, sfDir: String): DataFrame = {
+    // the average is carried in integer CENTS with an explicit half-up
+    // ((2s + n) div 2n — valid for the all-positive balances here): a
+    // ROUND(double, 2) straddles engine-specific behavior exactly at
+    // representational halfway points (4201.315 at one SF hit it), while
+    // the integer form is bit-identical by construction and the final
+    // /100.0 is one shared IEEE op
     sqlScoped(spark, """
       SELECT n.n_nationkey, n.n_name, s.n_customers, s.avg_bal
       FROM {nation} n,
       LATERAL (
         SELECT COUNT(*) AS n_customers,
-               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(*), 2) AS avg_bal
+               CAST((2 * SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                     + COUNT(*)) div (2 * COUNT(*)) AS DOUBLE) / 100
+                 AS avg_bal
         FROM {customer} WHERE c_nationkey = n.n_nationkey) s
       ORDER BY n.n_nationkey
     """,
@@ -1118,8 +1125,9 @@ object GroupB {
         |FROM nation n,
         |LATERAL (
         |  SELECT COUNT(*) AS n_customers,
-        |         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |               / COUNT(*), 2) AS avg_bal
+        |         CAST((2 * SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+        |               + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 100
+        |           AS avg_bal
         |  FROM customer WHERE c_nationkey = n.n_nationkey) s
         |ORDER BY n.n_nationkey""".stripMargin,
     "b27_udaf_wmedian" ->
