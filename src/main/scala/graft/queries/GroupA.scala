@@ -194,11 +194,41 @@ object GroupA {
     spark.read.orc(dir.toString).orderBy("event_id")
   }
 
+  /** a12: XML round-trip — the reference family's own config/interchange
+    * markup (its persistence layer IS XML — CSVProvider.cs:363-454) as a
+    * DATA format, via Spark 4's built-in xml source. Write: one <event>
+    * element per row under a root tag (partitioned directory — the 100 TB
+    * path). Read: explicit schema + the same rowTag (inference is a
+    * second full scan, a10's rationale). Doubles survive exactly: the
+    * writer renders shortest-round-trip decimal strings and the reader
+    * parses them back to identical bits (same contract a10 verifies for
+    * JSONL). The oracle reads the ORIGINAL parquet, so the whole XML
+    * write+read cycle is what the hash compare checks.
+    */
+  def a12XmlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = Tables.stagingDir(sfDir, "a12", kind = "xml")
+    src.write.mode("overwrite").format("xml")
+      .option("rootTag", "events").option("rowTag", "event")
+      .save(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", DoubleType)))
+    spark.read.schema(schema).format("xml").option("rowTag", "event")
+      .load(dir.toString)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
     "a9_schema_drift" -> (a9SchemaDrift _),
     "a10_jsonl_roundtrip" -> (a10JsonlRoundTrip _),
     "a11_orc_roundtrip" -> (a11OrcRoundTrip _),
+    "a12_xml_roundtrip" -> (a12XmlRoundTrip _),
     "a2_filter_conditionals" -> (a2FilterConditionals _),
     "a3_null_sentinel" -> (a3NullSentinel _),
     "a4_decimal_separator" -> (a4DecimalSeparator _),
@@ -244,6 +274,9 @@ object GroupA {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a11_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a12_xml_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a9_schema_drift" ->
