@@ -1474,9 +1474,25 @@ object GroupD {
     // drop-in next step; see SURVEY §7.3.
     val docs = Tables(spark, sfDir, "documents")
     val deltaPred = col("source").isin("src17", "src18", "src19")
-    val sh = GroupC.shingles(spark, sfDir)
-    val cand = incrementalProbes(sh,
-        docs.filter(deltaPred).select("doc_id")).as("d")
+    incrementalDedupBatch(docs.filter(!deltaPred), docs.filter(deltaPred))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** d34's probe/verify plan over explicit base/delta document frames
+    * (each needs doc_id + text; the delta's other columns pass through) —
+    * shared by the declared query and the streaming ingest gate
+    * ([[graft.streaming.StreamIngestDedup]]). Returns the delta's
+    * SURVIVORS: a delta doc drops iff it near-duplicates (J ≥ 0.6) any
+    * base doc or any smaller-id delta doc.
+    */
+  def incrementalDedupBatch(baseDocs: DataFrame, deltaDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(baseDocs.sparkSession)
+    graft.functions.GraftFunctions.register(deltaDocs.sparkSession)
+    val all = baseDocs.select(col("doc_id"), col("text"))
+      .unionByName(deltaDocs.select(col("doc_id"), col("text")))
+    val sh = GroupC.shinglesOf(all)
+    val cand = incrementalProbes(sh, deltaDocs.select("doc_id")).as("d")
       .join(sh.as("o"), "shingle")
       .filter(col("d.doc_id") =!= col("o.doc_id"))
       .select(col("d.doc_id").as("did"), col("o.doc_id").as("oid"))
@@ -1492,13 +1508,11 @@ object GroupD {
       .join(sizes.toDF("oid", "no"), "oid")
       // J >= 0.6  <=>  c/(nd+no-c) >= 3/5  <=>  8c >= 3(nd+no), exact
       .filter(col("c") * 8 >= (col("nd") + col("no")) * 3)
-      .join(docs.select(col("doc_id").as("oid"), deltaPred.as("o_delta")), "oid")
-      .filter(!col("o_delta") || col("oid") < col("did"))
+      .join(deltaDocs.select(col("doc_id").as("oid"), lit(true).as("o_delta")),
+        Seq("oid"), "left")
+      .filter(col("o_delta").isNull || col("oid") < col("did"))
       .select(col("did").as("doc_id")).distinct()
-    docs.filter(deltaPred)
-      .join(matched, Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+    deltaDocs.join(matched, Seq("doc_id"), "left_anti")
   }
 
   /** d32: bigram-novelty quality score — the n-gram-LM filtering family
@@ -1907,21 +1921,59 @@ object GroupD {
     * BIPARTITE inverted-index (train shingles ⋈ benchmark shingles):
     * only real overlaps produce pair rows, and the benchmark side is
     * small by definition — the d19/d23 asymmetry — so at 100 TB it
-    * broadcasts (or rides d23's bloom) while the train side streams once;
-    * the top-1 attribution plans as WindowGroupLimit, so at most one row
-    * per train doc survives to the sort.
+    * broadcasts while the train side streams once. A benchmark release
+    * too big to broadcast (a giant eval union) takes the d23 BLOOM route
+    * instead: a serialized bloom over the benchmark shingles prunes the
+    * train side MAP-SIDE to rows whose shingle might be shared, and the
+    * follow-up shuffle equi-join restores exactness (bloom false
+    * positives just ride into a join that drops them) — bit-identical
+    * output by construction, pinned in PipelineOpsSpec. The route picks
+    * itself from the MEASURED benchmark shingle count (one memoized stat
+    * action — d36's measured-selectivity discipline, never a guess).
+    * The top-1 attribution plans as WindowGroupLimit either way, so at
+    * most one row per train doc survives to the sort.
     */
   def d44ContaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     val sh = GroupC.shingles(spark, sfDir)
+    val fresh = new Memo(() =>
+      sh.join(docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
+        .count())
+    val prior = corpusNMemo.putIfAbsent(s"d44bench|$sfDir", fresh)
+    val benchRows = (if (prior != null) prior else fresh).value
+    contaminationReportOf(docs, sh, useBloom = benchRows > D44BroadcastRowCap)
+  }
+
+  /** ~10 MB of (bench_id, shingle) pairs at 16 B + row overhead — the
+    * autoBroadcastJoinThreshold ballpark; above it the executor-memory
+    * cost of a broadcast benchmark outweighs the bloom build.
+    */
+  private val D44BroadcastRowCap = 400000L
+
+  /** d44's body with the route explicit — reusable in specs to pin the
+    * two branches bit-identical on one corpus.
+    */
+  private[queries] def contaminationReportOf(docs: DataFrame, sh: DataFrame,
+      useBloom: Boolean): DataFrame = {
     val trainSh = sh.join(
       docs.filter(col("source") =!= "src0").select("doc_id"), "doc_id")
     val benchSh = sh.join(
         docs.filter(col("source") === "src0").select("doc_id"), "doc_id")
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pair = trainSh.join(broadcast(benchSh), "shingle")
-      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+    val joined =
+      if (!useBloom) trainSh.join(broadcast(benchSh), "shingle")
+      else {
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        val bloomBytes = graft.functions.BloomContains.serialized(
+          benchSh.select("shingle").distinct(), "shingle")
+        trainSh.filter(call_function(
+            graft.functions.GraftFunctions.BloomName,
+            lit(bloomBytes), col("shingle")))
+          .join(benchSh, "shingle")
+      }
+    val pair = joined.groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("n_shared").desc, col("bench_id"))
     pair
@@ -2236,7 +2288,11 @@ object GroupD {
     * plan pre-prunes with the GLOBAL max quota as a rank ≤ literal
     * (WindowGroupLimit, map-side) read from the quota frame — a
     * model-sized stat action, d36's selectivity-read discipline — then
-    * applies the exact per-source filter on the survivors.
+    * applies the exact per-source filter on the survivors. A DOMINANT
+    * source (one source ≈ the whole corpus) serializes its rank into one
+    * window task — [[temperatureSampleShardedOf]] is the bit-identical
+    * ShardedOrder escape for that regime (d49's documented hazard,
+    * equality pinned in PipelineOpsSpec).
     */
   def d50TemperatureSample(spark: SparkSession, sfDir: String): DataFrame =
     temperatureSampleOf(Tables(spark, sfDir, "documents"))
@@ -2245,6 +2301,24 @@ object GroupD {
     * reusable in specs against synthetic source mixes.
     */
   private[queries] def temperatureSampleOf(docs: DataFrame): DataFrame = {
+    val (quotas, kMax) = temperatureQuotas(docs)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":temp"))),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= lit(kMax))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("k_s"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rk").cast("long").as("src_rank"), col("k_s"))
+      .orderBy("doc_id")
+  }
+
+  /** The data-derived quota frame + its global max (one sources-row stat
+    * action — d36's discipline), shared by d50's plain and sharded forms.
+    */
+  private def temperatureQuotas(docs: DataFrame): (DataFrame, Long) = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
     val weighted = counts
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
@@ -2256,13 +2330,27 @@ object GroupD {
       .select(col("source"),
         least(col("n_s"),
           expr("(((6 * n_total) div 10) * w_s) div w_sum")).as("k_s"))
-    // the stat read: one sources-row action for the global WGL pre-prune
-    val kMax = quotas.agg(max(col("k_s"))).head().getLong(0)
-    val w = Window.partitionBy("source")
-      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":temp"))),
-        col("doc_id"))
-    docs.select(col("doc_id"), col("lang"), col("source"))
-      .withColumn("rk", row_number().over(w))
+    (quotas, quotas.agg(max(col("k_s"))).head().getLong(0))
+  }
+
+  /** d50's dominant-source escape: the per-source rank via
+    * [[graft.operators.ShardedOrder]] (16 md5-nibble shards + broadcast
+    * offsets) instead of one window partition per source — the d49-style
+    * hazard where one source is most of the corpus and its rank
+    * serializes into a single task. Bit-identical to
+    * [[temperatureSampleOf]] BY CONSTRUCTION (shards partition the md5
+    * total order; pinned in PipelineOpsSpec, d37's equality pattern) —
+    * swap it in when a source's row count dwarfs a task's comfortable
+    * window size.
+    */
+  private[queries] def temperatureSampleShardedOf(docs: DataFrame): DataFrame = {
+    val (quotas, kMax) = temperatureQuotas(docs)
+    graft.operators.ShardedOrder.rankAndPrefixSum(
+      docs.select(col("doc_id"), col("lang"), col("source")),
+      Seq("source"),
+      md5(concat(col("doc_id").cast("string"), lit(":temp"))),
+      col("doc_id"))
+      .withColumnRenamed("rn", "rk")
       .filter(col("rk") <= lit(kMax))
       .join(broadcast(quotas), "source")
       .filter(col("rk") <= col("k_s"))

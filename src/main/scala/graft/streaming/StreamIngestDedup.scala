@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of d34's incremental near-dup dedup — the weekly-batch
+  * ingest gate run as a LIVE stream: each micro-batch of arriving
+  * documents is deduped against the standing corpus (base PLUS every
+  * survivor of earlier batches), and only survivors pass to the sink.
+  * First-arrival-wins extends across batches: a doc that near-duplicates
+  * an already-accepted doc drops, exactly as d34 drops against the base.
+  *
+  * Per-batch relational logic (rarest-first inverted-index probes +
+  * exact Jaccard verify) is not expressible as one append-mode streaming
+  * plan, so each micro-batch runs the PROVEN batch body
+  * ([[graft.queries.GroupD.incrementalDedupBatch]]) via `foreachBatch` —
+  * StreamSearch's escape-hatch pattern. Batch parity is therefore by
+  * CONSTRUCTION within a batch (pinned in StreamIngestDedupSpec), and
+  * the only streaming-specific state is the standing frame itself.
+  *
+  * Scale shape: the probe side is the micro-batch (bounded by the
+  * trigger), the standing side streams once per batch and is never
+  * self-joined (d34's contract); survivors are localCheckpoint'ed before
+  * joining the standing union so lineage stays one plan deep instead of
+  * growing by the whole probe/verify DAG every batch. At 100 TB the
+  * standing side would be a persisted table the sink appends to; the
+  * in-memory union here is the same shape with the same single-scan
+  * cost per batch.
+  */
+object StreamIngestDedup {
+
+  /** Start the gate: `delta` is a streaming frame with (doc_id, text)
+    * plus any passthrough columns; `base` the static standing corpus
+    * (doc_id, text). `sink` receives each batch's SURVIVORS. At-least-
+    * once sources can redeliver a doc_id within a batch — the batch is
+    * deduped on doc_id first (StreamSearch's qid discipline).
+    */
+  def start(delta: DataFrame, base: DataFrame, queryName: String,
+            sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    var standing = base.select(col("doc_id"), col("text"))
+    delta.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF().dropDuplicates("doc_id")
+        val survivors =
+          graft.queries.GroupD.incrementalDedupBatch(standing, b)
+        // eager local checkpoint: truncates lineage AND materializes the
+        // survivor set once, so the sink read and the standing union both
+        // reuse it instead of re-running the probe/verify plan
+        val kept = survivors.localCheckpoint(true)
+        standing = standing.unionByName(kept.select("doc_id", "text"))
+        sink(kept, batchId)
+      }
+      .start()
+  }
+}
