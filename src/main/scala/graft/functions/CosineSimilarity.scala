@@ -117,6 +117,7 @@ object GraftFunctions {
   val SigMatchName = "graft_sig_matches"
   val WavMetaName = "graft_wav_meta"
   val Mp4MetaName = "graft_mp4_meta"
+  val FlacMetaName = "graft_flac_meta"
   val NearestCentroidName = "graft_nearest_centroid"
   val ShingleHashesName = "graft_shingle_hashes"
 
@@ -203,6 +204,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$Mp4MetaName expects 1 argument")
         Mp4Meta(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(FlacMetaName,
+      { exprs =>
+        require(exprs.length == 1, s"$FlacMetaName expects 1 argument")
+        FlacMeta(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(ShingleHashesName,
       { exprs =>

@@ -220,3 +220,66 @@ object Mp4Meta {
     new GenericArrayData(Array[Any](dur, java.lang.Long.valueOf(timescale)))
   }
 }
+
+/** `[sample_rate_hz, channels, bits_per_sample, duration_ms]` from FLAC
+  * bytes — [[WavMeta]]'s exact output shape for the dominant lossless
+  * codec, so a pipeline's audio-metadata column unions across both
+  * containers without a schema branch. NULL when the bytes are not a
+  * parseable FLAC stream. Format facts used (public FLAC spec): "fLaC"
+  * magic, then metadata blocks of `flags+type(1) length(3 BE) payload`
+  * (bit 7 of the first byte = last-block); STREAMINFO (type 0, 34 bytes —
+  * the spec mandates it first, but the walk tolerates reordered blocks on
+  * a crawl) packs, after 10 bytes of block/frame sizes: sample rate
+  * (20 bits), channels−1 (3), bits−1 (5), total samples (36). Duration
+  * derives from total samples over the rate; the spec's "0 = unknown"
+  * sentinel for total samples yields a NULL duration, and a 0 sample rate
+  * refuses the stream (spec: invalid).
+  */
+case class FlacMeta(child: Expression) extends MediaMetaExpression {
+  override def prettyName: String = "graft_flac_meta"
+  override protected def scanMethod: String = "graft.functions.FlacMeta.scan"
+  override def nullSafeEval(input: Any): Any =
+    FlacMeta.scan(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): FlacMeta =
+    copy(child = newChild)
+}
+
+object FlacMeta {
+  private val MAGIC = 0x664c6143 // "fLaC"
+  private def beU32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** The block walk; static so generated code calls it directly. */
+  def scan(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 8) return null
+    if (beU32(b, 0) != MAGIC) return null
+    var i = 4
+    var last = false
+    while (!last && i + 4 <= b.length) {
+      val head = b(i) & 0xff
+      last = (head & 0x80) != 0
+      val tpe = head & 0x7f
+      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
+        (b(i + 3) & 0xff)
+      if (tpe == 0) {
+        val p = i + 4
+        if (len < 34 || p + 34 > b.length) return null // truncated STREAMINFO
+        val sr = ((b(p + 10) & 0xffL) << 12) | ((b(p + 11) & 0xffL) << 4) |
+          ((b(p + 12) & 0xffL) >> 4)
+        if (sr == 0L) return null // spec: 0 is invalid (non-audio)
+        val ch = ((b(p + 12) >> 1) & 0x7) + 1L
+        val bits = (((b(p + 12) & 1L) << 4) | ((b(p + 13) & 0xffL) >> 4)) + 1L
+        val total = ((b(p + 13) & 0x0fL) << 32) | ((b(p + 14) & 0xffL) << 24) |
+          ((b(p + 15) & 0xffL) << 16) | ((b(p + 16) & 0xffL) << 8) |
+          (b(p + 17) & 0xffL)
+        val dur: java.lang.Long = if (total == 0L) null else total * 1000L / sr
+        return new GenericArrayData(Array[Any](
+          java.lang.Long.valueOf(sr), java.lang.Long.valueOf(ch),
+          java.lang.Long.valueOf(bits), dur))
+      }
+      i += 4 + len
+    }
+    null // no STREAMINFO reachable in the (possibly truncated) prefix
+  }
+}

@@ -170,7 +170,7 @@ object Multimodal {
   def mediaMetaPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
     val reserved = Seq("media_format", "audio_sample_rate_hz",
       "audio_channels", "audio_bits", "media_duration_ms",
-      "__graft_wav", "__graft_mp4")
+      "__graft_wav", "__graft_mp4", "__graft_flac")
     val clashes = df.columns.toSet intersect reserved.toSet
     require(clashes.isEmpty,
       s"input columns collide with mediaMetaPlan outputs/internals: " +
@@ -181,22 +181,29 @@ object Multimodal {
     // elimination, so inlining would re-walk the bytes per output column
     val wav = col("__graft_wav")
     val mp4 = col("__graft_mp4")
+    val flac = col("__graft_flac")
+    // WavMeta/FlacMeta share one output shape, so the audio columns are a
+    // two-branch coalesce rather than a schema fork
+    val audio = coalesce(wav, flac)
     df.withColumn("__graft_wav", expr(
         s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
+      .withColumn("__graft_flac", expr(
+        s"${graft.functions.GraftFunctions.FlacMetaName}($bytesCol)"))
       .withColumn("__graft_mp4", expr(
         s"${graft.functions.GraftFunctions.Mp4MetaName}($bytesCol)"))
       .withColumn("media_format",
-        when(wav.isNotNull, "wav").when(mp4.isNotNull, "mp4"))
+        when(wav.isNotNull, "wav").when(flac.isNotNull, "flac")
+          .when(mp4.isNotNull, "mp4"))
       .withColumn("audio_sample_rate_hz",
-        when(wav.isNotNull, element_at(wav, 1)))
+        when(audio.isNotNull, element_at(audio, 1)))
       .withColumn("audio_channels",
-        when(wav.isNotNull, element_at(wav, 2)))
+        when(audio.isNotNull, element_at(audio, 2)))
       .withColumn("audio_bits",
-        when(wav.isNotNull, element_at(wav, 3)))
+        when(audio.isNotNull, element_at(audio, 3)))
       .withColumn("media_duration_ms",
-        when(wav.isNotNull, element_at(wav, 4))
+        when(audio.isNotNull, element_at(audio, 4))
           .when(mp4.isNotNull, element_at(mp4, 1)))
-      .drop("__graft_wav", "__graft_mp4")
+      .drop("__graft_wav", "__graft_mp4", "__graft_flac")
   }
 
   /** Video frame sampling plan: for each asset, the timestamps (ms) at

@@ -155,22 +155,81 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(Mp4Meta.scan(Array.emptyByteArray) == null)
   }
 
+  /** A genuine STREAMINFO block per the public FLAC spec: 10 bytes of
+    * block/frame sizes, then the packed sr(20)/ch-1(3)/bits-1(5)/
+    * total(36) fields, then the 16-byte MD5.
+    */
+  private def streamInfo(sr: Long, ch: Int, bits: Int, total: Long,
+      last: Boolean = true): Array[Byte] = {
+    val packed = new Array[Byte](8)
+    packed(0) = (sr >> 12).toByte
+    packed(1) = (sr >> 4).toByte
+    packed(2) = (((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)).toByte
+    packed(3) = ((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf)).toByte
+    packed(4) = (total >> 24).toByte
+    packed(5) = (total >> 16).toByte
+    packed(6) = (total >> 8).toByte
+    packed(7) = total.toByte
+    val payload = Array.fill[Byte](10)(0) ++ packed ++ Array.fill[Byte](16)(0)
+    Array[Byte]((if (last) 0x80 else 0x00).toByte, 0, 0, 34) ++ payload
+  }
+  private def flacFile(blocks: Array[Byte]*): Array[Byte] =
+    ascii("fLaC") ++ blocks.flatten
+
+  test("FLAC: 44.1kHz stereo 16-bit with a known sample count") {
+    // 44100 samples at 44100 Hz = exactly 1000 ms
+    val m = FlacMeta.scan(flacFile(streamInfo(44100, 2, 16, 44100)))
+    assert(m.toSeq[Any](org.apache.spark.sql.types.LongType) ==
+      Seq(44100L, 2L, 16L, 1000L))
+  }
+
+  test("FLAC: padding block before STREAMINFO is walked over; total=0 gives NULL duration") {
+    val pad = Array[Byte](0x01, 0, 0, 3, 0, 0, 0) // PADDING, 3 bytes
+    val m = FlacMeta.scan(flacFile(pad, streamInfo(96000, 1, 24, 0)))
+    assert(m.getLong(0) == 96000L && m.getLong(1) == 1L && m.getLong(2) == 24L)
+    assert(m.isNullAt(3), "total-samples 0 is the spec's unknown sentinel")
+  }
+
+  test("FLAC: 36-bit total samples and the 8-channel/32-bit field maxima survive") {
+    // total = 2^35 at 8 Hz: exercises the high nibble of the packed field
+    val total = 1L << 35
+    val m = FlacMeta.scan(flacFile(streamInfo(8, 8, 32, total)))
+    assert(m.getLong(1) == 8L && m.getLong(2) == 32L)
+    assert(m.getLong(3) == total * 1000L / 8L)
+  }
+
+  test("FLAC refusals: wrong magic, zero sample rate, truncated STREAMINFO, no STREAMINFO") {
+    assert(FlacMeta.scan(ascii("fLaX") ++ streamInfo(44100, 2, 16, 1)) == null)
+    assert(FlacMeta.scan(flacFile(streamInfo(0, 2, 16, 1))) == null)
+    val trunc = flacFile(streamInfo(44100, 2, 16, 44100)).dropRight(20)
+    assert(FlacMeta.scan(trunc) == null)
+    val padOnly = Array[Byte](0x81.toByte, 0, 0, 2, 0, 0)
+    assert(FlacMeta.scan(flacFile(padOnly)) == null)
+    assert(FlacMeta.scan(null) == null)
+    assert(FlacMeta.scan(Array.emptyByteArray) == null)
+  }
+
   test("interpreted eval and codegen agree (the expression contract)") {
     val spark = graft.TestSpark.spark
     GraftFunctions.register(spark)
     import spark.implicits._
     val wav = wavFile(fmtChunk(2, 44100, 16), dataChunk(176400))
     val mp4 = box("ftyp", ascii("isom")) ++ box("moov", mvhdV0(600, 1200))
-    val rows = Seq((1L, wav), (2L, mp4), (3L, ascii("not media")))
+    val flac = flacFile(streamInfo(48000, 2, 16, 96000))
+    val rows = Seq((1L, wav), (2L, mp4), (3L, ascii("not media")),
+        (4L, flac))
       .toDF("id", "content")
       .selectExpr("id",
         s"${GraftFunctions.WavMetaName}(content) AS w",
-        s"${GraftFunctions.Mp4MetaName}(content) AS m")
+        s"${GraftFunctions.Mp4MetaName}(content) AS m",
+        s"${GraftFunctions.FlacMetaName}(content) AS f")
       .orderBy("id").collect()
     assert(rows(0).getSeq[java.lang.Long](1) == Seq(44100L, 2L, 16L, 1000L))
-    assert(rows(0).isNullAt(2))
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
     assert(rows(1).isNullAt(1))
     assert(rows(1).getSeq[java.lang.Long](2) == Seq(2000L, 600L))
-    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    assert(rows(3).getSeq[java.lang.Long](3) == Seq(48000L, 2L, 16L, 2000L))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
   }
 }

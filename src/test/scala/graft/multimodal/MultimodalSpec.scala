@@ -100,14 +100,22 @@ class MultimodalSpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
         0, 0, 0x02, 0x58, 0, 0, 0x04, 0xB0.toByte) ++ Array.fill[Byte](80)(0)
     val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    // a real FLAC header: fLaC + last-block STREAMINFO, 8kHz mono 8-bit,
+    // 4000 total samples -> 500 ms (packed per the public spec layout)
+    val flac = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ Array.fill[Byte](10)(0) ++
+      Array[Byte](0x01, 0xF4.toByte, 0x00, 0x70, 0, 0, 0x0F, 0xA0.toByte) ++
+      Array.fill[Byte](16)(0)
     val out = Multimodal.mediaMetaPlan(
-        Seq((1L, wav), (2L, mp4), (3L, junk)).toDF("asset_id", "content"))
+        Seq((1L, wav), (2L, mp4), (3L, junk), (4L, flac))
+          .toDF("asset_id", "content"))
       .orderBy("asset_id").collect()
       .map(r => (Option(r.getString(2)),
         Option(r.getAs[Any]("media_duration_ms")).map(_.asInstanceOf[Long])))
     assert(out(0) == (Some("wav"), Some(500L)))  // 4000 B at 8000 B/s
     assert(out(1) == (Some("mp4"), Some(2000L))) // 1200 units at 600/s
     assert(out(2) == (None, None))
+    assert(out(3) == (Some("flac"), Some(500L))) // 4000 samples at 8 kHz
   }
 
   test("mediaMetaPlan fails fast on output-column name clashes") {

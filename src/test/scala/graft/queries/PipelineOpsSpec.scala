@@ -976,4 +976,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = GroupD.temperatureSampleOf(docs).collect().map(_.toString).sorted
     assert(again.sameElements(out.collect().map(_.toString).sorted), "reruns must be identical")
   }
+
+  test("d44's bloom route is bit-identical to the broadcast route") {
+    // the oversized-benchmark branch: bloom prune + shuffle join must
+    // reproduce the broadcast join EXACTLY (bloom FPs die in the join)
+    val docs = graft.queries.Tables(spark, sf, "documents")
+    val sh = graft.queries.GroupC.shinglesOf(docs)
+    val bc = GroupD.contaminationReportOf(docs, sh, useBloom = false)
+      .collect().map(_.toString)
+    val bl = GroupD.contaminationReportOf(docs, sh, useBloom = true)
+      .collect().map(_.toString)
+    assert(bl.sameElements(bc),
+      s"route divergence: broadcast ${bc.length} rows, bloom ${bl.length}")
+  }
+
+  test("d50 sharded rank (dominant-source escape) is bit-identical to the plain window") {
+    // d37's equality pattern: the ShardedOrder form must reproduce the
+    // single-window result EXACTLY on the dominant-source fixture it
+    // exists for (one source is 90% of the corpus) — ranks, quotas, and
+    // the kept set all included
+    val docs = spark.range(1000).selectExpr("id as doc_id",
+      "case when id % 7 = 0 then 'de' else 'en' end as lang",
+      "case when id < 900 then 'src_big' when id < 990 then 'src_mid' " +
+        "else 'src_rare' end as source")
+    val plain = GroupD.temperatureSampleOf(docs).collect().map(_.toString)
+    val sharded = GroupD.temperatureSampleShardedOf(docs).collect().map(_.toString)
+    assert(sharded.sameElements(plain),
+      s"sharded d50 diverged: ${sharded.length} vs ${plain.length} rows")
+  }
 }
