@@ -113,6 +113,7 @@ object GraftFunctions {
   val PlainDoubleName = "graft_plain_double"
   val BloomName = "graft_bloom_contains"
   val JpegDimsName = "graft_jpeg_dims"
+  val JpegExifOrientationName = "graft_jpeg_exif_orientation"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
   val WavMetaName = "graft_wav_meta"
@@ -183,6 +184,12 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$JpegDimsName expects 1 argument")
         JpegDims(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(JpegExifOrientationName,
+      { exprs =>
+        require(exprs.length == 1,
+          s"$JpegExifOrientationName expects 1 argument")
+        JpegExifOrientation(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(CmsCountName,
       { exprs =>

@@ -116,7 +116,8 @@ object Multimodal {
   def imageDimsPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
     // fail fast on name clashes (ShardedOrder.rankAndPrefixSum discipline):
     // withColumn would silently overwrite pre-existing caller columns
-    val reserved = Seq("img_format", "img_width", "img_height", "__graft_jd")
+    val reserved = Seq("img_format", "img_width", "img_height",
+      "img_orientation", "__graft_jd")
     val clashes = df.columns.toSet intersect reserved.toSet
     require(clashes.isEmpty,
       s"input columns collide with imageDimsPlan outputs/internals: " +
@@ -153,6 +154,12 @@ object Multimodal {
         when(isPng, beU32(c, 21)).when(isGif, leU16(c, 9))
           .when(isBmp, leS32Abs(c, 23))
           .when(isJpeg, element_at(jd, 2).cast("long")))
+      // EXIF orientation (1–8; NULL = absent): the field a resize stage
+      // must honor before touching pixels — JPEG-only by construction
+      // (the other formats carry no standard orientation)
+      .withColumn("img_orientation",
+        when(isJpeg, expr(s"${graft.functions.GraftFunctions
+          .JpegExifOrientationName}($bytesCol)").cast("long")))
       .drop("__graft_jd")
   }
 
