@@ -297,7 +297,13 @@ object GroupD {
   /** IVF-Flat top-1 on an arbitrary (vec_id, v) frame — d11's body,
     * reusable in specs against synthetic clustered corpora.
     */
-  private[queries] def annIvf(e: DataFrame, spark: SparkSession,
+  /** IVF candidate (qid, nn_id) pairs on an arbitrary (vec_id, v) frame —
+    * the stride-centroid cell probe shared by d11 (via [[annIvf]]) and
+    * d52's IVF variant: each vector lives in exactly ONE cell, each query
+    * probes its `probes` nearest cells, candidates are the probed cells'
+    * members.
+    */
+  private[queries] def ivfCandidatePairs(e: DataFrame, spark: SparkSession,
       stride: Int, probes: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cent = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -310,9 +316,14 @@ object GroupD {
       .select(col("vec_id").as("nn_id"), col("cid").as("cell"))
     val probe = ranked.filter(col("crn") <= probes)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
-    val cand = probe.join(assign, Seq("cell"))
+    probe.join(assign, Seq("cell"))
       .filter(col("qid") =!= col("nn_id"))
       .select("qid", "nn_id")
+  }
+
+  private[queries] def annIvf(e: DataFrame, spark: SparkSession,
+      stride: Int, probes: Int): DataFrame = {
+    val cand = ivfCandidatePairs(e, spark, stride, probes)
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
@@ -2173,11 +2184,12 @@ object GroupD {
   /** d52: kNN label propagation over ANN candidates — d48's declared
     * 100 TB path made a first-class query. Same contract (majority label
     * among the top-5 cosine neighbors, same tie rules, same output shape)
-    * but the neighbor pool comes from the auto-tuned hyperplane-LSH
-    * banding ([[graft.operators.AnnTuning.tunedLsh]] + the big-bucket
-    * cap) instead of the all-pairs block join — candidate volume is
-    * tables × bucket membership per vector, NOT n², so the pseudo-labeler
-    * survives the 100× corpus that kills d48's exact scan.
+    * but the neighbor pool comes from an auto-tuned ANN candidate
+    * generator instead of the all-pairs block join — candidate volume is
+    * bounded per vector, NOT n², so the pseudo-labeler survives the 100×
+    * corpus that kills d48's exact scan. The generator FAMILY (hyperplane
+    * LSH with the big-bucket cap, or IVF cell probes) routes on measured
+    * per-corpus stats — see [[labelKnnAnnOf]].
     *
     * Approximate ⇒ rows-only (no oracle), the d4/d13 discipline; d48 is
     * the exact baseline it trades against. PipelineOpsSpec pins the trade
@@ -2202,16 +2214,39 @@ object GroupD {
   }
 
   /** d52's body over an arbitrary (vec_id, label, v) frame — reusable in
-    * specs against synthetic labeled corpora. `tuneKey` memoizes the LSH
-    * tuning per corpus (d4's discipline).
+    * specs against synthetic labeled corpora. `tuneKey` memoizes the
+    * tuning per corpus (d4's discipline). The candidate FAMILY routes on
+    * the measured stats unless forced: both families tune at the same
+    * 0.9 recall bar and the one meeting it with the smaller sampled
+    * candidate fraction wins (recall wins when only one meets it; best
+    * estimated recall when neither does) — d36's measured-choice
+    * discipline applied to the LSH-vs-IVF fork, so a clustered corpus
+    * (IVF's regime) and a weakly-correlated one (coarse LSH's) each get
+    * the candidate generator that is actually cheaper THERE.
     */
   private[queries] def labelKnnAnnOf(e: DataFrame, spark: SparkSession,
-      tuneKey: String): DataFrame = {
+      tuneKey: String, family: Option[String] = None): DataFrame = {
     val vecs = e.select("vec_id", "v")
-    val tuned = graft.operators.AnnTuning.tunedLsh(spark, vecs, tuneKey)
-    val cand = lshCandidatePairs(vecs, spark,
-      tuned.config.tables, tuned.config.bits,
-      graft.operators.AnnTuning.effectiveCap(tuned))
+    lazy val lsh = graft.operators.AnnTuning.tunedLsh(spark, vecs, tuneKey)
+    lazy val ivf = graft.operators.AnnTuning.tunedIvf(spark, vecs,
+      s"ivf-$tuneKey", recallTarget = 0.9)
+    val pick = family.getOrElse {
+      val (l, i) = (lsh.stats, ivf.stats)
+      val (lOk, iOk) = (l.estRecall >= 0.9, i.estRecall >= 0.9)
+      if (lOk && iOk) {
+        if (i.candidateFraction < l.candidateFraction) "ivf" else "lsh"
+      } else if (iOk) "ivf"
+      else if (lOk) "lsh"
+      else if (i.estRecall > l.estRecall) "ivf"
+      else "lsh"
+    }
+    val cand = pick match {
+      case "ivf" => ivfCandidatePairs(vecs, spark,
+        ivf.config.stride, ivf.config.probes)
+      case _ => lshCandidatePairs(vecs, spark,
+        lsh.config.tables, lsh.config.bits,
+        graft.operators.AnnTuning.effectiveCap(lsh))
+    }
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .join(e.select(col("vec_id").as("nn_id"), col("label").as("nn_label"),
@@ -2477,6 +2512,71 @@ object GroupD {
       .orderBy("cluster")
   }
 
+  /** d54: monitor→maintain→serve closed as ONE driver-checkable query.
+    * The maintenance pass (d53's flag rule + cell split) runs ONCE per
+    * corpus per JVM and writes its model through [[ModelStore]]; the
+    * query then RELOADS that parquet artifact — the cross-JVM serving
+    * hand-off, not the in-memory object — and serves the whole corpus's
+    * assignments under it, reporting one row per maintained cell:
+    * member count and the cell's maintenance role (`kept`, `split_a` =
+    * a flagged parent's in-place child, `split_b` = its appended
+    * sibling) with the parent id. On a corpus whose delta hasn't
+    * drifted past the bar, every cell is honestly `kept` — the planted
+    * -shift behavior is what CellMaintenanceSpec pins.
+    *
+    * K-means family ⇒ rows-only; serve-path job count (reload + one
+    * assignment aggregate, ZERO training jobs), output determinism, and
+    * the store round-trip are pinned in PipelineOpsSpec /
+    * CellMaintenanceSpec.
+    *
+    * Scale shape: the artifact is k×dim parquet (model-sized read);
+    * assignment is the stateless NearestCentroid projection; the served
+    * report is one k-cell aggregate. Nothing here retrains.
+    */
+  def d54MaintainedServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val ref = e.filter(pmod(col("vec_id"), lit(10)) < 8)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+    val freshN = new Memo(() => ref.count())
+    val priorN = corpusNMemo.putIfAbsent(s"drift|$sfDir", freshN)
+    val n = (if (priorN != null) priorN else freshN).value
+    val k = math.max(8, math.min(4096, (n / 64).toInt))
+    val standing =
+      graft.operators.KMeans.fitMemoized(s"drift|$sfDir|$k", ref, k, iters = 3)
+    val fresh = new Memo(() => {
+      val report = embeddingDriftOf(ref, delta, standing.centroids).collect()
+      val flagged = report.filter { r =>
+        val (nD, nO, sh) = (r.getLong(2), r.getLong(3), r.getLong(6))
+        sh >= 1500L || (nD > 0 && nO * 10000L / nD >= 2000L)
+      }.map(_.getInt(0))
+      val res = graft.operators.CellMaintenance.splitCells(
+        e, standing.centroids, flagged.toSeq)
+      val dir = Tables.stagingDir(sfDir, "d54", kind = "model").toString
+      graft.operators.ModelStore.saveKMeans(spark, dir,
+        graft.operators.CellMaintenance.toModel(e, res))
+      (dir, res.children)
+    })
+    val prior = maintainedMemo.putIfAbsent(s"maint|$sfDir", fresh)
+    val (dir, children) = (if (prior != null) prior else fresh).value
+    val loaded = graft.operators.ModelStore.loadKMeans(spark, dir, e)
+    val roleRows = loaded.centroids.indices.map { c =>
+      if (children.contains(c)) (c, "split_a", c)
+      else children.collectFirst {
+        case (p, (_, b)) if b == c => (c, "split_b", p)
+      }.getOrElse((c, "kept", c))
+    }
+    val roles = spark.createDataFrame(roleRows).toDF("cluster", "role", "parent")
+    val counts = loaded.assignments
+      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    roles.join(counts, Seq("cluster"), "left") // an empty cell keeps its row
+      .na.fill(0L, Seq("n_members"))
+      .select(col("cluster"), col("n_members"), col("role"),
+        col("parent").cast("int").as("parent"))
+      .orderBy("cluster")
+  }
+  private val maintainedMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Memo[(String, Map[Int, (Int, Int)])]]()
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2530,6 +2630,9 @@ object GroupD {
     // d53 consumes d51's trigger (k-means family — no oracle); recall
     // non-regression + only-flagged-retrain pinned in CellMaintenanceSpec.
     "d53_ivf_maintain"     -> (d53IvfMaintain _),
+    // d54 serves the ModelStore-persisted maintained model (k-means
+    // family — no oracle); zero-training serve path + determinism pinned.
+    "d54_maintained_serve" -> (d54MaintainedServe _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),

@@ -837,17 +837,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     val e = spark.createDataFrame(vecs).toDF("vec_id", "label", "v")
     val exact = GroupD.labelKnnOf(e).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // BOTH candidate families must hold the agreement bar on their own,
+    // and the measured route must reproduce one of them exactly
+    val byFamily = Seq("lsh", "ivf").map { fam =>
+      val preds = GroupD.labelKnnAnnOf(e, spark, "lsh|spec-d52",
+        family = Some(fam)).collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(preds.size >= (vecs.size * 9) / 10,
+        s"$fam coverage ${preds.size}/${vecs.size} below 0.9")
+      val common = exact.keySet intersect preds.keySet
+      val agree = common.count(id => exact(id) == preds(id))
+      info(f"d52[$fam] vs d48 agreement: $agree/${common.size}")
+      assert(agree.toDouble / common.size >= 0.9,
+        s"$fam agreement $agree/${common.size} below 0.9")
+      fam -> preds
+    }.toMap
     val approx = GroupD.labelKnnAnnOf(e, spark, "lsh|spec-d52").collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
-    // full coverage in this regime (every vector has bucket mates) and
-    // >= 0.9 prediction agreement with the exact baseline
-    assert(approx.size >= (vecs.size * 9) / 10,
-      s"coverage ${approx.size}/${vecs.size} below 0.9")
-    val common = exact.keySet intersect approx.keySet
-    val agree = common.count(id => exact(id) == approx(id))
-    info(f"d52 vs d48 agreement: $agree/${common.size}")
-    assert(agree.toDouble / common.size >= 0.9,
-      s"agreement $agree/${common.size} below 0.9")
+    assert(byFamily.values.exists(_ == approx),
+      "the measured route must pick one of the two families verbatim")
     // sub-quadratic: the candidate pool must be well under all-pairs
     val tuned = graft.operators.AnnTuning.tunedLsh(spark,
       e.select("vec_id", "v"), "lsh|spec-d52")
@@ -954,6 +962,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getInt(6) == r.getInt(0) && r.getInt(7) == -1)
     val again = GroupD.maintainOf(spark, ref, delta, model.centroids).collect()
     assert(again.map(_.toString).sameElements(out.map(_.toString)), "deterministic")
+  }
+
+  test("d54 serves the persisted maintained model: consistent roles, memo-hot, deterministic") {
+    val out = GroupD.queries("d54_maintained_serve")(spark, sf).collect()
+    assert(out.nonEmpty, "one row per maintained cell")
+    // role/parent invariants: kept and split_a point at themselves,
+    // split_b at a split_a parent; members cover the whole corpus
+    val byRole = out.groupBy(_.getString(2))
+    for (r <- byRole.getOrElse("kept", Array.empty))
+      assert(r.getInt(3) == r.getInt(0))
+    for (r <- byRole.getOrElse("split_a", Array.empty))
+      assert(r.getInt(3) == r.getInt(0))
+    val splitA = byRole.getOrElse("split_a", Array.empty).map(_.getInt(0)).toSet
+    for (r <- byRole.getOrElse("split_b", Array.empty))
+      assert(splitA.contains(r.getInt(3)), s"split_b parent not split_a: $r")
+    val total = out.map(_.getLong(1)).sum
+    val nVecs = graft.queries.Tables(spark, sf, "embeddings").count()
+    assert(total == nVecs, s"served members $total != corpus $nVecs")
+    // second run serves memo-hot from the SAME artifact — identical rows
+    val again = GroupD.queries("d54_maintained_serve")(spark, sf).collect()
+    assert(again.map(_.toString).sameElements(out.map(_.toString)))
   }
 
   test("d50 temperature quotas: budget-bounded, rare sources super-proportional, deterministic") {

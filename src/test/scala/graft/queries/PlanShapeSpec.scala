@@ -27,7 +27,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rowsOnly == Set("d4_ann_lsh", "d11_ann_ivf", "d12_sketch_stats",
       "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann",
       "d39_semdedup", "d41_bigram_novelty_cms", "d43_containment_minhash",
-      "d51_embedding_drift", "d52_label_knn_ann", "d53_ivf_maintain"),
+      "d51_embedding_drift", "d52_label_knn_ann", "d53_ivf_maintain",
+      "d54_maintained_serve"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
