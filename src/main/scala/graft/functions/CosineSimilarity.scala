@@ -119,6 +119,7 @@ object GraftFunctions {
   val WavMetaName = "graft_wav_meta"
   val Mp4MetaName = "graft_mp4_meta"
   val FlacMetaName = "graft_flac_meta"
+  val Mp3MetaName = "graft_mp3_meta"
   val NearestCentroidName = "graft_nearest_centroid"
   val ShingleHashesName = "graft_shingle_hashes"
 
@@ -216,6 +217,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$FlacMetaName expects 1 argument")
         FlacMeta(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(Mp3MetaName,
+      { exprs =>
+        require(exprs.length == 1, s"$Mp3MetaName expects 1 argument")
+        Mp3Meta(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(ShingleHashesName,
       { exprs =>

@@ -283,3 +283,92 @@ object FlacMeta {
     null // no STREAMINFO reachable in the (possibly truncated) prefix
   }
 }
+
+/** `[sample_rate_hz, channels, bits_per_sample, duration_ms]` from MP3
+  * bytes — the third audio container next to [[WavMeta]]/[[FlacMeta]],
+  * same output shape (bits_per_sample is always NULL: MP3 is lossy and
+  * has no such field — a NULL element, not a fake 16). Format facts used
+  * (public ISO 11172-3 + the de-facto ID3v2/Xing specs): an optional
+  * ID3v2 tag (`ID3` + syncsafe u32 size) is skipped; the first valid
+  * Layer-III frame header (11-bit sync, version/bitrate/samplerate
+  * indices all valid) gives the sample rate and channel mode; duration
+  * comes from the Xing/Info VBR tag's frame count (frames × 1152 or 576
+  * samples / rate) when present. A CBR file without a Xing tag gets NULL
+  * duration — estimating from byte length is wrong on every crawl prefix,
+  * so the honest contract is "duration only when the header declares it"
+  * (Mp4Meta's non-faststart discipline).
+  */
+case class Mp3Meta(child: Expression) extends MediaMetaExpression {
+  override def prettyName: String = "graft_mp3_meta"
+  override protected def scanMethod: String = "graft.functions.Mp3Meta.scan"
+  override def nullSafeEval(input: Any): Any =
+    Mp3Meta.scan(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): Mp3Meta =
+    copy(child = newChild)
+}
+
+object Mp3Meta {
+  // samplerate tables by version bits (00=V2.5, 10=V2, 11=V1), index 0-2
+  private val SR = Array(
+    Array(11025L, 12000L, 8000L),  // V2.5 (version bits 00)
+    null,                          // reserved (01)
+    Array(22050L, 24000L, 16000L), // V2 (10)
+    Array(44100L, 48000L, 32000L)) // V1 (11)
+
+  /** The header walk; static so generated code calls it directly. */
+  def scan(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 4) return null
+    var i = 0
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag body
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return null
+      val size = ((b(6) & 0x7fL) << 21) | ((b(7) & 0x7fL) << 14) |
+        ((b(8) & 0x7fL) << 7) | (b(9) & 0x7fL)
+      val next = 10L + size
+      if (next >= b.length) return null
+      i = next.toInt
+    }
+    // scan forward for a valid Layer-III frame header: crawls carry junk
+    // between tag and first frame; validity = sync + defined version +
+    // layer III + non-reserved bitrate/samplerate indices. The search is
+    // BOUNDED (64 KiB past the tag): a non-MP3 asset fed through the
+    // combined metadata plan must cost O(window), not O(asset), per row
+    val limit = math.min(b.length, i + 65536)
+    while (i + 4 <= limit) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0) {
+        val version = (b(i + 1) >> 3) & 0x3
+        val layer = (b(i + 1) >> 1) & 0x3
+        val brIdx = (b(i + 2) >> 4) & 0xf
+        val srIdx = (b(i + 2) >> 2) & 0x3
+        val mode = (b(i + 3) >> 6) & 0x3
+        if (version != 1 && layer == 1 && brIdx != 0xf && brIdx != 0 &&
+            srIdx != 3) {
+          val sr = SR(version)(srIdx)
+          val ch = if (mode == 3) 1L else 2L
+          val spf = if (version == 3) 1152L else 576L
+          // Xing/Info tag offset past the 4-byte header: side-info size
+          // by (version, mono)
+          val side = if (version == 3) { if (mode == 3) 17 else 32 }
+            else { if (mode == 3) 9 else 17 }
+          val x = i + 4 + side
+          var dur: java.lang.Long = null
+          if (x + 8 <= b.length &&
+              ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
+               (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))) {
+            val flags = ((b(x + 4) & 0xffL) << 24) | ((b(x + 5) & 0xffL) << 16) |
+              ((b(x + 6) & 0xffL) << 8) | (b(x + 7) & 0xffL)
+            if ((flags & 1L) != 0 && x + 12 <= b.length) {
+              val frames = ((b(x + 8) & 0xffL) << 24) | ((b(x + 9) & 0xffL) << 16) |
+                ((b(x + 10) & 0xffL) << 8) | (b(x + 11) & 0xffL)
+              if (frames > 0L) dur = frames * spf * 1000L / sr
+            }
+          }
+          return new GenericArrayData(Array[Any](
+            java.lang.Long.valueOf(sr), java.lang.Long.valueOf(ch), null, dur))
+        }
+      }
+      i += 1
+    }
+    null
+  }
+}

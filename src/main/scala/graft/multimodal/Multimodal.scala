@@ -177,7 +177,7 @@ object Multimodal {
   def mediaMetaPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
     val reserved = Seq("media_format", "audio_sample_rate_hz",
       "audio_channels", "audio_bits", "media_duration_ms",
-      "__graft_wav", "__graft_mp4", "__graft_flac")
+      "__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3")
     val clashes = df.columns.toSet intersect reserved.toSet
     require(clashes.isEmpty,
       s"input columns collide with mediaMetaPlan outputs/internals: " +
@@ -189,18 +189,21 @@ object Multimodal {
     val wav = col("__graft_wav")
     val mp4 = col("__graft_mp4")
     val flac = col("__graft_flac")
-    // WavMeta/FlacMeta share one output shape, so the audio columns are a
-    // two-branch coalesce rather than a schema fork
-    val audio = coalesce(wav, flac)
+    val mp3 = col("__graft_mp3")
+    // the audio scanners share one output shape, so the audio columns are
+    // a coalesce chain rather than a schema fork
+    val audio = coalesce(wav, flac, mp3)
     df.withColumn("__graft_wav", expr(
         s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
       .withColumn("__graft_flac", expr(
         s"${graft.functions.GraftFunctions.FlacMetaName}($bytesCol)"))
+      .withColumn("__graft_mp3", expr(
+        s"${graft.functions.GraftFunctions.Mp3MetaName}($bytesCol)"))
       .withColumn("__graft_mp4", expr(
         s"${graft.functions.GraftFunctions.Mp4MetaName}($bytesCol)"))
       .withColumn("media_format",
         when(wav.isNotNull, "wav").when(flac.isNotNull, "flac")
-          .when(mp4.isNotNull, "mp4"))
+          .when(mp3.isNotNull, "mp3").when(mp4.isNotNull, "mp4"))
       .withColumn("audio_sample_rate_hz",
         when(audio.isNotNull, element_at(audio, 1)))
       .withColumn("audio_channels",
@@ -210,7 +213,7 @@ object Multimodal {
       .withColumn("media_duration_ms",
         when(audio.isNotNull, element_at(audio, 4))
           .when(mp4.isNotNull, element_at(mp4, 1)))
-      .drop("__graft_wav", "__graft_mp4", "__graft_flac")
+      .drop("__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3")
   }
 
   /** Video frame sampling plan: for each asset, the timestamps (ms) at

@@ -209,6 +209,63 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(FlacMeta.scan(Array.emptyByteArray) == null)
   }
 
+  /** A genuine V1/V2 Layer-III frame header + optional Xing tag. */
+  private def mp3Frame(v1: Boolean, stereo: Boolean,
+      xingFrames: Long = -1L): Array[Byte] = {
+    val b1 = if (v1) 0xFB else 0xF3 // sync + version + layer III
+    val b3 = if (stereo) 0x00 else 0xC0
+    val header = Array[Byte](0xFF.toByte, b1.toByte, 0x90.toByte, b3.toByte)
+    val side = if (v1) { if (stereo) 32 else 17 } else { if (stereo) 17 else 9 }
+    val body = Array.fill[Byte](side)(0)
+    val xing = if (xingFrames < 0) Array.emptyByteArray
+      else ascii("Xing") ++ beU32(1) ++ beU32(xingFrames)
+    header ++ body ++ xing ++ Array.fill[Byte](16)(0)
+  }
+
+  test("MP3: V1 stereo with a Xing frame count gives rate/channels/duration; bits NULL") {
+    val m = Mp3Meta.scan(mp3Frame(v1 = true, stereo = true, xingFrames = 441))
+    assert(m.getLong(0) == 44100L && m.getLong(1) == 2L)
+    assert(m.isNullAt(2), "MP3 is lossy: bits_per_sample must be NULL")
+    assert(m.getLong(3) == 441L * 1152L * 1000L / 44100L)
+  }
+
+  test("MP3: ID3v2 tag is skipped; V2 mono at 576 samples/frame; no Xing -> NULL duration") {
+    val id3 = ascii("ID3") ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill[Byte](10)(0x41)
+    val m = Mp3Meta.scan(id3 ++ mp3Frame(v1 = false, stereo = false,
+      xingFrames = 100))
+    assert(m.getLong(0) == 22050L && m.getLong(1) == 1L)
+    assert(m.getLong(3) == 100L * 576L * 1000L / 22050L)
+    val noXing = Mp3Meta.scan(mp3Frame(v1 = true, stereo = true))
+    assert(noXing.getLong(0) == 44100L && noXing.isNullAt(3),
+      "CBR-without-Xing duration must be NULL, not a byte-length guess")
+  }
+
+  test("MP3: junk before the first frame is scanned over; false syncs rejected") {
+    // 0xFF followed by a reserved version (bits 01) must NOT parse
+    val falseSync = Array[Byte](0xFF.toByte, 0xEB.toByte, 0x90.toByte, 0x00)
+    val b = falseSync ++ Array.fill[Byte](100)(0x55) ++
+      mp3Frame(v1 = true, stereo = true, xingFrames = 10)
+    val m = Mp3Meta.scan(b)
+    assert(m != null && m.getLong(0) == 44100L)
+  }
+
+  test("MP3 refusals: garbage, free/bad bitrate, reserved samplerate, truncated ID3, null") {
+    assert(Mp3Meta.scan(Array.fill[Byte](64)(0x41)) == null)
+    // bitrate idx 0 (free) and 0xF (bad): both rejected
+    assert(Mp3Meta.scan(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x00) ++
+      Array.fill[Byte](40)(0)) == null)
+    assert(Mp3Meta.scan(Array[Byte](0xFF.toByte, 0xFB.toByte, 0xF0.toByte, 0x00) ++
+      Array.fill[Byte](40)(0)) == null)
+    // samplerate idx 3 (reserved)
+    assert(Mp3Meta.scan(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x9C.toByte, 0x00) ++
+      Array.fill[Byte](40)(0)) == null)
+    // ID3 whose declared size swallows the whole buffer
+    assert(Mp3Meta.scan(ascii("ID3") ++ Array[Byte](4, 0, 0, 0, 0, 0, 100)) == null)
+    assert(Mp3Meta.scan(null) == null)
+    assert(Mp3Meta.scan(Array.emptyByteArray) == null)
+  }
+
   test("interpreted eval and codegen agree (the expression contract)") {
     val spark = graft.TestSpark.spark
     GraftFunctions.register(spark)
@@ -216,20 +273,25 @@ class MediaMetaSpec extends AnyFunSuite {
     val wav = wavFile(fmtChunk(2, 44100, 16), dataChunk(176400))
     val mp4 = box("ftyp", ascii("isom")) ++ box("moov", mvhdV0(600, 1200))
     val flac = flacFile(streamInfo(48000, 2, 16, 96000))
+    val mp3 = mp3Frame(v1 = true, stereo = true, xingFrames = 441)
     val rows = Seq((1L, wav), (2L, mp4), (3L, ascii("not media")),
-        (4L, flac))
+        (4L, flac), (5L, mp3))
       .toDF("id", "content")
       .selectExpr("id",
         s"${GraftFunctions.WavMetaName}(content) AS w",
         s"${GraftFunctions.Mp4MetaName}(content) AS m",
-        s"${GraftFunctions.FlacMetaName}(content) AS f")
+        s"${GraftFunctions.FlacMetaName}(content) AS f",
+        s"${GraftFunctions.Mp3MetaName}(content) AS p")
       .orderBy("id").collect()
     assert(rows(0).getSeq[java.lang.Long](1) == Seq(44100L, 2L, 16L, 1000L))
     assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
     assert(rows(1).isNullAt(1))
     assert(rows(1).getSeq[java.lang.Long](2) == Seq(2000L, 600L))
-    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3) &&
+      rows(2).isNullAt(4))
     assert(rows(3).getSeq[java.lang.Long](3) == Seq(48000L, 2L, 16L, 2000L))
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    assert(rows(4).getSeq[java.lang.Long](4) ==
+      Seq(44100L, 2L, null, 441L * 1152L * 1000L / 44100L))
   }
 }

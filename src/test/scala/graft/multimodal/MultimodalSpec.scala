@@ -106,8 +106,12 @@ class MultimodalSpec extends AnyFunSuite {
       Array[Byte](0x80.toByte, 0, 0, 34) ++ Array.fill[Byte](10)(0) ++
       Array[Byte](0x01, 0xF4.toByte, 0x00, 0x70, 0, 0, 0x0F, 0xA0.toByte) ++
       Array.fill[Byte](16)(0)
+    // a real V1-stereo MP3 frame with a Xing count of 441 frames
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](32)(0) ++ "Xing".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 1, 0, 0, 0x01, 0xB9.toByte) // frames = 441
     val out = Multimodal.mediaMetaPlan(
-        Seq((1L, wav), (2L, mp4), (3L, junk), (4L, flac))
+        Seq((1L, wav), (2L, mp4), (3L, junk), (4L, flac), (5L, mp3))
           .toDF("asset_id", "content"))
       .orderBy("asset_id").collect()
       .map(r => (Option(r.getString(2)),
@@ -116,6 +120,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1) == (Some("mp4"), Some(2000L))) // 1200 units at 600/s
     assert(out(2) == (None, None))
     assert(out(3) == (Some("flac"), Some(500L))) // 4000 samples at 8 kHz
+    assert(out(4) == (Some("mp3"), Some(441L * 1152L * 1000L / 44100L)))
   }
 
   test("mediaMetaPlan fails fast on output-column name clashes") {
