@@ -2577,6 +2577,44 @@ object GroupD {
   private val maintainedMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Memo[(String, Map[Int, (Int, Int)])]]()
 
+  /** d55: dataset snapshot diff — the versioning audit run between two
+    * corpus releases before retraining: which documents were ADDED,
+    * REMOVED, or CHANGED (by content fingerprint), so a data card /
+    * incremental pipeline knows exactly what moved. Snapshots are
+    * derived deterministically from the one documents table (the d34
+    * split discipline): snapshot A = the standing sources
+    * (non-src17–19); snapshot B = the current corpus minus simulated
+    * deletions (doc_id ≡ 0 mod 17) with simulated edits (doc_id ≡ 0
+    * mod 13 re-rendered with a revision suffix). The diff itself is the
+    * operator under test: full-outer join on doc_id comparing md5
+    * fingerprints, emitting only the rows that moved.
+    *
+    * Scale shape: fingerprints compute scan-side (no text leaves the
+    * scan — at 100 TB the fp IS the shuffled payload, d8's rule), the
+    * diff is ONE shuffle on doc_id, and `unchanged` rows — the vast
+    * majority between real releases — are filtered before the sort.
+    */
+  def d55SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val snapA = docs
+      .filter(!col("source").isin("src17", "src18", "src19"))
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val snapB = docs
+      .filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), md5(
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("fp_new"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .otherwise("changed"))
+      .filter(col("fp_old").isNull || col("fp_new").isNull ||
+        col("fp_old") =!= col("fp_new"))
+      .select(col("doc_id"), col("status"), col("fp_old"), col("fp_new"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2633,6 +2671,7 @@ object GroupD {
     // d54 serves the ModelStore-persisted maintained model (k-means
     // family — no oracle); zero-training serve path + determinism pinned.
     "d54_maintained_serve" -> (d54MaintainedServe _),
+    "d55_snapshot_diff"    -> (d55SnapshotDiff _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3037,6 +3076,22 @@ object GroupD {
          |FROM labeled WHERE cluster_id IS NULL
          |ORDER BY doc_id""".stripMargin
     },
+    "d55_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS fp_old FROM documents
+        |  WHERE source NOT IN ('src17', 'src18', 'src19')),
+        |b AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0
+        |    THEN text || ' [rev2]' ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  a.fp_old, b.fp_new
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp_old <> b.fp_new
+        |ORDER BY doc_id""".stripMargin,
     "d47_source_overlap" -> {
       val pairSql = GroupC.oracleSql("c2_dedup_near")
       s"""WITH c2 AS (
