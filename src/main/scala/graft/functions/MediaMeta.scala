@@ -314,6 +314,11 @@ object Mp3Meta {
     null,                          // reserved (01)
     Array(22050L, 24000L, 16000L), // V2 (10)
     Array(44100L, 48000L, 32000L)) // V1 (11)
+  // Layer-III bitrate tables (kbps), index 1-14; 0 = free, 15 = bad
+  private val BR_V1 = Array(0L, 32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L,
+    128L, 160L, 192L, 224L, 256L, 320L)
+  private val BR_V2 = Array(0L, 8L, 16L, 24L, 32L, 40L, 48L, 56L, 64L,
+    80L, 96L, 112L, 128L, 144L, 160L)
 
   /** The header walk; static so generated code calls it directly. */
   def scan(b: Array[Byte]): ArrayData = {
@@ -345,16 +350,24 @@ object Mp3Meta {
             srIdx != 3) {
           val sr = SR(version)(srIdx)
           val ch = if (mode == 3) 1L else 2L
-          val spf = if (version == 3) 1152L else 576L
-          // Xing/Info tag offset past the 4-byte header: side-info size
-          // by (version, mono)
-          val side = if (version == 3) { if (mode == 3) 17 else 32 }
+          val v1 = version == 3
+          val spf = if (v1) 1152L else 576L
+          // a 4-byte pseudo-sync occurs in arbitrary bytes about once per
+          // 16 KiB, so one valid-looking header is NOT evidence of an MP3
+          // (a 64 KiB window of mdat data would "match" a few times).
+          // Demand corroboration: a Xing/Info VBR tag at the exact
+          // side-info offset, or a second valid frame header exactly one
+          // computed frame length away — junk satisfies neither.
+          val crc = if ((b(i + 1) & 1) == 0) 2 else 0 // protection bit 0 ⇒ CRC16
+          val side = if (v1) { if (mode == 3) 17 else 32 }
             else { if (mode == 3) 9 else 17 }
-          val x = i + 4 + side
+          val x = i + 4 + crc + side
+          var xing = false
           var dur: java.lang.Long = null
           if (x + 8 <= b.length &&
               ((b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
                (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))) {
+            xing = true
             val flags = ((b(x + 4) & 0xffL) << 24) | ((b(x + 5) & 0xffL) << 16) |
               ((b(x + 6) & 0xffL) << 8) | (b(x + 7) & 0xffL)
             if ((flags & 1L) != 0 && x + 12 <= b.length) {
@@ -363,8 +376,21 @@ object Mp3Meta {
               if (frames > 0L) dur = frames * spf * 1000L / sr
             }
           }
-          return new GenericArrayData(Array[Any](
-            java.lang.Long.valueOf(sr), java.lang.Long.valueOf(ch), null, dur))
+          var corroborated = xing
+          if (!corroborated) {
+            val br = (if (v1) BR_V1 else BR_V2)(brIdx)
+            val pad = (b(i + 2) >> 1) & 1
+            val frameLen = ((if (v1) 144000L else 72000L) * br / sr + pad).toInt
+            val nx = i + frameLen
+            corroborated = frameLen > 4 && nx + 2 <= b.length &&
+              (b(nx) & 0xff) == 0xff && (b(nx + 1) & 0xe0) == 0xe0 &&
+              ((b(nx + 1) >> 3) & 0x3) == version &&
+              ((b(nx + 1) >> 1) & 0x3) == 1
+          }
+          if (corroborated)
+            return new GenericArrayData(Array[Any](
+              java.lang.Long.valueOf(sr), java.lang.Long.valueOf(ch), null, dur))
+          // else: fall through and keep scanning — it was a pseudo-sync
         }
       }
       i += 1

@@ -191,8 +191,9 @@ object Multimodal {
     val flac = col("__graft_flac")
     val mp3 = col("__graft_mp3")
     // the audio scanners share one output shape, so the audio columns are
-    // a coalesce chain rather than a schema fork
-    val audio = coalesce(wav, flac, mp3)
+    // a coalesce chain rather than a schema fork; the mp3 sniff only
+    // counts when the strict mp4 parse didn't claim the asset (above)
+    val audio = coalesce(wav, flac, when(mp4.isNull, mp3))
     df.withColumn("__graft_wav", expr(
         s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
       .withColumn("__graft_flac", expr(
@@ -201,9 +202,12 @@ object Multimodal {
         s"${graft.functions.GraftFunctions.Mp3MetaName}($bytesCol)"))
       .withColumn("__graft_mp4", expr(
         s"${graft.functions.GraftFunctions.Mp4MetaName}($bytesCol)"))
+      // strict container parses (magic-anchored) outrank the mp3 frame
+      // sniffer: an MP4 whose mdat embeds MPEG audio frames must still
+      // classify as mp4
       .withColumn("media_format",
         when(wav.isNotNull, "wav").when(flac.isNotNull, "flac")
-          .when(mp3.isNotNull, "mp3").when(mp4.isNotNull, "mp4"))
+          .when(mp4.isNotNull, "mp4").when(mp3.isNotNull, "mp3"))
       .withColumn("audio_sample_rate_hz",
         when(audio.isNotNull, element_at(audio, 1)))
       .withColumn("audio_channels",

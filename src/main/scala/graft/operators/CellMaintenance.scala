@@ -61,17 +61,23 @@ object CellMaintenance {
     try {
       // per-cell deterministic 2-seeding (one model-sized collect): the
       // max-struct on (d2, vec_id) breaks farthest ties toward the larger
-      // id; cells with a single member get identical seeds and collapse
-      // back to one occupied child, which downstream tolerates
+      // id; cells with fewer than two members cannot split (both seeds
+      // would be the same vector, appending a permanently-empty duplicate
+      // centroid) and stay unsplit — the SplitResult contract
       val seedRows = members.groupBy("cluster").agg(
         min(struct(col("vec_id"), col("v"))).as("sa"),
-        max(struct(col("d2"), col("vec_id"), col("v"))).as("sb"))
+        max(struct(col("d2"), col("vec_id"), col("v"))).as("sb"),
+        count(lit(1)).as("nm"))
         .collect()
-      var seeds: Map[Int, (Array[Double], Array[Double])] = seedRows.map { r =>
-        val sa = r.getStruct(1).getSeq[Double](1).toArray
-        val sb = r.getStruct(2).getSeq[Double](2).toArray
-        r.getInt(0) -> (sa, sb)
-      }.toMap
+      var seeds: Map[Int, (Array[Double], Array[Double])] = seedRows
+        .filter(_.getLong(3) >= 2L)
+        .map { r =>
+          val sa = r.getStruct(1).getSeq[Double](1).toArray
+          val sb = r.getStruct(2).getSeq[Double](2).toArray
+          r.getInt(0) -> (sa, sb)
+        }.toMap
+      if (seeds.isEmpty)
+        return SplitResult(cents.map(_.clone()), Map.empty)
       for (_ <- 1 to iters) {
         val sdf = spark.createDataFrame(
           seeds.toSeq.sortBy(_._1).map { case (c, (a, b)) => (c, a, b) })

@@ -326,11 +326,14 @@ object GroupB {
     */
   def b29Lateral(spark: SparkSession, sfDir: String): DataFrame = {
     // the average is carried in integer CENTS with an explicit half-up
-    // ((2s + n) div 2n — valid for the all-positive balances here): a
-    // ROUND(double, 2) straddles engine-specific behavior exactly at
-    // representational halfway points (4201.315 at one SF hit it), while
-    // the integer form is bit-identical by construction and the final
-    // /100.0 is one shared IEEE op
+    // ((2s + n) div 2n): a ROUND(double, 2) straddles engine-specific
+    // behavior exactly at representational halfway points (4201.315 at
+    // one SF hit it), while the integer form is bit-identical by
+    // construction and the final /100.0 is one shared IEEE op. Sign note:
+    // Spark's `div` and DuckDB's `//` BOTH truncate toward zero (checked:
+    // -7//2 = -3 in DuckDB), so even a negative cent-sum — possible only
+    // if the generator's balance range changes — stays engine-identical;
+    // the half-up reading is exact for the non-negative sums here
     sqlScoped(spark, """
       SELECT n.n_nationkey, n.n_name, s.n_customers, s.avg_bal
       FROM {nation} n,

@@ -2487,14 +2487,22 @@ object GroupD {
   /** d53's body over arbitrary reference/delta frames and a standing
     * model — reusable in specs against planted shifts.
     */
+  /** The maintenance bar over d51-report rows — ONE flag rule shared by
+    * d53's audit and d54's serving pass, so tuning the bar cannot
+    * silently diverge the two halves of the loop.
+    */
+  private def flaggedCells(report: Array[org.apache.spark.sql.Row],
+      shiftBarFp: Long = 1500L, oodBarFp: Long = 2000L): Array[Int] =
+    report.filter { r =>
+      val (nDelta, nOod, shift) = (r.getLong(2), r.getLong(3), r.getLong(6))
+      shift >= shiftBarFp || (nDelta > 0 && nOod * 10000L / nDelta >= oodBarFp)
+    }.map(_.getInt(0))
+
   private[queries] def maintainOf(spark: SparkSession, ref: DataFrame,
       delta: DataFrame, cents: Array[Array[Double]],
       shiftBarFp: Long = 1500L, oodBarFp: Long = 2000L): DataFrame = {
     val report = embeddingDriftOf(ref, delta, cents).collect() // k rows
-    val flagged = report.filter { r =>
-      val (nDelta, nOod, shift) = (r.getLong(2), r.getLong(3), r.getLong(6))
-      shift >= shiftBarFp || (nDelta > 0 && nOod * 10000L / nDelta >= oodBarFp)
-    }.map(_.getInt(0))
+    val flagged = flaggedCells(report, shiftBarFp, oodBarFp)
     val res = graft.operators.CellMaintenance.splitCells(
       ref.unionByName(delta), cents, flagged.toSeq)
     val audit = report.map { r =>
@@ -2545,12 +2553,8 @@ object GroupD {
       graft.operators.KMeans.fitMemoized(s"drift|$sfDir|$k", ref, k, iters = 3)
     val fresh = new Memo(() => {
       val report = embeddingDriftOf(ref, delta, standing.centroids).collect()
-      val flagged = report.filter { r =>
-        val (nD, nO, sh) = (r.getLong(2), r.getLong(3), r.getLong(6))
-        sh >= 1500L || (nD > 0 && nO * 10000L / nD >= 2000L)
-      }.map(_.getInt(0))
       val res = graft.operators.CellMaintenance.splitCells(
-        e, standing.centroids, flagged.toSeq)
+        e, standing.centroids, flaggedCells(report).toSeq)
       val dir = Tables.stagingDir(sfDir, "d54", kind = "model").toString
       graft.operators.ModelStore.saveKMeans(spark, dir,
         graft.operators.CellMaintenance.toModel(e, res))
@@ -2596,20 +2600,27 @@ object GroupD {
     */
   def d55SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
+    // presence rides its own marker column, NOT fingerprint NULLness: a
+    // NULL-text doc has a NULL fp while being genuinely present, and the
+    // oracle keys presence on each side's join key the same way
     val snapA = docs
       .filter(!col("source").isin("src17", "src18", "src19"))
-      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+      .select(col("doc_id"), md5(col("text")).as("fp_old"),
+        lit(true).as("in_a"))
     val snapB = docs
       .filter(col("doc_id") % 17 =!= 0)
       .select(col("doc_id"), md5(
         when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
-          .otherwise(col("text"))).as("fp_new"))
+          .otherwise(col("text"))).as("fp_new"),
+        lit(true).as("in_b"))
     snapA.join(snapB, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("fp_old").isNull, "added")
-          .when(col("fp_new").isNull, "removed")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
           .otherwise("changed"))
-      .filter(col("fp_old").isNull || col("fp_new").isNull ||
+      // present-in-both rows survive only on a DEFINITE fingerprint change
+      // (NULL <> NULL is unknown → dropped, matching the oracle's <>)
+      .filter(col("in_a").isNull || col("in_b").isNull ||
         col("fp_old") =!= col("fp_new"))
       .select(col("doc_id"), col("status"), col("fp_old"), col("fp_new"))
       .orderBy("doc_id")

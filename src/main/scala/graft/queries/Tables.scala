@@ -29,7 +29,18 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      catch {
+        // keep the actionable message the old require() gave: Spark's raw
+        // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))" names the
+        // problem but not the one-line fix
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("TIMESTAMP(NANOS") =>
+          throw new IllegalStateException(
+            "set spark.sql.legacy.parquet.nanosAsLong=true at session " +
+              "build to read nanos-typed events", e)
+      }
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -43,7 +43,13 @@ object StreamIngestDedup {
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // at-least-once sources can also redeliver a doc ACROSS batches:
+        // an id already accepted into the standing side is a duplicate
+        // arrival, not a new document — without this anti-join it would
+        // re-emit AND union into standing twice, doubling its shingle
+        // rows and corrupting every later Jaccard count it touches
         val b = batch.toDF().dropDuplicates("doc_id")
+          .join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
         val survivors =
           graft.queries.GroupD.incrementalDedupBatch(standing, b)
         // eager local checkpoint: truncates lineage AND materializes the

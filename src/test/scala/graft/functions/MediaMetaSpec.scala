@@ -209,17 +209,29 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(FlacMeta.scan(Array.emptyByteArray) == null)
   }
 
-  /** A genuine V1/V2 Layer-III frame header + optional Xing tag. */
+  /** A genuine V1/V2 Layer-III frame header + optional Xing tag. Without
+    * a Xing tag the frame pads to its computed length and a second valid
+    * header follows — the corroboration the scanner demands (one header
+    * alone is a pseudo-sync in arbitrary bytes). bitrate idx 9 =
+    * 128 kbps (V1) / 80 kbps (V2).
+    */
   private def mp3Frame(v1: Boolean, stereo: Boolean,
       xingFrames: Long = -1L): Array[Byte] = {
-    val b1 = if (v1) 0xFB else 0xF3 // sync + version + layer III
+    val b1 = if (v1) 0xFB else 0xF3 // sync + version + layer III + no CRC
     val b3 = if (stereo) 0x00 else 0xC0
     val header = Array[Byte](0xFF.toByte, b1.toByte, 0x90.toByte, b3.toByte)
     val side = if (v1) { if (stereo) 32 else 17 } else { if (stereo) 17 else 9 }
     val body = Array.fill[Byte](side)(0)
-    val xing = if (xingFrames < 0) Array.emptyByteArray
-      else ascii("Xing") ++ beU32(1) ++ beU32(xingFrames)
-    header ++ body ++ xing ++ Array.fill[Byte](16)(0)
+    if (xingFrames >= 0)
+      header ++ body ++ ascii("Xing") ++ beU32(1) ++ beU32(xingFrames) ++
+        Array.fill[Byte](16)(0)
+    else {
+      val sr = if (v1) 44100L else 22050L
+      val br = if (v1) 128L else 80L
+      val frameLen = ((if (v1) 144000L else 72000L) * br / sr).toInt
+      header ++ Array.fill[Byte](frameLen - 4)(0) ++ header ++
+        Array.fill[Byte](16)(0)
+    }
   }
 
   test("MP3: V1 stereo with a Xing frame count gives rate/channels/duration; bits NULL") {
@@ -248,6 +260,24 @@ class MediaMetaSpec extends AnyFunSuite {
       mp3Frame(v1 = true, stereo = true, xingFrames = 10)
     val m = Mp3Meta.scan(b)
     assert(m != null && m.getLong(0) == 44100L)
+  }
+
+  test("MP3: an uncorroborated lone header (pseudo-sync in junk) is rejected") {
+    // a perfectly valid-LOOKING header followed by junk: no Xing at the
+    // side-info offset, no second frame one frame-length away — the
+    // scanner must refuse rather than classify arbitrary bytes as mp3
+    val lone = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](2000)(0x55)
+    assert(Mp3Meta.scan(lone) == null)
+  }
+
+  test("MP3: a CRC-protected frame has 2 CRC bytes before the side info") {
+    // protection bit 0 (0xFA): Xing sits at 4 + 2 + 32
+    val header = Array[Byte](0xFF.toByte, 0xFA.toByte, 0x90.toByte, 0x00)
+    val b = header ++ Array.fill[Byte](2 + 32)(0) ++
+      ascii("Xing") ++ beU32(1) ++ beU32(441) ++ Array.fill[Byte](8)(0)
+    val m = Mp3Meta.scan(b)
+    assert(m != null && m.getLong(3) == 441L * 1152L * 1000L / 44100L)
   }
 
   test("MP3 refusals: garbage, free/bad bitrate, reserved samplerate, truncated ID3, null") {

@@ -127,6 +127,18 @@ class CellMaintenanceSpec extends AnyFunSuite {
       a.centroids.map(_.toSeq).toSeq)
   }
 
+  test("a flagged cell with fewer than two members stays unsplit (no dead duplicate centroid)") {
+    val rnd = new scala.util.Random(5454)
+    val lone = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val cents = Array(bases(0), bases(1), lone)
+    val corpus = df(cluster(0, 20, 0L, 7) ++ cluster(1, 20, 100L, 8) ++
+      Seq((999L, lone.map(_.toFloat))))
+    val res = CellMaintenance.splitCells(corpus, cents, Seq(2))
+    assert(res.centroids.length == 3 && res.children.isEmpty,
+      "single-member cell must not append a permanently-empty child")
+    assert(res.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+  }
+
   test("no flagged cells is a no-op without jobs; job count is bounded when flagged") {
     val model = fitStanding()
     val combined = df(refVecs ++ deltaVecs)

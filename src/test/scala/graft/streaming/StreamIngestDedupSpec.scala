@@ -61,12 +61,14 @@ class StreamIngestDedupSpec extends AnyFunSuite {
       })
     try {
       q.processAllAvailable()
-      // D3 duplicates the ACCEPTED D1 (cross-batch drop); D4 is unique
-      csvFile(dir, "b2.csv", csv(20L -> tUniq, 21L -> tNew))
+      // D3 duplicates the ACCEPTED D1 (cross-batch drop); D4 is unique;
+      // doc 10 is REDELIVERED verbatim (at-least-once source) and must
+      // not re-emit or re-enter the standing side
+      csvFile(dir, "b2.csv", csv(20L -> tUniq, 21L -> tNew, 10L -> tUniq))
       q.processAllAvailable()
     } finally q.stop()
     assert(perBatch(0L) == Set(10L), s"batch 0: ${perBatch.get(0L)}")
     assert(perBatch(1L) == Set(21L),
-      s"batch 1 must drop the cross-batch dup and keep the unique: ${perBatch.get(1L)}")
+      s"batch 1 must drop the cross-batch dup AND the redelivery, keep the unique: ${perBatch.get(1L)}")
   }
 }
