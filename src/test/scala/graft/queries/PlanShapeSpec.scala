@@ -43,6 +43,14 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("d55: snapshot diff is one full-outer SMJ on doc_id — no nested loop, no window") {
+    val p = plan("d55_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Window"),
+      p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("d37: shard offsets join as a broadcast (model-sized side)") {
     assert(plan("d37_split_sharded").contains("BroadcastHashJoin"))
   }
