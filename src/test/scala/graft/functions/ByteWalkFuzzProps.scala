@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties}
+import org.scalacheck.Test.Parameters
+
+/** Fuzz pins for every container-header byte walk: crawled bytes are an
+  * adversarial surface, and the ONE contract all six scanners share is
+  * "any byte array returns a value or null — never throws, never loops".
+  * Three generators: pure random bytes, random bytes seeded with real
+  * magics (forces the walks past their cheap magic rejection into the
+  * offset arithmetic), and truncations/mutations of genuine headers
+  * (forces every mid-structure bounds check).
+  */
+object ByteWalkFuzzProps extends Properties("byteWalks") {
+
+  override def overrideParameters(p: Parameters): Parameters =
+    p.withMinSuccessfulTests(300)
+
+  private def scansSucceed(b: Array[Byte]): Prop = Prop.secure {
+    JpegDims.scan(b)
+    JpegExifOrientation.scan(b)
+    WavMeta.scan(b)
+    Mp4Meta.scan(b)
+    FlacMeta.scan(b)
+    Mp3Meta.scan(b)
+    true
+  }
+
+  private def ascii(s: String) = s.getBytes("US-ASCII")
+  private def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+    (v >> 8).toByte, v.toByte)
+
+  private val magics: Seq[Array[Byte]] = Seq(
+    Array[Byte](0xFF.toByte, 0xD8.toByte),              // JPEG SOI
+    ascii("RIFF"), ascii("WAVE"), ascii("fLaC"), ascii("ID3"),
+    ascii("ftyp"), ascii("moov"), ascii("mvhd"), ascii("Exif"),
+    Array[Byte](0xFF.toByte, 0xFB.toByte),              // MP3 sync
+    ascii("Xing"))
+
+  property("random bytes never throw in any scanner") =
+    Prop.forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) {
+      b => scansSucceed(b)
+    }
+
+  property("random bytes spliced with real magics never throw") = {
+    val gen = for {
+      base <- Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])
+      m <- Gen.oneOf(magics)
+      at <- Gen.chooseNum(0, math.max(0, base.length - 1))
+    } yield {
+      val out = base.clone()
+      var i = 0
+      while (i < m.length && at + i < out.length) { out(at + i) = m(i); i += 1 }
+      out
+    }
+    Prop.forAll(gen)(b => scansSucceed(b))
+  }
+
+  property("truncations and mutations of genuine headers never throw") = {
+    // one genuine instance per format (the spec suites verify PARSE
+    // correctness; here they are mutation seed stock)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte,
+      0x00, 0x10) ++ ascii("JFIF") ++ Array.fill[Byte](10)(0) ++
+      Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08, 0x01, 0xE0.toByte,
+        0x02, 0x80.toByte) ++ Array.fill[Byte](10)(0)
+    val wav = ascii("RIFF") ++ Array[Byte](36, 0, 0, 0) ++ ascii("WAVEfmt ") ++
+      Array[Byte](16, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC.toByte, 0, 0) ++
+      Array.fill[Byte](8)(0) ++ ascii("data") ++ Array[Byte](16, 0, 0, 0)
+    val mp4 = be32(16) ++ ascii("ftyp") ++ ascii("isomiso2") ++
+      be32(108) ++ ascii("moov") ++ be32(100) ++ ascii("mvhd") ++
+      Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](8)(0) ++ be32(600) ++
+      be32(1200) ++ Array.fill[Byte](72)(0)
+    val flac = ascii("fLaC") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array.fill[Byte](34)(0x11)
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](32)(0) ++ ascii("Xing") ++ be32(1) ++ be32(100)
+    val gen = for {
+      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3))
+      cut <- Gen.chooseNum(0, seed.length)
+      at <- Gen.chooseNum(0, math.max(0, seed.length - 1))
+      v <- Arbitrary.arbitrary[Byte]
+      mode <- Gen.oneOf("truncate", "mutate", "both")
+    } yield {
+      val m = seed.clone()
+      if (mode != "truncate" && at < m.length) m(at) = v
+      if (mode != "mutate") m.take(cut) else m
+    }
+    Prop.forAll(gen)(b => scansSucceed(b))
+  }
+}
