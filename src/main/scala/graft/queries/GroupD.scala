@@ -1001,7 +1001,11 @@ object GroupD {
     * explicitly and unpersist after (the same policy note as
     * [[GroupC.pairOverlap]]).
     */
-  def d22PipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+  /** d22's stage frames (gate survivors, post-dedup kept, post-quota
+    * capped) — shared by the declared pipeline query and d56's funnel.
+    */
+  private def pipelineStages(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables(spark, sfDir, "documents")
     // The tiny groupBy is an OPTIMIZER BARRIER, not an aggregation need
     // (doc_id is unique): a filter on `repetitive` written directly over
@@ -1035,6 +1039,11 @@ object GroupD {
     val capped = kept
       .withColumn("rk", row_number().over(wQuota))
       .filter(col("rk") <= 5)
+    (gate, kept, capped)
+  }
+
+  def d22PipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, capped) = pipelineStages(spark, sfDir)
     val wSplit = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     capped
@@ -1046,6 +1055,33 @@ object GroupD {
           .otherwise("test"))
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
       .orderBy("doc_id")
+  }
+
+  /** d56: the pipeline FUNNEL — d22's observability twin, the "where did
+    * my data go" audit every curation run publishes next to its output:
+    * one row per stage (gate, dedup, quota) with documents in, documents
+    * out, and the drop count. Stage boundaries are exactly d22's frames
+    * (shared [[pipelineStages]]), so the funnel can never disagree with
+    * the pipeline it describes; the split stage is absent because it
+    * drops nothing by construction.
+    *
+    * Scale shape: three single-row count aggregates over frames the
+    * pipeline already defines — each is one partial-agg scan, the
+    * report is 3 rows at any corpus size.
+    */
+  def d56PipelineFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val (gate, kept, capped) = pipelineStages(spark, sfDir)
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val row1 = n(docs, "docs_in").crossJoin(n(gate, "docs_out"))
+      .select(lit("1_gate").as("stage"), col("docs_in"), col("docs_out"))
+    val row2 = n(gate, "docs_in").crossJoin(n(kept, "docs_out"))
+      .select(lit("2_dedup").as("stage"), col("docs_in"), col("docs_out"))
+    val row3 = n(kept, "docs_in").crossJoin(n(capped, "docs_out"))
+      .select(lit("3_quota").as("stage"), col("docs_in"), col("docs_out"))
+    row1.unionByName(row2).unionByName(row3)
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .orderBy("stage")
   }
 
   /** d31: d14's duplicate clusters via STAR CONTRACTION — the scale path
@@ -2683,6 +2719,7 @@ object GroupD {
     // family — no oracle); zero-training serve path + determinism pinned.
     "d54_maintained_serve" -> (d54MaintainedServe _),
     "d55_snapshot_diff"    -> (d55SnapshotDiff _),
+    "d56_pipeline_funnel"  -> (d56PipelineFunnel _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2703,6 +2740,59 @@ object GroupD {
   )
 
   private val tokSql = GroupC.tokenizeSql("text")
+
+  /** d22's oracle CTE chain up through `capped` — shared verbatim by the
+    * pipeline oracle and d56's funnel oracle so the two can never drift.
+    */
+  private lazy val pipelineCtes: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $tokSql AS ts FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(ts) - 1),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
+       |  FROM toks WHERE len(ts) >= 3),
+       |rep AS (
+       |  SELECT doc_id,
+       |    floor((len(s) - len(list_distinct(s))) * 10000
+       |      / CAST(len(s) AS DOUBLE)) >= 1000 AS repetitive
+       |  FROM shl),
+       |sh AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM shl),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |gate AS (SELECT doc_id FROM rep WHERE NOT repetitive),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  JOIN gate ga ON ga.doc_id = doc_a
+       |  JOIN gate gb ON gb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
+       |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS root FROM verts
+       |  UNION
+       |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
+       |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+       |dupdrop AS (SELECT doc_id FROM comp WHERE cluster_id <> doc_id),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.source
+       |  FROM documents d JOIN rep USING (doc_id)
+       |  WHERE NOT rep.repetitive
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM dupdrop)),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, lang, source,
+       |      ROW_NUMBER() OVER (PARTITION BY lang, source
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM kept) t
+       |  WHERE rk <= 5)""".stripMargin
 
   private val d15OracleSql: String =
     """WITH ranked AS (
@@ -2872,54 +2962,7 @@ object GroupD {
     // exact pair SQL (= d1's contract), d14's recursive closure, d18's
     // repetition rule, d17's quota rank, d15's split boundaries.
     "d22_pipeline_e2e" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, $tokSql AS ts FROM documents),
-         |shl AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, len(ts) - 1),
-         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
-         |  FROM toks WHERE len(ts) >= 3),
-         |rep AS (
-         |  SELECT doc_id,
-         |    floor((len(s) - len(list_distinct(s))) * 10000
-         |      / CAST(len(s) AS DOUBLE)) >= 1000 AS repetitive
-         |  FROM shl),
-         |sh AS (SELECT doc_id, unnest(list_distinct(s)) AS shingle FROM shl),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |gate AS (SELECT doc_id FROM rep WHERE NOT repetitive),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM common
-         |  JOIN sizes sa ON sa.doc_id = doc_a
-         |  JOIN sizes sb ON sb.doc_id = doc_b
-         |  JOIN gate ga ON ga.doc_id = doc_a
-         |  JOIN gate gb ON gb.doc_id = doc_b
-         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.6),
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs),
-         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
-         |reach AS (
-         |  SELECT doc_id, doc_id AS root FROM verts
-         |  UNION
-         |  SELECT e.d AS doc_id, r.root FROM reach r JOIN edges e ON e.s = r.doc_id),
-         |comp AS (SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
-         |dupdrop AS (SELECT doc_id FROM comp WHERE cluster_id <> doc_id),
-         |kept AS (
-         |  SELECT d.doc_id, d.lang, d.source
-         |  FROM documents d JOIN rep USING (doc_id)
-         |  WHERE NOT rep.repetitive
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM dupdrop)),
-         |capped AS (
-         |  SELECT * FROM (
-         |    SELECT doc_id, lang, source,
-         |      ROW_NUMBER() OVER (PARTITION BY lang, source
-         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |    FROM kept) t
-         |  WHERE rk <= 5),
+      s"""$pipelineCtes,
          |ranked AS (
          |  SELECT doc_id, lang, source,
          |    ROW_NUMBER() OVER (PARTITION BY lang
@@ -3087,6 +3130,18 @@ object GroupD {
          |FROM labeled WHERE cluster_id IS NULL
          |ORDER BY doc_id""".stripMargin
     },
+    "d56_pipeline_funnel" ->
+      s"""$pipelineCtes
+         |SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped
+         |FROM (
+         |  SELECT '1_gate' AS stage,
+         |    (SELECT count(*) FROM documents) AS docs_in,
+         |    (SELECT count(*) FROM gate) AS docs_out
+         |  UNION ALL SELECT '2_dedup',
+         |    (SELECT count(*) FROM gate), (SELECT count(*) FROM kept)
+         |  UNION ALL SELECT '3_quota',
+         |    (SELECT count(*) FROM kept), (SELECT count(*) FROM capped)
+         |) ORDER BY stage""".stripMargin,
     "d55_snapshot_diff" ->
       """WITH a AS (
         |  SELECT doc_id, md5(text) AS fp_old FROM documents

@@ -195,7 +195,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "d50_temperature_sample",
       // d51 broadcasts the centroid rows (d27's serving argmin) and a
       // 1-row totals aggregate
-      "d51_embedding_drift")
+      "d51_embedding_drift",
+      // d56 crosses pairs of 1-row stage-count aggregates (d16's pattern,
+      // three times — the whole report is 3 rows)
+      "d56_pipeline_funnel")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
