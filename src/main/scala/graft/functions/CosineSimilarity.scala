@@ -109,6 +109,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val MinHashName = "graft_minhash64"
   val LshKeysName = "graft_lsh_keys"
+  val LshProbeKeysName = "graft_lsh_probe_keys"
   val SimHashName = "graft_simhash32"
   val PlainDoubleName = "graft_plain_double"
   val BloomName = "graft_bloom_contains"
@@ -120,6 +121,7 @@ object GraftFunctions {
   val Mp4MetaName = "graft_mp4_meta"
   val FlacMetaName = "graft_flac_meta"
   val Mp3MetaName = "graft_mp3_meta"
+  val OpusMetaName = "graft_opus_meta"
   val NearestCentroidName = "graft_nearest_centroid"
   val ShingleHashesName = "graft_shingle_hashes"
 
@@ -176,6 +178,22 @@ object GraftFunctions {
         HyperplaneLshKeys(exprs.head,
           intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))
       }, "built-in")
+    reg.createOrReplaceTempFunction(LshProbeKeysName,
+      { exprs =>
+        require(exprs.length == 4,
+          s"$LshProbeKeysName expects (array<double>, tables, bits, probes)")
+        def intArg(e: Expression, name: String): Int = {
+          require(e.foldable, s"$LshProbeKeysName: '$name' must be a literal")
+          e.eval() match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"$LshProbeKeysName: '$name' must be an integer literal, got $other")
+          }
+        }
+        HyperplaneLshProbeKeys(exprs.head, intArg(exprs(1), "tables"),
+          intArg(exprs(2), "bits"), intArg(exprs(3), "probes"))
+      }, "built-in")
     reg.createOrReplaceTempFunction(BloomName,
       { exprs =>
         require(exprs.length == 2, s"$BloomName expects (binary, bigint)")
@@ -222,6 +240,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$Mp3MetaName expects 1 argument")
         Mp3Meta(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(OpusMetaName,
+      { exprs =>
+        require(exprs.length == 1, s"$OpusMetaName expects 1 argument")
+        OggOpusMeta(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(ShingleHashesName,
       { exprs =>

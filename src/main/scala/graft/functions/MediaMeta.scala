@@ -324,15 +324,23 @@ object Mp3Meta {
   def scan(b: Array[Byte]): ArrayData = {
     if (b == null || b.length < 4) return null
     var i = 0
-    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag body
-    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
-      if (b.length < 10) return null
-      val size = ((b(6) & 0x7fL) << 21) | ((b(7) & 0x7fL) << 14) |
-        ((b(8) & 0x7fL) << 7) | (b(9) & 0x7fL)
-      val next = 10L + size
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4), then the tag body.
+    // Tags CHAIN (ID3v2.4 §5 allows multiple tags; taggers also leave a
+    // stale tag before a rewritten one), and flag bit 4 of byte 5
+    // declares a 10-byte footer appended after the body — loop the skip
+    // while another 'ID3' header follows and add the footer when flagged,
+    // so a large or doubled tag doesn't push the first real frame past
+    // the bounded sync scan below
+    while (i + 10 <= b.length &&
+        b(i) == 'I' && b(i + 1) == 'D' && b(i + 2) == '3') {
+      val size = ((b(i + 6) & 0x7fL) << 21) | ((b(i + 7) & 0x7fL) << 14) |
+        ((b(i + 8) & 0x7fL) << 7) | (b(i + 9) & 0x7fL)
+      val footer = if ((b(i + 5) & 0x10) != 0) 10L else 0L
+      val next = i + 10L + size + footer
       if (next >= b.length) return null
       i = next.toInt
     }
+    if (i + 4 > b.length) return null
     // scan forward for a valid Layer-III frame header: crawls carry junk
     // between tag and first frame; validity = sync + defined version +
     // layer III + non-reserved bitrate/samplerate indices. The search is
@@ -396,5 +404,82 @@ object Mp3Meta {
       i += 1
     }
     null
+  }
+}
+
+/** `[sample_rate_hz, channels, bits_per_sample, duration_ms]` from
+  * Ogg/Opus bytes — the fourth audio container in the family, same
+  * output shape (bits_per_sample always NULL: Opus is lossy). Format
+  * facts used (public RFC 3533 Ogg framing + RFC 7845 Opus-in-Ogg): an
+  * Ogg page is `OggS` version(0) headerType(1) granule(8 LE) serial(4)
+  * seq(4) crc(4) nSegs(1) segTable(nSegs); the FIRST page's first packet
+  * must be the ID header `OpusHead` magic(8) version(1, major 0 ⇒
+  * accepted per §5.1's compat rule) channels(1) preSkip(2 LE)
+  * inputRate(4 LE) gain(2) family(1). The reported rate is the header's
+  * informational input_sample_rate (48000 when the muxer wrote the
+  * spec's "unknown" 0 — Opus always decodes at 48 kHz). Duration comes
+  * from the LAST page's granule position (48 kHz PCM count, §4) minus
+  * preSkip when that page is present with the EOS flag — found by a
+  * BOUNDED backward scan over the trailing 64 KiB; a crawl prefix that
+  * ends before the final page yields NULL duration (Mp4Meta's
+  * non-faststart discipline: never estimate).
+  */
+case class OggOpusMeta(child: Expression) extends MediaMetaExpression {
+  override def prettyName: String = "graft_opus_meta"
+  override protected def scanMethod: String = "graft.functions.OggOpusMeta.scan"
+  override def nullSafeEval(input: Any): Any =
+    OggOpusMeta.scan(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): OggOpusMeta =
+    copy(child = newChild)
+}
+
+object OggOpusMeta {
+  private def leU16(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
+  private def isOggS(b: Array[Byte], i: Int): Boolean =
+    b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S'
+
+  /** The page walk; static so generated code calls it directly. */
+  def scan(b: Array[Byte]): ArrayData = {
+    // first page: header (27) + ≥1 segment table byte + 19-byte OpusHead
+    if (b == null || b.length < 47) return null
+    if (!isOggS(b, 0) || b(4) != 0) return null
+    val nSegs = b(26) & 0xff
+    val p = 27 + nSegs // first packet start
+    if (nSegs < 1 || p + 19 > b.length) return null
+    if (!(b(p) == 'O' && b(p + 1) == 'p' && b(p + 2) == 'u' &&
+        b(p + 3) == 's' && b(p + 4) == 'H' && b(p + 5) == 'e' &&
+        b(p + 6) == 'a' && b(p + 7) == 'd')) return null
+    if (((b(p + 8) & 0xff) >> 4) != 0) return null // incompatible major version
+    val ch = (b(p + 9) & 0xffL)
+    if (ch == 0L) return null // spec: channel count must be ≥ 1
+    val preSkip = leU16(b, p + 10)
+    val inputRate = leU32(b, p + 12)
+    val sr = if (inputRate == 0L) 48000L else inputRate
+    // duration: last EOS page's granule, searched backward over a bounded
+    // trailing window (pages are ≤ ~64 KB by construction, RFC 3533 §6)
+    var dur: java.lang.Long = null
+    var i = b.length - 27
+    val floor = math.max(0, b.length - 65536)
+    while (dur == null && i >= floor) {
+      if (isOggS(b, i) && b(i + 4) == 0 && (b(i + 5) & 0x04) != 0) {
+        val granule = le64(b, i + 6)
+        if (granule != -1L && granule >= 0L) {
+          val samples = math.max(0L, granule - preSkip)
+          dur = java.lang.Long.valueOf(samples * 1000L / 48000L)
+        } else i -= 1
+      } else i -= 1
+    }
+    new GenericArrayData(Array[Any](
+      java.lang.Long.valueOf(sr), java.lang.Long.valueOf(ch), null, dur))
   }
 }

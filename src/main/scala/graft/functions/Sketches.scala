@@ -240,6 +240,121 @@ object HyperplaneLshKeys {
   }
 }
 
+/** Multiprobe hyperplane-LSH bucket keys (Lv et al., VLDB 2007, public):
+  * for each table, the exact `bits`-bit sign key plus the `probes`
+  * cheapest perturbations — bucket keys obtained by flipping the one or
+  * two sign bits whose hyperplane margins |dot| are smallest (the bits a
+  * true near neighbor is most likely to disagree on). Probing those
+  * buckets on the QUERY side buys per-table recall that would otherwise
+  * need more tables — the tuner can then pick fewer tables at an equal
+  * recall target, cutting candidate volume.
+  *
+  * Keys are TABLE-QUALIFIED: `(t << bits) | key`, so a key is globally
+  * unique across tables and the candidate join runs on ONE long column
+  * (no (tbl, bucket) pair) — query-side rows join index-side rows built
+  * with `probes = 0`. Same deterministic splitmix64 hyperplanes as
+  * [[HyperplaneLshKeys]] (no stored model); perturbation order is total
+  * (margin sum, then flip mask), so output is identical run-to-run and
+  * eval/codegen share one helper by construction.
+  */
+case class HyperplaneLshProbeKeys(child: Expression, tables: Int, bits: Int,
+    probes: Int) extends UnaryExpression {
+  require(tables > 0 && bits > 0 && bits < 48 && probes >= 0 &&
+    probes <= bits * (bits + 1) / 2,
+    s"need 0 <= probes <= bits(bits+1)/2, got tables=$tables bits=$bits probes=$probes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_probe_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HyperplaneLshProbeKeys.keys(
+      input.asInstanceOf[ArrayData], tables, bits, probes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = HyperplaneLshProbeKeys.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      // one static helper shared with eval: the per-row work (tables ×
+      // bits × dim multiply-adds + a ≤ b(b+1)/2-candidate selection) dwarfs
+      // the single call, and parity is structural rather than copied code
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$cls.keys($c, $tables, $bits, $probes));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshProbeKeys =
+    copy(child = newChild)
+}
+
+object HyperplaneLshProbeKeys {
+  /** The fused kernel: qualified exact key + `probes` cheapest 1- or
+    * 2-bit perturbations per table, laid out
+    * `[t*(1+probes) .. t*(1+probes)+probes]`. Public + stable: called
+    * from generated code.
+    */
+  def keys(v: ArrayData, tables: Int, bits: Int, probes: Int): Array[Long] = {
+    val dim = v.numElements()
+    val out = new Array[Long]((1 + probes) * tables)
+    val dots = new Array[Double](bits)
+    // perturbation candidates: bits single flips + C(bits,2) double flips
+    val nCand = bits + bits * (bits - 1) / 2
+    val cost = new Array[Double](nCand)
+    val mask = new Array[Long](nCand)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) {
+          dot += v.getDouble(k) * HyperplaneLshKeys.sign(t, j, k)
+          k += 1
+        }
+        dots(j) = if (dot < 0) -dot else dot
+        if (dot > 0) key |= (1L << j)
+        j += 1
+      }
+      val base = t * (1 + probes)
+      out(base) = (t.toLong << bits) | key
+      if (probes > 0) {
+        var c = 0
+        j = 0
+        while (j < bits) {
+          cost(c) = dots(j); mask(c) = 1L << j; c += 1
+          var l = j + 1
+          while (l < bits) {
+            cost(c) = dots(j) + dots(l); mask(c) = (1L << j) | (1L << l); c += 1
+            l += 1
+          }
+          j += 1
+        }
+        // selection sort of the `probes` cheapest perturbations — total
+        // order (cost, then mask) keeps the output deterministic on ties
+        var p = 0
+        while (p < probes) {
+          var best = p
+          var i = p + 1
+          while (i < nCand) {
+            if (cost(i) < cost(best) ||
+              (cost(i) == cost(best) && mask(i) < mask(best))) best = i
+            i += 1
+          }
+          val cb = cost(best); cost(best) = cost(p); cost(p) = cb
+          val mb = mask(best); mask(best) = mask(p); mask(p) = mb
+          out(base + 1 + p) = (t.toLong << bits) | (key ^ mask(p))
+          p += 1
+        }
+      }
+      t += 1
+    }
+    out
+  }
+}
+
 /** Count of positions where two equal-length signature arrays agree — the
   * MinHash Jaccard estimator's numerator (matches/perms ≈ J, Broder 1997,
   * public). A native fused loop instead of

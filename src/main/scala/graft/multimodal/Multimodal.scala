@@ -177,7 +177,8 @@ object Multimodal {
   def mediaMetaPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
     val reserved = Seq("media_format", "audio_sample_rate_hz",
       "audio_channels", "audio_bits", "media_duration_ms",
-      "__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3")
+      "__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3",
+      "__graft_opus")
     val clashes = df.columns.toSet intersect reserved.toSet
     require(clashes.isEmpty,
       s"input columns collide with mediaMetaPlan outputs/internals: " +
@@ -190,14 +191,17 @@ object Multimodal {
     val mp4 = col("__graft_mp4")
     val flac = col("__graft_flac")
     val mp3 = col("__graft_mp3")
+    val opus = col("__graft_opus")
     // the audio scanners share one output shape, so the audio columns are
     // a coalesce chain rather than a schema fork; the mp3 sniff only
     // counts when the strict mp4 parse didn't claim the asset (above)
-    val audio = coalesce(wav, flac, when(mp4.isNull, mp3))
+    val audio = coalesce(wav, flac, opus, when(mp4.isNull, mp3))
     df.withColumn("__graft_wav", expr(
         s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
       .withColumn("__graft_flac", expr(
         s"${graft.functions.GraftFunctions.FlacMetaName}($bytesCol)"))
+      .withColumn("__graft_opus", expr(
+        s"${graft.functions.GraftFunctions.OpusMetaName}($bytesCol)"))
       .withColumn("__graft_mp3", expr(
         s"${graft.functions.GraftFunctions.Mp3MetaName}($bytesCol)"))
       .withColumn("__graft_mp4", expr(
@@ -207,6 +211,7 @@ object Multimodal {
       // classify as mp4
       .withColumn("media_format",
         when(wav.isNotNull, "wav").when(flac.isNotNull, "flac")
+          .when(opus.isNotNull, "opus")
           .when(mp4.isNotNull, "mp4").when(mp3.isNotNull, "mp3"))
       .withColumn("audio_sample_rate_hz",
         when(audio.isNotNull, element_at(audio, 1)))
@@ -217,7 +222,8 @@ object Multimodal {
       .withColumn("media_duration_ms",
         when(audio.isNotNull, element_at(audio, 4))
           .when(mp4.isNotNull, element_at(mp4, 1)))
-      .drop("__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3")
+      .drop("__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3",
+        "__graft_opus")
   }
 
   /** Video frame sampling plan: for each asset, the timestamps (ms) at

@@ -36,7 +36,14 @@ import graft.functions.GraftFunctions
   */
 object AnnTuning {
 
-  final case class LshConfig(tables: Int, bits: Int)
+  /** `probes > 0` = query-side multiprobe (Lv et al., VLDB 2007): each
+    * query additionally probes its `probes` cheapest 1-/2-bit
+    * perturbation buckets per table
+    * ([[graft.functions.HyperplaneLshProbeKeys]]), so fewer tables reach
+    * the same recall — the candidate-volume lever the tuner measures
+    * against the plain-banding rungs on every corpus.
+    */
+  final case class LshConfig(tables: Int, bits: Int, probes: Int = 0)
   final case class IvfConfig(stride: Int, probes: Int)
   final case class ConfigStats[C](config: C, candidateFraction: Double,
     estRecall: Double, maxBucketFraction: Double = 0.0)
@@ -54,7 +61,17 @@ object AnnTuning {
     */
   val LshLadder: Seq[LshConfig] = Seq(
     LshConfig(24, 3), LshConfig(20, 4), LshConfig(16, 5),
-    LshConfig(12, 6), LshConfig(8, 8), LshConfig(4, 10))
+    LshConfig(12, 6), LshConfig(8, 8), LshConfig(4, 10),
+    // multiprobe rungs: fewer tables, probes making up the per-table
+    // recall — work ∝ tables·(1+probes)/2^bits. Shallow probes (1–2) on
+    // mid-width keys pay best: a probe targets the bit a true neighbor
+    // most likely flipped, so it beats adding a random table as long as
+    // neighbors flip FEW bits (measured on the weak corpus: deep probing
+    // of wide keys loses that property; the deep rungs below are there
+    // for clustered corpora, where per-bit agreement is high)
+    LshConfig(16, 5, 1), LshConfig(12, 5, 1), LshConfig(10, 5, 1),
+    LshConfig(8, 5, 1), LshConfig(8, 5, 2), LshConfig(10, 6, 2),
+    LshConfig(8, 6, 3), LshConfig(6, 6, 4), LshConfig(4, 8, 6))
   val IvfLadder: Seq[IvfConfig] = Seq(
     IvfConfig(31, 8), IvfConfig(31, 4), IvfConfig(31, 2),
     IvfConfig(16, 8), IvfConfig(16, 4), IvfConfig(16, 2),
@@ -99,37 +116,51 @@ object AnnTuning {
       .select("qid", "qv", "nnid", "nv")
   }
 
-  /** Measure each LSH config on the sample: candidate fraction = distinct
-    * colliding pairs / all sample pairs; est recall = fraction of true
-    * top-1 pairs sharing a bucket in ≥ 1 table (zip_with over the two key
-    * arrays — same native keys as the query path).
+  /** Measure each LSH config on the sample. Candidate fraction is a WORK
+    * metric: directed bucket-join incidences (with multiplicity — what
+    * the candidate join actually emits and the distinct actually eats)
+    * per ordered pair, ≈ tables·(1+probes)/2^bits. For probes = 0 this
+    * equals the old unordered colliding-pair count in expectation, and it
+    * prices multiprobe honestly (a probe collides in ONE direction —
+    * counting unordered coverage would overstate its cost ~2×); it is
+    * also directly comparable to [[ivfStats]]'s probed-mass-per-query
+    * fraction, which d52's family router relies on. Est recall is the
+    * DIRECTED relation's (probe keys of q ∩ exact keys of nn — the only
+    * orientation that puts nn under qid = q downstream). Keys are the
+    * table-qualified longs of
+    * [[graft.functions.HyperplaneLshProbeKeys]] — the same native keys
+    * as the query path.
     */
   def lshStats(spark: SparkSession, sample: DataFrame,
                configs: Seq[LshConfig] = LshLadder): Seq[ConfigStats[LshConfig]] = {
     GraftFunctions.register(spark)
     val m = sample.count()
-    val allPairs = m.toDouble * (m - 1) / 2
+    val orderedPairs = m.toDouble * (m - 1)
     val truth = exactTop1(sample, spark).cache()
     try {
       val nTruth = truth.count().toDouble
       configs.map { cfg =>
-        val keyed = sample.select(col("vec_id"), posexplode(expr(
-          s"${GraftFunctions.LshKeysName}(v, ${cfg.tables}, ${cfg.bits})"))
-          .as(Seq("tbl", "bucket")))
-        val nCand = keyed.as("x").join(keyed.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+        def keysOf(name: String, probes: Int) = expr(
+          s"${GraftFunctions.LshProbeKeysName}($name, " +
+            s"${cfg.tables}, ${cfg.bits}, $probes)")
+        val qKeyed = sample.select(col("vec_id"),
+          explode(keysOf("v", cfg.probes)).as("bkey"))
+        val iKeyed = sample.select(col("vec_id"),
+          explode(keysOf("v", 0)).as("bkey"))
+        val nCand = qKeyed.as("x").join(iKeyed.as("y"),
+            col("x.bkey") === col("y.bkey") &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .count()
         // coalesce: an empty sample has no buckets — that's a 0-fraction
         // stat, not an NPE (round-4 ADVICE)
-        val maxBucket = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("c"))
+        val maxBucket = iKeyed.groupBy("bkey").agg(count(lit(1)).as("c"))
           .agg(coalesce(max("c"), lit(0L))).collect()(0).getLong(0)
         val hits = truth.select(
-            expr(s"${GraftFunctions.LshKeysName}(qv, ${cfg.tables}, ${cfg.bits})").as("ka"),
-            expr(s"${GraftFunctions.LshKeysName}(nv, ${cfg.tables}, ${cfg.bits})").as("kb"))
-          .filter(expr("exists(zip_with(ka, kb, (a, b) -> a = b), x -> x)"))
+            keysOf("qv", cfg.probes).as("ka"),
+            keysOf("nv", 0).as("kb"))
+          .filter(arrays_overlap(col("ka"), col("kb")))
           .count()
-        ConfigStats(cfg, nCand / math.max(allPairs, 1.0),
+        ConfigStats(cfg, nCand / math.max(orderedPairs, 1.0),
           hits / math.max(nTruth, 1.0), maxBucket.toDouble / math.max(m, 1L))
       }
     } finally truth.unpersist()
@@ -216,6 +247,20 @@ object AnnTuning {
         .filter(col("__rk") <= cap).drop("__rk")
     }
 
+  /** [[capBuckets]] for table-QUALIFIED single-column keys (`bkey` =
+    * `(tbl << bits) | bucket` — the multiprobe join layout): same
+    * deterministic hash-ranked subset, window partitioned exactly on the
+    * join key so the rank's shuffle IS the join's shuffle.
+    */
+  def capBucketsQualified(keyed: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) keyed
+    else {
+      val w = Window.partitionBy("bkey")
+        .orderBy(xxhash64(col("vec_id"), col("bkey")), col("vec_id"))
+      keyed.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= cap).drop("__rk")
+    }
+
   /** Decide the effective cap from measured bucket stats: engage the guard
     * only when the corpus actually HAS a bucket that would exceed it
     * (sampled max-bucket fraction × corpus size, with 2× headroom for
@@ -255,14 +300,18 @@ object AnnTuning {
                maxSample: Int = 500,
                ladder: Seq[LshConfig] = LshLadder): Tuned[LshConfig] =
     memoized(lshMemo, s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}") {
-      val n = e.count()
-      val stats = lshStats(spark, sampleVectors(e, maxSample), ladder)
-      val picked = choose(stats, recallTarget, budgetFraction)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"[graft] tuned LSH for $key (n=$n): $picked from " +
-          stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
-            .mkString(", "))
-      Tuned(picked, n)
+      ModelCache.cached("lsh",
+          s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}", e)(
+          ModelStore.loadLsh(spark, _))(ModelStore.saveLsh(spark, _, _)) {
+        val n = e.count()
+        val stats = lshStats(spark, sampleVectors(e, maxSample), ladder)
+        val picked = choose(stats, recallTarget, budgetFraction)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"[graft] tuned LSH for $key (n=$n): $picked from " +
+            stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
+              .mkString(", "))
+        Tuned(picked, n)
+      }
     }
 
   /** Tuned IVF config for a corpus, memoized on `key`. */
@@ -271,14 +320,18 @@ object AnnTuning {
                maxSample: Int = 500,
                ladder: Seq[IvfConfig] = IvfLadder): Tuned[IvfConfig] =
     memoized(ivfMemo, s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}") {
-      val n = e.count()
-      val stats = ivfStats(spark, e, sampleVectors(e, maxSample), ladder)
-      val picked = choose(stats, recallTarget, budgetFraction)
-      org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"[graft] tuned IVF for $key (n=$n): $picked from " +
-          stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
-            .mkString(", "))
-      Tuned(picked, n)
+      ModelCache.cached("ivf",
+          s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}", e)(
+          ModelStore.loadIvf(spark, _))(ModelStore.saveIvf(spark, _, _)) {
+        val n = e.count()
+        val stats = ivfStats(spark, e, sampleVectors(e, maxSample), ladder)
+        val picked = choose(stats, recallTarget, budgetFraction)
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"[graft] tuned IVF for $key (n=$n): $picked from " +
+            stats.map(s => f"${s.config}->(frac=${s.candidateFraction}%.3f,rec=${s.estRecall}%.2f)")
+              .mkString(", "))
+        Tuned(picked, n)
+      }
     }
 
   /** Seed the LSH memo with a persisted decision ([[ModelStore.loadLsh]])

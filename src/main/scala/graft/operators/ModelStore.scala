@@ -80,20 +80,26 @@ object ModelStore {
   def saveLsh(spark: SparkSession, path: String,
       tuned: AnnTuning.Tuned[AnnTuning.LshConfig]): Unit =
     spark.createDataFrame(Seq((
-        tuned.config.tables, tuned.config.bits,
+        tuned.config.tables, tuned.config.bits, tuned.config.probes,
         tuned.stats.candidateFraction, tuned.stats.estRecall,
         tuned.stats.maxBucketFraction, tuned.corpusN)))
-      .toDF("tables", "bits", "cand_frac", "est_recall", "max_bucket_frac", "n")
+      .toDF("tables", "bits", "probes", "cand_frac", "est_recall",
+        "max_bucket_frac", "n")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/lsh")
 
   def loadLsh(spark: SparkSession, path: String)
       : AnnTuning.Tuned[AnnTuning.LshConfig] = {
-    val r = spark.read.parquet(s"$path/lsh").collect().head
+    val df = spark.read.parquet(s"$path/lsh")
+    val r = df.collect().head
+    // pre-multiprobe artifacts have no `probes` column — read them as
+    // probes = 0 (exactly the decision they recorded)
+    val probes = if (df.columns.contains("probes")) r.getAs[Int]("probes") else 0
     AnnTuning.Tuned(
       AnnTuning.ConfigStats(
-        AnnTuning.LshConfig(r.getInt(0), r.getInt(1)),
-        r.getDouble(2), r.getDouble(3), r.getDouble(4)),
-      r.getLong(5))
+        AnnTuning.LshConfig(r.getAs[Int]("tables"), r.getAs[Int]("bits"), probes),
+        r.getAs[Double]("cand_frac"), r.getAs[Double]("est_recall"),
+        r.getAs[Double]("max_bucket_frac")),
+      r.getAs[Long]("n"))
   }
 
   /** Save a tuned IVF decision — same single-row shape as [[saveLsh]]. */

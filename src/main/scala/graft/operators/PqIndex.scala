@@ -29,7 +29,11 @@ object PqIndex {
     * memoized model equal to a fresh retrain.
     */
   def train(key: String, nv: DataFrame, m: Int, k: Int, iters: Int): Model = {
-    val fresh = new Memo(() => doTrain(nv, m, k, iters))
+    // disk-backed second level (Bench/Verify only — see ModelCache)
+    val fresh = new Memo(() => ModelCache.cached("pq", s"$key|$m|$k|$iters",
+        nv)(ModelStore.loadPq(nv.sparkSession, _))(
+        ModelStore.savePq(nv.sparkSession, _, _))(
+        doTrain(nv, m, k, iters)))
     val prior = memo.putIfAbsent(s"$key|$m|$k|$iters", fresh)
     (if (prior != null) prior else fresh).value
   }

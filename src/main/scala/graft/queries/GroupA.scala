@@ -223,8 +223,34 @@ object GroupA {
       .orderBy("event_id")
   }
 
+  /** a13: Avro round-trip — the row-oriented interchange format of
+    * Kafka-adjacent pipelines, completing the format family next to
+    * CSV/JSONL/ORC/XML/parquet. This Spark build bundles the avro source
+    * classes in spark-sql itself but does NOT service-register the
+    * `avro` shortname (probed: `.format("avro")` throws the
+    * deploy-spark-avro AnalysisException), so the query addresses the
+    * `FileFormat` by its full class name — same engine, explicit
+    * resolution. Avro files
+    * carry their writer schema, so like a11's ORC the read needs no
+    * explicit schema — exact-type preservation across the cycle is the
+    * behavior being verified (long→long, double→double bit-identical;
+    * Avro doubles are raw IEEE-754 on the wire, no decimal rendering
+    * involved). Partitioned directory write — the 100 TB path. The
+    * oracle reads the ORIGINAL parquet, so the whole Avro write+read
+    * cycle is what the hash compare checks.
+    */
+  def a13AvroRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = Tables.stagingDir(sfDir, "a13", kind = "avro")
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    src.write.mode("overwrite").format(fmt).save(dir.toString)
+    spark.read.format(fmt).load(dir.toString).orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
+    "a13_avro_roundtrip" -> (a13AvroRoundTrip _),
     "a9_schema_drift" -> (a9SchemaDrift _),
     "a10_jsonl_roundtrip" -> (a10JsonlRoundTrip _),
     "a11_orc_roundtrip" -> (a11OrcRoundTrip _),
@@ -277,6 +303,9 @@ object GroupA {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a12_xml_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a13_avro_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a9_schema_drift" ->

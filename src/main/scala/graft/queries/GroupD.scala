@@ -193,7 +193,8 @@ object GroupD {
     // a bucket would actually exceed the cap — otherwise the uncapped plan
     // keeps its single shared exchange (AnnTuning.effectiveCap)
     annLsh(e, spark, tuned.config.tables, tuned.config.bits,
-      graft.operators.AnnTuning.effectiveCap(tuned))
+      graft.operators.AnnTuning.effectiveCap(tuned),
+      probes = tuned.config.probes)
   }
 
   /** d13: approximate top-k similarity search via the tuned LSH — d3's
@@ -211,7 +212,8 @@ object GroupD {
     val tuned = graft.operators.AnnTuning.tunedLsh(spark, e, s"lsh|$sfDir")
     annLsh(e, spark, tuned.config.tables, tuned.config.bits,
       graft.operators.AnnTuning.effectiveCap(tuned),
-      k = 5, queryPred = Some(col("vec_id") < 50))
+      k = 5, queryPred = Some(col("vec_id") < 50),
+      probes = tuned.config.probes)
   }
 
   /** Hyperplane-LSH top-k on an arbitrary (vec_id, v) frame — d4/d13's
@@ -229,17 +231,22 @@ object GroupD {
     */
   private[queries] def lshCandidatePairs(e: DataFrame, spark: SparkSession,
       tables: Int, bits: Int, bucketCap: Int,
-      queryPred: Option[Column] = None): DataFrame = {
+      queryPred: Option[Column] = None, probes: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val keyed = e.select(col("vec_id"),
-      posexplode(expr(
-        s"${graft.functions.GraftFunctions.LshKeysName}(v, $tables, $bits)"))
-        .as(Seq("tbl", "bucket")))
-    val queries = queryPred.fold(keyed)(keyed.filter)
-    val index = graft.operators.AnnTuning.capBuckets(keyed, bucketCap)
+    // table-QUALIFIED keys ((tbl << bits) | bucket — HyperplaneLshProbeKeys)
+    // so the bucket equi-join runs on ONE 8-byte column; with probes > 0
+    // the QUERY side additionally probes its cheapest perturbation buckets
+    // (multiprobe — the index side always carries exact keys only, so
+    // index size is unchanged and the tuner can buy recall with fewer
+    // tables instead of more collisions)
+    def keyed(p: Int) = e.select(col("vec_id"),
+      explode(expr(s"${graft.functions.GraftFunctions.LshProbeKeysName}" +
+        s"(v, $tables, $bits, $p)")).as("bkey"))
+    val queries = queryPred.fold(keyed(probes))(keyed(probes).filter)
+    val index = graft.operators.AnnTuning.capBucketsQualified(keyed(0), bucketCap)
     queries.as("x")
       .join(index.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nn_id"))
       .distinct()
@@ -247,8 +254,10 @@ object GroupD {
 
   private[queries] def annLsh(e: DataFrame, spark: SparkSession,
       tables: Int, bits: Int, bucketCap: Int,
-      k: Int = 1, queryPred: Option[Column] = None): DataFrame = {
-    val cand = lshCandidatePairs(e, spark, tables, bits, bucketCap, queryPred)
+      k: Int = 1, queryPred: Option[Column] = None,
+      probes: Int = 0): DataFrame = {
+    val cand = lshCandidatePairs(e, spark, tables, bits, bucketCap, queryPred,
+      probes)
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
       .join(e.select(col("vec_id").as("nn_id"), col("v").as("nv")), Seq("nn_id"))
@@ -791,6 +800,50 @@ object GroupD {
       .orderBy("ida", "idb")
   }
 
+  /** d57: d24 at edit distance ≤ 2 — the same FastSS deletion-
+    * neighborhood blocking one level deeper (Bocek et al. 2007, public):
+    * two strings within 2 edits always share a variant reachable by ≤ 2
+    * deletions from each (delete the aligned positions the ops touch),
+    * so the neighborhood is the name itself + its len 1-deletion + its
+    * C(len,2) 2-deletion variants — ~len²/2 variants per name (~170 at
+    * these name lengths vs d24's ~19: the measured candidate-bound price
+    * of the deeper radius, still LINEAR in rows, never name×name).
+    * Exact `levenshtein` verify keeps the contract exact; the same
+    * brute-force quadratic oracle verifies at sf0.01.
+    *
+    * Scale shape: one explode scan (≤ 1+len+C(len,2) distinct variants a
+    * row), one equi-join on the 8-byte variant hash, distinct over ID
+    * pairs before the verify — d24's plan with a deeper generator, and
+    * the same reason it survives 100×: candidate volume tracks true
+    * near-pairs + hash-bucket coincidence, not n².
+    */
+  def d57FuzzyJoin2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // delete positions i < j in one substr stitch; sequence guards keep
+    // the inner transform total on len < 2 names (sequence(1, 0) DESCENDS
+    // in Spark — the d26 footgun — so the IF must short-circuit it)
+    val del2 = "flatten(transform(sequence(2, greatest(length(name), 2)), " +
+      "j -> IF(j > length(name), array(), " +
+      "transform(sequence(1, j - 1), i -> " +
+      "concat(substr(name, 1, i - 1), substr(name, i + 1, j - i - 1), " +
+      "substr(name, j + 1))))))"
+    val del01 = "transform(sequence(0, length(name)), i -> IF(i = 0, name, " +
+      "concat(substr(name, 1, i - 1), substr(name, i + 1))))"
+    val variants = cust.select(col("id"), col("name"),
+      explode(array_distinct(expr(s"concat($del01, $del2)"))).as("v"))
+      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
+    val a = variants.toDF("ida", "name_a", "vh")
+    val b = variants.toDF("idb", "name_b", "vh")
+    a.hint("merge").join(b.hint("merge"), "vh")
+      .filter(col("ida") < col("idb"))
+      .select("ida", "name_a", "idb", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("ida"), col("idb"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .orderBy("ida", "idb")
+  }
+
   /** d26: deterministic source mixing — the weighted up/down-sampling step
     * that rebalances a multilingual corpus before training (e.g. Pile/ROOTS
     * style mixture weights). Every doc emits floor(w) copies plus one more
@@ -1287,18 +1340,23 @@ object GroupD {
         val indexSide =
           (if (policy == "pre") e.filter(col("matches")) else e)
             .select("vec_id", "v")
+        // top-5 serving: rank-2..5 neighbors collide less readily than
+        // the top-1 pairs the estimator scores, so tune with headroom
+        // (0.95 top-1 target backs the ≥ 0.9 top-5 overlap pin)
         val tuned = graft.operators.AnnTuning.tunedLsh(
-          spark, indexSide, s"$key|$policy")
-        def keyed(df: DataFrame) = df.select(col("vec_id"), posexplode(expr(
-          s"${graft.functions.GraftFunctions.LshKeysName}" +
-            s"(v, ${tuned.config.tables}, ${tuned.config.bits})"))
-          .as(Seq("tbl", "bucket")))
-        val index = graft.operators.AnnTuning.capBuckets(
-          keyed(indexSide), graft.operators.AnnTuning.effectiveCap(tuned))
-        val cand0 = keyed(q.select(col("qid").as("vec_id"), col("qv").as("v")))
+          spark, indexSide, s"$key|$policy", recallTarget = 0.95)
+        def keyed(df: DataFrame, p: Int) = df.select(col("vec_id"),
+          explode(expr(
+            s"${graft.functions.GraftFunctions.LshProbeKeysName}" +
+              s"(v, ${tuned.config.tables}, ${tuned.config.bits}, $p)"))
+            .as("bkey"))
+        val index = graft.operators.AnnTuning.capBucketsQualified(
+          keyed(indexSide, 0), graft.operators.AnnTuning.effectiveCap(tuned))
+        val cand0 = keyed(q.select(col("qid").as("vec_id"), col("qv").as("v")),
+            tuned.config.probes)
           .as("x")
           .join(index.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+            col("x.bkey") === col("y.bkey") &&
               col("x.vec_id") =!= col("y.vec_id"))
           .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nn_id"))
           .distinct()
@@ -1624,8 +1682,14 @@ object GroupD {
     graft.functions.GraftFunctions.register(spark)
     val occ = bigramOccurrences(Tables(spark, sfDir, "documents"))
       .withColumn("h", xxhash64(col("lang"), col("w1"), col("w2")))
+    // disk-backed second level under the memo (Bench/Verify only):
+    // sketch bytes persist via ModelStore, keyed on the documents files
     val bytes = cmsBytes(s"cms|$sfDir")(
-      graft.functions.CmsCount.serialized(occ.select("h"), "h"))
+      graft.operators.ModelCache.cached("cms", s"cms|$sfDir",
+          Tables(spark, sfDir, "documents"))(
+          graft.operators.ModelStore.loadSketch(spark, _))(
+          graft.operators.ModelStore.saveSketch(spark, _, _))(
+        graft.functions.CmsCount.serialized(occ.select("h"), "h")))
     occ
       .withColumn("est", call_function(
         graft.functions.GraftFunctions.CmsCountName, lit(bytes), col("h")))
@@ -1988,14 +2052,23 @@ object GroupD {
         .count())
     val prior = corpusNMemo.putIfAbsent(s"d44bench|$sfDir", fresh)
     val benchRows = (if (prior != null) prior else fresh).value
-    contaminationReportOf(docs, sh, useBloom = benchRows > D44BroadcastRowCap)
+    contaminationReportOf(docs, sh,
+      useBloom = benchRows > d44BroadcastRowCap(spark))
   }
 
-  /** ~10 MB of (bench_id, shingle) pairs at 16 B + row overhead — the
-    * autoBroadcastJoinThreshold ballpark; above it the executor-memory
-    * cost of a broadcast benchmark outweighs the bloom build.
+  /** Row cap for broadcasting the benchmark shingle side, derived from
+    * the SESSION's autoBroadcastJoinThreshold at ~26 B per (bench_id,
+    * shingle) row (16 B of longs + Spark row overhead) — a session that
+    * raises or lowers the threshold moves the bloom/broadcast fork with
+    * it instead of silently keeping a 10 MB-era constant (round-11
+    * ADVICE). Threshold ≤ 0 (broadcast disabled) forces the bloom route;
+    * an unset/unparsable conf falls back to the 10 MB default's cap.
     */
-  private val D44BroadcastRowCap = 400000L
+  private[queries] def d44BroadcastRowCap(spark: SparkSession): Long = {
+    val bytes = try spark.sessionState.conf.autoBroadcastJoinThreshold
+      catch { case scala.util.control.NonFatal(_) => 10L * 1024 * 1024 }
+    if (bytes <= 0) 0L else bytes / 26
+  }
 
   /** d44's body with the route explicit — reusable in specs to pin the
     * two branches bit-identical on one corpus.
@@ -2281,7 +2354,8 @@ object GroupD {
         ivf.config.stride, ivf.config.probes)
       case _ => lshCandidatePairs(vecs, spark,
         lsh.config.tables, lsh.config.bits,
-        graft.operators.AnnTuning.effectiveCap(lsh))
+        graft.operators.AnnTuning.effectiveCap(lsh),
+        probes = lsh.config.probes)
     }
     val sims = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
@@ -2673,6 +2747,7 @@ object GroupD {
     "d19_decontaminate"    -> (d19Decontaminate _),
     "d23_bloom_decon"      -> (d23BloomDecon _),
     "d24_fuzzy_join"       -> (d24FuzzyJoin _),
+    "d57_fuzzy_join2"      -> (d57FuzzyJoin2 _),
     "d25_profile"          -> (d25Profile _),
     "d26_mix_upsample"     -> (d26MixUpsample _),
     "d27_kmeans"           -> (d27KMeans _),
@@ -3298,6 +3373,13 @@ object GroupD {
         |FROM customer a JOIN customer b
         |  ON a.c_custkey < b.c_custkey
         |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY ida, idb""".stripMargin,
+    "d57_fuzzy_join2" ->
+      """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY ida, idb""".stripMargin,
     "d15_stratified_split" -> d15OracleSql,
     // d37 computes the identical split via sharded ranks — same contract,

@@ -34,11 +34,31 @@ object StreamIngestDedup {
     * plus any passthrough columns; `base` the static standing corpus
     * (doc_id, text). `sink` receives each batch's SURVIVORS. At-least-
     * once sources can redeliver a doc_id within a batch — the batch is
-    * deduped on doc_id first (StreamSearch's qid discipline).
+    * deduped on doc_id first (StreamSearch's qid discipline), keeping a
+    * DETERMINISTIC survivor (smallest (text, row-hash) — a
+    * partition-order-dependent pick would violate the repo's
+    * deterministic-tiebreak discipline when a redelivery carries
+    * different passthrough values).
+    *
+    * `standingStore`: optional parquet directory making the accepted set
+    * DURABLE. Without it the standing accumulator lives only in driver
+    * memory — a restart from the streaming checkpoint would reset it to
+    * `base` and re-accept near-duplicates of pre-restart survivors. With
+    * it, every batch's survivors append to the store (AFTER the sink
+    * call: a crash between sink and append re-emits on replay —
+    * at-least-once — instead of silently swallowing the batch), and
+    * restart rebuilds standing = base ∪ store before the first batch.
     */
   def start(delta: DataFrame, base: DataFrame, queryName: String,
-            sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    var standing = base.select(col("doc_id"), col("text"))
+            sink: (DataFrame, Long) => Unit,
+            standingStore: Option[String] = None): StreamingQuery = {
+    val spark = base.sparkSession
+    val persisted = standingStore.flatMap { dir =>
+      try Some(spark.read.parquet(dir).select(col("doc_id"), col("text")))
+      catch { case scala.util.control.NonFatal(_) => None } // empty store
+    }
+    var standing = persisted.foldLeft(
+      base.select(col("doc_id"), col("text")))(_ unionByName _)
     delta.writeStream
       .queryName(queryName)
       .outputMode("append")
@@ -48,7 +68,13 @@ object StreamIngestDedup {
         // arrival, not a new document — without this anti-join it would
         // re-emit AND union into standing twice, doubling its shingle
         // rows and corrupting every later Jaccard count it touches
-        val b = batch.toDF().dropDuplicates("doc_id")
+        val df = batch.toDF()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("text").asc_nulls_first,
+            xxhash64(df.columns.map(col).toIndexedSeq: _*))
+        val b = df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
           .join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
         val survivors =
           graft.queries.GroupD.incrementalDedupBatch(standing, b)
@@ -58,6 +84,10 @@ object StreamIngestDedup {
         val kept = survivors.localCheckpoint(true)
         standing = standing.unionByName(kept.select("doc_id", "text"))
         sink(kept, batchId)
+        standingStore.foreach { dir =>
+          kept.select("doc_id", "text")
+            .write.mode("append").parquet(dir)
+        }
       }
       .start()
   }

@@ -23,6 +23,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     Mp4Meta.scan(b)
     FlacMeta.scan(b)
     Mp3Meta.scan(b)
+    OggOpusMeta.scan(b)
     true
   }
 
@@ -35,7 +36,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     ascii("RIFF"), ascii("WAVE"), ascii("fLaC"), ascii("ID3"),
     ascii("ftyp"), ascii("moov"), ascii("mvhd"), ascii("Exif"),
     Array[Byte](0xFF.toByte, 0xFB.toByte),              // MP3 sync
-    ascii("Xing"))
+    ascii("Xing"), ascii("OggS"), ascii("OpusHead"))
 
   property("random bytes never throw in any scanner") =
     Prop.forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) {
@@ -74,8 +75,14 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
       Array.fill[Byte](34)(0x11)
     val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
       Array.fill[Byte](32)(0) ++ ascii("Xing") ++ be32(1) ++ be32(100)
+    val opus = ascii("OggS") ++ Array[Byte](0, 2) ++ Array.fill[Byte](20)(0) ++
+      Array[Byte](1, 19) ++ ascii("OpusHead") ++
+      Array[Byte](1, 2, 0, 0, 0x44, 0xAC.toByte, 0, 0, 0, 0, 0) ++
+      ascii("OggS") ++ Array[Byte](0, 4) ++
+      Array[Byte](0x40, 0x38.toByte, 0, 0, 0, 0, 0, 0) ++
+      Array.fill[Byte](12)(0) ++ Array[Byte](1, 1, 0x41)
     val gen = for {
-      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3))
+      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus))
       cut <- Gen.chooseNum(0, seed.length)
       at <- Gen.chooseNum(0, math.max(0, seed.length - 1))
       v <- Arbitrary.arbitrary[Byte]

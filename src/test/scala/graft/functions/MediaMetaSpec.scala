@@ -296,6 +296,72 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(Mp3Meta.scan(Array.emptyByteArray) == null)
   }
 
+  test("MP3: chained ID3v2 tags and the v2.4 footer flag are all skipped") {
+    // tag 1 declares the footer flag (byte 5 bit 4): body 20 + footer 10;
+    // tag 2 (a tagger's rewrite) follows, then the real first frame
+    val tag1 = ascii("ID3") ++ Array[Byte](4, 0, 0x10, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(0x41) ++ ascii("3DI") ++ Array[Byte](4, 0, 0x10, 0, 0, 0, 20)
+    val tag2 = ascii("ID3") ++ Array[Byte](3, 0, 0, 0, 0, 0, 12) ++
+      Array.fill[Byte](12)(0x42)
+    val m = Mp3Meta.scan(tag1 ++ tag2 ++
+      mp3Frame(v1 = true, stereo = true, xingFrames = 441))
+    assert(m != null && m.getLong(0) == 44100L && m.getLong(1) == 2L)
+    assert(m.getLong(3) == 441L * 1152L * 1000L / 44100L)
+    // footer flag whose extra 10 bytes run past the buffer: refuse, not throw
+    assert(Mp3Meta.scan(ascii("ID3") ++ Array[Byte](4, 0, 0x10, 0, 0, 0, 50) ++
+      Array.fill[Byte](52)(0)) == null)
+  }
+
+  // --- Ogg/Opus builders (RFC 3533 framing + RFC 7845 ID header) ---------
+  private def le64(v: Long) = leU32(v & 0xffffffffL) ++ leU32(v >>> 32)
+  private def oggPage(headerType: Int, granule: Long,
+      payload: Array[Byte]): Array[Byte] =
+    ascii("OggS") ++ Array[Byte](0, headerType.toByte) ++ le64(granule) ++
+      Array.fill[Byte](12)(0) /* serial+seq+crc */ ++
+      Array[Byte](1, payload.length.toByte) ++ payload
+  private def opusHead(ch: Int, preSkip: Int, inputRate: Long): Array[Byte] =
+    ascii("OpusHead") ++ Array[Byte](1, ch.toByte) ++ leU16(preSkip) ++
+      leU32(inputRate) ++ leU16(0) ++ Array[Byte](0)
+
+  test("Opus: ID header fields + EOS granule give rate/channels/duration; bits NULL") {
+    val b = oggPage(0x02, 0, opusHead(2, 312, 44100)) ++
+      oggPage(0x04, 48312, Array[Byte](0x41))
+    val m = OggOpusMeta.scan(b)
+    assert(m != null && m.getLong(0) == 44100L && m.getLong(1) == 2L)
+    assert(m.isNullAt(2), "Opus is lossy: bits_per_sample must be NULL")
+    assert(m.getLong(3) == 1000L, "(granule - preSkip) at the spec's fixed 48 kHz")
+  }
+
+  test("Opus: zero input rate reports the 48 kHz decode rate; prefix gives NULL duration") {
+    val m0 = OggOpusMeta.scan(oggPage(0x02, 0, opusHead(1, 0, 0)))
+    assert(m0 != null && m0.getLong(0) == 48000L && m0.getLong(1) == 1L)
+    assert(m0.isNullAt(3), "no EOS page in the prefix: duration unknown, not guessed")
+    // -1 granule on the EOS page (no packet ends there) also stays NULL
+    val mNeg = OggOpusMeta.scan(oggPage(0x02, 0, opusHead(1, 0, 0)) ++
+      oggPage(0x04, -1L, Array[Byte](0)))
+    assert(mNeg != null && mNeg.isNullAt(3))
+  }
+
+  test("Opus refusals: wrong magics, bad version, zero channels, short, null") {
+    assert(OggOpusMeta.scan(ascii("OggX") ++ Array.fill[Byte](60)(0)) == null)
+    // Ogg page version must be 0
+    val badVer = oggPage(0x02, 0, opusHead(2, 0, 48000))
+    badVer(4) = 1
+    assert(OggOpusMeta.scan(badVer) == null)
+    // first packet is not OpusHead (e.g. Vorbis stream)
+    assert(OggOpusMeta.scan(oggPage(0x02, 0,
+      ascii("vorbis") ++ Array.fill[Byte](20)(0))) == null)
+    // incompatible major version nibble
+    val badMajor = oggPage(0x02, 0, opusHead(2, 0, 48000))
+    badMajor(27 + 1 + 8) = 0x10
+    assert(OggOpusMeta.scan(badMajor) == null)
+    assert(OggOpusMeta.scan(oggPage(0x02, 0, opusHead(0, 0, 48000))) == null,
+      "channel count 0 is invalid per RFC 7845")
+    assert(OggOpusMeta.scan(ascii("OggS")) == null)
+    assert(OggOpusMeta.scan(null) == null)
+    assert(OggOpusMeta.scan(Array.emptyByteArray) == null)
+  }
+
   test("interpreted eval and codegen agree (the expression contract)") {
     val spark = graft.TestSpark.spark
     GraftFunctions.register(spark)
@@ -304,14 +370,17 @@ class MediaMetaSpec extends AnyFunSuite {
     val mp4 = box("ftyp", ascii("isom")) ++ box("moov", mvhdV0(600, 1200))
     val flac = flacFile(streamInfo(48000, 2, 16, 96000))
     val mp3 = mp3Frame(v1 = true, stereo = true, xingFrames = 441)
+    val opus = oggPage(0x02, 0, opusHead(2, 312, 44100)) ++
+      oggPage(0x04, 48312, Array[Byte](0x41))
     val rows = Seq((1L, wav), (2L, mp4), (3L, ascii("not media")),
-        (4L, flac), (5L, mp3))
+        (4L, flac), (5L, mp3), (6L, opus))
       .toDF("id", "content")
       .selectExpr("id",
         s"${GraftFunctions.WavMetaName}(content) AS w",
         s"${GraftFunctions.Mp4MetaName}(content) AS m",
         s"${GraftFunctions.FlacMetaName}(content) AS f",
-        s"${GraftFunctions.Mp3MetaName}(content) AS p")
+        s"${GraftFunctions.Mp3MetaName}(content) AS p",
+        s"${GraftFunctions.OpusMetaName}(content) AS o")
       .orderBy("id").collect()
     assert(rows(0).getSeq[java.lang.Long](1) == Seq(44100L, 2L, 16L, 1000L))
     assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
@@ -323,5 +392,7 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
     assert(rows(4).getSeq[java.lang.Long](4) ==
       Seq(44100L, 2L, null, 441L * 1152L * 1000L / 44100L))
+    assert(rows(5).getSeq[java.lang.Long](5) == Seq(44100L, 2L, null, 1000L))
+    assert(rows(5).isNullAt(1) && rows(5).isNullAt(2) && rows(5).isNullAt(3))
   }
 }

@@ -96,13 +96,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"ladder: ${stats.map(s => f"${s.config}->(${s.candidateFraction}%.3f,${s.estRecall}%.2f)").mkString(", ")}")
     info(f"chosen ${picked.config} fraction=${picked.candidateFraction}%.3f recall=${picked.estRecall}%.3f")
     assert(picked.estRecall >= 0.9, s"tuned config misses the recall pin: $picked")
-    // the measured price on THIS corpus: quasi-quadratic, known, visible
-    assert(picked.candidateFraction > 0.5 && picked.candidateFraction < 0.85,
+    // the measured price on THIS corpus: quasi-quadratic, known, visible.
+    // The fraction is a WORK metric (directed candidate incidences per
+    // ordered pair — can exceed 1 when tables·(1+probes) > 2^bits); since
+    // the multiprobe rungs (round 12) the winner at sf0.01 is 16×5×1 at
+    // ~1.06, below plain 20×4's 1.29 — the multiprobe economy, measured
+    assert(picked.candidateFraction > 0.6 && picked.candidateFraction < 1.25,
       s"candidate fraction moved materially: $picked — retune the ladder or update this pin")
     // every finer config on the ladder fails the recall target here —
     // the tuner is not leaving a cheaper compliant config on the table
     assert(stats.filter(_.candidateFraction < picked.candidateFraction)
       .forall(_.estRecall < 0.9))
+    // and the winner undercuts the best PLAIN-banding config meeting the
+    // target: the probes pay for themselves on this corpus
+    val plainBest = stats.filter(s => s.config.probes == 0 && s.estRecall >= 0.9)
+    assert(plainBest.nonEmpty &&
+      picked.candidateFraction <= plainBest.map(_.candidateFraction).min,
+      "multiprobe no longer undercuts plain banding — drop the rungs or retune")
   }
 
   test("tuned LSH meets BOTH recall >= 0.9 AND the candidate budget on a clustered corpus") {
@@ -173,8 +183,11 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.2 else -0.2))))
       .toDF("vec_id", "v")
     val s3 = graft.operators.AnnTuning.lshStats(spark, df3)
+    // candidateFraction is a work metric (incidences per ordered pair) —
+    // finite and non-negative, but legitimately > 1 on coarse configs
     assert(s3.nonEmpty && s3.forall(s =>
-      s.candidateFraction >= 0.0 && s.candidateFraction <= 1.0 &&
+      s.candidateFraction >= 0.0 && !s.candidateFraction.isNaN &&
+        !s.candidateFraction.isInfinite &&
         s.estRecall >= 0.0 && s.estRecall <= 1.0))
     graft.operators.AnnTuning.choose(s3, 0.9, 0.25) // must not throw
     val df1 = df3.filter(org.apache.spark.sql.functions.col("vec_id") === 0)

@@ -248,4 +248,14 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(qty.getString(4).toDouble == mn && qty.getString(5).toDouble == mx)
     assert(!qty.isNullAt(6), "numeric columns report a mean")
   }
+
+  test("a13: avro round-trip preserves rows and exact types vs the source parquet") {
+    val back = GroupA.a13AvroRoundTrip(spark, sf)
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)), "avro preserves exact types")
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "avro round-trip is bit-exact")
+  }
 }

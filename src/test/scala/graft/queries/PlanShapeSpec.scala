@@ -120,6 +120,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d56: the funnel's repeated stage frames REUSE exchanges, not recompute") {
+    // gate is counted in rows 1 AND 2, kept in rows 2 AND 3 — the
+    // "cannot disagree with the pipeline" doc implicitly relies on the
+    // second reference of each stage reusing the first's result (cost ≈
+    // d22 + ε). Under AQE the reuse materializes at RUNTIME as reused
+    // query stages (the initial plan shows none), so execute first and
+    // inspect the final adaptive plan; a plan change that ever splits
+    // the stage subtrees turns a silent 2× recompute into a failure here
+    val df = graft.SparkEntry.queries("d56_pipeline_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val reused = p.linesIterator.count(l =>
+      l.contains("ReusedExchange") || l.contains("ReusedQueryStage") ||
+        l.contains("StageReuse") || l.contains("reused"))
+    assert(reused >= 2,
+      s"expected the gate and kept stages to be reused (>= 2), got $reused\n$p")
+  }
+
   test("d19: benchmark-source predicate and column pruning reach the parquet scan") {
     val p = plan("d19_decontaminate")
     assert(p.contains("PushedFilters: [IsNotNull(source)"),
