@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -196,6 +196,66 @@ object GroupC {
       .orderBy("event_id")
   }
 
+  /** c8: container-header metadata extraction as an ORACLE-CHECKED query —
+    * the multimodal byte-walk family ([[graft.multimodal.Multimodal
+    * .imageDimsPlan]]/[[graft.multimodal.Multimodal.mediaMetaPlan]], native
+    * codegen'd expressions over PNG/WAV/… public specs) driven end to end
+    * under the driver's hash gate. The trick that makes a binary parser
+    * DuckDB-verifiable: the content bytes are CONSTRUCTED deterministically
+    * from doc_id by Spark expressions (unhex/concat of spec-layout fields —
+    * a header-only WAV for doc_id ≡ 0 (mod 3), a PNG signature+IHDR for
+    * ≡ 1, magicless junk for ≡ 2), then parsed BACK by the native walks;
+    * the oracle never sees bytes — it derives the same fields
+    * arithmetically from doc_id. A walk that misreads any offset, width,
+    * endianness, or the junk-refusal contract hash-mismatches.
+    *
+    * Scale shape: pure per-row codegen'd construction + parsing, zero
+    * shuffles before the final sort — the metadata-backfill pass is
+    * scan-bound at any corpus size (the real pipeline reads `content`
+    * from parquet instead of synthesizing it; the plan from the parse on
+    * is identical).
+    */
+  def c8MediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id")
+    def le16(v: Column) = {
+      val h = lpad(hex(v), 4, "0")
+      unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    def le32(v: Column) = {
+      val h = lpad(hex(v), 8, "0")
+      unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)))
+    }
+    def be32(v: Column) = unhex(lpad(hex(v), 8, "0"))
+    def asc(s: String) = lit(s).cast("binary")
+    val id = col("doc_id")
+    // WAV params, all derived from doc_id (the oracle re-derives them)
+    val sr = lit(8000L) * (lit(1L) + id % 4)
+    val chn = lit(1L) + id % 2
+    val secs = lit(1L) + id % 5
+    val byteRate = sr * chn * 2 // 16-bit PCM
+    val dataSize = byteRate * secs
+    val wav = concat(asc("RIFF"), le32(lit(36L) + dataSize), asc("WAVE"),
+      asc("fmt "), le32(lit(16L)), le16(lit(1L)), le16(chn), le32(sr),
+      le32(byteRate), le16(chn * 2), le16(lit(16L)),
+      asc("data"), le32(dataSize)) // header-only: the crawl-prefix contract
+    val w = lit(16L) + id % 100
+    val h = lit(16L) + (id * 7) % 100
+    val png = concat(unhex(lit("89504E470D0A1A0A")), be32(lit(13L)),
+      asc("IHDR"), be32(w), be32(h))
+    val content = when(id % 3 === 0, wav)
+      .when(id % 3 === 1, png)
+      .otherwise(md5(id.cast("string")).cast("binary")) // no magic anywhere
+    val built = docs.withColumn("content", content)
+    graft.multimodal.Multimodal.mediaMetaPlan(
+        graft.multimodal.Multimodal.imageDimsPlan(built, "content"), "content")
+      .select(col("doc_id"), col("media_format"),
+        col("audio_sample_rate_hz"), col("audio_channels"),
+        col("audio_bits"), col("media_duration_ms"),
+        col("img_format"), col("img_width"), col("img_height"))
+      .orderBy("doc_id")
+  }
+
   /** Shared PII patterns (c6): plain character-class/quantifier regexes
     * that parse identically under Java regex (Spark) and RE2 (DuckDB) —
     * no lookarounds, no backrefs, no dialect-specific escapes.
@@ -268,11 +328,31 @@ object GroupC {
     "c3_similarity_topk" -> (c3SimilarityTopk _),
     "c4_text_analysis"   -> (c4TextAnalysis _),
     "c5_multimodal_cols" -> (c5MultimodalCols _),
+    "c8_media_meta"      -> (c8MediaMeta _),
   )
 
   private val tokSql = tokenizeSql("text")
 
   val oracleSql: Map[String, String] = Map(
+    // c8's oracle never parses bytes: it re-derives every field from
+    // doc_id by the same arithmetic the Spark side used to CONSTRUCT the
+    // container bytes — so the hash compare verifies the byte walks
+    "c8_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'wav' END AS media_format,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT) END AS audio_sample_rate_hz,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(1 + doc_id % 2 AS BIGINT) END AS audio_channels,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT) END AS media_duration_ms,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'png' END AS img_format,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN CAST(16 + doc_id % 100 AS BIGINT) END AS img_width,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT) END AS img_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
