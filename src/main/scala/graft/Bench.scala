@@ -23,10 +23,7 @@ object Bench {
     // persist one-time tuning/training artifacts across bench JVMs, keyed
     // on the corpus files' fingerprint (graft.operators.ModelCache) — a
     // fresh process's pass 1 then costs near a warm pass
-    if (!sys.props.contains("graft.model.cache") &&
-        !sys.env.contains("GRAFT_MODEL_CACHE"))
-      sys.props("graft.model.cache") =
-        new java.io.File("target/graft-models").getAbsolutePath
+    graft.operators.ModelCache.enableDefaultIfUnset()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

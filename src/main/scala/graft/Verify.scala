@@ -9,10 +9,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // share one-time tuning/training artifacts with Bench across JVMs
     // (graft.operators.ModelCache; corpus-fingerprint keyed)
-    if (!sys.props.contains("graft.model.cache") &&
-        !sys.env.contains("GRAFT_MODEL_CACHE"))
-      sys.props("graft.model.cache") =
-        new java.io.File("target/graft-models").getAbsolutePath
+    graft.operators.ModelCache.enableDefaultIfUnset()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -473,7 +473,12 @@ object OggOpusMeta {
     while (dur == null && i >= floor) {
       if (isOggS(b, i) && b(i + 4) == 0 && (b(i + 5) & 0x04) != 0) {
         val granule = le64(b, i + 6)
-        if (granule != -1L && granule >= 0L) {
+        // upper bound guards the ×1000: a near-Long.MAX granule in a
+        // corrupt page would wrap negative — refuse rather than emit
+        // garbage (the family's contract); the bound (~292 Myr of 48 kHz
+        // audio) rejects nothing real
+        if (granule != -1L && granule >= 0L &&
+            granule - preSkip <= Long.MaxValue / 1000L) {
           val samples = math.max(0L, granule - preSkip)
           dur = java.lang.Long.valueOf(samples * 1000L / 48000L)
         } else i -= 1

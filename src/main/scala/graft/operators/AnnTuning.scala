@@ -237,15 +237,7 @@ object AnnTuning {
     * IS the join's shuffle (one exchange, reused).
     */
   def capBuckets(keyed: DataFrame, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) keyed // guard disabled: keep the single
-    // shared exchange both candidate-join sides reuse (the rank window
-    // would split the subplans and cost a measured ~1 s at sf0.1)
-    else {
-      val w = Window.partitionBy("tbl", "bucket")
-        .orderBy(xxhash64(col("vec_id"), col("tbl")), col("vec_id"))
-      keyed.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= cap).drop("__rk")
-    }
+    capBucketsBy(keyed, cap, Seq("tbl", "bucket"))
 
   /** [[capBuckets]] for table-QUALIFIED single-column keys (`bkey` =
     * `(tbl << bits) | bucket` — the multiprobe join layout): same
@@ -253,10 +245,20 @@ object AnnTuning {
     * join key so the rank's shuffle IS the join's shuffle.
     */
   def capBucketsQualified(keyed: DataFrame, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) keyed
+    capBucketsBy(keyed, cap, Seq("bkey"))
+
+  /** One cap implementation for both key layouts — the semantics
+    * (window partitioned exactly on the join key, xxhash64(vec_id, key)
+    * + vec_id tiebreak) must not drift between them.
+    */
+  private def capBucketsBy(keyed: DataFrame, cap: Int,
+      keyCols: Seq[String]): DataFrame =
+    if (cap == Int.MaxValue) keyed // guard disabled: keep the single
+    // shared exchange both candidate-join sides reuse (the rank window
+    // would split the subplans and cost a measured ~1 s at sf0.1)
     else {
-      val w = Window.partitionBy("bkey")
-        .orderBy(xxhash64(col("vec_id"), col("bkey")), col("vec_id"))
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(xxhash64(col("vec_id"), col(keyCols.head)), col("vec_id"))
       keyed.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= cap).drop("__rk")
     }

@@ -32,6 +32,17 @@ object ModelCache {
       .orElse(sys.env.get("GRAFT_MODEL_CACHE"))
       .filter(_.nonEmpty)
 
+  /** The drivers' opt-in bootstrap (Bench + Verify call this, specs never
+    * do): default the cache to `target/graft-models` unless the property
+    * or env var already chose a location. ONE definition so the two
+    * drivers can never split their cache roots (and their fingerprint
+    * keys) by editing a copied block.
+    */
+  def enableDefaultIfUnset(): Unit =
+    if (root.isEmpty)
+      sys.props("graft.model.cache") =
+        new java.io.File("target/graft-models").getAbsolutePath
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

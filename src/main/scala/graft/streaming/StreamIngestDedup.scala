@@ -38,7 +38,10 @@ object StreamIngestDedup {
     * DETERMINISTIC survivor (smallest (text, row-hash) — a
     * partition-order-dependent pick would violate the repo's
     * deterministic-tiebreak discipline when a redelivery carries
-    * different passthrough values).
+    * different passthrough values). The row-hash is `xxhash64` over all
+    * delta columns, so passthrough columns must be hashable types (no
+    * MapType — Spark's hash family rejects maps); that constraint is the
+    * price of the deterministic pick.
     *
     * `standingStore`: optional parquet directory making the accepted set
     * DURABLE. Without it the standing accumulator lives only in driver
@@ -68,13 +71,7 @@ object StreamIngestDedup {
         // arrival, not a new document — without this anti-join it would
         // re-emit AND union into standing twice, doubling its shingle
         // rows and corrupting every later Jaccard count it touches
-        val df = batch.toDF()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
-          .orderBy(col("text").asc_nulls_first,
-            xxhash64(df.columns.map(col).toIndexedSeq: _*))
-        val b = df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val b = DeterministicSurvivor.keepFirst(batch.toDF())
           .join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
         val survivors =
           graft.queries.GroupD.incrementalDedupBatch(standing, b)

@@ -65,13 +65,7 @@ object StreamSnapshotDiff {
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val df = batch.toDF()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id")
-          .orderBy(col("text").asc_nulls_first,
-            xxhash64(df.columns.map(col).toIndexedSeq: _*))
-        val b = df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val b = DeterministicSurvivor.keepFirst(batch.toDF())
           .join(seen, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), md5(col("text")).as("fp_new"))
           .localCheckpoint(true)

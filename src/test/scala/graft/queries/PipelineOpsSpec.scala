@@ -135,9 +135,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(picked.estRecall >= 0.9, s"clustered recall miss: $picked")
     assert(picked.candidateFraction <= 0.25, s"clustered budget miss: $picked")
     // and the full operator at the tuned config actually achieves the
-    // recall against driver-side brute force
+    // recall against driver-side brute force — probes included, so a
+    // multiprobe winner is validated on the path production runs
     val out = GroupD.annLsh(df, spark, picked.config.tables, picked.config.bits,
-      graft.operators.AnnTuning.DefaultBucketCap)
+      graft.operators.AnnTuning.DefaultBucketCap,
+      probes = picked.config.probes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def cos(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
