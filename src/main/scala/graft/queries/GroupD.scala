@@ -2744,6 +2744,108 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d58: reference-trained LM quality score — the CCNet-style filtering
+    * discipline d32 deliberately does NOT cover: there the vocabulary is
+    * the scored corpus itself; here the language model is trained on a
+    * separate REFERENCE slice (source `src0`, the "wikipedia" of this
+    * corpus) and every document is scored against it — the train/score
+    * separation that makes perplexity filtering meaningful (a corpus
+    * cannot bless its own garbage). The score is the per-document mean
+    * add-one-smoothed bigram transition probability, in EXACT fixed
+    * point instead of log space (libm `ln` last-ulp behavior differs
+    * between engines — d32's contract):
+    *
+    *   p_fp(w1,w2) = ⌊(c₂(w1,w2)+1)·10⁶ / (c₁(w1)+V)⌋
+    *   lm_score_fp = ⌊Σ p_fp / n_bigrams⌋
+    *
+    * where c₂/c₁ are the reference slice's bigram/prefix-occurrence
+    * counts and V its distinct-successor vocabulary size (the add-one
+    * denominator), all per lang. The numerator rides decimal(38,0)
+    * (c₂·10⁶ outgrows int64 near 10¹² reference occurrences — d29's
+    * widening rule); DuckDB mirrors with HUGEINT. Monotone in the true
+    * smoothed probability, so threshold/rank gates downstream see the
+    * same order a float implementation would give.
+    *
+    * Scale shape: the model tables (refBi/refUni) are REFERENCE-bounded,
+    * not corpus-bounded — the two scoring joins shuffle on (lang, w1[,
+    * w2]) with the model side orders of magnitude smaller than the
+    * occurrence side, and V is a per-lang scalar broadcast. Documents in
+    * langs with no reference slice are excluded (no model, no score —
+    * inner join on refV), as are sub-2-token docs (no bigrams).
+    */
+  def d58LmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScore(Tables(spark, sfDir, "documents"))
+
+  /** d58's body on an arbitrary (doc_id, text, lang, source) frame —
+    * reusable in specs (hand-computed mini-corpora pin the arithmetic).
+    */
+  private[queries] def lmScore(docs: DataFrame): DataFrame = {
+    val occ = bigramOccurrences(docs)
+    val refOcc = bigramOccurrences(docs.filter(col("source") === "src0"))
+    val refBi = refOcc.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c2"))
+    val refUni = refOcc.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+    val refV = refOcc.groupBy("lang").agg(countDistinct("w2").as("v"))
+    occ
+      .join(broadcast(refV), "lang")
+      .join(refBi, Seq("lang", "w1", "w2"), "left")
+      .join(refUni, Seq("lang", "w1"), "left")
+      .withColumn("p_fp", expr(
+        "cast((cast(coalesce(c2, 0) + 1 as decimal(38,0)) * 1000000) " +
+          "div (coalesce(c1, 0) + v) as bigint)"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_fp").as("p_sum"))
+      .withColumn("lm_score_fp", expr("p_sum div n_bigrams"))
+      .select("doc_id", "lang", "n_bigrams", "lm_score_fp")
+      .orderBy("doc_id")
+  }
+
+  /** d59: cross-document boilerplate-span removal accounting — the
+    * RefinedWeb/CCNet "repeated lines across pages are navigation chrome,
+    * strip them" pass. This corpus has no newlines, so the removable unit
+    * is a deterministic proxy with the same computational shape: the
+    * document's token stream cut into non-overlapping 8-token spans (tail
+    * partial kept). A span is BOILERPLATE when its text occurs in ≥ 2
+    * distinct documents (df_min = 2, sized to this synthetic corpus; web
+    * corpora tune df_min against shard size). Per document the audit
+    * reports span/token totals, how much boilerplate was found, and the
+    * fixed-point token-retention ratio the curation report publishes.
+    *
+    * Scale shape: spans explode scan-side and immediately compress to a
+    * 32-byte md5 key (d8's rule — the span TEXT never shuffles); the df
+    * count is one partial-aggregated groupBy on that key; membership
+    * comes back as one left join against the (deduplicated, fanout-free)
+    * boilerplate key set — at 100 TB that set is the df≥2 tail, far
+    * smaller than the span stream. No all-pairs anything: a span shared
+    * by a million docs is ONE key row on the build side.
+    */
+  def d59BoilerplateSpans(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplateSpans(Tables(spark, sfDir, "documents"))
+
+  /** d59's body on an arbitrary (doc_id, text) frame — reusable in specs. */
+  private[queries] def boilerplateSpans(docs: DataFrame): DataFrame = {
+    val S = 8
+    val spans = docs
+      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(ts) - 1) div $S), " +
+          s"i -> slice(ts, i * $S + 1, $S))")).as("sp"))
+      .select(col("doc_id"), md5(array_join(col("sp"), " ")).as("k"),
+        size(col("sp")).cast("long").as("n_tok"))
+    val boiler = spans.groupBy("k")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("k")
+    spans.join(boiler.withColumn("is_boiler", lit(1)), Seq("k"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("is_boiler").isNull, col("n_tok")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .withColumn("retention_fp", expr("(n_tokens_kept * 10000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_sketch_stats"     -> (d12SketchStats _),
     "d14_dedup_clusters"   -> (d14DedupClusters _),
@@ -2803,6 +2905,8 @@ object GroupD {
     "d54_maintained_serve" -> (d54MaintainedServe _),
     "d55_snapshot_diff"    -> (d55SnapshotDiff _),
     "d56_pipeline_funnel"  -> (d56PipelineFunnel _),
+    "d58_lm_score"         -> (d58LmScore _),
+    "d59_boilerplate_spans" -> (d59BoilerplateSpans _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -2989,6 +3093,55 @@ object GroupD {
          |JOIN delta USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
          |ORDER BY d.doc_id""".stripMargin,
+    "d58_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $tokSql AS ts FROM documents),
+         |occ AS (
+         |  SELECT doc_id, lang, source, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+         |  WHERE len(ts) >= 2),
+         |refbi AS (
+         |  SELECT lang, w1, w2, count(*) AS c2 FROM occ
+         |  WHERE source = 'src0' GROUP BY 1, 2, 3),
+         |refuni AS (
+         |  SELECT lang, w1, count(*) AS c1 FROM occ
+         |  WHERE source = 'src0' GROUP BY 1, 2),
+         |refv AS (
+         |  SELECT lang, count(DISTINCT w2) AS v FROM occ
+         |  WHERE source = 'src0' GROUP BY 1),
+         |scored AS (
+         |  SELECT o.doc_id, o.lang,
+         |    CAST((CAST(coalesce(b.c2, 0) + 1 AS HUGEINT) * 1000000)
+         |      // (coalesce(u.c1, 0) + v.v) AS BIGINT) AS p_fp
+         |  FROM occ o
+         |  JOIN refv v ON v.lang = o.lang
+         |  LEFT JOIN refbi b
+         |    ON b.lang = o.lang AND b.w1 = o.w1 AND b.w2 = o.w2
+         |  LEFT JOIN refuni u ON u.lang = o.lang AND u.w1 = o.w1)
+         |SELECT doc_id, lang, count(*) AS n_bigrams,
+         |  CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
+         |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "d59_boilerplate_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |spans AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(ts, i*8 + 1, i*8 + 8), ' ')) AS k,
+         |    len(list_slice(ts, i*8 + 1, i*8 + 8)) AS n_tok
+         |  FROM toks,
+         |    LATERAL (SELECT unnest(range(0, (len(ts) - 1) // 8 + 1)) AS i)),
+         |boiler AS (
+         |  SELECT k FROM spans GROUP BY k HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT s.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST(sum(s.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN b.k IS NULL THEN s.n_tok ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  CAST((sum(CASE WHEN b.k IS NULL THEN s.n_tok ELSE 0 END) * 10000)
+         |    // sum(s.n_tok) AS BIGINT) AS retention_fp
+         |FROM spans s LEFT JOIN boiler b ON b.k = s.k
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "d32_bigram_novelty" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, $tokSql AS ts FROM documents),

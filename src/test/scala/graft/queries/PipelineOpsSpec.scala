@@ -1048,4 +1048,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sharded.sameElements(plain),
       s"sharded d50 diverged: ${sharded.length} vs ${plain.length} rows")
   }
+
+  test("d58 LM score: hand-computed add-one arithmetic, no-reference langs excluded") {
+    // reference slice (src0, en): "a b a b a c" → c2(a,b)=2, c2(b,a)=2,
+    // c2(a,c)=1; prefix counts c1(a)=3, c1(b)=2; successor vocab V=3
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a b a c", "en", "src0"),
+      (2L, "a b a c", "en", "src1"),     // in-domain: 500000+600000+333333
+      (3L, "z q z", "en", "src1"),       // fully OOV: 2 × ⌊10⁶/3⌋
+      (4L, "x y", "fr", "src1")          // no fr reference → excluded
+    )).toDF("doc_id", "text", "lang", "source")
+    val got = GroupD.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(Seq(
+      (1L, 5L, 506666L),   // ⌊(2·500000 + 2·600000 + 333333) / 5⌋
+      (2L, 3L, 477777L),   // ⌊(500000 + 600000 + 333333) / 3⌋
+      (3L, 2L, 333333L))), // gibberish scores strictly below in-domain
+      got.mkString(", "))
+  }
+
+  test("d59 boilerplate spans: a span shared by two docs is flagged in both, tail spans kept") {
+    val eight = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, eight + " u1 u2 u3 u4"),                    // shared 8 + unique 4
+      (2L, eight),                                     // exactly the shared span
+      (3L, (1 to 10).map(i => s"v$i").mkString(" "))   // all unique, 8+2 split
+    )).toDF("doc_id", "text")
+    val got = GroupD.boilerplateSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.sameElements(Seq(
+      (1L, 2L, 1L, 12L, 4L, 3333L),   // ⌊4·10⁴/12⌋
+      (2L, 1L, 1L, 8L, 0L, 0L),
+      (3L, 2L, 0L, 10L, 10L, 10000L))),
+      got.mkString(", "))
+  }
 }
