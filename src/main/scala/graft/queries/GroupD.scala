@@ -1194,22 +1194,43 @@ object GroupD {
   private[queries] def annPq(e: DataFrame, spark: SparkSession, key: String,
       M: Int = 4, K: Int = 16, C: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // L2-normalize (zero vectors can't be normalized or cosine-ranked —
-    // dropped, matching their null-cosine rank in d3)
-    val norm = sqrt(aggregate(
-      zip_with(col("embedding"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, x) => acc + x))
-    val nv = e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> float(x / nrm))").as("nvec"))
+    val nv = pqNormalized(e)
     // one-time training per corpus (memoized; the codebooks are
     // driver-sized), then code assignment + reconstruction FUSE into a
     // single projection over codebook literals — a bench/serving pass
     // after the first never runs a training job (AnnTuning's discipline)
     val model = graft.operators.PqIndex.train(key, nv, M, K, iters = 2)
-    val recon = concat((0 until M).map { m =>
+    val q = nv.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("nvec").cast("array<double>").as("qv"))
+    val adc = nv.select(col("vec_id").as("nn_id"), pqReconExpr(model, M).as("rv"))
+      .join(broadcast(q), col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"), GroupC.cosine("rv", "qv").as("adc"))
+    pqShortlistRerank(adc, nv, q, C)
+  }
+
+  /** L2-normalized (vec_id, nvec) frame (zero vectors can't be normalized
+    * or cosine-ranked — dropped, matching their null-cosine rank in d3).
+    * Shared by d33 and d60.
+    */
+  private def pqNormalized(e: DataFrame): DataFrame = {
+    val norm = sqrt(aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x))
+    e.select(col("vec_id"), col("embedding"), norm.as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> float(x / nrm))").as("nvec"))
+  }
+
+  /** PQ encode+decode fused into one projection over codebook literals:
+    * per subspace, argmin-by-(d2, j) code assignment (KMeans.assign's
+    * exact tie-break) followed by codebook lookup; the concat is the
+    * reconstructed vector. Shared by d33 and d60.
+    */
+  private def pqReconExpr(model: graft.operators.PqIndex.Model,
+      M: Int): org.apache.spark.sql.Column =
+    concat((0 until M).map { m =>
       val slice = expr(
         s"transform(slice(nvec, ${m * model.sub + 1}, ${model.sub}), " +
           "x -> cast(x AS double))")
@@ -1220,22 +1241,22 @@ object GroupD {
             lit(0d), (a, x) => a + x).as("d2"),
           lit(j).as("j"))
       }
-      // argmin by (d2, j) — KMeans.assign's exact tie-break
       val code = sort_array(array(cands: _*))(0).getField("j")
       element_at(
         array(model.codebooks(m).map(c => array(c.map(lit): _*)): _*),
         code + 1)
     }: _*)
-    val q = nv.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("qid"), col("nvec").cast("array<double>").as("qv"))
-    val adc = nv.select(col("vec_id").as("nn_id"), recon.as("rv"))
-      .join(broadcast(q), col("nn_id") =!= col("qid"))
-      .select(col("qid"), col("nn_id"), GroupC.cosine("rv", "qv").as("adc"))
+
+  /** The PQ retrieval tail shared by d33 and d60: ADC top-C shortlist per
+    * query, then exact cosine rerank of the shortlist only — full vectors
+    * never join against anything bigger than C rows per query.
+    */
+  private def pqShortlistRerank(adc: DataFrame, nv: DataFrame,
+      q: DataFrame, C: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nn_id"))
     val shortlist = adc.withColumn("rc", row_number().over(wAdc))
       .filter(col("rc") <= C)
       .select("qid", "nn_id")
-    // stage 2: exact rerank over the C-bounded shortlist only
     val exact = shortlist
       .join(nv.select(col("vec_id").as("nn_id"),
         col("nvec").cast("array<double>").as("nv")), "nn_id")
@@ -1246,6 +1267,53 @@ object GroupD {
       .select(col("qid"), col("nn_id"), round(col("s"), 6).as("sim"),
         col("rn").cast("long").as("rn"))
       .orderBy("qid", "rn")
+  }
+
+  /** d60: IVF-PQ — the composed FAISS-style serving plan, the production
+    * shape a billion-vector tier actually deploys: d11's coarse cell
+    * probe bounds WHICH vectors each query touches, d33's 4-byte ADC
+    * codes bound WHAT is read per touched vector, and the exact rerank
+    * touches full floats only for the top-C shortlist. Both models are
+    * REUSED from the corpus's standing artifacts (the tuned IVF
+    * (stride, probes) under `ivf|…`, the PQ codebooks under `pq|…` —
+    * AnnTuning/PqIndex memo + ModelCache), so composing them trains
+    * NOTHING new: the same lifecycle story as d54, at query time.
+    *
+    * Scale shape: stage 1 is candidate-bounded (probes/⌈n/stride⌉ of the
+    * corpus per query) AND code-bounded (reconstruction reads 4-byte
+    * codes + broadcast codebooks — full vectors never stream through the
+    * ADC join); stage 2 is shortlist-bounded. Approximate twice over
+    * (cell miss + PQ distortion) ⇒ rows-only; overlap vs d11/d3 and the
+    * candidate bound pinned in PipelineOpsSpec.
+    */
+  def d60AnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    annIvfPq(e, spark, s"ivf|$sfDir", s"pq|$sfDir")
+  }
+
+  /** d60's body on an arbitrary (vec_id, embedding) frame — reusable in
+    * specs. `stride`/`probes` default to the corpus's tuned IVF config.
+    */
+  private[queries] def annIvfPq(e: DataFrame, spark: SparkSession,
+      ivfKey: String, pqKey: String, M: Int = 4, K: Int = 16,
+      C: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ed = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val tuned = graft.operators.AnnTuning.tunedIvf(spark, ed, ivfKey)
+    val cand = ivfCandidatePairs(ed, spark,
+        tuned.config.stride, tuned.config.probes)
+      .filter(col("qid") < 50)
+    val nv = pqNormalized(e)
+    val model = graft.operators.PqIndex.train(pqKey, nv, M, K, iters = 2)
+    val q = nv.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("nvec").cast("array<double>").as("qv"))
+    val adc = cand
+      .join(nv.select(col("vec_id").as("nn_id"),
+        pqReconExpr(model, M).as("rv")), "nn_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nn_id"), GroupC.cosine("rv", "qv").as("adc"))
+    pqShortlistRerank(adc, nv, q, C)
   }
 
   /** d35: FILTERED vector search — exact top-5 cosine neighbors per query
@@ -2907,6 +2975,9 @@ object GroupD {
     "d56_pipeline_funnel"  -> (d56PipelineFunnel _),
     "d58_lm_score"         -> (d58LmScore _),
     "d59_boilerplate_spans" -> (d59BoilerplateSpans _),
+    // d60 is approximate twice over (IVF cell miss + PQ distortion) —
+    // rows-only; overlap/subset/determinism pinned in PipelineOpsSpec.
+    "d60_ann_ivfpq"        -> (d60AnnIvfPq _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
