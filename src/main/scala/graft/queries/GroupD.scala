@@ -840,14 +840,19 @@ object GroupD {
     // re-attach afterwards from the broadcast-sized customer table —
     // carrying two names through the distinct measured 8.3 s vs 2.6 s
     // at sf0.1 (the d4/d10 pair-dedup rule)
-    val pairs = a.hint("merge").join(b.hint("merge"), "vh")
+    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "vh")
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
     pairs
       .join(broadcast(cust.toDF("ida", "name_a")), "ida")
       .join(broadcast(cust.toDF("idb", "name_b")), "idb")
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 2)
+      // thresholded levenshtein (Spark 3.5+): the DP runs BANDED and bails
+      // the moment the row minimum exceeds 2, returning -1 — on 17M
+      // verify pairs the band is the difference between a full 18×18
+      // table and ~5 cells per row
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("ida"), col("idb"), col("dist"))
       .orderBy("ida", "idb")
   }
