@@ -2852,7 +2852,13 @@ object GroupD {
   /** d58's body on an arbitrary (doc_id, text, lang, source) frame —
     * reusable in specs (hand-computed mini-corpora pin the arithmetic).
     */
-  private[queries] def lmScore(docs: DataFrame): DataFrame = {
+  private[queries] def lmScore(docs: DataFrame): DataFrame =
+    lmScored(docs).orderBy("doc_id")
+
+  /** d58's frame without the presentation sort — d61 consumes it under its
+    * own windows.
+    */
+  private def lmScored(docs: DataFrame): DataFrame = {
     val occ = bigramOccurrences(docs)
     val refOcc = bigramOccurrences(docs.filter(col("source") === "src0"))
     val refBi = refOcc.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c2"))
@@ -2869,7 +2875,82 @@ object GroupD {
       .agg(count(lit(1)).as("n_bigrams"), sum("p_fp").as("p_sum"))
       .withColumn("lm_score_fp", expr("p_sum div n_bigrams"))
       .select("doc_id", "lang", "n_bigrams", "lm_score_fp")
+  }
+
+  /** d61: token-budget dataset assembly — the step that turns d58's
+    * quality scores into a TRAINING SET: per lang, documents are ranked
+    * best-first (lm_score_fp desc, doc_id as the deterministic tiebreak)
+    * and taken greedily until the token budget fills — a document is
+    * selected iff the tokens accumulated BEFORE it are under budget (so
+    * the set always crosses the line once rather than stopping short).
+    * This is the data-mixture assembly every LM training run performs
+    * ("the best 2 500 tokens of each language"), composed from proven
+    * pieces: d58's scoring frame, d20's one-window-per-shard running
+    * cumsum, d15's no-RNG rank discipline.
+    *
+    * Scale shape: scoring is d58's (reference-bounded model joins); the
+    * assembly adds ONE window per lang shard (rank + running total in the
+    * same window spec, so Spark computes both in a single sort) — the
+    * same single-shuffle family as d20/b32. A lang so dominant its
+    * window serializes takes d37/d50's ShardedOrder escape unchanged.
+    */
+  def d61BudgetAssembly(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2500L
+    val docs = Tables(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      size(GroupC.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("lm_score_fp").desc, col("doc_id"))
+    lmScored(docs).select("doc_id", "lang", "lm_score_fp")
+      .join(toks, "doc_id")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("lang"), col("lm_score_fp"),
+        col("n_tokens"), col("rk"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** d62: contrastive pair mining — the hard-negative selection an
+    * embedding-model trainer runs over a labeled corpus: for each query
+    * vector, the most similar SAME-label vector (the positive) and the
+    * most similar DIFFERENT-label vector (the hard negative — the
+    * impostor that makes the triplet informative), plus the margin
+    * between them. Exact cosine over d3's bounded-query broadcast shape;
+    * one (qid, same-label) window ranks both roles in a single pass, and
+    * the two rank-1 rows fold into one output row per query via
+    * conditional struct-max (no self-join of the ranked frame). A query
+    * whose label has no other member gets NULL positive columns — the
+    * honest answer, mirrored by the oracle.
+    */
+  def d62HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        (col("label") === col("qlabel")).as("same"),
+        GroupC.cosine("v", "qv").as("s"))
+    val wRole = Window.partitionBy("qid", "same")
+      .orderBy(col("s").desc, col("nn_id"))
+    sims.withColumn("rn", row_number().over(wRole))
+      .filter(col("rn") === 1)
+      .groupBy("qid")
+      .agg(
+        max(when(col("same"), struct(col("nn_id"), col("s")))).as("p"),
+        max(when(!col("same"), struct(col("nn_id"), col("s")))).as("n"))
+      .select(col("qid"),
+        col("p.nn_id").as("pos_id"), round(col("p.s"), 6).as("pos_sim"),
+        col("n.nn_id").as("neg_id"), round(col("n.s"), 6).as("neg_sim"),
+        round(col("p.s") - col("n.s"), 6).as("margin"))
+      .orderBy("qid")
   }
 
   /** d59: cross-document boilerplate-span removal accounting — the
@@ -2983,6 +3064,8 @@ object GroupD {
     // d60 is approximate twice over (IVF cell miss + PQ distortion) —
     // rows-only; overlap/subset/determinism pinned in PipelineOpsSpec.
     "d60_ann_ivfpq"        -> (d60AnnIvfPq _),
+    "d61_budget_assembly"  -> (d61BudgetAssembly _),
+    "d62_hard_negatives"   -> (d62HardNegatives _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3197,6 +3280,71 @@ object GroupD {
          |SELECT doc_id, lang, count(*) AS n_bigrams,
          |  CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
          |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "d61_budget_assembly" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, $tokSql AS ts FROM documents),
+         |occ AS (
+         |  SELECT doc_id, lang, source, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+         |  WHERE len(ts) >= 2),
+         |refbi AS (
+         |  SELECT lang, w1, w2, count(*) AS c2 FROM occ
+         |  WHERE source = 'src0' GROUP BY 1, 2, 3),
+         |refuni AS (
+         |  SELECT lang, w1, count(*) AS c1 FROM occ
+         |  WHERE source = 'src0' GROUP BY 1, 2),
+         |refv AS (
+         |  SELECT lang, count(DISTINCT w2) AS v FROM occ
+         |  WHERE source = 'src0' GROUP BY 1),
+         |scored AS (
+         |  SELECT o.doc_id, o.lang,
+         |    CAST((CAST(coalesce(b.c2, 0) + 1 AS HUGEINT) * 1000000)
+         |      // (coalesce(u.c1, 0) + v.v) AS BIGINT) AS p_fp
+         |  FROM occ o
+         |  JOIN refv v ON v.lang = o.lang
+         |  LEFT JOIN refbi b
+         |    ON b.lang = o.lang AND b.w1 = o.w1 AND b.w2 = o.w2
+         |  LEFT JOIN refuni u ON u.lang = o.lang AND u.w1 = o.w1),
+         |lm AS (
+         |  SELECT doc_id, lang,
+         |    CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
+         |  FROM scored GROUP BY 1, 2),
+         |sel AS (
+         |  SELECT l.doc_id, l.lang, l.lm_score_fp,
+         |    CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY l.lang
+         |      ORDER BY l.lm_score_fp DESC, l.doc_id) AS BIGINT) AS rk,
+         |    CAST(COALESCE(SUM(len(t.ts)) OVER (PARTITION BY l.lang
+         |      ORDER BY l.lm_score_fp DESC, l.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM lm l JOIN toks t ON t.doc_id = l.doc_id)
+         |SELECT doc_id, lang, lm_score_fp, n_tokens, rk,
+         |  cum_before + n_tokens AS cum_tokens
+         |FROM sel WHERE cum_before < 2500 ORDER BY doc_id""".stripMargin,
+    "d62_hard_negatives" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+        |    (b.label = a.label) AS same,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a
+        |  JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 50),
+        |ranked AS (
+        |  SELECT qid, nn_id, same, s,
+        |    ROW_NUMBER() OVER (PARTITION BY qid, same
+        |      ORDER BY s DESC, nn_id) AS rn
+        |  FROM pairs)
+        |SELECT qid,
+        |  max(CASE WHEN same THEN nn_id END) AS pos_id,
+        |  ROUND(max(CASE WHEN same THEN s END), 6) AS pos_sim,
+        |  max(CASE WHEN NOT same THEN nn_id END) AS neg_id,
+        |  ROUND(max(CASE WHEN NOT same THEN s END), 6) AS neg_sim,
+        |  ROUND(max(CASE WHEN same THEN s END)
+        |    - max(CASE WHEN NOT same THEN s END), 6) AS margin
+        |FROM ranked WHERE rn = 1
+        |GROUP BY qid ORDER BY qid""".stripMargin,
     "d59_boilerplate_spans" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS ts FROM documents),

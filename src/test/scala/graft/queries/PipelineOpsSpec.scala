@@ -1121,6 +1121,55 @@ class PipelineOpsSpec extends AnyFunSuite {
       got.mkString(", "))
   }
 
+  test("d61 budget assembly: rank-prefix selection that crosses the budget exactly once per lang") {
+    import org.apache.spark.sql.functions._
+    val out = GroupD.d61BudgetAssembly(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // ranks are the contiguous prefix 1..k per lang (greedy best-first
+      // selection can't skip a better-ranked doc)
+      val perLang = out.groupBy("lang")
+        .agg(count(lit(1)).as("k"), min("rk").as("lo"), max("rk").as("hi"),
+          max("cum_tokens").as("top"))
+      assert(perLang.filter(col("lo") =!= 1 || col("hi") =!= col("k")).isEmpty,
+        "selected ranks must be a contiguous prefix")
+      // every selected doc started under budget; the last one either
+      // crosses the line or the lang ran out of scored docs
+      assert(out.filter(col("cum_tokens") - col("n_tokens") >= 2500).isEmpty)
+      val scoredPerLang = GroupD.d58LmScore(spark, sf)
+        .groupBy("lang").agg(count(lit(1)).as("n_scored"))
+      val under = perLang.join(scoredPerLang, "lang")
+        .filter(col("top") < 2500 && col("k") =!= col("n_scored"))
+      assert(under.isEmpty,
+        "a lang under budget must have selected every scored doc")
+    } finally out.unpersist()
+  }
+
+  test("d62 hard negatives: roles respect labels, margin is pos minus neg") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val out = GroupD.d62HardNegatives(spark, sf).cache()
+    try {
+      assert(out.count() == 50)
+      assert(out.filter(col("pos_id") === col("qid") ||
+        col("neg_id") === col("qid")).isEmpty)
+      val labeled = out
+        .join(e.toDF("qid", "qlabel"), "qid")
+        .join(e.toDF("pos_id", "plabel"), Seq("pos_id"), "left")
+        .join(e.toDF("neg_id", "nlabel"), Seq("neg_id"), "left")
+      assert(labeled.filter(col("pos_id").isNotNull &&
+        col("plabel") =!= col("qlabel")).isEmpty, "positive must share the label")
+      assert(labeled.filter(col("neg_id").isNotNull &&
+        col("nlabel") === col("qlabel")).isEmpty, "negative must differ in label")
+      // margin rounds the UNROUNDED difference (like the oracle), so it
+      // may differ from the difference of the rounded sims by ≤ 1e-6
+      assert(out.filter(col("pos_sim").isNotNull && col("neg_sim").isNotNull &&
+        abs(col("margin") - (col("pos_sim") - col("neg_sim"))) > 2e-6)
+        .isEmpty, "margin arithmetic")
+    } finally out.unpersist()
+  }
+
   test("d59 boilerplate spans: a span shared by two docs is flagged in both, tail spans kept") {
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs = spark.createDataFrame(Seq(
