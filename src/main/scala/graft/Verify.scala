@@ -23,6 +23,9 @@ object Verify {
     // subset; unset (the driver's path) runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail loud on a typo'd name: a silent zero-query run looks like success
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query in SPARK_GRAFT_ONLY: $n")))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

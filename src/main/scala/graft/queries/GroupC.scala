@@ -149,6 +149,14 @@ object GroupC {
   def cosine(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"${graft.functions.GraftFunctions.CosineName}($a, $b)")
 
+  /** Column-expression overload (for computed operands, e.g. d60's
+    * decoded-codes reconstruction).
+    */
+  def cosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(
+      graft.functions.GraftFunctions.CosineName, a, b)
+
   /** c3: brute-force cosine top-k against a fixed query vector (vec_id 0).
     * The one-row query side is broadcast; the scan side streams through a
     * codegen'd higher-order-function pipeline and TakeOrderedAndProject

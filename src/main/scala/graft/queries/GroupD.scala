@@ -1228,14 +1228,15 @@ object GroupD {
         expr("transform(embedding, x -> float(x / nrm))").as("nvec"))
   }
 
-  /** PQ encode+decode fused into one projection over codebook literals:
-    * per subspace, argmin-by-(d2, j) code assignment (KMeans.assign's
-    * exact tie-break) followed by codebook lookup; the concat is the
-    * reconstructed vector. Shared by d33 and d60.
+  /** PQ code assignment over codebook literals: per subspace, the
+    * argmin-by-(d2, j) code (KMeans.assign's exact tie-break) from the
+    * `nvec` column — an M-int array, the 4-byte payload a PQ store
+    * shuffles and persists. Shared by d33 (fused with decode) and d60
+    * (shuffled through the candidate join).
     */
-  private def pqReconExpr(model: graft.operators.PqIndex.Model,
+  private def pqCodesExpr(model: graft.operators.PqIndex.Model,
       M: Int): org.apache.spark.sql.Column =
-    concat((0 until M).map { m =>
+    array((0 until M).map { m =>
       val slice = expr(
         s"transform(slice(nvec, ${m * model.sub + 1}, ${model.sub}), " +
           "x -> cast(x AS double))")
@@ -1246,11 +1247,26 @@ object GroupD {
             lit(0d), (a, x) => a + x).as("d2"),
           lit(j).as("j"))
       }
-      val code = sort_array(array(cands: _*))(0).getField("j")
+      sort_array(array(cands: _*))(0).getField("j")
+    }: _*)
+
+  /** PQ decode: codebook lookup of an M-int `codes` column, concat into
+    * the reconstructed vector. The codebooks ride as plan literals.
+    */
+  private def pqDecodeExpr(model: graft.operators.PqIndex.Model, M: Int,
+      codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat((0 until M).map { m =>
       element_at(
         array(model.codebooks(m).map(c => array(c.map(lit): _*)): _*),
-        code + 1)
+        codes(m) + 1)
     }: _*)
+
+  /** PQ encode+decode fused into one projection — d33's full-scan ADC
+    * shape, where nothing shuffles between encode and decode.
+    */
+  private def pqReconExpr(model: graft.operators.PqIndex.Model,
+      M: Int): org.apache.spark.sql.Column =
+    pqDecodeExpr(model, M, pqCodesExpr(model, M))
 
   /** The PQ retrieval tail shared by d33 and d60: ADC top-C shortlist per
     * query, then exact cosine rerank of the shortlist only — full vectors
@@ -1313,11 +1329,16 @@ object GroupD {
     val model = graft.operators.PqIndex.train(pqKey, nv, M, K, iters = 2)
     val q = nv.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("nvec").cast("array<double>").as("qv"))
+    // the CODES (an M-int array — 4 bytes in a real code store) are what
+    // shuffles through the candidate join; reconstruction happens AFTER,
+    // from the broadcast codebook literals — so full-width vectors never
+    // cross the exchange regardless of which side broadcasts
     val adc = cand
       .join(nv.select(col("vec_id").as("nn_id"),
-        pqReconExpr(model, M).as("rv")), "nn_id")
+        pqCodesExpr(model, M).as("codes")), "nn_id")
       .join(broadcast(q), "qid")
-      .select(col("qid"), col("nn_id"), GroupC.cosine("rv", "qv").as("adc"))
+      .select(col("qid"), col("nn_id"),
+        GroupC.cosine(pqDecodeExpr(model, M, col("codes")), col("qv")).as("adc"))
     pqShortlistRerank(adc, nv, q, C)
   }
 
@@ -1717,15 +1738,20 @@ object GroupD {
     * the vocab side is corpus-bounded and hot bigrams are single vocab
     * rows — the join fans out only to real occurrences.
     */
-  /** Per-doc bigram occurrences — d32/d41's shared frame. */
+  /** Per-doc bigram occurrences — d32/d41/d58/d61's shared frame. Carries
+    * `source` so d58's reference-slice model derives from THIS frame with
+    * a filter (one tokenize pass, like the oracle's WHERE) instead of
+    * re-scanning the slice.
+    */
   private[queries] def bigramOccurrences(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), GroupC.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        GroupC.tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
+      .select(col("doc_id"), col("lang"), col("source"), explode(expr(
         "transform(sequence(0, size(ts) - 2), " +
           "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
 
   def d32BigramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2860,7 +2886,7 @@ object GroupD {
     */
   private def lmScored(docs: DataFrame): DataFrame = {
     val occ = bigramOccurrences(docs)
-    val refOcc = bigramOccurrences(docs.filter(col("source") === "src0"))
+    val refOcc = occ.filter(col("source") === "src0")
     val refBi = refOcc.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c2"))
     val refUni = refOcc.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
     val refV = refOcc.groupBy("lang").agg(countDistinct("w2").as("v"))
@@ -3087,6 +3113,40 @@ object GroupD {
 
   private val tokSql = GroupC.tokenizeSql("text")
 
+  /** d58's oracle CTE chain up through the per-doc `lm` scores — shared
+    * verbatim by the d58 and d61 oracles so the two can never drift
+    * (pipelineCtes' discipline).
+    */
+  private lazy val lmCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, $tokSql AS ts FROM documents),
+       |occ AS (
+       |  SELECT doc_id, lang, source, ts[i] AS w1, ts[i+1] AS w2
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+       |  WHERE len(ts) >= 2),
+       |refbi AS (
+       |  SELECT lang, w1, w2, count(*) AS c2 FROM occ
+       |  WHERE source = 'src0' GROUP BY 1, 2, 3),
+       |refuni AS (
+       |  SELECT lang, w1, count(*) AS c1 FROM occ
+       |  WHERE source = 'src0' GROUP BY 1, 2),
+       |refv AS (
+       |  SELECT lang, count(DISTINCT w2) AS v FROM occ
+       |  WHERE source = 'src0' GROUP BY 1),
+       |scored AS (
+       |  SELECT o.doc_id, o.lang,
+       |    CAST((CAST(coalesce(b.c2, 0) + 1 AS HUGEINT) * 1000000)
+       |      // (coalesce(u.c1, 0) + v.v) AS BIGINT) AS p_fp
+       |  FROM occ o
+       |  JOIN refv v ON v.lang = o.lang
+       |  LEFT JOIN refbi b
+       |    ON b.lang = o.lang AND b.w1 = o.w1 AND b.w2 = o.w2
+       |  LEFT JOIN refuni u ON u.lang = o.lang AND u.w1 = o.w1),
+       |lm AS (
+       |  SELECT doc_id, lang, count(*) AS n_bigrams,
+       |    CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
+       |  FROM scored GROUP BY 1, 2)""".stripMargin
+
   /** d22's oracle CTE chain up through `capped` — shared verbatim by the
     * pipeline oracle and d56's funnel oracle so the two can never drift.
     */
@@ -3253,62 +3313,11 @@ object GroupD {
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
          |ORDER BY d.doc_id""".stripMargin,
     "d58_lm_score" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, source, $tokSql AS ts FROM documents),
-         |occ AS (
-         |  SELECT doc_id, lang, source, ts[i] AS w1, ts[i+1] AS w2
-         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
-         |  WHERE len(ts) >= 2),
-         |refbi AS (
-         |  SELECT lang, w1, w2, count(*) AS c2 FROM occ
-         |  WHERE source = 'src0' GROUP BY 1, 2, 3),
-         |refuni AS (
-         |  SELECT lang, w1, count(*) AS c1 FROM occ
-         |  WHERE source = 'src0' GROUP BY 1, 2),
-         |refv AS (
-         |  SELECT lang, count(DISTINCT w2) AS v FROM occ
-         |  WHERE source = 'src0' GROUP BY 1),
-         |scored AS (
-         |  SELECT o.doc_id, o.lang,
-         |    CAST((CAST(coalesce(b.c2, 0) + 1 AS HUGEINT) * 1000000)
-         |      // (coalesce(u.c1, 0) + v.v) AS BIGINT) AS p_fp
-         |  FROM occ o
-         |  JOIN refv v ON v.lang = o.lang
-         |  LEFT JOIN refbi b
-         |    ON b.lang = o.lang AND b.w1 = o.w1 AND b.w2 = o.w2
-         |  LEFT JOIN refuni u ON u.lang = o.lang AND u.w1 = o.w1)
-         |SELECT doc_id, lang, count(*) AS n_bigrams,
-         |  CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
-         |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+      s"""$lmCtes
+         |SELECT doc_id, lang, n_bigrams, lm_score_fp
+         |FROM lm ORDER BY doc_id""".stripMargin,
     "d61_budget_assembly" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, source, $tokSql AS ts FROM documents),
-         |occ AS (
-         |  SELECT doc_id, lang, source, ts[i] AS w1, ts[i+1] AS w2
-         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
-         |  WHERE len(ts) >= 2),
-         |refbi AS (
-         |  SELECT lang, w1, w2, count(*) AS c2 FROM occ
-         |  WHERE source = 'src0' GROUP BY 1, 2, 3),
-         |refuni AS (
-         |  SELECT lang, w1, count(*) AS c1 FROM occ
-         |  WHERE source = 'src0' GROUP BY 1, 2),
-         |refv AS (
-         |  SELECT lang, count(DISTINCT w2) AS v FROM occ
-         |  WHERE source = 'src0' GROUP BY 1),
-         |scored AS (
-         |  SELECT o.doc_id, o.lang,
-         |    CAST((CAST(coalesce(b.c2, 0) + 1 AS HUGEINT) * 1000000)
-         |      // (coalesce(u.c1, 0) + v.v) AS BIGINT) AS p_fp
-         |  FROM occ o
-         |  JOIN refv v ON v.lang = o.lang
-         |  LEFT JOIN refbi b
-         |    ON b.lang = o.lang AND b.w1 = o.w1 AND b.w2 = o.w2
-         |  LEFT JOIN refuni u ON u.lang = o.lang AND u.w1 = o.w1),
-         |lm AS (
-         |  SELECT doc_id, lang,
-         |    CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
-         |  FROM scored GROUP BY 1, 2),
+      s"""$lmCtes,
          |sel AS (
          |  SELECT l.doc_id, l.lang, l.lm_score_fp,
          |    CAST(len(t.ts) AS BIGINT) AS n_tokens,

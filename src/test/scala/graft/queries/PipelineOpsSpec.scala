@@ -1068,8 +1068,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     // full-scan 0.54: the cell restriction screens out far-cell junk the
     // distorted ADC ranking would otherwise admit to the shortlist
     assert(overlap >= 0.45, f"IVF-PQ overlap $overlap%.3f below pin")
-    // determinism across a full memo clear (both models genuinely retrain)
+    // determinism across a full memo clear (both models genuinely retrain:
+    // the PQ codebooks AND the tuned IVF (stride, probes) decision)
     graft.operators.PqIndex.clearMemo()
+    graft.operators.AnnTuning.clearMemo()
     val again = GroupD.d60AnnIvfPq(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == got.toSeq.flatMap { case (q, s) => s.map(q -> _) }.toSet)

@@ -28,8 +28,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann",
       "d39_semdedup", "d41_bigram_novelty_cms", "d43_containment_minhash",
       "d51_embedding_drift", "d52_label_knn_ann", "d53_ivf_maintain",
-      "d54_maintained_serve"),
+      "d54_maintained_serve", "d60_ann_ivfpq"),
       s"unexpected oracle-less queries: $rowsOnly")
+  }
+
+  test("d60: the ADC candidate join carries PQ codes, never full-width vectors") {
+    // the SCALE.md d60 claim made structural: the join that attaches the
+    // corpus side to candidates must ship the M-int `codes` array — the
+    // float `nvec` may only appear in the C-bounded rerank joins
+    val lp = graft.SparkEntry.queries("d60_ann_ivfpq")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val adcJoins = joins.filter(_.output.map(_.name).contains("codes"))
+    assert(adcJoins.nonEmpty, "ADC stage must join on compact codes")
+    assert(adcJoins.forall(j => !j.output.map(_.name).contains("nvec")),
+      "full-width vectors must not ride the candidate join")
   }
 
   test("d38: global top-20 plans as TakeOrderedAndProject, never a full sort") {
@@ -216,7 +231,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "d51_embedding_drift",
       // d56 crosses pairs of 1-row stage-count aggregates (d16's pattern,
       // three times — the whole report is 3 rows)
-      "d56_pipeline_funnel")
+      "d56_pipeline_funnel",
+      // d62 broadcasts the bounded query set against the corpus with the
+      // self-pair exclusion as the join condition (d3's exact pattern)
+      "d62_hard_negatives",
+      // d60 inherits d11's broadcast-centroid cross through
+      // ivfCandidatePairs (cell assignment scores every vector against
+      // the broadcast centroid table)
+      "d60_ann_ivfpq")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
