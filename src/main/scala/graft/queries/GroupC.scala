@@ -211,11 +211,16 @@ object GroupC {
     * under the driver's hash gate. The trick that makes a binary parser
     * DuckDB-verifiable: the content bytes are CONSTRUCTED deterministically
     * from doc_id by Spark expressions (unhex/concat of spec-layout fields —
-    * a header-only WAV for doc_id ≡ 0 (mod 3), a PNG signature+IHDR for
-    * ≡ 1, magicless junk for ≡ 2), then parsed BACK by the native walks;
-    * the oracle never sees bytes — it derives the same fields
-    * arithmetically from doc_id. A walk that misreads any offset, width,
-    * endianness, or the junk-refusal contract hash-mismatches.
+    * a header-only WAV for doc_id ≡ 0 (mod 5), a PNG signature+IHDR for
+    * ≡ 1, an Ogg BOS page carrying OpusHead plus an EOS granule page for
+    * ≡ 2, an MP4 moov/mvhd box pair for ≡ 3, magicless junk for ≡ 4),
+    * then parsed BACK by the native walks; the oracle never sees bytes —
+    * it derives the same fields arithmetically from doc_id. A walk that
+    * misreads any offset, width, endianness, or the junk-refusal contract
+    * hash-mismatches. Round 12 extends the cycle to opus (LE fields, the
+    * granule−preSkip duration rule at 48 kHz) and mp4 (BE box walk,
+    * mvhd timescale division) so four of the five audio/container walks
+    * are oracle-anchored, not just spec-pinned.
     *
     * Scale shape: pure per-row codegen'd construction + parsing, zero
     * shuffles before the final sort — the metadata-backfill pass is
@@ -235,12 +240,13 @@ object GroupC {
         substring(h, 3, 2), substring(h, 1, 2)))
     }
     def be32(v: Column) = unhex(lpad(hex(v), 8, "0"))
+    def u8(v: Column) = unhex(lpad(hex(v), 2, "0"))
     def asc(s: String) = lit(s).cast("binary")
     val id = col("doc_id")
     // WAV params, all derived from doc_id (the oracle re-derives them)
     val sr = lit(8000L) * (lit(1L) + id % 4)
     val chn = lit(1L) + id % 2
-    val secs = lit(1L) + id % 5
+    val secs = lit(1L) + id % 7
     val byteRate = sr * chn * 2 // 16-bit PCM
     val dataSize = byteRate * secs
     val wav = concat(asc("RIFF"), le32(lit(36L) + dataSize), asc("WAVE"),
@@ -251,8 +257,40 @@ object GroupC {
     val h = lit(16L) + (id * 7) % 100
     val png = concat(unhex(lit("89504E470D0A1A0A")), be32(lit(13L)),
       asc("IHDR"), be32(w), be32(h))
-    val content = when(id % 3 === 0, wav)
-      .when(id % 3 === 1, png)
+    // Ogg/Opus: BOS page (27-byte header, 1 segment of 19 = OpusHead)
+    // followed by a bare EOS page whose granule encodes the duration at
+    // the spec's fixed 48 kHz granule clock; preSkip rides the header
+    // and is subtracted by the walk, so granule = 48000·secs + preSkip
+    // round-trips to exactly secs·1000 ms
+    val preSkip = lit(312L)
+    val opusRate = lit(12000L) * (lit(1L) + id % 4)
+    val opusSecs = lit(1L) + id % 5
+    val granule = lit(48000L) * opusSecs + preSkip
+    val opus = concat(
+      asc("OggS"), unhex(lit("00")), unhex(lit("02")), // ver 0, BOS flag
+      unhex(lit("0000000000000000")),                  // granule 0
+      le32(id % 65536), le32(lit(0L)), le32(lit(0L)),  // serial, seq, crc
+      u8(lit(1L)), u8(lit(19L)),                       // 1 segment of 19
+      asc("OpusHead"), u8(lit(1L)), u8(chn),           // version 1, channels
+      le16(preSkip), le32(opusRate),
+      unhex(lit("0000")), unhex(lit("00")),            // gain 0, family 0
+      asc("OggS"), unhex(lit("00")), unhex(lit("04")), // EOS flag
+      le32(granule), unhex(lit("00000000")),           // granule (64-bit LE)
+      le32(id % 65536), le32(lit(1L)), le32(lit(0L)),  // serial, seq, crc
+      u8(lit(0L)))                                     // empty segment table
+    // MP4: one moov box wrapping one version-0 mvhd (ver+flags, ctime,
+    // mtime, then the timescale/duration pair the walk divides)
+    val timescale = lit(600L) * (lit(1L) + id % 3)
+    val mp4Secs = lit(2L) + id % 6
+    val mp4 = concat(
+      be32(lit(36L)), asc("moov"),
+      be32(lit(28L)), asc("mvhd"),
+      unhex(lit("00000000")), be32(lit(0L)), be32(lit(0L)),
+      be32(timescale), be32(timescale * mp4Secs))
+    val content = when(id % 5 === 0, wav)
+      .when(id % 5 === 1, png)
+      .when(id % 5 === 2, opus)
+      .when(id % 5 === 3, mp4)
       .otherwise(md5(id.cast("string")).cast("binary")) // no magic anywhere
     val built = docs.withColumn("content", content)
     graft.multimodal.Multimodal.mediaMetaPlan(
@@ -347,18 +385,29 @@ object GroupC {
     // container bytes — so the hash compare verifies the byte walks
     "c8_media_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'wav' END AS media_format,
-        |  CASE WHEN doc_id % 3 = 0
-        |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT) END AS audio_sample_rate_hz,
-        |  CASE WHEN doc_id % 3 = 0
-        |    THEN CAST(1 + doc_id % 2 AS BIGINT) END AS audio_channels,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
-        |  CASE WHEN doc_id % 3 = 0
-        |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT) END AS media_duration_ms,
-        |  CASE WHEN doc_id % 3 = 1 THEN 'png' END AS img_format,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN doc_id % 5 = 0 THEN 'wav'
+        |       WHEN doc_id % 5 = 2 THEN 'opus'
+        |       WHEN doc_id % 5 = 3 THEN 'mp4' END AS media_format,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
+        |       WHEN doc_id % 5 = 2
+        |    THEN CAST(12000 * (1 + doc_id % 4) AS BIGINT)
+        |  END AS audio_sample_rate_hz,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |       WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |  END AS audio_channels,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN CAST((1 + doc_id % 7) * 1000 AS BIGINT)
+        |       WHEN doc_id % 5 = 2
+        |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
+        |       WHEN doc_id % 5 = 3
+        |    THEN CAST((2 + doc_id % 6) * 1000 AS BIGINT)
+        |  END AS media_duration_ms,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'png' END AS img_format,
+        |  CASE WHEN doc_id % 5 = 1
         |    THEN CAST(16 + doc_id % 100 AS BIGINT) END AS img_width,
-        |  CASE WHEN doc_id % 3 = 1
+        |  CASE WHEN doc_id % 5 = 1
         |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT) END AS img_height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
