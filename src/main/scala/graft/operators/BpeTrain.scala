@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding MERGE TRAINING — the iterative half of
+  * the tokenizer story (d38 reports one round of pair statistics; this
+  * learns the merge TABLE a tokenizer ships). The algorithm is the public
+  * Sennrich et al. 2016 subword-BPE procedure with its standard corpus
+  * trick: merges operate on the frequency-weighted word-TYPE table, never
+  * the token stream — so after ONE corpus-scale aggregation (word counts,
+  * reused from the d38 family), every training round is an aggregation
+  * over a vocabulary-sized frame. At 100 TB the corpus pass is the only
+  * corpus-bounded cost; N merge rounds cost N aggregations over ~10⁶ word
+  * types regardless of corpus size.
+  *
+  * Determinism contract (the repo-wide no-RNG discipline): the argmax
+  * pair breaks ties by (count desc, left asc, right asc), and the merge
+  * application is the standard single left-to-right greedy pass,
+  * expressed as a higher-order `aggregate` fold (append symbol, or
+  * replace the just-appended left when the incoming symbol completes the
+  * pair) — so reruns and fresh JVMs reproduce the identical merge table.
+  *
+  * Per-round lineage is truncated with an eager localCheckpoint
+  * (ConnectedComponents' round discipline): without it, round r's pair
+  * aggregation would recompute all r−1 previous folds.
+  */
+object BpeTrain {
+  /** One learned merge: rank-th round chose (left, right) with this
+    * frequency-weighted adjacent-pair count.
+    */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** Train `merges` rounds over a (w: string, wc: long) word-frequency
+    * frame. Symbols are the word's characters (the tokenizer's alnum
+    * alphabet — no quoting hazards in the generated SQL literals, which
+    * `sqlLit` still guards for safety).
+    */
+  def train(words: DataFrame, merges: Int): Seq[Merge] = {
+    var seqs = words
+      .select(col("wc"), expr("filter(split(w, ''), x -> x <> '')").as("sym"))
+      .filter(size(col("sym")) >= 1)
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    try {
+      while (r <= merges && !exhausted) {
+        val top = seqs.filter(size(col("sym")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(0, size(sym) - 2), " +
+              "i -> struct(sym[i] AS s1, sym[i+1] AS s2))")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("s1"), col("s2"))
+          .limit(1).collect()
+        top.headOption match {
+          case None => exhausted = true // every word is one symbol
+          case Some(Row(s1: String, s2: String, cnt: Long)) =>
+            learned += Merge(r, s1, s2, cnt)
+            val q1 = sqlLit(s1); val q2 = sqlLit(s2)
+            val prev = seqs
+            seqs = seqs.withColumn("sym", expr(
+              s"aggregate(sym, cast(array() as array<string>), (acc, x) -> " +
+                s"IF(size(acc) > 0 AND element_at(acc, -1) = $q1 AND x = $q2, " +
+                s"concat(slice(acc, 1, size(acc) - 1), array($q1 || $q2)), " +
+                "concat(acc, array(x))))"))
+              .localCheckpoint(true)
+            free(prev)
+            r += 1
+          case Some(other) =>
+            throw new IllegalStateException(s"unexpected pair row: $other")
+        }
+      }
+      learned.result()
+    } finally free(seqs)
+  }
+
+  /** A single-quoted SQL string literal (symbols are alnum by
+    * construction; the escape keeps hostile inputs from breaking out).
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Release a round's checkpointed blocks eagerly (the loop holds only
+    * the newest table; ConnectedComponents' block-freeing discipline).
+    */
+  private def free(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+}

@@ -2940,6 +2940,53 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d63: BPE merge-table training — the iterative tokenizer-training
+    * loop d38 only reports round one of: N rounds of
+    * [[graft.operators.BpeTrain]] over the frequency-weighted word-type
+    * table learn the merge table a subword tokenizer ships (Sennrich et
+    * al. 2016, the public subword-BPE procedure). Output is the learned
+    * table itself — rank, the merged pair, the resulting symbol, and the
+    * weighted pair count that round saw.
+    *
+    * Scale shape: ONE corpus-bounded aggregation (word counts — d38's
+    * frame); every training round after is an aggregation over the
+    * vocabulary-sized type table with a 1-row argmax collect (model-sized
+    * driver state, KMeans' discipline) and a per-round eager checkpoint.
+    * Iterative fixpoint ⇒ no SQL oracle (d27's contract): rows-only +
+    * BpeTrainSpec pins (the textbook Sennrich corpus hand-computed merge
+    * sequence, round-1 equality with d38's rank-1 pair, determinism).
+    * Training memoizes per corpus (AnnTuning's one-time-build rule).
+    */
+  def d63BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val words = docs
+      .select(explode(GroupC.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val merges = bpeMerges(s"bpe|$sfDir")(
+      graft.operators.BpeTrain.train(words, merges = 8))
+    spark.createDataFrame(merges)
+      .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"),
+        col("count").as("pair_count"))
+      .orderBy("rank")
+  }
+
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Memo[Seq[graft.operators.BpeTrain.Merge]]]()
+  /** One BPE training per corpus key (the putIfAbsent-lazy-holder lock
+    * discipline shared with cmsBytes/AnnTuning/PqIndex/KMeans).
+    */
+  private def bpeMerges(key: String)(
+      build: => Seq[graft.operators.BpeTrain.Merge])
+      : Seq[graft.operators.BpeTrain.Merge] = {
+    val fresh = new Memo(() => build)
+    val prior = bpeMemo.putIfAbsent(key, fresh)
+    (if (prior != null) prior else fresh).value
+  }
+  private[graft] def clearBpeMemo(): Unit = bpeMemo.clear()
+
   /** d62: contrastive pair mining — the hard-negative selection an
     * embedding-model trainer runs over a labeled corpus: for each query
     * vector, the most similar SAME-label vector (the positive) and the
@@ -3092,6 +3139,10 @@ object GroupD {
     "d60_ann_ivfpq"        -> (d60AnnIvfPq _),
     "d61_budget_assembly"  -> (d61BudgetAssembly _),
     "d62_hard_negatives"   -> (d62HardNegatives _),
+    // d63 is an iterative fixpoint (N-round BPE merge training) — no SQL
+    // oracle (d27's contract); textbook-sequence + d38-round-1 +
+    // determinism pins in BpeTrainSpec.
+    "d63_bpe_train"        -> (d63BpeTrain _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
