@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming funnel metrics — d56's observability twin for a LIVE ingest.
+  * The quality gate (d18's duplicate-3-gram rule, exactly d22's stage 1)
+  * runs as a stateless per-row projection, and an `observe` node
+  * publishes per-micro-batch `docs_in` / `docs_out` counts through
+  * `StreamingQueryProgress.observedMetrics` — the zero-cost way to get
+  * funnel rows out of a running job: the counts ride the batch's own
+  * pass as accumulator-style metrics (no second subscription, no extra
+  * action, no state store). Cross-batch stages publish through their own
+  * gates (dedup: [[StreamIngestDedup]]); this twin covers the stateless
+  * stage, and its per-batch numbers SUM to the batch funnel's gate row
+  * because the rule is per-document (spec-pinned).
+  */
+object StreamFunnel {
+  /** The metric name under `observedMetrics`. */
+  val MetricName = "gate_funnel"
+
+  /** Gate a (doc_id, text, …) frame — batch or streaming — emitting only
+    * survivors, with (docs_in, docs_out) observed per batch. The keep
+    * rule is d18/d22's verbatim: ≥ 3 tokens AND duplicate-3-gram
+    * fixed-point below 1000.
+    */
+  def gateWithMetrics(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__ts", graft.queries.GroupC.tokens(col("text")))
+      .withColumn("__sh", when(size(col("__ts")) >= 3, expr(
+        "transform(sequence(0, size(__ts) - 3), " +
+          "i -> concat_ws(' ', __ts[i], __ts[i+1], __ts[i+2]))")))
+      .withColumn("__keep", col("__sh").isNotNull &&
+        floor((size(col("__sh")) - size(array_distinct(col("__sh"))))
+          * lit(10000) / size(col("__sh")).cast("double")).cast("long") < 1000)
+      .observe(MetricName,
+        count(lit(1)).as("docs_in"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("docs_out"))
+      .filter(col("__keep"))
+      .drop("__ts", "__sh", "__keep")
+}
