@@ -2940,6 +2940,39 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d64: hashing-trick TF vectorization — the HashingTF step that turns
+    * raw text into a FIXED-width sparse count vector without a vocabulary
+    * pass (Weinberger et al. 2009's feature hashing; the spark.ml
+    * HashingTF shape re-expressed engine-exactly): each token hashes to
+    * one of 256 buckets and the document becomes its bucket-count map.
+    * The bucket hash is the first md5 hex pair — md5 is the one hash both
+    * engines share bit-for-bit, which is what makes a HASHED vectorizer
+    * oracle-checkable at all (xxhash64/murmur differ across engines).
+    * The gate hashes an md5 fingerprint of the sorted "bucket:count"
+    * pairs (d8's small-shuffle-row rule) plus nnz/token totals, not the
+    * 256-wide vector itself.
+    *
+    * Scale shape: no vocabulary table ANYWHERE — that is feature
+    * hashing's point (TF-IDF's d16 needs the df table; this needs
+    * nothing) — so the only shuffle is the (doc_id, bucket) partial agg,
+    * ≤ 256 rows per doc, then a per-doc fold. Collision behavior is the
+    * standard hashing-trick trade and is deterministic.
+    */
+  def d64HashedTf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(GroupC.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), substring(md5(col("w").cast("binary")), 1, 2).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(count(lit(1)).as("nnz"), sum("c").as("n_tokens"),
+        md5(array_join(sort_array(collect_list(
+          concat(col("bucket"), lit(":"), col("c")))), ",").cast("binary"))
+          .as("vec_fp"))
+      .orderBy("doc_id")
+  }
+
   /** d63: BPE merge-table training — the iterative tokenizer-training
     * loop d38 only reports round one of: N rounds of
     * [[graft.operators.BpeTrain]] over the frequency-weighted word-type
@@ -3143,6 +3176,7 @@ object GroupD {
     // oracle (d27's contract); textbook-sequence + d38-round-1 +
     // determinism pins in BpeTrainSpec.
     "d63_bpe_train"        -> (d63BpeTrain _),
+    "d64_hashed_tf"        -> (d64HashedTf _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3405,6 +3439,16 @@ object GroupD {
         |    - max(CASE WHEN NOT same THEN s END), 6) AS margin
         |FROM ranked WHERE rn = 1
         |GROUP BY qid ORDER BY qid""".stripMargin,
+    "d64_hashed_tf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |tf AS (
+         |  SELECT doc_id, substr(md5(w), 1, 2) AS bucket, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(ts) AS w FROM toks) WHERE w <> ''
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, count(*) AS nnz, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(bucket || ':' || c, ',' ORDER BY bucket)) AS vec_fp
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d59_boilerplate_spans" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS ts FROM documents),

@@ -1172,6 +1172,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("d64 hashed TF: bucket space bounded at 256, counts conserve tokens") {
+    import org.apache.spark.sql.functions._
+    val out = GroupD.d64HashedTf(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("nnz") > 256 || col("nnz") < 1 ||
+        col("nnz") > col("n_tokens")).isEmpty)
+      // token conservation: the hashed vector never loses occurrences
+      val fromDocs = Tables(spark, sf, "documents")
+        .select(explode(GroupC.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "").count()
+      val fromVecs = out.agg(sum("n_tokens")).collect()(0).getLong(0)
+      assert(fromVecs == fromDocs, s"$fromVecs hashed vs $fromDocs tokens")
+    } finally out.unpersist()
+  }
+
   test("d59 boilerplate spans: a span shared by two docs is flagged in both, tail spans kept") {
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs = spark.createDataFrame(Seq(
