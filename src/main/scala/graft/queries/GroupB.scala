@@ -900,7 +900,50 @@ object GroupB {
       .orderBy("event_id")
   }
 
+  /** b39: ordered event-funnel analysis — the product-analytics staple a
+    * sessionized event store answers: per user, the GREEDY completion
+    * times of the signup → view → click → purchase sequence (each stage's
+    * time is the earliest event of that type STRICTLY AFTER the previous
+    * stage's time — the standard strict-order funnel, not mere presence),
+    * plus the deepest stage reached. Expressed as a chain of four
+    * stage-min aggregations, each an equi-join on user_id against the
+    * previous stage's frame — so every step is a partial-agg shuffle on
+    * the user key and the event stream is scanned once per stage with
+    * the stage's type filter pushed to the scan. No windows, no per-user
+    * sort: at 100 TB the per-stage frames are user-bounded (one row per
+    * user that reached the stage) and join small-side against the next
+    * filtered scan.
+    */
+  def b39EventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val t2 = ev.filter(col("event_type") === "view")
+      .join(t1, "user_id").filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val t3 = ev.filter(col("event_type") === "click")
+      .join(t2, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val t4 = ev.filter(col("event_type") === "purchase")
+      .join(t3, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .join(t4, Seq("user_id"), "left")
+      .withColumn("stage_reached",
+        when(col("t_purchase").isNotNull, 4L)
+          .when(col("t_click").isNotNull, 3L)
+          .when(col("t_view").isNotNull, 2L)
+          .when(col("t_signup").isNotNull, 1L)
+          .otherwise(0L))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b39_event_funnel" -> (b39EventFunnel _),
     "b36_merge_scd"     -> (b36MergeScd _),
     "b37_topk_native"   -> (b37TopkNative _),
     "b38_range_frame"   -> (b38RangeFrame _),
@@ -942,6 +985,37 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b39_event_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_view FROM events e
+        |  JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > t1.t_signup
+        |  GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t2.t_view
+        |  GROUP BY e.user_id),
+        |t4 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN t3 ON t3.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t3.t_click
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id, t1.t_signup, t2.t_view, t3.t_click, t4.t_purchase,
+        |  CAST(CASE WHEN t4.user_id IS NOT NULL THEN 4
+        |       WHEN t3.user_id IS NOT NULL THEN 3
+        |       WHEN t2.user_id IS NOT NULL THEN 2
+        |       WHEN t1.user_id IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS stage_reached
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN t1 ON t1.user_id = u.user_id
+        |LEFT JOIN t2 ON t2.user_id = u.user_id
+        |LEFT JOIN t3 ON t3.user_id = u.user_id
+        |LEFT JOIN t4 ON t4.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "b22_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS click_ts,
