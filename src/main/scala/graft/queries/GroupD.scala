@@ -2973,6 +2973,52 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d65: token-distribution drift between releases — d51's drift monitor
+    * for TEXT: the unigram distributions of two corpus snapshots (d55's
+    * exact release derivation, so the three audits share one versioning
+    * story) compared bucket-by-bucket over d64's 256 md5 buckets, with
+    * per-bucket fixed-point shares and absolute drift. Total variation
+    * distance is Σ drift_fp / 2 over the report — derivable from the
+    * output, which stays 256 rows at ANY corpus size (the hashed buckets
+    * bound the distribution table the way d51's k cells bound the
+    * embedding report; an unhashed vocabulary comparison would be
+    * corpus-sized).
+    *
+    * Scale shape: two bucket-count partial aggs (≤ 256 groups), one
+    * 256-row full-outer join, shares via a window over the 256-row frame
+    * — everything after the scans is constant-sized. Fixed point
+    * `⌊c·10⁶/total⌋` keeps both engines bit-identical (d32's contract).
+    */
+  def d65TokenDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    def buckets(snap: DataFrame, cName: String): DataFrame =
+      snap
+        .select(explode(GroupC.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .select(substring(md5(col("w").cast("binary")), 1, 2).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(cName))
+    // d55's snapshot rule: A = standing sources; B = current minus
+    // simulated deletions, with simulated edits re-rendered
+    val snapA = docs.filter(!col("source").isin("src17", "src18", "src19"))
+    val snapB = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")).as("text"))
+    val wAll = Window.partitionBy()
+    buckets(snapA, "c_a").join(buckets(snapB, "c_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .withColumn("total_a", sum("c_a").over(wAll))
+      .withColumn("total_b", sum("c_b").over(wAll))
+      // integer `div`, never a double quotient: a double's ulp-below
+      // result would floor one off from the exact integer division
+      .withColumn("share_a_fp", expr("(c_a * 1000000) div total_a"))
+      .withColumn("share_b_fp", expr("(c_b * 1000000) div total_b"))
+      .withColumn("drift_fp", abs(col("share_a_fp") - col("share_b_fp")))
+      .select("bucket", "c_a", "c_b", "share_a_fp", "share_b_fp", "drift_fp")
+      .orderBy("bucket")
+  }
+
   /** d63: BPE merge-table training — the iterative tokenizer-training
     * loop d38 only reports round one of: N rounds of
     * [[graft.operators.BpeTrain]] over the frequency-weighted word-type
@@ -3177,6 +3223,7 @@ object GroupD {
     // determinism pins in BpeTrainSpec.
     "d63_bpe_train"        -> (d63BpeTrain _),
     "d64_hashed_tf"        -> (d64HashedTf _),
+    "d65_token_drift"      -> (d65TokenDrift _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3439,6 +3486,33 @@ object GroupD {
         |    - max(CASE WHEN NOT same THEN s END), 6) AS margin
         |FROM ranked WHERE rn = 1
         |GROUP BY qid ORDER BY qid""".stripMargin,
+    "d65_token_drift" ->
+      s"""WITH a AS (
+         |  SELECT substr(md5(w), 1, 2) AS bucket, count(*) AS c_a
+         |  FROM (SELECT unnest($tokSql) AS w FROM documents
+         |        WHERE source NOT IN ('src17', 'src18', 'src19'))
+         |  WHERE w <> '' GROUP BY 1),
+         |bdocs AS (
+         |  SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |b AS (
+         |  SELECT substr(md5(w), 1, 2) AS bucket, count(*) AS c_b
+         |  FROM (SELECT unnest($tokSql) AS w FROM bdocs)
+         |  WHERE w <> '' GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |    CAST(coalesce(a.c_a, 0) AS BIGINT) AS c_a,
+         |    CAST(coalesce(b.c_b, 0) AS BIGINT) AS c_b
+         |  FROM a FULL OUTER JOIN b ON b.bucket = a.bucket),
+         |s AS (
+         |  SELECT bucket, c_a, c_b,
+         |    CAST((c_a * 1000000) // sum(c_a) OVER () AS BIGINT) AS share_a_fp,
+         |    CAST((c_b * 1000000) // sum(c_b) OVER () AS BIGINT) AS share_b_fp
+         |  FROM j)
+         |SELECT bucket, c_a, c_b, share_a_fp, share_b_fp,
+         |  abs(share_a_fp - share_b_fp) AS drift_fp
+         |FROM s ORDER BY bucket""".stripMargin,
     "d64_hashed_tf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS ts FROM documents),
