@@ -942,8 +942,47 @@ object GroupB {
       .orderBy("user_id")
   }
 
+  /** b40: TPC-H Q3 (shipping priority) re-expressed on this schema — the
+    * classic three-way join + top-k the reference's framework could never
+    * answer: BUILDING-segment customers' orders placed before the cutoff
+    * with lineitems shipped after it, top 10 open orders by outstanding
+    * revenue. Revenue rides EXACT INTEGER fixed point (price cents ×
+    * (100 − discount cents) — b29's integer-cents discipline), which is
+    * what makes the TOP-10 CUT deterministic: a double-sum revenue would
+    * make the rank-10/11 boundary an ulp lottery between engines.
+    * Plan: two hash joins shuffled on the order key family, partial-agg
+    * group on (orderkey, date, priority), and the top-10 is
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def b40TpchQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+    val cust = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit(cutoff))
+      .select(col("l_orderkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum("rev_fp").as("revenue_fp"))
+      .orderBy(col("revenue_fp").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "o_orderdate", "o_orderpriority", "revenue_fp")
+      // re-assert presentation order on the 10-row result: a projection
+      // after CollectLimit carries no ordering guarantee in the contract
+      .orderBy(col("revenue_fp").desc, col("o_orderdate"), col("l_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "b39_event_funnel" -> (b39EventFunnel _),
+    "b40_tpch_q3"      -> (b40TpchQ3 _),
     "b36_merge_scd"     -> (b36MergeScd _),
     "b37_topk_native"   -> (b37TopkNative _),
     "b38_range_frame"   -> (b38RangeFrame _),
@@ -985,6 +1024,20 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b40_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_fp
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_fp DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
     "b39_event_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t_signup FROM events
