@@ -3019,6 +3019,46 @@ object GroupD {
       .orderBy("bucket")
   }
 
+  /** d66: shuffle-skew profiling report — the operational pre-flight
+    * behind b35's salted join: for each candidate shuffle key, the top-5
+    * heavy hitters with their fixed-point share, the straggler factor a
+    * 32-way shuffle would see (share × 32 — how many partitions' worth of
+    * work lands on the hot key's task), and the salting recommendation
+    * (straggler > 2× ideal). A skew decision made from MEASURED key
+    * distributions instead of folklore — the report a pipeline publishes
+    * before its expensive joins.
+    *
+    * Scale shape, per profiled key: one partial-agg count groupBy, a
+    * TakeOrderedAndProject top-5 (per-partition heaps — the global
+    * window a naive rank would plan dies on billion-key columns), and a
+    * 1-row total broadcast cross (d16's pattern). The report is
+    * 4 keys × ≤ 5 rows at any corpus size.
+    */
+  def d66SkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def prof(df: DataFrame, table: String, keyName: String,
+        key: org.apache.spark.sql.Column): DataFrame = {
+      val counts = df.groupBy(key.cast("string").as("key_value"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = df.agg(count(lit(1)).as("total"))
+      counts.orderBy(col("cnt").desc, col("key_value")).limit(5)
+        .crossJoin(broadcast(total))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key_value"))).cast("long"))
+        .select(lit(table).as("tbl"), lit(keyName).as("key_name"),
+          col("key_value"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("share_fp"), col("rnk"))
+    }
+    val docs = Tables(spark, sfDir, "documents")
+    val ev = Tables.events(spark, sfDir)
+    prof(docs, "documents", "lang", col("lang"))
+      .unionByName(prof(docs, "documents", "source", col("source")))
+      .unionByName(prof(ev, "events", "event_type", col("event_type")))
+      .unionByName(prof(ev, "events", "user_id", col("user_id")))
+      .withColumn("straggler_x32_fp", col("share_fp") * 32)
+      .withColumn("needs_salting", col("share_fp") * 32 > 2000000L)
+      .orderBy("tbl", "key_name", "rnk")
+  }
+
   /** d63: BPE merge-table training — the iterative tokenizer-training
     * loop d38 only reports round one of: N rounds of
     * [[graft.operators.BpeTrain]] over the frequency-weighted word-type
@@ -3224,6 +3264,7 @@ object GroupD {
     "d63_bpe_train"        -> (d63BpeTrain _),
     "d64_hashed_tf"        -> (d64HashedTf _),
     "d65_token_drift"      -> (d65TokenDrift _),
+    "d66_skew_report"      -> (d66SkewReport _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3486,6 +3527,52 @@ object GroupD {
         |    - max(CASE WHEN NOT same THEN s END), 6) AS margin
         |FROM ranked WHERE rn = 1
         |GROUP BY qid ORDER BY qid""".stripMargin,
+    "d66_skew_report" ->
+      """WITH
+        |p1 AS (
+        |  SELECT 'documents' AS tbl, 'lang' AS key_name,
+        |    CAST(lang AS VARCHAR) AS key_value, count(*) AS cnt
+        |  FROM documents GROUP BY 3),
+        |p1t AS (
+        |  SELECT *, (SELECT count(*) FROM documents) AS total,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key_value) AS rnk
+        |  FROM p1),
+        |p2 AS (
+        |  SELECT 'documents' AS tbl, 'source' AS key_name,
+        |    CAST(source AS VARCHAR) AS key_value, count(*) AS cnt
+        |  FROM documents GROUP BY 3),
+        |p2t AS (
+        |  SELECT *, (SELECT count(*) FROM documents) AS total,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key_value) AS rnk
+        |  FROM p2),
+        |p3 AS (
+        |  SELECT 'events' AS tbl, 'event_type' AS key_name,
+        |    CAST(event_type AS VARCHAR) AS key_value, count(*) AS cnt
+        |  FROM events GROUP BY 3),
+        |p3t AS (
+        |  SELECT *, (SELECT count(*) FROM events) AS total,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key_value) AS rnk
+        |  FROM p3),
+        |p4 AS (
+        |  SELECT 'events' AS tbl, 'user_id' AS key_name,
+        |    CAST(user_id AS VARCHAR) AS key_value, count(*) AS cnt
+        |  FROM events GROUP BY 3),
+        |p4t AS (
+        |  SELECT *, (SELECT count(*) FROM events) AS total,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, key_value) AS rnk
+        |  FROM p4),
+        |u AS (
+        |  SELECT * FROM p1t WHERE rnk <= 5
+        |  UNION ALL SELECT * FROM p2t WHERE rnk <= 5
+        |  UNION ALL SELECT * FROM p3t WHERE rnk <= 5
+        |  UNION ALL SELECT * FROM p4t WHERE rnk <= 5)
+        |SELECT tbl, key_name, key_value, cnt,
+        |  CAST((cnt * 1000000) // total AS BIGINT) AS share_fp,
+        |  CAST(rnk AS BIGINT) AS rnk,
+        |  CAST((cnt * 1000000) // total AS BIGINT) * 32 AS straggler_x32_fp,
+        |  CAST((cnt * 1000000) // total AS BIGINT) * 32 > 2000000
+        |    AS needs_salting
+        |FROM u ORDER BY tbl, key_name, rnk""".stripMargin,
     "d65_token_drift" ->
       s"""WITH a AS (
          |  SELECT substr(md5(w), 1, 2) AS bucket, count(*) AS c_a

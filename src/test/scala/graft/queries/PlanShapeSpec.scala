@@ -238,7 +238,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // d60 inherits d11's broadcast-centroid cross through
       // ivfCandidatePairs (cell assignment scores every vector against
       // the broadcast centroid table)
-      "d60_ann_ivfpq")
+      "d60_ann_ivfpq",
+      // d66 crosses each ≤5-row top-k frame with its 1-row total
+      // aggregate (d16's pattern, once per profiled key)
+      "d66_skew_report")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
