@@ -32,6 +32,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
+  test("b40/d66: top-k cuts plan as TakeOrderedAndProject, never a global sort") {
+    assert(plan("b40_tpch_q3").contains("TakeOrderedAndProject"))
+    assert(plan("d66_skew_report").contains("TakeOrderedAndProject"))
+  }
+
+  test("d59: boilerplate membership is a broadcast join (df-tail build side)") {
+    val p = plan("d59_boilerplate_spans")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("d61: rank and running cumsum share ONE window (single sort per lang shard)") {
+    val p = plan("d61_budget_assembly")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected 1 Window operator, saw $windows:\n" +
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("d60: the ADC candidate join carries PQ codes, never full-width vectors") {
     // the SCALE.md d60 claim made structural: the join that attaches the
     // corpus side to candidates must ship the M-int `codes` array — the
