@@ -3019,6 +3019,70 @@ object GroupD {
       .orderBy("bucket")
   }
 
+  /** d67: exact-substring duplication accounting — the Lee et al. 2021
+    * "Deduplicating Training Data" exact-substring pass re-shaped for a
+    * distributed engine: every sliding 16-token window (stride 1) is
+    * hashed; windows whose text occurs in ≥ 2 distinct documents mark
+    * their token span duplicated; per document the overlapping spans
+    * MERGE into maximal duplicated ranges (the gaps-and-islands pattern:
+    * a range starts where a span begins past the running max end) and
+    * the report gives range count, duplicated-token total, and the
+    * fixed-point duplicated fraction. Differs from d59 (fixed-aligned
+    * spans, membership only) exactly the way the paper's suffix-array
+    * pass differs from line dedup: stride-1 windows catch duplication at
+    * ANY alignment, and the output localizes it.
+    *
+    * Scale shape: windows explode scan-side and immediately compress to
+    * 8-byte xxhash64 keys (shinglesOf's precedent — set semantics modulo
+    * 2⁻⁶⁴ collisions, the accepted trade); the df count is one
+    * partial-agg groupBy; span membership is one join against the
+    * deduplicated ≥2-doc key set; island merging is ONE window per doc
+    * ordered by span start (running max + flag cumsum in the same
+    * window spec — one sort), and the final frame is one row per doc.
+    */
+  def d67ExactSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    exactSubstringOf(Tables(spark, sfDir, "documents"))
+
+  /** d67's body on an arbitrary (doc_id, text) frame — reusable in specs
+    * (the island-merge edge cases want a hand-built corpus).
+    */
+  private[queries] def exactSubstringOf(docs: DataFrame): DataFrame = {
+    val W = 16
+    val toks = docs.select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+    val wins = toks.filter(size(col("ts")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $W), " +
+          s"i -> struct(i AS s, " +
+          s"xxhash64(concat_ws(' ', slice(ts, i + 1, $W))) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), col("w.h").as("h"))
+    val dupKeys = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val spans = wins.join(dupKeys, "h")
+      .select(col("doc_id"), col("s"), (col("s") + lit(W - 1)).as("e"))
+    val wIsl = Window.partitionBy("doc_id").orderBy("s")
+    val ranges = spans
+      .withColumn("pmax", max("e").over(
+        wIsl.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("fresh").over(
+        wIsl.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("rs"), max("e").as("re"))
+    val perDoc = ranges.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_ranges"),
+        sum(col("re") - col("rs") + 1).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_ranges"), lit(0L)).as("n_dup_ranges"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fp", expr("(dup_tokens * 10000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** d66: shuffle-skew profiling report — the operational pre-flight
     * behind b35's salted join: for each candidate shuffle key, the top-5
     * heavy hitters with their fixed-point share, the straggler factor a
@@ -3265,6 +3329,7 @@ object GroupD {
     "d64_hashed_tf"        -> (d64HashedTf _),
     "d65_token_drift"      -> (d65TokenDrift _),
     "d66_skew_report"      -> (d66SkewReport _),
+    "d67_exact_substring"  -> (d67ExactSubstring _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3527,6 +3592,44 @@ object GroupD {
         |    - max(CASE WHEN NOT same THEN s END), 6) AS margin
         |FROM ranked WHERE rn = 1
         |GROUP BY qid ORDER BY qid""".stripMargin,
+    "d67_exact_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokSql AS ts FROM documents),
+         |wins AS (
+         |  SELECT doc_id, i AS s,
+         |    array_to_string(list_slice(ts, i + 1, i + 16), ' ') AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(0, len(ts) - 15)) AS i)
+         |  WHERE len(ts) >= 16),
+         |dupk AS (
+         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |spans AS (
+         |  SELECT w.doc_id, w.s, w.s + 15 AS e
+         |  FROM wins w JOIN dupk USING (h)),
+         |isl AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM spans),
+         |ids AS (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM isl),
+         |rng AS (
+         |  SELECT doc_id, isl, min(s) AS rs, max(e) AS re
+         |  FROM ids GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc_id, count(*) AS n_dup_ranges,
+         |    CAST(sum(re - rs + 1) AS BIGINT) AS dup_tokens
+         |  FROM rng GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(pd.n_dup_ranges, 0) AS BIGINT) AS n_dup_ranges,
+         |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
+         |  CAST((coalesce(pd.dup_tokens, 0) * 10000) // len(t.ts) AS BIGINT)
+         |    AS dup_fp
+         |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "d66_skew_report" ->
       """WITH
         |p1 AS (

@@ -1188,6 +1188,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("d67 exact-substring ranges: adjacent spans merge, disjoint blocks stay separate") {
+    val p = (1 to 16).map(i => s"p$i").mkString(" ")
+    val r = (1 to 16).map(i => s"r$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, p + " q1 q2 q3 q4 " + r), // two disjoint shared blocks
+      (2L, p),                       // the p-block alone
+      (3L, r),                       // the r-block alone
+      (4L, p + " " + r),             // adjacent blocks → ONE merged range
+      (5L, (1 to 20).map(i => s"u$i").mkString(" ")) // all unique
+    )).toDF("doc_id", "text")
+    val got = GroupD.exactSubstringOf(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(got.sameElements(Seq(
+      (1L, 36L, 2L, 32L, 8888L),   // ⌊32·10⁴/36⌋
+      (2L, 16L, 1L, 16L, 10000L),
+      (3L, 16L, 1L, 16L, 10000L),
+      (4L, 32L, 1L, 32L, 10000L),  // [0,15] ∪ [16,31] merged
+      (5L, 20L, 0L, 0L, 0L))), got.mkString(", "))
+  }
+
   test("d59 boilerplate spans: a span shared by two docs is flagged in both, tail spans kept") {
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs = spark.createDataFrame(Seq(
