@@ -76,10 +76,34 @@ object BpeTrain {
     } finally free(seqs)
   }
 
-  /** A single-quoted SQL string literal (symbols are alnum by
-    * construction; the escape keeps hostile inputs from breaking out).
+  /** A single-quoted SQL string literal for SPARK's lexer (default
+    * C-style escapes, not ANSI quote-doubling — `''` would parse as two
+    * concatenated empty literals): backslash-escape the two metachars.
+    * The declared query only feeds alnum symbols; this guards the
+    * public operator against arbitrary frames.
     */
-  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def sqlLit(s: String): String =
+    "'" + s.flatMap {
+      case '\\' => "\\\\"
+      case '\'' => "\\'"
+      case c    => c.toString
+    } + "'"
+
+  /** Merge-table (de)serialization for the ModelCache disk layer —
+    * tab/newline framed (the declared query's symbols are alnum; a
+    * generic caller persisting exotic symbols should bring its own
+    * codec).
+    */
+  def toBytes(ms: Seq[Merge]): Array[Byte] =
+    ms.map(m => s"${m.rank}\t${m.left}\t${m.right}\t${m.count}")
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def fromBytes(b: Array[Byte]): Seq[Merge] =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(r, le, ri, c) = line.split("\t", 4)
+        Merge(r.toInt, le, ri, c.toLong)
+      }.toSeq
 
   /** Release a round's checkpointed blocks eagerly (the loop holds only
     * the newest table; ConnectedComponents' block-freeing discipline).

@@ -1039,21 +1039,24 @@ object GroupB {
         |ORDER BY revenue_fp DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
     "b39_event_funnel" ->
-      """WITH t1 AS (
-        |  SELECT user_id, min(ts) AS t_signup FROM events
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(ts) AS t_signup FROM ev
         |  WHERE event_type = 'signup' GROUP BY user_id),
         |t2 AS (
-        |  SELECT e.user_id, min(e.ts) AS t_view FROM events e
+        |  SELECT e.user_id, min(e.ts) AS t_view FROM ev e
         |  JOIN t1 ON t1.user_id = e.user_id
         |  WHERE e.event_type = 'view' AND e.ts > t1.t_signup
         |  GROUP BY e.user_id),
         |t3 AS (
-        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM ev e
         |  JOIN t2 ON t2.user_id = e.user_id
         |  WHERE e.event_type = 'click' AND e.ts > t2.t_view
         |  GROUP BY e.user_id),
         |t4 AS (
-        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM ev e
         |  JOIN t3 ON t3.user_id = e.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > t3.t_click
         |  GROUP BY e.user_id)

@@ -685,23 +685,38 @@ object GroupD {
     * as `floor(x·10⁴)` fixed-point (d6's engine-independent contract —
     * ROUND half-way behavior differs between engines, floor doesn't).
     */
-  def d18Repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  /** d18/d22's gate rule as ONE per-row projection over any (doc_id,
+    * text, …) frame: appends `__n_tokens`, the shingle stats
+    * (`__n_shingles`/`__n_distinct`/`__dup_fp`, NULL for sub-3-token
+    * docs) and `__keep` (≥ 3 tokens AND dup_fp < 1000). The batch query,
+    * the streaming gate ([[graft.streaming.StreamFunnel]]) and the
+    * per-source monitor all consume THIS definition — the rule cannot
+    * drift between its batch and live forms.
+    */
+  private[graft] def repetitionFlags(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 3)
+      .withColumn("__ts", GroupC.tokens(col("text")))
+      .withColumn("__n_tokens", size(col("__ts")).cast("long"))
+      .withColumn("__sh", when(size(col("__ts")) >= 3, expr(
+        "transform(sequence(0, size(__ts) - 3), " +
+          "i -> concat_ws(' ', __ts[i], __ts[i+1], __ts[i+2]))")))
+      .withColumn("__n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("__n_distinct", size(array_distinct(col("__sh"))).cast("long"))
+      .withColumn("__dup_fp",
+        floor((col("__n_shingles") - col("__n_distinct")) * lit(10000)
+          / col("__n_shingles").cast("double")).cast("long"))
+      .withColumn("__keep", col("__sh").isNotNull && col("__dup_fp") < 1000)
+      .drop("__ts", "__sh")
+
+  def d18Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFlags(Tables(spark, sfDir, "documents"))
+      .filter(col("__n_shingles").isNotNull)
       .select(col("doc_id"),
-        expr("transform(sequence(0, size(ts) - 3), " +
-          "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))").as("sh"))
-      .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
-      .withColumn("dup_fp",
-        floor((col("n_shingles") - col("n_distinct")) * lit(10000)
-          / col("n_shingles").cast("double")).cast("long"))
-      .withColumn("repetitive", col("dup_fp") >= 1000)
+        col("__n_shingles").as("n_shingles"),
+        col("__n_distinct").as("n_distinct"),
+        col("__dup_fp").as("dup_fp"),
+        (col("__dup_fp") >= 1000).as("repetitive"))
       .orderBy("doc_id")
-  }
 
   /** d19: benchmark decontamination — flag training documents sharing any
     * exact 3-gram shingle with a held-out benchmark set (source `src0`
@@ -2815,20 +2830,31 @@ object GroupD {
     * diff is ONE shuffle on doc_id, and `unchanged` rows — the vast
     * majority between real releases — are filtered before the sort.
     */
+  /** d55's release-derivation rule, ONE definition — snapshot A is the
+    * standing sources, snapshot B the current corpus minus simulated
+    * deletions with simulated edits re-rendered. Shared by the snapshot
+    * diff (d55) and the token-drift report (d65) so the versioning
+    * audits can never disagree about what a release is.
+    */
+  private[queries] def snapshotA(docs: DataFrame): DataFrame =
+    docs.filter(!col("source").isin("src17", "src18", "src19"))
+
+  private[queries] def snapshotB(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+
   def d55SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     // presence rides its own marker column, NOT fingerprint NULLness: a
     // NULL-text doc has a NULL fp while being genuinely present, and the
     // oracle keys presence on each side's join key the same way
-    val snapA = docs
-      .filter(!col("source").isin("src17", "src18", "src19"))
+    val snapA = snapshotA(docs)
       .select(col("doc_id"), md5(col("text")).as("fp_old"),
         lit(true).as("in_a"))
-    val snapB = docs
-      .filter(col("doc_id") % 17 =!= 0)
-      .select(col("doc_id"), md5(
-        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" [rev2]")))
-          .otherwise(col("text"))).as("fp_new"),
+    val snapB = snapshotB(docs)
+      .select(col("doc_id"), md5(col("text")).as("fp_new"),
         lit(true).as("in_b"))
     snapA.join(snapB, Seq("doc_id"), "full_outer")
       .withColumn("status",
@@ -2997,12 +3023,9 @@ object GroupD {
         .filter(col("w") =!= "")
         .select(substring(md5(col("w").cast("binary")), 1, 2).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(cName))
-    // d55's snapshot rule: A = standing sources; B = current minus
-    // simulated deletions, with simulated edits re-rendered
-    val snapA = docs.filter(!col("source").isin("src17", "src18", "src19"))
-    val snapB = docs.filter(col("doc_id") % 17 =!= 0)
-      .select(when(col("doc_id") % 13 === 0,
-        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")).as("text"))
+    // d55's release rule, the SHARED definition (snapshotA/snapshotB)
+    val snapA = snapshotA(docs)
+    val snapB = snapshotB(docs)
     val wAll = Window.partitionBy()
     buckets(snapA, "c_a").join(buckets(snapB, "c_b"), Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -3103,7 +3126,9 @@ object GroupD {
         key: org.apache.spark.sql.Column): DataFrame = {
       val counts = df.groupBy(key.cast("string").as("key_value"))
         .agg(count(lit(1)).as("cnt"))
-      val total = df.agg(count(lit(1)).as("total"))
+      // total from the ALREADY-AGGREGATED key frame, not a second corpus
+      // scan (and AQE reuses the shared groupBy stage with the top-5 cut)
+      val total = counts.agg(sum("cnt").as("total"))
       counts.orderBy(col("cnt").desc, col("key_value")).limit(5)
         .crossJoin(broadcast(total))
         .withColumn("rnk", row_number().over(
@@ -3146,8 +3171,17 @@ object GroupD {
       .select(explode(GroupC.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wc"))
+    // disk-backed second level under the memo (Bench/Verify only): the
+    // merge table persists via ModelStore bytes, keyed on the documents
+    // files' fingerprint — a fresh JVM's pass 1 reloads instead of
+    // re-running the 8 training rounds (d41's sketch discipline)
     val merges = bpeMerges(s"bpe|$sfDir")(
-      graft.operators.BpeTrain.train(words, merges = 8))
+      graft.operators.ModelCache.cached("bpe", s"bpe|$sfDir", docs)(
+          p => graft.operators.BpeTrain.fromBytes(
+            graft.operators.ModelStore.loadSketch(spark, p)))(
+          (p, m) => graft.operators.ModelStore.saveSketch(spark, p,
+            graft.operators.BpeTrain.toBytes(m)))(
+        graft.operators.BpeTrain.train(words, merges = 8)))
     spark.createDataFrame(merges)
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"),

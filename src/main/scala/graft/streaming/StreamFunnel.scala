@@ -19,23 +19,14 @@ object StreamFunnel {
   /** The metric name under `observedMetrics`. */
   val MetricName = "gate_funnel"
 
-  /** The gate's per-row flag projection (d18/d22's rule, stateless):
-    * appends `__n_tokens` and `__keep` (≥ 3 tokens AND duplicate-3-gram
-    * fixed-point below 1000). Shared by the funnel gate and the
-    * per-source quality monitor ([[StreamQualityMonitor]]) so the two
-    * live views can never disagree about what "repetitive" means.
+  /** The gate's per-row flag projection — a DELEGATE to the one shared
+    * definition of d18/d22's rule ([[graft.queries.GroupD
+    * .repetitionFlags]]), so the batch pipeline, this gate, and the
+    * per-source monitor ([[StreamQualityMonitor]]) can never disagree
+    * about what "repetitive" means.
     */
   def flagged(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__ts", graft.queries.GroupC.tokens(col("text")))
-      .withColumn("__n_tokens", size(col("__ts")).cast("long"))
-      .withColumn("__sh", when(size(col("__ts")) >= 3, expr(
-        "transform(sequence(0, size(__ts) - 3), " +
-          "i -> concat_ws(' ', __ts[i], __ts[i+1], __ts[i+2]))")))
-      .withColumn("__keep", col("__sh").isNotNull &&
-        floor((size(col("__sh")) - size(array_distinct(col("__sh"))))
-          * lit(10000) / size(col("__sh")).cast("double")).cast("long") < 1000)
-      .drop("__ts", "__sh")
+    graft.queries.GroupD.repetitionFlags(docs)
 
   /** Gate a (doc_id, text, …) frame — batch or streaming — emitting only
     * survivors, with (docs_in, docs_out) observed per batch.
@@ -46,5 +37,5 @@ object StreamFunnel {
         count(lit(1)).as("docs_in"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("docs_out"))
       .filter(col("__keep"))
-      .drop("__n_tokens", "__keep")
+      .drop("__n_tokens", "__n_shingles", "__n_distinct", "__dup_fp", "__keep")
 }
