@@ -162,6 +162,28 @@ object GroupA {
     * identical bits); the oracle reads the ORIGINAL parquet, so the whole
     * JSONL write+read cycle is what's verified.
     */
+  /** a14: PARTITION-COLUMN round-trip — the hive-style layout the 100 TB
+    * deployment actually writes (`partitionBy("lang")` → one directory
+    * per lang) and the pruned read it exists for: the query writes
+    * documents partitioned, reads back with a lang predicate, and the
+    * oracle applies the same predicate to the ORIGINAL parquet — so the
+    * hash compare verifies (a) values and the doc_id-typed columns
+    * survive the partition-column round trip (partition values travel as
+    * directory names, re-typed on read) and (b) the pruned subset is
+    * exactly the predicate's. PartitionPruningSpec separately pins that
+    * the physical scan reads ONLY the matching directories.
+    */
+  def a14PartitionedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val dir = Tables.stagingDir(sfDir, "a14", kind = "parquet")
+    src.write.mode("overwrite").partitionBy("lang").parquet(dir.toString)
+    spark.read.parquet(dir.toString)
+      .filter(col("lang").isin("en", "de"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def a10JsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -251,6 +273,7 @@ object GroupA {
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
     "a13_avro_roundtrip" -> (a13AvroRoundTrip _),
+    "a14_partitioned_roundtrip" -> (a14PartitionedRoundTrip _),
     "a9_schema_drift" -> (a9SchemaDrift _),
     "a10_jsonl_roundtrip" -> (a10JsonlRoundTrip _),
     "a11_orc_roundtrip" -> (a11OrcRoundTrip _),
@@ -308,6 +331,9 @@ object GroupA {
     "a13_avro_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "a14_partitioned_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') ORDER BY doc_id""".stripMargin,
     "a9_schema_drift" ->
       """SELECT l_orderkey, l_partkey, l_quantity,
         |  CAST(NULL AS DOUBLE) AS l_discount, CAST(1 AS BIGINT) AS src_ver
