@@ -685,38 +685,42 @@ object GroupD {
     * as `floor(x·10⁴)` fixed-point (d6's engine-independent contract —
     * ROUND half-way behavior differs between engines, floor doesn't).
     */
-  /** d18/d22's gate rule as ONE per-row projection over any (doc_id,
-    * text, …) frame: appends `__n_tokens`, the shingle stats
-    * (`__n_shingles`/`__n_distinct`/`__dup_fp`, NULL for sub-3-token
-    * docs) and `__keep` (≥ 3 tokens AND dup_fp < 1000). The batch query,
-    * the streaming gate ([[graft.streaming.StreamFunnel]]) and the
-    * per-source monitor all consume THIS definition — the rule cannot
-    * drift between its batch and live forms.
+  /** d18/d22's gate RULE, shared as expression pieces (not a frame
+    * shape): the 3-gram shingle transform over a token-array column, the
+    * duplicate-fraction fixed point, and the two thresholds. The batch
+    * query and the streaming gate each keep their OWN plan shape —
+    * sharing the frame was tried in round 12 and measured catastrophic
+    * (a filter over the derived columns gets predicate-pushed below the
+    * projection, INLINING the HOF chain ~5×: d18 0.3 → 28 s, d22 5.9 →
+    * 121 s, d56 6.6 → 243 s at sf0.1 — the same trap pipelineStages'
+    * barrier note documents) — but the RULE still has one definition, so
+    * batch and live forms cannot drift on width/threshold/arithmetic.
     */
-  private[graft] def repetitionFlags(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("__ts", GroupC.tokens(col("text")))
-      .withColumn("__n_tokens", size(col("__ts")).cast("long"))
-      .withColumn("__sh", when(size(col("__ts")) >= 3, expr(
-        "transform(sequence(0, size(__ts) - 3), " +
-          "i -> concat_ws(' ', __ts[i], __ts[i+1], __ts[i+2]))")))
-      .withColumn("__n_shingles", size(col("__sh")).cast("long"))
-      .withColumn("__n_distinct", size(array_distinct(col("__sh"))).cast("long"))
-      .withColumn("__dup_fp",
-        floor((col("__n_shingles") - col("__n_distinct")) * lit(10000)
-          / col("__n_shingles").cast("double")).cast("long"))
-      .withColumn("__keep", col("__sh").isNotNull && col("__dup_fp") < 1000)
-      .drop("__ts", "__sh")
+  private[graft] val RepMinTokens = 3
+  private[graft] val RepThresholdFp = 1000L
+  /** The word-3-gram shingle array over token-array column `ts`. */
+  private[graft] def repShingles(ts: String): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, size($ts) - 3), " +
+      s"i -> concat_ws(' ', $ts[i], $ts[i+1], $ts[i+2]))")
+  /** The duplicate-3-gram fixed point ⌊(n−d)·10⁴/n⌋ from shingle stats. */
+  private[graft] def repDupFp(nShingles: org.apache.spark.sql.Column,
+      nDistinct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor((nShingles - nDistinct) * lit(10000)
+      / nShingles.cast("double")).cast("long")
 
-  def d18Repetition(spark: SparkSession, sfDir: String): DataFrame =
-    repetitionFlags(Tables(spark, sfDir, "documents"))
-      .filter(col("__n_shingles").isNotNull)
+  def d18Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs
+      .select(col("doc_id"), GroupC.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= RepMinTokens)
+      .select(col("doc_id"), repShingles("ts").as("sh"))
       .select(col("doc_id"),
-        col("__n_shingles").as("n_shingles"),
-        col("__n_distinct").as("n_distinct"),
-        col("__dup_fp").as("dup_fp"),
-        (col("__dup_fp") >= 1000).as("repetitive"))
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .withColumn("dup_fp", repDupFp(col("n_shingles"), col("n_distinct")))
+      .withColumn("repetitive", col("dup_fp") >= RepThresholdFp)
       .orderBy("doc_id")
+  }
 
   /** d19: benchmark decontamination — flag training documents sharing any
     * exact 3-gram shingle with a held-out benchmark set (source `src0`

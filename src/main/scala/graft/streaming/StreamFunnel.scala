@@ -19,14 +19,25 @@ object StreamFunnel {
   /** The metric name under `observedMetrics`. */
   val MetricName = "gate_funnel"
 
-  /** The gate's per-row flag projection — a DELEGATE to the one shared
-    * definition of d18/d22's rule ([[graft.queries.GroupD
-    * .repetitionFlags]]), so the batch pipeline, this gate, and the
-    * per-source monitor ([[StreamQualityMonitor]]) can never disagree
-    * about what "repetitive" means.
+  /** The gate's per-row flag projection, built from the SHARED rule
+    * pieces ([[graft.queries.GroupD.repShingles]]/`repDupFp` and the two
+    * thresholds) so the batch pipeline, this gate, and the per-source
+    * monitor ([[StreamQualityMonitor]]) cannot drift on the rule — while
+    * keeping a stream-safe, barrier-free plan shape of its own (sharing
+    * the batch FRAME was measured catastrophic; see the rule's scaladoc).
     */
-  def flagged(docs: DataFrame): DataFrame =
-    graft.queries.GroupD.repetitionFlags(docs)
+  def flagged(docs: DataFrame): DataFrame = {
+    import graft.queries.GroupD.{RepMinTokens, RepThresholdFp, repShingles, repDupFp}
+    docs
+      .withColumn("__ts", graft.queries.GroupC.tokens(col("text")))
+      .withColumn("__n_tokens", size(col("__ts")).cast("long"))
+      .withColumn("__sh",
+        when(size(col("__ts")) >= RepMinTokens, repShingles("__ts")))
+      .withColumn("__keep", col("__sh").isNotNull &&
+        repDupFp(size(col("__sh")).cast("long"),
+          size(array_distinct(col("__sh"))).cast("long")) < RepThresholdFp)
+      .drop("__ts", "__sh")
+  }
 
   /** Gate a (doc_id, text, …) frame — batch or streaming — emitting only
     * survivors, with (docs_in, docs_out) observed per batch.
@@ -37,5 +48,5 @@ object StreamFunnel {
         count(lit(1)).as("docs_in"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("docs_out"))
       .filter(col("__keep"))
-      .drop("__n_tokens", "__n_shingles", "__n_distinct", "__dup_fp", "__keep")
+      .drop("__n_tokens", "__keep")
 }
