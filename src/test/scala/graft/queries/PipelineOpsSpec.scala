@@ -1209,6 +1209,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       (5L, 20L, 0L, 0L, 0L))), got.mkString(", "))
   }
 
+  test("d58/d59/d67 never throw on adversarial text and keep their bounds") {
+    import org.apache.spark.sql.functions._
+    // fixed-seed adversarial corpus: empty, whitespace, unicode, quotes,
+    // regex metachars, very long repeats — the byte-walk fuzz discipline
+    // applied to the text operators
+    val rnd = new scala.util.Random(1212)
+    val alphabets = Seq(
+      "", " ", "\t\n", "a", "ß∂ƒ©˙∆˚¬", "'; DROP TABLE--", "\\d+.*[a-z]",
+      "🙂🙃", "a b" * 200, (0 until 50).map(_ => rnd.nextPrintableChar()).mkString)
+    val docs = spark.createDataFrame(
+      alphabets.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, if (i % 2 == 0) "en" else "fr",
+          if (i % 3 == 0) "src0" else "src1")
+      }).toDF("doc_id", "text", "lang", "source")
+    val d59 = GroupD.boilerplateSpans(docs.select("doc_id", "text")).collect()
+    assert(d59.length == alphabets.length)
+    assert(d59.forall(r => r.getLong(5) >= 0L && r.getLong(5) <= 10000L),
+      "retention_fp out of range")
+    val d67 = GroupD.exactSubstringOf(docs.select("doc_id", "text")).collect()
+    assert(d67.length == alphabets.length)
+    assert(d67.forall(r => r.getLong(4) >= 0L && r.getLong(4) <= 10000L),
+      "dup_fp out of range")
+    // d58 requires (doc_id, text, lang, source); scores stay in (0, 10⁶]
+    val d58 = GroupD.lmScore(docs).collect()
+    assert(d58.forall(r => r.getLong(3) > 0L && r.getLong(3) <= 1000000L),
+      "lm_score_fp out of range")
+  }
+
   test("d59 boilerplate spans: a span shared by two docs is flagged in both, tail spans kept") {
     val eight = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs = spark.createDataFrame(Seq(
