@@ -3110,6 +3110,55 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d68: the per-language DATA CARD — the release-notes table a curated
+    * corpus ships (Datasheets-for-Datasets style, per lang shard): volume
+    * (docs, tokens), provenance concentration (source count + top-source
+    * share — the integer stand-in for source entropy), exact-duplicate
+    * volume (docs minus distinct texts, c1's rule), quality gate pressure
+    * (d18-repetitive docs), and the mean reference-LM score (d58's
+    * family, integer mean). Every column is a proven operator's
+    * aggregate, composed — the audit cannot disagree with the operators
+    * it summarizes.
+    *
+    * Scale shape: five per-lang partial aggregates (docs/tokens, source
+    * counts, text-distinct, repetition, LM means) left-joined on the
+    * lang key — each input is a single-shuffle aggregation and the
+    * output is one row per lang forever.
+    */
+  def d68DataCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(GroupC.tokens(col("text"))).cast("long").as("n_toks"),
+        col("text"))
+    val vol = base.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      countDistinct("source").as("n_sources"),
+      // distinct by 16-byte fingerprint, not the text itself — at 100 TB
+      // the fp IS the shuffled payload (d8's rule; collisions ~2⁻¹²⁸)
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    val topSource = base.groupBy("lang", "source")
+      .agg(count(lit(1)).as("sc"))
+      .groupBy("lang").agg(max("sc").as("top_sc"))
+    val rep = d18Repetition(spark, sfDir)
+      .filter(col("repetitive"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("repetitive_docs"))
+    val lm = lmScored(docs).groupBy("lang")
+      .agg(sum("lm_score_fp").as("lm_sum"), count(lit(1)).as("lm_n"))
+    vol
+      .join(broadcast(topSource), "lang")
+      .join(broadcast(rep), Seq("lang"), "left")
+      .join(broadcast(lm), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_sources"),
+        expr("(top_sc * 10000) div n_docs").as("top_source_share_fp"),
+        (col("n_docs") - col("n_distinct_texts")).as("exact_dup_docs"),
+        coalesce(col("repetitive_docs"), lit(0L)).as("repetitive_docs"),
+        expr("lm_sum div lm_n").as("mean_lm_score_fp"))
+      .orderBy("lang")
+  }
+
   /** d66: shuffle-skew profiling report — the operational pre-flight
     * behind b35's salted join: for each candidate shuffle key, the top-5
     * heavy hitters with their fixed-point share, the straggler factor a
@@ -3368,6 +3417,7 @@ object GroupD {
     "d65_token_drift"      -> (d65TokenDrift _),
     "d66_skew_report"      -> (d66SkewReport _),
     "d67_exact_substring"  -> (d67ExactSubstring _),
+    "d68_data_card"        -> (d68DataCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3630,6 +3680,70 @@ object GroupD {
         |    - max(CASE WHEN NOT same THEN s END), 6) AS margin
         |FROM ranked WHERE rn = 1
         |GROUP BY qid ORDER BY qid""".stripMargin,
+    "d68_data_card" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, text, $tokSql AS ts FROM documents),
+         |vol AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(ts)) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    count(DISTINCT md5(text)) AS n_distinct_texts
+         |  FROM toks GROUP BY lang),
+         |tops AS (
+         |  SELECT lang, max(sc) AS top_sc FROM (
+         |    SELECT lang, source, count(*) AS sc FROM toks GROUP BY 1, 2)
+         |  GROUP BY lang),
+         |shl AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(range(1, len(ts) - 1),
+         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
+         |  FROM toks WHERE len(ts) >= 3),
+         |rep AS (
+         |  SELECT lang, count(*) AS repetitive_docs FROM shl
+         |  WHERE floor((len(s) - len(list_distinct(s))) * 10000
+         |    / CAST(len(s) AS DOUBLE)) >= 1000
+         |  GROUP BY lang),
+         |occ AS (
+         |  SELECT doc_id, lang, source, ts[i] AS w1, ts[i+1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+         |  WHERE len(ts) >= 2),
+         |refbi AS (
+         |  SELECT lang, w1, w2, count(*) AS c2 FROM occ
+         |  WHERE source = 'src0' GROUP BY 1, 2, 3),
+         |refuni AS (
+         |  SELECT lang, w1, count(*) AS c1 FROM occ
+         |  WHERE source = 'src0' GROUP BY 1, 2),
+         |refv AS (
+         |  SELECT lang, count(DISTINCT w2) AS v FROM occ
+         |  WHERE source = 'src0' GROUP BY 1),
+         |scored AS (
+         |  SELECT o.doc_id, o.lang,
+         |    CAST((CAST(coalesce(b.c2, 0) + 1 AS HUGEINT) * 1000000)
+         |      // (coalesce(u.c1, 0) + v.v) AS BIGINT) AS p_fp
+         |  FROM occ o
+         |  JOIN refv v ON v.lang = o.lang
+         |  LEFT JOIN refbi b
+         |    ON b.lang = o.lang AND b.w1 = o.w1 AND b.w2 = o.w2
+         |  LEFT JOIN refuni u ON u.lang = o.lang AND u.w1 = o.w1),
+         |lmdoc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(sum(p_fp) // count(*) AS BIGINT) AS lm_score_fp
+         |  FROM scored GROUP BY 1, 2),
+         |lm AS (
+         |  SELECT lang, CAST(sum(lm_score_fp) AS BIGINT) AS lm_sum,
+         |    count(*) AS lm_n
+         |  FROM lmdoc GROUP BY lang)
+         |SELECT v.lang, v.n_docs, v.n_tokens, v.n_sources,
+         |  CAST((t.top_sc * 10000) // v.n_docs AS BIGINT)
+         |    AS top_source_share_fp,
+         |  v.n_docs - v.n_distinct_texts AS exact_dup_docs,
+         |  CAST(coalesce(r.repetitive_docs, 0) AS BIGINT) AS repetitive_docs,
+         |  CAST(lm.lm_sum // lm.lm_n AS BIGINT) AS mean_lm_score_fp
+         |FROM vol v
+         |JOIN tops t ON t.lang = v.lang
+         |LEFT JOIN rep r ON r.lang = v.lang
+         |LEFT JOIN lm ON lm.lang = v.lang
+         |ORDER BY v.lang""".stripMargin,
     "d67_exact_substring" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokSql AS ts FROM documents),
