@@ -980,9 +980,45 @@ object GroupB {
       .orderBy(col("revenue_fp").desc, col("o_orderdate"), col("l_orderkey"))
   }
 
+  /** b41: TPC-H Q10 (returned-item reporting) on this schema — the
+    * customer-facing twin of b40's Q3: which 20 customers generated the
+    * most RETURNED revenue in a quarter (their problem orders), joined
+    * out to the nation dimension. Same integer-cents determinism as b40
+    * (the top-20 cut must not be an ulp lottery); the nation dim
+    * broadcasts (25 rows at any scale), the fact joins shuffle on their
+    * keys, and the cut is TakeOrderedAndProject.
+    */
+  def b41TpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-10-01 00:00:00")
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nation = broadcast(Tables(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(sum("rev_fp").as("revenue_fp"))
+      .orderBy(col("revenue_fp").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue_fp")
+      .orderBy(col("revenue_fp").desc, col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "b39_event_funnel" -> (b39EventFunnel _),
     "b40_tpch_q3"      -> (b40TpchQ3 _),
+    "b41_tpch_q10"     -> (b41TpchQ10 _),
     "b36_merge_scd"     -> (b36MergeScd _),
     "b37_topk_native"   -> (b37TopkNative _),
     "b38_range_frame"   -> (b38RangeFrame _),
@@ -1024,6 +1060,21 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b41_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_fp
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue_fp DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "b40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
