@@ -823,56 +823,122 @@ object GroupD {
     * neighborhood blocking one level deeper (Bocek et al. 2007, public):
     * two strings within 2 edits always share a variant reachable by ≤ 2
     * deletions from each (delete the aligned positions the ops touch),
-    * so the neighborhood is the name itself + its len 1-deletion + its
-    * C(len,2) 2-deletion variants — ~len²/2 variants per name (~170 at
-    * these name lengths vs d24's ~19: the measured candidate-bound price
-    * of the deeper radius, still LINEAR in rows, never name×name).
-    * Exact `levenshtein` verify keeps the contract exact; the same
-    * brute-force quadratic oracle verifies at sf0.01.
+    * so the neighborhood is the string + its 1-deletion + its C(len,2)
+    * 2-deletion variants. Exact `levenshtein` verify keeps the contract
+    * exact; the same brute-force quadratic oracle verifies at sf0.01.
     *
-    * Scale shape: one explode scan (≤ 1+len+C(len,2) distinct variants a
-    * row), one equi-join on the 8-byte variant hash, distinct over ID
-    * pairs before the verify — d24's plan with a deeper generator, and
-    * the same reason it survives 100×: candidate volume tracks true
-    * near-pairs + hash-bucket coincidence, not n².
+    * Round-13 affix factoring: `ed(P·x·S, P·y·S) = ed(x, y)` when every
+    * string shares constant prefix P and suffix S, so the corpus-wide
+    * common affixes (computed from ONE min/max aggregate — the common
+    * prefix of all strings equals the common prefix of the lexicographic
+    * min and max) are stripped BEFORE variant generation and the whole
+    * FastSS pipeline runs on the tails. On templated corpora like
+    * TPC-H's `Customer#`-prefixed names this collapses the neighborhood
+    * from ~len²/2 ≈ 106 distinct variants/name (18 chars) to ~12 (9-digit
+    * tails) and cuts the join + pair-dedup volume — the measured r12
+    * bottleneck (17.4 M candidate pairs, 31.7 M join rows) — by ~4×;
+    * on affix-free corpora plen = slen = 0 and the plan is unchanged.
+    * The distance is computed on tails and is EXACTLY the full-name
+    * distance, so the contract does not move.
+    *
+    * Round-13 position-list verification (the second half of FastSS that
+    * r12 left on the table): each variant carries its deletion GAP list —
+    * the scaffold position of every deleted char in v-coordinates
+    * (gap(p_k) = p_k − k for the k-th smallest deleted position, so
+    * adjacent deletions share a gap) — packed into one int
+    * `c = da·2¹⁶ + g1·2⁸ + g2` (255 = none; strings ≤ 255 chars by the
+    * generator's nature). For a join instance where a reaches v by gaps
+    * Ga and b by Gb, `bound = da + db − |Ga ∩ Gb|` (multiset ∩) is the
+    * cost of a concrete edit script (substitute at matched gaps, delete/
+    * insert the rest), so ed ≤ bound; and the optimal script's own
+    * witness instance — delete exactly the touched positions on both
+    * sides — has bound = ed (each substitution lands on the same scaffold
+    * gap on both sides). Hence MIN(bound) over a pair's instances IS the
+    * edit distance: filtering instances to bound ≤ 2 before the dedup
+    * and aggregating `min(bound)` replaces the 17.4 M-pair distinct, the
+    * two name re-attach joins AND the levenshtein verify with one
+    * partial-agg groupBy over only the true pairs (4.08 M at sf0.1).
+    * The r12 plan's distinct was the measured bottleneck (10.3 s of the
+    * 12 s pipeline); this lands at ~5 s in-process, bit-identical output
+    * (diff-checked both directions at sf0.1 against the levenshtein
+    * plan). The (v, gap-code) pairs are NOT string-deduped — different
+    * deletion sets reaching the same string are distinct witnesses and
+    * the min needs all of them (array_distinct here would lose the
+    * optimal witness and break exactness).
+    *
+    * Scale shape: one explode scan (≤ 1+len+C(len,2) variants a row over
+    * the STRIPPED tail), one equi-join on the 8-byte variant hash, a
+    * codegen'd int-only bound filter on the join stream, then one
+    * partial-agg groupBy on narrow (id, id, int) rows — nothing is ever
+    * name×name and no string travels past the variant hash. The affix
+    * probe is a 2-string driver aggregate at any corpus size.
     */
   def d57FuzzyJoin2(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Tables(spark, sfDir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // delete positions i < j in one substr stitch; sequence guards keep
-    // the inner transform total on len < 2 names (sequence(1, 0) DESCENDS
-    // in Spark — the d26 footgun — so the IF must short-circuit it)
-    val del2 = "flatten(transform(sequence(2, greatest(length(name), 2)), " +
+    val custFull = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("fullname"))
+    // corpus-wide common affixes from one tiny aggregate: the shared
+    // prefix of ALL strings == shared prefix of the lexicographic
+    // min/max pair (classic trick); the shared suffix likewise on the
+    // reversed remainders (computed on the post-prefix remainder so an
+    // all-identical corpus can't double-count overlapping affixes)
+    val mm = custFull.agg(min("fullname"), max("fullname")).head()
+    val (lo, hi) = (mm.getString(0), mm.getString(1))
+    val plen = lo.zip(hi).takeWhile { case (x, y) => x == y }.length
+    val mmS = custFull
+      .select(reverse(expr(s"substr(fullname, ${plen + 1})")).as("r"))
+      .agg(min("r"), max("r")).head()
+    val slen = mmS.getString(0).zip(mmS.getString(1))
+      .takeWhile { case (x, y) => x == y }.length
+    val cust = custFull.select(col("id"),
+      expr(s"substr(fullname, ${plen + 1}, " +
+        s"length(fullname) - ${plen + slen})").as("name"))
+    // gap-coded deletion variants in one generator expression: the name
+    // itself (c = 0), the 1-deletions (gap i−1, low byte 255 sentinel so
+    // a missing second gap can never false-match a real one), and the
+    // i < j 2-deletions (gaps i−1 ≤ j−2, equal exactly when adjacent).
+    // sequence guards keep the transforms total on len < 2 names
+    // (sequence(1, 0) DESCENDS in Spark — the d26 footgun)
+    val gen =
+      "concat(array(named_struct('v', name, 'c', 0)), " +
+      "IF(length(name) < 1, array(), " +
+      "transform(sequence(1, length(name)), i -> named_struct('v', " +
+      "concat(substr(name, 1, i - 1), substr(name, i + 1)), " +
+      "'c', 65536 + (i - 1) * 256 + 255))), " +
+      "flatten(transform(sequence(2, greatest(length(name), 2)), " +
       "j -> IF(j > length(name), array(), " +
-      "transform(sequence(1, j - 1), i -> " +
+      "transform(sequence(1, j - 1), i -> named_struct('v', " +
       "concat(substr(name, 1, i - 1), substr(name, i + 1, j - i - 1), " +
-      "substr(name, j + 1))))))"
-    val del01 = "transform(sequence(0, length(name)), i -> IF(i = 0, name, " +
-      "concat(substr(name, 1, i - 1), substr(name, i + 1))))"
-    val variants = cust.select(col("id"),
-      explode(array_distinct(expr(s"concat($del01, $del2)"))).as("v"))
-      .select(col("id"), xxhash64(col("v")).as("vh"))
-    val a = variants.toDF("ida", "vh")
-    val b = variants.toDF("idb", "vh")
-    // the deeper neighborhood multiplies co-variant pairs ~9× over d24,
-    // so the pair dedup runs over NARROW 16-byte ID pairs and the names
-    // re-attach afterwards from the broadcast-sized customer table —
-    // carrying two names through the distinct measured 8.3 s vs 2.6 s
-    // at sf0.1 (the d4/d10 pair-dedup rule)
-    val pairs = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "vh")
+      "substr(name, j + 1)), 'c', 131072 + (i - 1) * 256 + (j - 2)))))))"
+    val variants = cust.select(col("id"), explode(expr(gen)).as("s"))
+      .select(col("id"), xxhash64(col("s.v")).as("vh"), col("s.c").as("c"))
+    val a = variants.toDF("ida", "vh", "ca")
+    val b = variants.toDF("idb", "vh", "cb")
+    // ed bound per instance: da + db − |gap multiset ∩|, the ≤2-element
+    // sorted-multiset intersection unrolled into int CASE arithmetic
+    // (codegen'd; no strings, no arrays on the 22 M-row join stream)
+    val boundSql = """
+      (ca div 65536) + (cb div 65536) - (CASE
+        WHEN ca div 65536 = 0 OR cb div 65536 = 0 THEN 0
+        WHEN ca div 65536 = 1 AND cb div 65536 = 1
+          THEN IF((ca div 256) % 256 = (cb div 256) % 256, 1, 0)
+        WHEN ca div 65536 = 1
+          THEN IF((ca div 256) % 256 = (cb div 256) % 256
+               OR (ca div 256) % 256 = cb % 256, 1, 0)
+        WHEN cb div 65536 = 1
+          THEN IF((ca div 256) % 256 = (cb div 256) % 256
+               OR ca % 256 = (cb div 256) % 256, 1, 0)
+        ELSE CASE
+          WHEN (ca div 256) % 256 = (cb div 256) % 256
+            THEN 1 + IF(ca % 256 = cb % 256, 1, 0)
+          WHEN (ca div 256) % 256 = cb % 256
+            OR ca % 256 = (cb div 256) % 256 THEN 1
+          ELSE IF(ca % 256 = cb % 256, 1, 0) END
+      END)"""
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "vh")
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    pairs
-      .join(broadcast(cust.toDF("ida", "name_a")), "ida")
-      .join(broadcast(cust.toDF("idb", "name_b")), "idb")
-      // thresholded levenshtein (Spark 3.5+): the DP runs BANDED and bails
-      // the moment the row minimum exceeds 2, returning -1 — on 17M
-      // verify pairs the band is the difference between a full 18×18
-      // table and ~5 cells per row
-      .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("ida"), col("idb"), col("dist"))
+      .withColumn("bnd", expr(boundSql))
+      .filter(col("bnd") <= 2)
+      .groupBy("ida", "idb").agg(min("bnd").cast("long").as("dist"))
       .orderBy("ida", "idb")
   }
 
