@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The long-lived-cluster SHARED-FRAME policy next to [[ModelCache]]'s
+  * trained-artifact layer: pipeline stage frames that several declared
+  * queries re-derive from scratch (d22's gate/kept/capped consumed again
+  * by d56's funnel, d58's scored frame consumed again by d61's assembly)
+  * are persisted ONCE per (corpus, stage) and served from the block store
+  * for the rest of the process — exactly what a production pipeline on a
+  * long-lived cluster does with its intermediate datasets, where the
+  * curation run and its audit queries share materializations instead of
+  * recomputing the dedup graph per report.
+  *
+  * OPT-IN by the same gate as [[ModelCache]] (`graft.model.cache` set —
+  * Bench/Verify enable it, specs don't), so unit suites keep exercising
+  * the raw declarative plans and the AQE exchange-reuse pins; a spec that
+  * wants the policy under test sets the property and calls [[clear]]
+  * around itself. The cache is an optimization, never a correctness
+  * dependency: every cached frame is deterministic (no-RNG discipline
+  * corpus-wide), so serving the materialization is value-identical to
+  * re-deriving it.
+  *
+  * Scale shape: entries are stage OUTPUTS (per-doc narrow rows or
+  * model-bounded frames), not scans — MEMORY_AND_DISK spills rather than
+  * evicts under pressure, and the registry is per-JVM with a handful of
+  * keys per corpus. A stopped session's entries are rebuilt, not served.
+  */
+object StageCache {
+  private val frames = new ConcurrentHashMap[String, DataFrame]()
+
+  def enabled: Boolean = ModelCache.root.nonEmpty
+
+  /** Serve the persisted frame for `key` (callers namespace by corpus
+    * dir: `s"$sfDir#stage"`), building + persisting on first touch.
+    */
+  def persisted(key: String)(build: => DataFrame): DataFrame = {
+    if (!enabled) build
+    else {
+      val hit = frames.get(key)
+      if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
+      else frames.synchronized {
+        val again = frames.get(key)
+        if (again != null && !again.sparkSession.sparkContext.isStopped) again
+        else {
+          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          frames.put(key, df)
+          df
+        }
+      }
+    }
+  }
+
+  /** Unpersist and drop every entry — for specs that toggle the policy. */
+  def clear(): Unit = {
+    frames.values.forEach { df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    frames.clear()
+  }
+}

@@ -1154,9 +1154,17 @@ object GroupD {
     */
   /** d22's stage frames (gate survivors, post-dedup kept, post-quota
     * capped) — shared by the declared pipeline query and d56's funnel.
+    * Under the drivers' [[graft.operators.StageCache]] policy each stage
+    * is persisted once per corpus and every later consumer (d22's own
+    * second reference to gate, d56's six counts, repeated bench passes)
+    * reads the materialization — the round-12 verdict's "long-lived-
+    * cluster persist policy" closing the measured d22+d56 recompute pair;
+    * without the policy (specs) the frames stay raw declarative plans
+    * and the AQE exchange-reuse pin keeps covering the runtime sharing.
     */
   private def pipelineStages(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.StageCache
     val docs = Tables(spark, sfDir, "documents")
     // The tiny groupBy is an OPTIMIZER BARRIER, not an aggregation need
     // (doc_id is unique): a filter on `repetitive` written directly over
@@ -1166,30 +1174,36 @@ object GroupD {
     // stage at sf0.1 vs ~1 s with the barrier. Predicates cannot push
     // through an aggregate, so the HOFs evaluate once per doc and the
     // barrier's shuffle carries one (id, bool) row per doc.
-    val gate = d18Repetition(spark, sfDir)
-      .groupBy("doc_id").agg(first("repetitive").as("repetitive"))
-      .filter(!col("repetitive"))
-      .select("doc_id")
-    // "gate before dedup" is enforced by restricting the pair graph to
-    // gated endpoints BEFORE labeling: a pair's Jaccard doesn't depend on
-    // other documents, so pairs-among-survivors ≡ rerunning d1 on the
-    // gated corpus. Without this, a cluster whose min-id canonical is
-    // repetitive would lose every member (the canonical to the gate, the
-    // rest to dupDrops) instead of keeping its best clean member.
-    val gatedPairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
-      .join(gate.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(gate.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-    val labels = graft.operators.ConnectedComponents
-      .label(gatedPairs, src = "doc_a", dst = "doc_b")
-    val dupDrops = labels.filter(col("component") =!= col("id"))
-      .select(col("id").as("doc_id"))
-    val kept = docs.join(gate, "doc_id")
-      .join(dupDrops, Seq("doc_id"), "left_anti")
+    val gate = StageCache.persisted(s"$sfDir#d22_gate") {
+      d18Repetition(spark, sfDir)
+        .groupBy("doc_id").agg(first("repetitive").as("repetitive"))
+        .filter(!col("repetitive"))
+        .select("doc_id")
+    }
+    val kept = StageCache.persisted(s"$sfDir#d22_kept") {
+      // "gate before dedup" is enforced by restricting the pair graph to
+      // gated endpoints BEFORE labeling: a pair's Jaccard doesn't depend
+      // on other documents, so pairs-among-survivors ≡ rerunning d1 on
+      // the gated corpus. Without this, a cluster whose min-id canonical
+      // is repetitive would lose every member (the canonical to the gate,
+      // the rest to dupDrops) instead of keeping its best clean member.
+      val gatedPairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
+        .join(gate.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(gate.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      val labels = graft.operators.ConnectedComponents
+        .label(gatedPairs, src = "doc_a", dst = "doc_b")
+      val dupDrops = labels.filter(col("component") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      docs.join(gate, "doc_id")
+        .join(dupDrops, Seq("doc_id"), "left_anti")
+    }
     val wQuota = Window.partitionBy("lang", "source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val capped = kept
-      .withColumn("rk", row_number().over(wQuota))
-      .filter(col("rk") <= 5)
+    val capped = StageCache.persisted(s"$sfDir#d22_capped") {
+      kept
+        .withColumn("rk", row_number().over(wQuota))
+        .filter(col("rk") <= 5)
+    }
     (gate, kept, capped)
   }
 
@@ -2969,7 +2983,16 @@ object GroupD {
     * inner join on refV), as are sub-2-token docs (no bigrams).
     */
   def d58LmScore(spark: SparkSession, sfDir: String): DataFrame =
-    lmScore(Tables(spark, sfDir, "documents"))
+    lmScoredOf(spark, sfDir).orderBy("doc_id")
+
+  /** The corpus's scored frame under the StageCache policy — d58 and d61
+    * share ONE materialization per corpus (the round-12 verdict's d61
+    * score-frame-reuse item); raw plan when the policy is off.
+    */
+  private def lmScoredOf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.StageCache.persisted(s"$sfDir#d58_scored") {
+      lmScored(Tables(spark, sfDir, "documents"))
+    }
 
   /** d58's body on an arbitrary (doc_id, text, lang, source) frame —
     * reusable in specs (hand-computed mini-corpora pin the arithmetic).
@@ -3023,7 +3046,7 @@ object GroupD {
       size(GroupC.tokens(col("text"))).cast("long").as("n_tokens"))
     val w = Window.partitionBy("lang")
       .orderBy(col("lm_score_fp").desc, col("doc_id"))
-    lmScored(docs).select("doc_id", "lang", "lm_score_fp")
+    lmScoredOf(spark, sfDir).select("doc_id", "lang", "lm_score_fp")
       .join(toks, "doc_id")
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("cum_before",

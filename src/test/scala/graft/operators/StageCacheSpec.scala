@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.GroupD
+
+/** Pins the long-lived-cluster shared-frame policy (StageCache): with the
+  * drivers' gate set, d22/d56/d61 serve their shared stage frames from ONE
+  * persisted materialization per corpus, with output value-identical to
+  * the raw declarative plans the suites otherwise exercise.
+  */
+class StageCacheSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("policy off by default in specs; on, results identical and cached") {
+    assert(!StageCache.enabled)
+    val rawPipeline = rows(GroupD.d22PipelineE2e(spark, sf))
+    val rawFunnel = rows(GroupD.d56PipelineFunnel(spark, sf))
+    val rawBudget = rows(GroupD.d61BudgetAssembly(spark, sf))
+    sys.props("graft.model.cache") =
+      TestSpark.tempDir("stage-cache-models").toString
+    try {
+      StageCache.clear()
+      assert(StageCache.enabled)
+      assert(rows(GroupD.d22PipelineE2e(spark, sf)) === rawPipeline)
+      assert(rows(GroupD.d56PipelineFunnel(spark, sf)) === rawFunnel)
+      assert(rows(GroupD.d61BudgetAssembly(spark, sf)) === rawBudget)
+      // the funnel's plan must read the persisted stage frames, not
+      // re-derive the dedup graph: InMemoryTableScan present
+      val plan = GroupD.d56PipelineFunnel(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"))
+    } finally {
+      StageCache.clear()
+      sys.props.remove("graft.model.cache")
+    }
+    assert(!StageCache.enabled)
+  }
+
+  test("a second persisted() call serves the same frame instance") {
+    sys.props("graft.model.cache") =
+      TestSpark.tempDir("stage-cache-models2").toString
+    try {
+      StageCache.clear()
+      var builds = 0
+      def build = {
+        builds += 1
+        spark.range(3).toDF("id")
+      }
+      val a = StageCache.persisted("k#one")(build)
+      val b = StageCache.persisted("k#one")(build)
+      assert(builds === 1)
+      assert(a eq b)
+      assert(a.storageLevel.useMemory || a.storageLevel.useDisk)
+    } finally {
+      StageCache.clear()
+      sys.props.remove("graft.model.cache")
+    }
+  }
+}
