@@ -48,7 +48,14 @@ object Bench {
     // failure, not as a suspiciously fast time. Each pass records
     // (seconds, ok); a query that failed in ANY pass reports "err" instead
     // of a number, and the summary carries a failure count + names.
-    val times = (1 to passes).map { _ =>
+    val times = (1 to passes).map { pass =>
+      // r12 verdict follow-up: pass totals occasionally showed pass 2
+      // SLOWER than the cold pass (156/176/98 s) — GC debt from the
+      // 131-query sweep (codegen classes, broadcast blocks, shuffle
+      // buffers) landing mid-pass. A full collection at the pass
+      // boundary moves that cost out of the timed region so per-pass
+      // totals measure the queries, not the previous pass's garbage.
+      if (pass > 1) System.gc()
       names.map { name =>
         val t0 = System.nanoTime()
         val ok =

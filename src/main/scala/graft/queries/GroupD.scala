@@ -354,7 +354,12 @@ object GroupD {
     * 72.5° angle, where a random-hyperplane bit agrees with probability
     * 0.597 for a qualifying pair vs ≈ 0.5 for a random one — measured on
     * this corpus, any banding with 100% drop recall leaves ≥ 87% of all
-    * pairs as candidates (see d10 + SCALE.md). What IS avoidable is the
+    * pairs as candidates (see d10 + SCALE.md).
+    *
+    * ORACLE-ANCHOR ONLY — never run this at production sf: the quadratic
+    * exact scan exists to pin the contract; the production path is
+    * [[d10DedupEmbeddingLsh]] (same keep-earliest contract, LSH-bounded
+    * candidates). What IS avoidable even in the anchor is the
     * broadcast-nested-loop plan a key-less `ida < idb` join produces: that
     * broadcasts the entire corpus to every task and dies at 100 TB. The
     * pair source here is a BLOCK-PAIR (triangle) equi-join instead —
@@ -2429,11 +2434,11 @@ object GroupD {
     * plans as WindowGroupLimit — each task keeps ≤5 rows per query before
     * the qid exchange — and the vote tail is ≤5 rows per vector.
     *
-    * This exact scan is the oracle-checkable baseline and is quadratic by
-    * construction — the declared 100 TB path swaps the sims frame for
-    * d13's tuned-LSH candidates or d11's IVF cell (bounded candidates per
-    * query, same window + vote tail unchanged); d3/d13 pin that trade's
-    * recall.
+    * ORACLE-ANCHOR ONLY — never run this at production sf: the exact scan
+    * is quadratic by construction and exists to pin the contract; the
+    * production path is [[d52LabelKnnAnn]] (same vote tail over measured
+    * tuned-LSH/IVF candidates, ≥0.9 agreement pinned both families).
+    * d3/d13 pin the candidate trade's recall.
     */
   def d48LabelKnn(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
