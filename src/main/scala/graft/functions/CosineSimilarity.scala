@@ -122,6 +122,7 @@ object GraftFunctions {
   val FlacMetaName = "graft_flac_meta"
   val Mp3MetaName = "graft_mp3_meta"
   val OpusMetaName = "graft_opus_meta"
+  val MkvMetaName = "graft_mkv_meta"
   val NearestCentroidName = "graft_nearest_centroid"
   val ShingleHashesName = "graft_shingle_hashes"
 
@@ -245,6 +246,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$OpusMetaName expects 1 argument")
         OggOpusMeta(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(MkvMetaName,
+      { exprs =>
+        require(exprs.length == 1, s"$MkvMetaName expects 1 argument")
+        MkvMeta(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(ShingleHashesName,
       { exprs =>

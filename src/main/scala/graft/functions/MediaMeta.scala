@@ -488,3 +488,316 @@ object OggOpusMeta {
       java.lang.Long.valueOf(sr), java.lang.Long.valueOf(ch), null, dur))
   }
 }
+
+/** `[duration_ms, sample_rate_hz, channels, pixel_width, pixel_height,
+  * doctype]` from Matroska/WebM bytes (doctype 1 = matroska, 2 = webm);
+  * NULL when the bytes are not an EBML/Matroska-family stream. Format
+  * facts used (public RFC 8794 EBML + Matroska spec, the one container
+  * family the walk set was missing): every element is `ID(VINT, raw
+  * marker kept, 1–4 bytes) Size(VINT, marker stripped, 1–8 bytes,
+  * all-value-ones = unknown) payload`; the file is an EBML Header
+  * (0x1A45DFA3, DocType 0x4282 "matroska"/"webm") followed by one
+  * Segment (0x18538067) whose children include Info (0x1549A966 —
+  * TimestampScale 0x2AD7B1 uint ns/tick default 10⁶, Duration 0x4489
+  * float ticks) and Tracks (0x1654AE6B — TrackEntry 0xAE with TrackType
+  * 0x83, Audio 0xE1 {SamplingFrequency 0xB5 float default 8000, Channels
+  * 0x9F uint default 1}, Video 0xE0 {PixelWidth 0xB0, PixelHeight
+  * 0xBA}). The walk takes the FIRST audio and FIRST video track, skips
+  * everything else by declared size (Clusters are never entered), and a
+  * crawl prefix that ends mid-structure yields whatever fields were
+  * already read — the family's truncation contract. An unknown-size
+  * Segment (live streaming) walks children to the buffer end; an
+  * unknown-size non-master element ends the walk.
+  */
+case class MkvMeta(child: Expression) extends MediaMetaExpression {
+  override def prettyName: String = "graft_mkv_meta"
+  override protected def scanMethod: String = "graft.functions.MkvMeta.scan"
+  override def nullSafeEval(input: Any): Any =
+    MkvMeta.scan(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): MkvMeta =
+    copy(child = newChild)
+}
+
+object MkvMeta {
+  private val EBML_HEADER = 0x1A45DFA3L
+  private val DOC_TYPE = 0x4282L
+  private val SEGMENT = 0x18538067L
+  private val INFO = 0x1549A966L
+  private val TIMESTAMP_SCALE = 0x2AD7B1L
+  private val DURATION = 0x4489L
+  private val TRACKS = 0x1654AE6BL
+  private val TRACK_ENTRY = 0xAEL
+  private val TRACK_TYPE = 0x83L
+  private val AUDIO = 0xE1L
+  private val VIDEO = 0xE0L
+  private val SAMPLING_FREQ = 0xB5L
+  private val CHANNELS = 0x9FL
+  private val PIXEL_WIDTH = 0xB0L
+  private val PIXEL_HEIGHT = 0xBAL
+  private val UNKNOWN = -1L
+
+  /** VINT length from the first byte's leading-zero count; 0 = invalid
+    * (a 0x00 lead byte would mean > 8 bytes, which EBML forbids).
+    */
+  private def vlen(b0: Int): Int = {
+    var mask = 0x80
+    var n = 1
+    while (mask != 0) {
+      if ((b0 & mask) != 0) return n
+      mask >>= 1
+      n += 1
+    }
+    0
+  }
+
+  /** Mutable cursor over the element stream: `fail` latches on any read
+    * that would cross `limit` — the walk then stops with found fields.
+    */
+  private final class W(val b: Array[Byte], var i: Int, val limit: Int) {
+    var fail: Boolean = false
+    /** Element ID with marker bits kept (how Matroska quotes IDs). */
+    def readId(): Long = {
+      if (i >= limit) { fail = true; return 0L }
+      val n = vlen(b(i) & 0xff)
+      if (n == 0 || n > 4 || i + n > limit) { fail = true; return 0L }
+      var v = 0L
+      var k = 0
+      while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      i += n
+      v
+    }
+    /** Element size with the marker stripped; UNKNOWN for all-ones. */
+    def readSize(): Long = {
+      if (i >= limit) { fail = true; return 0L }
+      val b0 = b(i) & 0xff
+      val n = vlen(b0)
+      if (n == 0 || i + n > limit) { fail = true; return 0L }
+      var v = (b0 & (0xff >> n)).toLong
+      var k = 1
+      while (k < n) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      i += n
+      // all value bits set = "unknown size"
+      if (v == (1L << (7 * n)) - 1L) UNKNOWN else v
+    }
+    /** Payload end clamped to the cursor's own limit; UNKNOWN size runs
+      * to the limit (legal for Segment, tolerated for masters).
+      */
+    def payloadEnd(size: Long): Int =
+      if (size == UNKNOWN) limit
+      else {
+        val e = i.toLong + size
+        if (e > limit) limit else e.toInt
+      }
+    def skip(size: Long): Unit =
+      if (size == UNKNOWN) { i = limit } else { i = payloadEnd(size) }
+    def uint(size: Long): java.lang.Long = {
+      if (size < 0L || size > 8L || i.toLong + size > limit) return null
+      var v = 0L
+      var k = 0
+      while (k < size) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+      java.lang.Long.valueOf(v)
+    }
+    def float(size: Long): java.lang.Double = {
+      if (i.toLong + size > limit) return null
+      if (size == 4L) {
+        var v = 0
+        var k = 0
+        while (k < 4) { v = (v << 8) | (b(i + k) & 0xff); k += 1 }
+        java.lang.Double.valueOf(java.lang.Float.intBitsToFloat(v).toDouble)
+      } else if (size == 8L) {
+        var v = 0L
+        var k = 0
+        while (k < 8) { v = (v << 8) | (b(i + k) & 0xffL); k += 1 }
+        java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(v))
+      } else null
+    }
+    def string(size: Long): String = {
+      if (size < 0L || size > 64L || i.toLong + size > limit) return null
+      new String(b, i, size.toInt, "US-ASCII")
+    }
+  }
+
+  /** The EBML walk; static so generated code calls it directly. */
+  def scan(b: Array[Byte]): ArrayData = {
+    if (b == null || b.length < 5) return null
+    if (!(b(0) == 0x1A.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xDF.toByte && b(3) == 0xA3.toByte)) return null
+    val w = new W(b, 4, b.length)
+    val hdrSize = w.readSize()
+    if (w.fail) return null
+    // EBML header children: DocType decides the family verdict. Absent
+    // (truncated prefix) defaults to matroska — the EBML magic alone is
+    // already a strong claim; an explicit foreign DocType refuses.
+    var doctype = 1L
+    val hdrEnd = w.payloadEnd(hdrSize)
+    while (!w.fail && w.i < hdrEnd) {
+      val id = w.readId()
+      val size = w.readSize()
+      if (!w.fail) {
+        if (id == DOC_TYPE) {
+          val s = w.string(size)
+          if (s == null) {}
+          else if (s == "matroska") doctype = 1L
+          else if (s == "webm") doctype = 2L
+          else return null
+        }
+        w.skip(size)
+      }
+    }
+    w.fail = false
+    w.i = hdrEnd
+    // Segment
+    if (w.i >= b.length) return truncated(doctype)
+    val segId = w.readId()
+    if (w.fail || segId != SEGMENT) return truncated(doctype)
+    val segSize = w.readSize()
+    if (w.fail) return truncated(doctype)
+    val segEnd = w.payloadEnd(segSize)
+    var tscale = 1000000L             // ns per tick, spec default
+    var durTicks: java.lang.Double = null
+    var sr: java.lang.Long = null
+    var ch: java.lang.Long = null
+    var pw: java.lang.Long = null
+    var ph: java.lang.Long = null
+    var sawAudio = false
+    var sawVideo = false
+    while (!w.fail && w.i < segEnd) {
+      val id = w.readId()
+      val size = w.readSize()
+      if (!w.fail) {
+        if (id == INFO) {
+          val end = w.payloadEnd(size)
+          while (!w.fail && w.i < end) {
+            val cid = w.readId()
+            val csz = w.readSize()
+            if (!w.fail) {
+              if (cid == TIMESTAMP_SCALE) {
+                val v = w.uint(csz)
+                if (v != null && v.longValue > 0L) tscale = v.longValue
+              } else if (cid == DURATION) {
+                val v = w.float(csz)
+                if (v != null) durTicks = v
+              }
+              w.skip(csz)
+            }
+          }
+          w.fail = false; w.i = end
+        } else if (id == TRACKS) {
+          val end = w.payloadEnd(size)
+          while (!w.fail && w.i < end) {
+            val cid = w.readId()
+            val csz = w.readSize()
+            if (!w.fail) {
+              if (cid == TRACK_ENTRY) {
+                val tend = w.payloadEnd(csz)
+                var ttype = -1L
+                var tSr: java.lang.Long = null
+                var tSrPresent = false
+                var tCh: java.lang.Long = null
+                var tPw: java.lang.Long = null
+                var tPh: java.lang.Long = null
+                var hasAudioEl = false
+                var hasVideoEl = false
+                while (!w.fail && w.i < tend) {
+                  val eid = w.readId()
+                  val esz = w.readSize()
+                  if (!w.fail) {
+                    if (eid == TRACK_TYPE) {
+                      val v = w.uint(esz)
+                      if (v != null) ttype = v.longValue
+                      w.skip(esz)
+                    } else if (eid == AUDIO) {
+                      hasAudioEl = true
+                      val aend = w.payloadEnd(esz)
+                      while (!w.fail && w.i < aend) {
+                        val aid = w.readId()
+                        val asz = w.readSize()
+                        if (!w.fail) {
+                          if (aid == SAMPLING_FREQ) {
+                            tSrPresent = true
+                            val v = w.float(asz)
+                            // floor of a positive finite rate; refuses
+                            // NaN/∞/non-positive rather than emit garbage
+                            if (v != null && v.doubleValue > 0.0 &&
+                                v.doubleValue <= 9.007199254740992e15)
+                              tSr = java.lang.Long.valueOf(
+                                math.floor(v.doubleValue).toLong)
+                          } else if (aid == CHANNELS) {
+                            val v = w.uint(asz)
+                            if (v != null) tCh = v
+                          }
+                          w.skip(asz)
+                        }
+                      }
+                      w.fail = false; w.i = aend
+                    } else if (eid == VIDEO) {
+                      hasVideoEl = true
+                      val vend = w.payloadEnd(esz)
+                      while (!w.fail && w.i < vend) {
+                        val vid = w.readId()
+                        val vsz = w.readSize()
+                        if (!w.fail) {
+                          if (vid == PIXEL_WIDTH) {
+                            val v = w.uint(vsz)
+                            if (v != null) tPw = v
+                          } else if (vid == PIXEL_HEIGHT) {
+                            val v = w.uint(vsz)
+                            if (v != null) tPh = v
+                          }
+                          w.skip(vsz)
+                        }
+                      }
+                      w.fail = false; w.i = vend
+                    } else {
+                      w.skip(esz)
+                    }
+                  }
+                }
+                w.fail = false; w.i = tend
+                // first track of each kind wins; spec defaults apply only
+                // when the kind's element exists at all
+                if (ttype == 2L && hasAudioEl && !sawAudio) {
+                  sawAudio = true
+                  // the spec default covers ABSENT SamplingFrequency only;
+                  // present-but-unparseable (non-finite, bad width) stays
+                  // unknown rather than silently becoming 8 kHz
+                  sr = if (tSr != null) tSr
+                       else if (tSrPresent) null
+                       else java.lang.Long.valueOf(8000L)
+                  ch = if (tCh != null) tCh else java.lang.Long.valueOf(1L)
+                }
+                if (ttype == 1L && hasVideoEl && !sawVideo) {
+                  sawVideo = true
+                  pw = tPw
+                  ph = tPh
+                }
+              } else {
+                w.skip(csz)
+              }
+            }
+          }
+          w.fail = false; w.i = end
+        } else if (size == UNKNOWN) {
+          // unknown-size non-master (e.g. a live Cluster): cannot skip
+          w.i = segEnd
+        } else {
+          w.skip(size)
+        }
+      }
+    }
+    // duration: ticks × (ns/tick) → ms, floored; refuse non-finite or
+    // out-of-range products rather than wrap
+    var durMs: java.lang.Long = null
+    if (durTicks != null) {
+      val ms = durTicks.doubleValue * tscale.toDouble / 1e6
+      if (!ms.isNaN && !ms.isInfinite && ms >= 0.0 && ms <= 9.0e15)
+        durMs = java.lang.Long.valueOf(math.floor(ms).toLong)
+    }
+    new GenericArrayData(Array[Any](durMs, sr, ch, pw, ph,
+      java.lang.Long.valueOf(doctype)))
+  }
+
+  private def truncated(doctype: Long): ArrayData =
+    new GenericArrayData(Array[Any](null, null, null, null, null,
+      java.lang.Long.valueOf(doctype)))
+}

@@ -164,21 +164,26 @@ object Multimodal {
   }
 
   /** Appends `media_format` / `audio_sample_rate_hz` / `audio_channels` /
-    * `audio_bits` / `media_duration_ms` parsed from container header
-    * bytes — the audio/video sibling of [[imageDimsPlan]], backfilling
+    * `audio_bits` / `media_duration_ms` / `media_video_width` /
+    * `media_video_height` parsed from container header bytes — the
+    * audio/video sibling of [[imageDimsPlan]], backfilling
     * [[metaSchema]]'s `sample_rate_hz`/`duration_ms` fields from the real
-    * header layouts (public RIFF/WAVE and ISO BMFF specs; the chunk/box
-    * walks run in the native codegen'd [[graft.functions.WavMeta]] /
-    * [[graft.functions.Mp4Meta]] expressions). Unknown or truncated
-    * content yields NULLs, never an error; an MP4 whose `moov` trails the
-    * media data (non-faststart) yields NULL duration from a prefix — the
-    * honest answer, see [[graft.functions.Mp4Meta]].
+    * header layouts (public RIFF/WAVE, ISO BMFF and — round 13 —
+    * RFC 8794 EBML/Matroska specs; the chunk/box/element walks run in
+    * the native codegen'd [[graft.functions.WavMeta]] /
+    * [[graft.functions.Mp4Meta]] / [[graft.functions.MkvMeta]]
+    * expressions). Unknown or truncated content yields NULLs, never an
+    * error; an MP4 whose `moov` trails the media data (non-faststart)
+    * yields NULL duration from a prefix — the honest answer, see
+    * [[graft.functions.Mp4Meta]]. The video dimension columns are
+    * Matroska-family only for now (the MP4 walk reads mvhd, not tkhd).
     */
   def mediaMetaPlan(df: DataFrame, bytesCol: String = "content"): DataFrame = {
     val reserved = Seq("media_format", "audio_sample_rate_hz",
       "audio_channels", "audio_bits", "media_duration_ms",
+      "media_video_width", "media_video_height",
       "__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3",
-      "__graft_opus")
+      "__graft_opus", "__graft_mkv")
     val clashes = df.columns.toSet intersect reserved.toSet
     require(clashes.isEmpty,
       s"input columns collide with mediaMetaPlan outputs/internals: " +
@@ -192,9 +197,12 @@ object Multimodal {
     val flac = col("__graft_flac")
     val mp3 = col("__graft_mp3")
     val opus = col("__graft_opus")
+    val mkv = col("__graft_mkv")
     // the audio scanners share one output shape, so the audio columns are
     // a coalesce chain rather than a schema fork; the mp3 sniff only
-    // counts when the strict mp4 parse didn't claim the asset (above)
+    // counts when the strict mp4 parse didn't claim the asset (above).
+    // mkv's walk returns the video-capable 6-field shape and is wired
+    // per-field below instead
     val audio = coalesce(wav, flac, opus, when(mp4.isNull, mp3))
     df.withColumn("__graft_wav", expr(
         s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
@@ -206,24 +214,35 @@ object Multimodal {
         s"${graft.functions.GraftFunctions.Mp3MetaName}($bytesCol)"))
       .withColumn("__graft_mp4", expr(
         s"${graft.functions.GraftFunctions.Mp4MetaName}($bytesCol)"))
+      .withColumn("__graft_mkv", expr(
+        s"${graft.functions.GraftFunctions.MkvMetaName}($bytesCol)"))
       // strict container parses (magic-anchored) outrank the mp3 frame
       // sniffer: an MP4 whose mdat embeds MPEG audio frames must still
       // classify as mp4
       .withColumn("media_format",
         when(wav.isNotNull, "wav").when(flac.isNotNull, "flac")
           .when(opus.isNotNull, "opus")
+          .when(mkv.isNotNull,
+            when(element_at(mkv, 6) === 2L, "webm").otherwise("mkv"))
           .when(mp4.isNotNull, "mp4").when(mp3.isNotNull, "mp3"))
       .withColumn("audio_sample_rate_hz",
-        when(audio.isNotNull, element_at(audio, 1)))
+        when(audio.isNotNull, element_at(audio, 1))
+          .when(mkv.isNotNull, element_at(mkv, 2)))
       .withColumn("audio_channels",
-        when(audio.isNotNull, element_at(audio, 2)))
+        when(audio.isNotNull, element_at(audio, 2))
+          .when(mkv.isNotNull, element_at(mkv, 3)))
       .withColumn("audio_bits",
         when(audio.isNotNull, element_at(audio, 3)))
       .withColumn("media_duration_ms",
         when(audio.isNotNull, element_at(audio, 4))
+          .when(mkv.isNotNull, element_at(mkv, 1))
           .when(mp4.isNotNull, element_at(mp4, 1)))
+      .withColumn("media_video_width",
+        when(mkv.isNotNull, element_at(mkv, 4)))
+      .withColumn("media_video_height",
+        when(mkv.isNotNull, element_at(mkv, 5)))
       .drop("__graft_wav", "__graft_mp4", "__graft_flac", "__graft_mp3",
-        "__graft_opus")
+        "__graft_opus", "__graft_mkv")
   }
 
   /** Video frame sampling plan: for each asset, the timestamps (ms) at

@@ -287,10 +287,42 @@ object GroupC {
       be32(lit(28L)), asc("mvhd"),
       unhex(lit("00000000")), be32(lit(0L)), be32(lit(0L)),
       be32(timescale), be32(timescale * mp4Secs))
-    val content = when(id % 5 === 0, wav)
-      .when(id % 5 === 1, png)
-      .when(id % 5 === 2, opus)
-      .when(id % 5 === 3, mp4)
+    // webm (round 13): EBML header + Segment{Info{TimestampScale 1e6,
+    // Duration f32}, Tracks{audio entry, video entry}} with all VINT
+    // sizes constant (fixed layout) except the two float payloads.
+    // Duration ticks are POWERS OF TWO so the float32 encodes as pure
+    // exponent arithmetic ((127+e)·2²³ — no mantissa construction in
+    // SQL), and the sample rate cycles 4 exact-float constants embedded
+    // as IEEE hex literals; at timescale 10⁶ ns the walk's ms == 2^e.
+    val e2 = lit(10L) + id % 6
+    val durBits = (lit(127L) + e2) * lit(8388608L)
+    val sfreqBytes = when(id % 4 === 0, unhex(lit("45FA0000"))) //  8000
+      .when(id % 4 === 1, unhex(lit("467A0000")))               // 16000
+      .when(id % 4 === 2, unhex(lit("46BB8000")))               // 24000
+      .otherwise(unhex(lit("46FA0000")))                        // 32000
+    def be16(v: Column) = unhex(lpad(hex(v), 4, "0"))
+    val wpx = lit(100L) + id % 1000
+    val hpx = lit(100L) + (id * 3) % 1000
+    val webm = concat(
+      unhex(lit("1A45DFA387428284")), asc("webm"),
+      unhex(lit("18538067B7")),
+      unhex(lit("1549A9668E")),
+      unhex(lit("2AD7B1830F4240")),
+      unhex(lit("448984")), be32(durBits),
+      unhex(lit("1654AE6B9F")),
+      unhex(lit("AE8E")), unhex(lit("838102")),
+      unhex(lit("E189")),
+      unhex(lit("B584")), sfreqBytes,
+      unhex(lit("9F81")), u8(lit(1L) + id % 2),
+      unhex(lit("AE8D")), unhex(lit("838101")),
+      unhex(lit("E088")),
+      unhex(lit("B082")), be16(wpx),
+      unhex(lit("BA82")), be16(hpx))
+    val content = when(id % 6 === 0, wav)
+      .when(id % 6 === 1, png)
+      .when(id % 6 === 2, opus)
+      .when(id % 6 === 3, mp4)
+      .when(id % 6 === 4, webm)
       .otherwise(md5(id.cast("string")).cast("binary")) // no magic anywhere
     val built = docs.withColumn("content", content)
     graft.multimodal.Multimodal.mediaMetaPlan(
@@ -298,6 +330,7 @@ object GroupC {
       .select(col("doc_id"), col("media_format"),
         col("audio_sample_rate_hz"), col("audio_channels"),
         col("audio_bits"), col("media_duration_ms"),
+        col("media_video_width"), col("media_video_height"),
         col("img_format"), col("img_width"), col("img_height"))
       .orderBy("doc_id")
   }
@@ -385,29 +418,39 @@ object GroupC {
     // container bytes — so the hash compare verifies the byte walks
     "c8_media_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN 'wav'
-        |       WHEN doc_id % 5 = 2 THEN 'opus'
-        |       WHEN doc_id % 5 = 3 THEN 'mp4' END AS media_format,
-        |  CASE WHEN doc_id % 5 = 0
+        |  CASE WHEN doc_id % 6 = 0 THEN 'wav'
+        |       WHEN doc_id % 6 = 2 THEN 'opus'
+        |       WHEN doc_id % 6 = 3 THEN 'mp4'
+        |       WHEN doc_id % 6 = 4 THEN 'webm' END AS media_format,
+        |  CASE WHEN doc_id % 6 = 0
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 5 = 2
+        |       WHEN doc_id % 6 = 2
         |    THEN CAST(12000 * (1 + doc_id % 4) AS BIGINT)
+        |       WHEN doc_id % 6 = 4
+        |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
         |  END AS audio_sample_rate_hz,
-        |  CASE WHEN doc_id % 5 = 0 THEN CAST(1 + doc_id % 2 AS BIGINT)
-        |       WHEN doc_id % 5 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |  CASE WHEN doc_id % 6 = 0 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |       WHEN doc_id % 6 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |       WHEN doc_id % 6 = 4 THEN CAST(1 + doc_id % 2 AS BIGINT)
         |  END AS audio_channels,
-        |  CASE WHEN doc_id % 5 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
-        |  CASE WHEN doc_id % 5 = 0
+        |  CASE WHEN doc_id % 6 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
+        |  CASE WHEN doc_id % 6 = 0
         |    THEN CAST((1 + doc_id % 7) * 1000 AS BIGINT)
-        |       WHEN doc_id % 5 = 2
+        |       WHEN doc_id % 6 = 2
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 5 = 3
+        |       WHEN doc_id % 6 = 3
         |    THEN CAST((2 + doc_id % 6) * 1000 AS BIGINT)
+        |       WHEN doc_id % 6 = 4
+        |    THEN CAST(1 AS BIGINT) << CAST(10 + doc_id % 6 AS INTEGER)
         |  END AS media_duration_ms,
-        |  CASE WHEN doc_id % 5 = 1 THEN 'png' END AS img_format,
-        |  CASE WHEN doc_id % 5 = 1
+        |  CASE WHEN doc_id % 6 = 4
+        |    THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS media_video_width,
+        |  CASE WHEN doc_id % 6 = 4
+        |    THEN CAST(100 + (doc_id * 3) % 1000 AS BIGINT) END AS media_video_height,
+        |  CASE WHEN doc_id % 6 = 1 THEN 'png' END AS img_format,
+        |  CASE WHEN doc_id % 6 = 1
         |    THEN CAST(16 + doc_id % 100 AS BIGINT) END AS img_width,
-        |  CASE WHEN doc_id % 5 = 1
+        |  CASE WHEN doc_id % 6 = 1
         |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT) END AS img_height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->

@@ -24,6 +24,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     FlacMeta.scan(b)
     Mp3Meta.scan(b)
     OggOpusMeta.scan(b)
+    MkvMeta.scan(b)
     true
   }
 
@@ -36,7 +37,9 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     ascii("RIFF"), ascii("WAVE"), ascii("fLaC"), ascii("ID3"),
     ascii("ftyp"), ascii("moov"), ascii("mvhd"), ascii("Exif"),
     Array[Byte](0xFF.toByte, 0xFB.toByte),              // MP3 sync
-    ascii("Xing"), ascii("OggS"), ascii("OpusHead"))
+    ascii("Xing"), ascii("OggS"), ascii("OpusHead"),
+    Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),  // EBML magic
+    Array[Byte](0x18, 0x53, 0x80.toByte, 0x67))         // Segment
 
   property("random bytes never throw in any scanner") =
     Prop.forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) {
@@ -81,8 +84,21 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
       ascii("OggS") ++ Array[Byte](0, 4) ++
       Array[Byte](0x40, 0x38.toByte, 0, 0, 0, 0, 0, 0) ++
       Array.fill[Byte](12)(0) ++ Array[Byte](1, 1, 0x41)
+    // minimal webm: EBML header w/ DocType, Segment w/ Info(timescale,
+    // duration f32) + Tracks(audio entry) — exercises the VINT walk
+    val mkv = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte, 0x87.toByte) ++
+      Array[Byte](0x42, 0x82.toByte, 0x84.toByte) ++ ascii("webm") ++
+      Array[Byte](0x18, 0x53, 0x80.toByte, 0x67, 0xA8.toByte) ++
+      Array[Byte](0x15, 0x49, 0xA9.toByte, 0x66, 0x8E.toByte,
+        0x2A, 0xD7.toByte, 0xB1.toByte, 0x83.toByte, 0x0F, 0x42, 0x40,
+        0x44, 0x89.toByte, 0x84.toByte, 0x45, 0x7A, 0x00, 0x00) ++
+      Array[Byte](0x16, 0x54, 0xAE.toByte, 0x6B, 0x90.toByte,
+        0xAE.toByte, 0x8E.toByte, 0x83.toByte, 0x81.toByte, 0x02,
+        0xE1.toByte, 0x89.toByte,
+        0xB5.toByte, 0x84.toByte, 0x47, 0x3B, 0x80.toByte, 0x00,
+        0x9F.toByte, 0x81.toByte, 0x02)
     val gen = for {
-      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus))
+      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus, mkv))
       cut <- Gen.chooseNum(0, seed.length)
       at <- Gen.chooseNum(0, math.max(0, seed.length - 1))
       v <- Arbitrary.arbitrary[Byte]
