@@ -914,31 +914,60 @@ object GroupB {
     * user that reached the stage) and join small-side against the next
     * filtered scan.
     */
-  def b39EventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val t1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("t_signup"))
-    val t2 = ev.filter(col("event_type") === "view")
-      .join(t1, "user_id").filter(col("ts") > col("t_signup"))
-      .groupBy("user_id").agg(min("ts").as("t_view"))
-    val t3 = ev.filter(col("event_type") === "click")
-      .join(t2, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy("user_id").agg(min("ts").as("t_click"))
-    val t4 = ev.filter(col("event_type") === "purchase")
-      .join(t3, "user_id").filter(col("ts") > col("t_click"))
-      .groupBy("user_id").agg(min("ts").as("t_purchase"))
-    ev.select("user_id").distinct()
-      .join(t1, Seq("user_id"), "left")
-      .join(t2, Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
-      .join(t4, Seq("user_id"), "left")
-      .withColumn("stage_reached",
-        when(col("t_purchase").isNotNull, 4L)
-          .when(col("t_click").isNotNull, 3L)
-          .when(col("t_view").isNotNull, 2L)
-          .when(col("t_signup").isNotNull, 1L)
-          .otherwise(0L))
+  /** The funnel's ordered stage list — shared by the batch plan, the
+    * streaming twin ([[graft.streaming.StreamEventFunnel]]) and the pure
+    * rule below, so the three cannot drift on what the funnel IS.
+    */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** The strict-after stage rule on ONE user's per-stage event times
+    * (epoch millis): stage k completes at the earliest time of stage k
+    * strictly after stage k−1's completion; a missing stage ends the
+    * chain. This is the same rule b39's chained stage-min joins express
+    * relationally (StreamEventFunnelSpec pins their equality on shared
+    * events) — the streaming twin evaluates it per closed window.
+    */
+  def funnelTimes(byStage: Seq[Seq[Long]]): Seq[Option[Long]] = {
+    var prev: Option[Long] = Some(Long.MinValue)
+    byStage.map { times =>
+      val t = prev.flatMap(p => times.filter(_ > p).sorted.headOption)
+      prev = t
+      t
+    }
+  }
+
+  def b39EventFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    eventFunnelOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+
+  /** b39's body on an arbitrary (user_id, event_type, ts) frame — the
+    * chained stage-min joins DERIVED from [[FunnelStages]]; reusable in
+    * specs against the streaming twin.
+    */
+  def eventFunnelOf(ev: DataFrame): DataFrame = {
+    val frames = FunnelStages.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, stage) =>
+        val filtered = ev.filter(col("event_type") === stage)
+        val chained = acc.headOption match {
+          case None => filtered
+          case Some((prevStage, prevDf)) =>
+            filtered.join(prevDf, "user_id")
+              .filter(col("ts") > col(s"t_$prevStage"))
+        }
+        (stage, chained.groupBy("user_id")
+          .agg(min("ts").as(s"t_$stage"))) :: acc
+    } // head = deepest stage
+    val spine = ev.select("user_id").distinct()
+    val joined = frames.reverse.foldLeft(spine) {
+      case (df, (_, f)) => df.join(f, Seq("user_id"), "left")
+    }
+    val stageReached = frames.zipWithIndex.foldLeft(
+      when(lit(false), 0L)) { case (acc, ((stage, _), iFromDeepest)) =>
+        acc.when(col(s"t_$stage").isNotNull,
+          (FunnelStages.length - iFromDeepest).toLong)
+    }.otherwise(0L)
+    joined
+      .withColumn("stage_reached", stageReached)
       .orderBy("user_id")
   }
 
