@@ -10,14 +10,18 @@ final case class MonitoredDoc(source: String, n_tokens: Long, keep: Boolean)
 /** Cumulative per-source state carried across micro-batches. */
 final case class SourceStats(n_docs: Long, n_dropped: Long, n_tokens: Long)
 
-/** One per-source snapshot emitted each batch the source appears in. */
+/** One per-source snapshot emitted each batch the source appears in —
+  * or, under an idle timeout, the source's FINAL snapshot (`evicted`
+  * true, batch_docs 0) as its state leaves the store.
+  */
 final case class SourceSnapshot(
     source: String,
     batch_docs: Long,
     n_docs: Long,
     n_dropped: Long,
     n_tokens: Long,
-    drop_rate_fp: Long)
+    drop_rate_fp: Long,
+    evicted: Boolean)
 
 /** Per-source CUMULATIVE quality monitoring — the live "is a feed going
   * bad" dashboard a crawl ingest runs next to the gate: for every source
@@ -32,37 +36,65 @@ final case class SourceSnapshot(
   * source cardinality is the operator's honest bound — feeds, not
   * documents), rows stream through executor-side, and the quality flag
   * is [[StreamFunnel.flagged]]'s verbatim projection so the monitor can
-  * never disagree with the gate it watches.
+  * never disagree with the gate it watches. With `idleTimeout` set
+  * (round-13 eviction), a source that stops producing has its state
+  * emitted-and-dropped after the processing-time timeout — a DEAD feed
+  * no longer holds a state row forever, and a re-arriving source
+  * re-accumulates from zero (spec-pinned) — so the state bound becomes
+  * ACTIVE sources, tighter than all-sources-ever.
+  *
+  * Operational note: with the timeout enabled Spark must keep scheduling
+  * no-data micro-batches (that is how idle timeouts fire), so run the
+  * query with an explicit processing-time trigger sized to the timeout
+  * (e.g. timeout/4) — the default as-fast-as-possible trigger busy-loops
+  * empty batches, and `processAllAvailable` never observes quiescence.
   */
 object StreamQualityMonitor {
 
-  /** Attach the monitor to a (source, text, …) stream. */
-  def monitor(spark: SparkSession, docs: DataFrame): Dataset[SourceSnapshot] = {
+  /** Attach the monitor to a (source, text, …) stream; `idleTimeout`
+    * (e.g. "30 minutes") enables emit-and-drop eviction of idle sources.
+    */
+  def monitor(spark: SparkSession, docs: DataFrame,
+              idleTimeout: Option[String] = None): Dataset[SourceSnapshot] = {
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     StreamFunnel.flagged(docs)
       .select(col("source"), col("__n_tokens").as("n_tokens"),
         col("__keep").as("keep"))
       .as[MonitoredDoc]
       .groupByKey(_.source)
-      .mapGroupsWithState[SourceStats, SourceSnapshot](
-        GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[SourceStats, SourceSnapshot](timeoutConf) {
         (source: String, batch: Iterator[MonitoredDoc],
          state: org.apache.spark.sql.streaming.GroupState[SourceStats]) =>
-          var batchDocs = 0L
-          var dropped = 0L
-          var tokens = 0L
-          batch.foreach { d =>
-            batchDocs += 1
-            if (!d.keep) dropped += 1
-            tokens += d.n_tokens
+          def snap(s: SourceStats, batchDocs: Long,
+                   evicted: Boolean): SourceSnapshot =
+            SourceSnapshot(source, batchDocs, s.n_docs, s.n_dropped,
+              s.n_tokens,
+              if (s.n_docs > 0) s.n_dropped * 10000L / s.n_docs else 0L,
+              evicted)
+          if (state.hasTimedOut) {
+            // idle feed: publish the terminal totals and free the row;
+            // if the source comes back it starts a fresh accumulation
+            val last = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
+            state.remove()
+            snap(last, 0L, evicted = true)
+          } else {
+            var batchDocs = 0L
+            var dropped = 0L
+            var tokens = 0L
+            batch.foreach { d =>
+              batchDocs += 1
+              if (!d.keep) dropped += 1
+              tokens += d.n_tokens
+            }
+            val prev = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
+            val next = SourceStats(prev.n_docs + batchDocs,
+              prev.n_dropped + dropped, prev.n_tokens + tokens)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            snap(next, batchDocs, evicted = false)
           }
-          val prev = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
-          val next = SourceStats(prev.n_docs + batchDocs,
-            prev.n_dropped + dropped, prev.n_tokens + tokens)
-          state.update(next)
-          SourceSnapshot(source, batchDocs, next.n_docs, next.n_dropped,
-            next.n_tokens,
-            if (next.n_docs > 0) next.n_dropped * 10000L / next.n_docs else 0L)
       }
   }
 }

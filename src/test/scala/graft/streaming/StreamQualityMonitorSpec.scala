@@ -74,4 +74,51 @@ class StreamQualityMonitorSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("idle sources are emitted-and-evicted; re-arrival re-accumulates") {
+    val spark = TestSpark.spark
+    val dir = tempDir("smon-evict")
+    def doc(id: Long, src: String) =
+      s"$id;$src;alpha beta gamma delta epsilon $id\n"
+    csvFile(dir, "b1.csv", "doc_id;source;text\n" + doc(1, "feedA") + doc(2, "feedA"))
+    val stream = CsvStream.readStream(spark, dir,
+        CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("text"))
+    val seen = scala.collection.mutable.ArrayBuffer[SourceSnapshot]()
+    val q = StreamQualityMonitor.monitor(spark, stream,
+        idleTimeout = Some("2 seconds"))
+      .writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SourceSnapshot], _: Long) =>
+        seen.synchronized { seen ++= df.collect() }; ()
+      }.start()
+    // ProcessingTimeTimeout keeps scheduling no-data batches (that is HOW
+    // idle timeouts fire), so the stream never reports quiescence and
+    // processAllAvailable would block forever — poll with a deadline.
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime + 90L * 1000 * 1000 * 1000
+      while (!seen.synchronized(cond)) {
+        assert(System.nanoTime < deadline,
+          s"timed out waiting for $what: ${seen.synchronized(seen.toSeq)}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      await("first feedA snapshot")(seen.exists(s =>
+        s.source == "feedA" && s.n_docs == 2L && !s.evicted))
+      // feedA goes quiet; the idle timeout fires on a later empty trigger
+      await("eviction row")(seen.exists(s => s.source == "feedA" && s.evicted))
+      val ev = seen.synchronized(
+        seen.filter(s => s.source == "feedA" && s.evicted).head)
+      assert(ev.n_docs == 2L && ev.batch_docs == 0L,
+        s"terminal totals wrong: $ev")
+      // the feed comes back: a FRESH accumulation, not the old totals
+      csvFile(dir, "b3.csv", "doc_id;source;text\n" + doc(4, "feedA"))
+      await("re-arrival snapshot")(seen.exists(s =>
+        s.source == "feedA" && !s.evicted && s.n_docs == 1L &&
+          s.batch_docs == 1L))
+    } finally q.stop()
+  }
 }
