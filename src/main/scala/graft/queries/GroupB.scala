@@ -1044,10 +1044,46 @@ object GroupB {
       .orderBy(col("revenue_fp").desc, col("c_custkey"))
   }
 
+  /** b42: TPC-H Q18 (large-volume customers) on this schema — which
+    * customers placed orders whose combined line quantity exceeds a
+    * threshold: the classic HAVING-subquery "find the whales" pattern.
+    * The qualifying-order set is ONE partial-agg groupBy over lineitem
+    * (quantities are integral doubles, so the sums are IEEE-754-exact
+    * and the > 250 gate is deterministic); it then joins orders on the
+    * SAME key it was grouped by, so the aggregate's shuffle partitioning
+    * is reused for the join — no second exchange of the qualifying set.
+    * No broadcast hint on purpose: qualifying orders are a fixed
+    * FRACTION of all orders (~1.4%), which at 100 TB is far beyond any
+    * broadcast budget — AQE upgrades the join to broadcast at small sf
+    * on its own. The top-100 cut is TakeOrderedAndProject (per-partition
+    * heaps), ordered by the stored price with the order key as the
+    * deterministic tiebreak.
+    */
+  def b42TpchQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_name")
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      // re-assert presentation order after CollectLimit (b40's rule)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "b39_event_funnel" -> (b39EventFunnel _),
     "b40_tpch_q3"      -> (b40TpchQ3 _),
     "b41_tpch_q10"     -> (b41TpchQ10 _),
+    "b42_tpch_q18"     -> (b42TpchQ18 _),
     "b36_merge_scd"     -> (b36MergeScd _),
     "b37_topk_native"   -> (b37TopkNative _),
     "b38_range_frame"   -> (b38RangeFrame _),
@@ -1089,6 +1125,19 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b42_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "b41_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name, c_acctbal,
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -3253,6 +3253,121 @@ object GroupD {
       .orderBy("lang")
   }
 
+  /** d69: Gopher-rule gate — the published heuristic quality rules
+    * (Rae et al. 2021, appendix A1.1; reused by RefinedWeb and Dolma) as
+    * one scan-bounded projection: per document the word count bounds
+    * [50, 100k], mean word length bounds [3, 10], alphabetic-word
+    * fraction ≥ 0.8, stopword presence (the 8-word canonical list;
+    * Gopher's bar is ≥ 2 hits — this synthetic corpus's vocabulary
+    * carries only ONE list word, so the gate runs at ≥ 1 to stay
+    * discriminating, with the count reported so either bar is
+    * recomputable), and symbol (#/ellipsis) pressure < 0.1 — each
+    * reported as
+    * its own flag NEXT TO the measured statistic so a curator sees which
+    * rule fired, plus the conjunction verdict. Every metric is integer
+    * fixed-point (×100 mean length, ×10000 fractions): the gate decision
+    * has no float ulp lottery.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state,
+    * whole-stage-codegen'd array expressions over the scan; the one
+    * ORDER BY is presentation. The cheapest possible gate, composable in
+    * front of every downstream op (d22's stage-0 pattern).
+    */
+  def d69GopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs.select(col("doc_id"), col("text"),
+        filter(GroupC.tokens(col("text")), t => t =!= "").as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_words"),
+        aggregate(transform(col("ts"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_len"),
+        size(filter(col("ts"), t => t.rlike("[a-z]"))).cast("long")
+          .as("n_alpha"),
+        stops.map(s => array_contains(col("ts"), s).cast("long"))
+          .reduce(_ + _).as("stop_hits"),
+        expr("cast(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) " +
+          "as bigint)").as("n_symbols"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sum_len * 100 div greatest(n_words, 1)")
+          .as("mean_word_len_fp"),
+        expr("n_alpha * 10000 div greatest(n_words, 1)").as("alpha_frac_fp"),
+        col("stop_hits"),
+        expr("n_symbols * 10000 div greatest(n_words, 1)")
+          .as("symbol_frac_fp"))
+      .withColumn("r_word_count",
+        col("n_words").between(50L, 100000L))
+      .withColumn("r_mean_len",
+        col("mean_word_len_fp").between(300L, 1000L))
+      .withColumn("r_alpha", col("alpha_frac_fp") >= 8000L)
+      .withColumn("r_stop", col("stop_hits") >= 1L)
+      .withColumn("r_symbol", col("symbol_frac_fp") < 1000L)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") &&
+          col("r_stop") && col("r_symbol"))
+      .orderBy("doc_id")
+  }
+
+  /** d70: Zipf fit — the "is this shard natural language" corpus
+    * diagnostic: per language, rank the unigram vocabulary by frequency
+    * and fit log(freq) against log(rank) with the built-in least-squares
+    * aggregate; natural text sits near slope −1, templated or synthetic
+    * text drifts shallow (this corpus's word soup measures exactly
+    * that). Reported with the vocabulary and token volumes so the slope
+    * has its denominators next to it.
+    *
+    * Scale shape: token explode → (lang, token) partial-agg count — the
+    * only corpus-sized shuffle, map-side combined to vocab size. The
+    * rank window partitions by lang over the VOCAB frame (the standing
+    * LM asset, d16/d45's argument: vocabulary is sublinear in corpus
+    * size and the per-lang sort is vocab-sized, not corpus-sized), and
+    * regr_slope is one partial-aggregable pass over it.
+    */
+  def d70ZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val freq = docs.select(col("lang"),
+        explode(GroupC.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("token"))
+    freq.withColumn("rank", row_number().over(w))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        sum("freq").as("n_tokens"),
+        round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  /** d71: per-document unigram entropy — the information-theoretic
+    * repetition signal next to d18's threshold rule: H = log₂(n) −
+    * (Σ c·ln c)/(n·ln 2) over the document's word counts (the
+    * numerically stable single-pass form — only integer counts are
+    * aggregated, the logs apply once per distinct word). Low-entropy
+    * docs are the "same words over and over" quality rejects that a
+    * length gate misses; H is bounded by log₂(n_types), so the flag
+    * threshold (< 3 bits) is meaningful across document lengths.
+    *
+    * Scale shape: (doc_id, token) partial-agg count — corpus-sized but
+    * map-side combined — then a doc-keyed partial agg to one row per
+    * doc; no window, no state beyond the aggregation buffers.
+    */
+  def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    docs.select(col("doc_id"),
+        explode(GroupC.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(expr("c * ln(c)")).as("clnc"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"),
+        round((log(col("n_toks")) - col("clnc") / col("n_toks")) /
+          log(lit(2.0)), 4).as("entropy_bits"))
+      .withColumn("low_entropy", col("entropy_bits") < 3.0)
+      .orderBy("doc_id")
+  }
+
   /** d66: shuffle-skew profiling report — the operational pre-flight
     * behind b35's salted join: for each candidate shuffle key, the top-5
     * heavy hitters with their fixed-point share, the straggler factor a
@@ -3512,6 +3627,9 @@ object GroupD {
     "d66_skew_report"      -> (d66SkewReport _),
     "d67_exact_substring"  -> (d67ExactSubstring _),
     "d68_data_card"        -> (d68DataCard _),
+    "d69_gopher_rules"     -> (d69GopherRules _),
+    "d70_zipf_fit"         -> (d70ZipfFit _),
+    "d71_doc_entropy"      -> (d71DocEntropy _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3677,6 +3795,75 @@ object GroupD {
        |ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d69_gopher_rules" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter($tokSql, t -> t <> '') AS ts
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(ts)::BIGINT AS n_words,
+         |    COALESCE(list_sum(list_transform(ts, t -> len(t))), 0)::BIGINT
+         |      AS sum_len,
+         |    len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::BIGINT
+         |      AS n_alpha,
+         |    (list_contains(ts, 'the')::BIGINT + list_contains(ts, 'be')::BIGINT
+         |     + list_contains(ts, 'to')::BIGINT + list_contains(ts, 'of')::BIGINT
+         |     + list_contains(ts, 'and')::BIGINT
+         |     + list_contains(ts, 'that')::BIGINT
+         |     + list_contains(ts, 'have')::BIGINT
+         |     + list_contains(ts, 'with')::BIGINT) AS stop_hits,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS n_symbols
+         |  FROM base)
+         |SELECT doc_id, n_words,
+         |  sum_len * 100 // greatest(n_words, 1) AS mean_word_len_fp,
+         |  n_alpha * 10000 // greatest(n_words, 1) AS alpha_frac_fp,
+         |  stop_hits,
+         |  n_symbols * 10000 // greatest(n_words, 1) AS symbol_frac_fp,
+         |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+         |  (sum_len * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
+         |    AS r_mean_len,
+         |  (n_alpha * 10000 // greatest(n_words, 1) >= 8000) AS r_alpha,
+         |  (stop_hits >= 1) AS r_stop,
+         |  (n_symbols * 10000 // greatest(n_words, 1) < 1000) AS r_symbol,
+         |  ((n_words BETWEEN 50 AND 100000)
+         |   AND (sum_len * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
+         |   AND (n_alpha * 10000 // greatest(n_words, 1) >= 8000)
+         |   AND (stop_hits >= 1)
+         |   AND (n_symbols * 10000 // greatest(n_words, 1) < 1000)) AS keep
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
+    "d70_zipf_fit" ->
+      s"""WITH occ AS (
+         |  SELECT lang, unnest($tokSql) AS token FROM documents),
+         |freq AS (
+         |  SELECT lang, token, count(*)::BIGINT AS freq FROM occ
+         |  WHERE token <> '' GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, freq, row_number() OVER (
+         |    PARTITION BY lang ORDER BY freq DESC, token) AS rank
+         |  FROM freq)
+         |SELECT lang, count(*)::BIGINT AS n_types,
+         |  CAST(sum(freq) AS BIGINT) AS n_tokens,
+         |  round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+    "d71_doc_entropy" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, token, count(*)::BIGINT AS c FROM occ
+         |  WHERE token <> '' GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+         |    count(*)::BIGINT AS n_types,
+         |    sum(c * ln(c)) AS clnc
+         |  FROM cnt GROUP BY 1)
+         |SELECT doc_id, n_toks, n_types,
+         |  round((ln(n_toks) - clnc / n_toks) / ln(2), 4) AS entropy_bits,
+         |  (round((ln(n_toks) - clnc / n_toks) / ln(2), 4) < 3.0)
+         |    AS low_entropy
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin,
     // d1 verifies candidates with exact Jaccard — its contract IS c2's.
     "d1_dedup_minhash_lsh" -> GroupC.oracleSql("c2_dedup_near"),
     // d30 verifies candidates with the exact containment test, and its

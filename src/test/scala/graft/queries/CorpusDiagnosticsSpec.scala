@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Internal-consistency pins for the round-13 corpus diagnostics (the
+  * DuckDB oracle pins their values; these pin the INVARIANTS that hold
+  * on any corpus, exercised at sf0.001):
+  *  - d69: each rule flag restates its reported statistic, and `keep`
+  *    is exactly the conjunction — the gate cannot disagree with the
+  *    metrics it publishes.
+  *  - d70: slopes are strictly negative (rank-1 is the mode by
+  *    construction) and n_types ≤ n_tokens.
+  *  - d71: entropy is bounded by [0, log₂(n_types)] with equality at
+  *    the uniform end only, and n_types ≤ n_toks.
+  */
+class CorpusDiagnosticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d69 flags restate their statistics and keep is the conjunction") {
+    val rows = GroupD.d69GopherRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getLong(r.fieldIndex("n_words"))
+      val meanLen = r.getLong(r.fieldIndex("mean_word_len_fp"))
+      val alpha = r.getLong(r.fieldIndex("alpha_frac_fp"))
+      val stops = r.getLong(r.fieldIndex("stop_hits"))
+      val sym = r.getLong(r.fieldIndex("symbol_frac_fp"))
+      def b(n: String) = r.getBoolean(r.fieldIndex(n))
+      assert(b("r_word_count") == (nWords >= 50 && nWords <= 100000))
+      assert(b("r_mean_len") == (meanLen >= 300 && meanLen <= 1000))
+      assert(b("r_alpha") == (alpha >= 8000))
+      assert(b("r_stop") == (stops >= 1))
+      assert(b("r_symbol") == (sym < 1000))
+      assert(b("keep") == (b("r_word_count") && b("r_mean_len") &&
+        b("r_alpha") && b("r_stop") && b("r_symbol")))
+    }
+  }
+
+  test("d70 slopes are negative and volumes are consistent") {
+    val rows = GroupD.d70ZipfFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0)
+      assert(r.getLong(r.fieldIndex("n_types")) <=
+        r.getLong(r.fieldIndex("n_tokens")))
+    }
+  }
+
+  test("d71 entropy respects its information-theoretic bounds") {
+    val rows = GroupD.d71DocEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(r.fieldIndex("entropy_bits"))
+      val types = r.getLong(r.fieldIndex("n_types"))
+      val toks = r.getLong(r.fieldIndex("n_toks"))
+      assert(types <= toks)
+      // rounding slack: values are round(·, 4)
+      assert(h >= -1e-4 && h <= math.log(types.toDouble) / math.log(2.0) + 1e-4,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($types)]")
+      assert(r.getBoolean(r.fieldIndex("low_entropy")) == (h < 3.0))
+    }
+  }
+}
