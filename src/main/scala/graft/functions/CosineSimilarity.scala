@@ -114,6 +114,7 @@ object GraftFunctions {
   val PlainDoubleName = "graft_plain_double"
   val BloomName = "graft_bloom_contains"
   val JpegDimsName = "graft_jpeg_dims"
+  val WebpDimsName = "graft_webp_dims"
   val JpegExifOrientationName = "graft_jpeg_exif_orientation"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
@@ -204,6 +205,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$JpegDimsName expects 1 argument")
         JpegDims(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(WebpDimsName,
+      { exprs =>
+        require(exprs.length == 1, s"$WebpDimsName expects 1 argument")
+        WebpDims(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(JpegExifOrientationName,
       { exprs =>

@@ -110,6 +110,9 @@ object Multimodal {
     *   - JPEG: FF D8 SOI; dimensions sit behind a variable-offset marker
     *     chain, so the walk runs in the native codegen'd
     *     [[graft.functions.JpegDims]] expression (§2.2 ladder step (b))
+    *   - WebP: RIFF-framed with three bit-packed dimension layouts
+    *     (VP8/VP8L/VP8X) behind a chunk chain — the second walk-shaped
+    *     format, in the native [[graft.functions.WebpDims]] expression
     * Unknown or truncated content yields NULLs, never an error — this runs
     * before any validity filter.
     */
@@ -117,7 +120,7 @@ object Multimodal {
     // fail fast on name clashes (ShardedOrder.rankAndPrefixSum discipline):
     // withColumn would silently overwrite pre-existing caller columns
     val reserved = Seq("img_format", "img_width", "img_height",
-      "img_orientation", "__graft_jd")
+      "img_orientation", "__graft_jd", "__graft_wd")
     val clashes = df.columns.toSet intersect reserved.toSet
     require(clashes.isEmpty,
       s"input columns collide with imageDimsPlan outputs/internals: " +
@@ -141,18 +144,27 @@ object Multimodal {
     // elimination — inlining it would re-scan per output column)
     val jd = col("__graft_jd")
     val isJpeg = hex(substring(c, 1, 2)) === "FFD8" && jd.isNotNull
+    // WebP (round 13): RIFF-framed but variable-layout like JPEG — the
+    // chunk walk runs once in the native [[graft.functions.WebpDims]]
+    // expression; NULL result means "not WebP / truncated / corrupt"
+    val wd = col("__graft_wd")
+    val isWebp = wd.isNotNull
     df.withColumn("__graft_jd", expr(
         s"${graft.functions.GraftFunctions.JpegDimsName}($bytesCol)"))
+      .withColumn("__graft_wd", expr(
+        s"${graft.functions.GraftFunctions.WebpDimsName}($bytesCol)"))
       .withColumn("img_format",
         when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
-          .when(isJpeg, "jpeg"))
+          .when(isWebp, "webp").when(isJpeg, "jpeg"))
       .withColumn("img_width",
         when(isPng, beU32(c, 17)).when(isGif, leU16(c, 7))
           .when(isBmp, leS32Abs(c, 19))
+          .when(isWebp, element_at(wd, 1).cast("long"))
           .when(isJpeg, element_at(jd, 1).cast("long")))
       .withColumn("img_height",
         when(isPng, beU32(c, 21)).when(isGif, leU16(c, 9))
           .when(isBmp, leS32Abs(c, 23))
+          .when(isWebp, element_at(wd, 2).cast("long"))
           .when(isJpeg, element_at(jd, 2).cast("long")))
       // EXIF orientation (1–8; NULL = absent): the field a resize stage
       // must honor before touching pixels — JPEG-only by construction
@@ -160,7 +172,7 @@ object Multimodal {
       .withColumn("img_orientation",
         when(isJpeg, expr(s"${graft.functions.GraftFunctions
           .JpegExifOrientationName}($bytesCol)").cast("long")))
-      .drop("__graft_jd")
+      .drop("__graft_jd", "__graft_wd")
   }
 
   /** Appends `media_format` / `audio_sample_rate_hz` / `audio_channels` /

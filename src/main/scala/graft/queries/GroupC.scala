@@ -211,9 +211,11 @@ object GroupC {
     * under the driver's hash gate. The trick that makes a binary parser
     * DuckDB-verifiable: the content bytes are CONSTRUCTED deterministically
     * from doc_id by Spark expressions (unhex/concat of spec-layout fields —
-    * a header-only WAV for doc_id ≡ 0 (mod 5), a PNG signature+IHDR for
+    * a header-only WAV for doc_id ≡ 0 (mod 7), a PNG signature+IHDR for
     * ≡ 1, an Ogg BOS page carrying OpusHead plus an EOS granule page for
-    * ≡ 2, an MP4 moov/mvhd box pair for ≡ 3, magicless junk for ≡ 4),
+    * ≡ 2, an MP4 moov/mvhd box pair for ≡ 3, a webm EBML tree for ≡ 4,
+    * a WebP for ≡ 5 (VP8X canvas on even ids, VP8L packed bits on odd —
+    * round 13), magicless junk for ≡ 6),
     * then parsed BACK by the native walks; the oracle never sees bytes —
     * it derives the same fields arithmetically from doc_id. A walk that
     * misreads any offset, width, endianness, or the junk-refusal contract
@@ -246,7 +248,9 @@ object GroupC {
     // WAV params, all derived from doc_id (the oracle re-derives them)
     val sr = lit(8000L) * (lit(1L) + id % 4)
     val chn = lit(1L) + id % 2
-    val secs = lit(1L) + id % 7
+    // NOT mod 7: the format cycle is mod 7 (round 13), so a mod-7
+    // parameter would be constant across every wav doc
+    val secs = lit(1L) + id % 5
     val byteRate = sr * chn * 2 // 16-bit PCM
     val dataSize = byteRate * secs
     val wav = concat(asc("RIFF"), le32(lit(36L) + dataSize), asc("WAVE"),
@@ -318,11 +322,31 @@ object GroupC {
       unhex(lit("E088")),
       unhex(lit("B082")), be16(wpx),
       unhex(lit("BA82")), be16(hpx))
-    val content = when(id % 6 === 0, wav)
-      .when(id % 6 === 1, png)
-      .when(id % 6 === 2, opus)
-      .when(id % 6 === 3, mp4)
-      .when(id % 6 === 4, webm)
+    // WebP (round 13): id-parity picks the layout — even ids build the
+    // extended VP8X canvas (u24 LE dims), odd ids the lossless VP8L
+    // packed u32 ((h−1)<<14 | (w−1)) — so BOTH bit layouts of the
+    // round-13 chunk walk sit under the hash gate, and the junk arm
+    // keeps covering the no-magic refusal
+    val wwp = lit(100L) + id % 500
+    val hwp = lit(100L) + (id * 11) % 500
+    def le24(v: Column) = {
+      val hh = lpad(hex(v), 6, "0")
+      unhex(concat(substring(hh, 5, 2), substring(hh, 3, 2),
+        substring(hh, 1, 2)))
+    }
+    val webpX = concat(asc("RIFF"), le32(lit(22L)), asc("WEBP"),
+      asc("VP8X"), le32(lit(10L)), unhex(lit("00000000")),
+      le24(wwp - 1), le24(hwp - 1))
+    val webpL = concat(asc("RIFF"), le32(lit(18L)), asc("WEBP"),
+      asc("VP8L"), le32(lit(5L)), unhex(lit("2F")),
+      le32((hwp - 1) * lit(16384L) + (wwp - 1)), u8(lit(0L))) // even pad
+    val webp = when(id % 2 === 0, webpX).otherwise(webpL)
+    val content = when(id % 7 === 0, wav)
+      .when(id % 7 === 1, png)
+      .when(id % 7 === 2, opus)
+      .when(id % 7 === 3, mp4)
+      .when(id % 7 === 4, webm)
+      .when(id % 7 === 5, webp)
       .otherwise(md5(id.cast("string")).cast("binary")) // no magic anywhere
     val built = docs.withColumn("content", content)
     graft.multimodal.Multimodal.mediaMetaPlan(
@@ -418,40 +442,45 @@ object GroupC {
     // container bytes — so the hash compare verifies the byte walks
     "c8_media_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 6 = 0 THEN 'wav'
-        |       WHEN doc_id % 6 = 2 THEN 'opus'
-        |       WHEN doc_id % 6 = 3 THEN 'mp4'
-        |       WHEN doc_id % 6 = 4 THEN 'webm' END AS media_format,
-        |  CASE WHEN doc_id % 6 = 0
+        |  CASE WHEN doc_id % 7 = 0 THEN 'wav'
+        |       WHEN doc_id % 7 = 2 THEN 'opus'
+        |       WHEN doc_id % 7 = 3 THEN 'mp4'
+        |       WHEN doc_id % 7 = 4 THEN 'webm' END AS media_format,
+        |  CASE WHEN doc_id % 7 = 0
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 6 = 2
+        |       WHEN doc_id % 7 = 2
         |    THEN CAST(12000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 6 = 4
+        |       WHEN doc_id % 7 = 4
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
         |  END AS audio_sample_rate_hz,
-        |  CASE WHEN doc_id % 6 = 0 THEN CAST(1 + doc_id % 2 AS BIGINT)
-        |       WHEN doc_id % 6 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
-        |       WHEN doc_id % 6 = 4 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |       WHEN doc_id % 7 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |       WHEN doc_id % 7 = 4 THEN CAST(1 + doc_id % 2 AS BIGINT)
         |  END AS audio_channels,
-        |  CASE WHEN doc_id % 6 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
-        |  CASE WHEN doc_id % 6 = 0
-        |    THEN CAST((1 + doc_id % 7) * 1000 AS BIGINT)
-        |       WHEN doc_id % 6 = 2
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
+        |  CASE WHEN doc_id % 7 = 0
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 6 = 3
+        |       WHEN doc_id % 7 = 2
+        |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
+        |       WHEN doc_id % 7 = 3
         |    THEN CAST((2 + doc_id % 6) * 1000 AS BIGINT)
-        |       WHEN doc_id % 6 = 4
+        |       WHEN doc_id % 7 = 4
         |    THEN CAST(1 AS BIGINT) << CAST(10 + doc_id % 6 AS INTEGER)
         |  END AS media_duration_ms,
-        |  CASE WHEN doc_id % 6 = 4
+        |  CASE WHEN doc_id % 7 = 4
         |    THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS media_video_width,
-        |  CASE WHEN doc_id % 6 = 4
+        |  CASE WHEN doc_id % 7 = 4
         |    THEN CAST(100 + (doc_id * 3) % 1000 AS BIGINT) END AS media_video_height,
-        |  CASE WHEN doc_id % 6 = 1 THEN 'png' END AS img_format,
-        |  CASE WHEN doc_id % 6 = 1
-        |    THEN CAST(16 + doc_id % 100 AS BIGINT) END AS img_width,
-        |  CASE WHEN doc_id % 6 = 1
-        |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT) END AS img_height
+        |  CASE WHEN doc_id % 7 = 1 THEN 'png'
+        |       WHEN doc_id % 7 = 5 THEN 'webp' END AS img_format,
+        |  CASE WHEN doc_id % 7 = 1
+        |    THEN CAST(16 + doc_id % 100 AS BIGINT)
+        |       WHEN doc_id % 7 = 5
+        |    THEN CAST(100 + doc_id % 500 AS BIGINT) END AS img_width,
+        |  CASE WHEN doc_id % 7 = 1
+        |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT)
+        |       WHEN doc_id % 7 = 5
+        |    THEN CAST(100 + (doc_id * 11) % 500 AS BIGINT) END AS img_height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (

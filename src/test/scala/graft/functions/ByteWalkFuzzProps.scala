@@ -18,6 +18,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
 
   private def scansSucceed(b: Array[Byte]): Prop = Prop.secure {
     JpegDims.scan(b)
+    WebpDims.scan(b)
     JpegExifOrientation.scan(b)
     WavMeta.scan(b)
     Mp4Meta.scan(b)
@@ -39,7 +40,8 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     Array[Byte](0xFF.toByte, 0xFB.toByte),              // MP3 sync
     ascii("Xing"), ascii("OggS"), ascii("OpusHead"),
     Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),  // EBML magic
-    Array[Byte](0x18, 0x53, 0x80.toByte, 0x67))         // Segment
+    Array[Byte](0x18, 0x53, 0x80.toByte, 0x67),         // Segment
+    ascii("WEBP"), ascii("VP8 "), ascii("VP8L"), ascii("VP8X"))
 
   property("random bytes never throw in any scanner") =
     Prop.forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) {
