@@ -3351,6 +3351,51 @@ object GroupD {
     * map-side combined — then a doc-keyed partial agg to one row per
     * doc; no window, no state beyond the aggregation buffers.
     */
+  /** d72: per-source KL divergence from the corpus unigram distribution —
+    * the domain-shift diagnostic a mixture designer reads before setting
+    * d26/d50's weights: KL(Pₛ‖P_c) = Σ_t pₛ(t)·ln(pₛ(t)/p_c(t)) over the
+    * source's tokens (every source token also appears in the corpus
+    * distribution by construction, so the divergence is always finite).
+    * High-KL sources are the off-distribution feeds (different register,
+    * different topic mix); near-zero means the source is a typical slice.
+    * Reported in bits with the volume denominators next to it (d70's
+    * presentation rule).
+    *
+    * Scale shape: the corpus is tokenized ONCE — a single (source,
+    * token) partial-agg count is the only corpus-sized shuffle, and the
+    * corpus distribution, the per-source totals, and the grand total all
+    * DERIVE from that vocab×sources frame (c_t = Σₛ c_st — the marginal,
+    * not a second scan). The token join's build side is vocab-sized
+    * (broadcastable or bucket-joinable at any corpus) and the KL sum is
+    * a partial-aggregable fold per source. Output is one row per source
+    * forever.
+    */
+  def d72SourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val occ = docs.select(col("source"),
+        explode(GroupC.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val bySource = occ.groupBy("source", "token")
+      .agg(count(lit(1)).as("c_st"))
+    val corpus = bySource.groupBy("token").agg(sum("c_st").as("c_t"))
+    val totals = bySource.groupBy("source").agg(
+      sum("c_st").as("n_s"), count(lit(1)).as("n_types"))
+    val n = corpus.agg(sum("c_t").as("n_corpus"))
+    bySource.join(corpus, "token")
+      .groupBy("source")
+      // Σ c_st · ln(c_st / c_t): the corpus/source totals factor out of
+      // the log and re-enter once per source below (exact algebra —
+      // only integer counts aggregate, d71's discipline)
+      .agg(sum(expr("c_st * (ln(c_st) - ln(c_t))")).as("fold"))
+      .join(totals, "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
+        round((col("fold") / col("n_s") +
+          log(col("n_corpus")) - log(col("n_s"))) / log(lit(2.0)), 4)
+          .as("kl_bits"))
+      .orderBy("source")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -3630,6 +3675,7 @@ object GroupD {
     "d69_gopher_rules"     -> (d69GopherRules _),
     "d70_zipf_fit"         -> (d70ZipfFit _),
     "d71_doc_entropy"      -> (d71DocEntropy _),
+    "d72_source_divergence" -> (d72SourceDivergence _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3864,6 +3910,29 @@ object GroupD {
          |    AS low_entropy
          |FROM agg
          |ORDER BY doc_id""".stripMargin,
+    "d72_source_divergence" ->
+      s"""WITH occ AS (
+         |  SELECT source, unnest($tokSql) AS token FROM documents),
+         |occ2 AS (SELECT source, token FROM occ WHERE token <> ''),
+         |by_source AS (
+         |  SELECT source, token, count(*)::BIGINT AS c_st FROM occ2
+         |  GROUP BY 1, 2),
+         |corpus AS (
+         |  SELECT token, count(*)::BIGINT AS c_t FROM occ2 GROUP BY 1),
+         |totals AS (
+         |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+         |    count(*)::BIGINT AS n_types
+         |  FROM by_source GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n_corpus FROM occ2),
+         |folds AS (
+         |  SELECT s.source, sum(s.c_st * (ln(s.c_st) - ln(c.c_t))) AS fold
+         |  FROM by_source s JOIN corpus c ON c.token = s.token
+         |  GROUP BY 1)
+         |SELECT f.source, t.n_s AS n_tokens, t.n_types,
+         |  round((f.fold / t.n_s + ln(n.n_corpus) - ln(t.n_s)) / ln(2), 4)
+         |    AS kl_bits
+         |FROM folds f JOIN totals t ON t.source = f.source CROSS JOIN n
+         |ORDER BY f.source""".stripMargin,
     // d1 verifies candidates with exact Jaccard — its contract IS c2's.
     "d1_dedup_minhash_lsh" -> GroupC.oracleSql("c2_dedup_near"),
     // d30 verifies candidates with the exact containment test, and its

@@ -14,6 +14,7 @@ import graft.TestSpark
   *    construction) and n_types ≤ n_tokens.
   *  - d71: entropy is bounded by [0, log₂(n_types)] with equality at
   *    the uniform end only, and n_types ≤ n_toks.
+  *  - d72: KL divergence is non-negative (Gibbs' inequality).
   */
 class CorpusDiagnosticsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -44,6 +45,17 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getDouble(r.fieldIndex("zipf_slope")) < 0.0)
+      assert(r.getLong(r.fieldIndex("n_types")) <=
+        r.getLong(r.fieldIndex("n_tokens")))
+    }
+  }
+
+  test("d72 divergence is non-negative (Gibbs) with consistent volumes") {
+    val rows = GroupD.d72SourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // KL(P_s ‖ P_c) ≥ 0 always; rounding slack for the round(·, 4)
+      assert(r.getDouble(r.fieldIndex("kl_bits")) >= -1e-4)
       assert(r.getLong(r.fieldIndex("n_types")) <=
         r.getLong(r.fieldIndex("n_tokens")))
     }
