@@ -3348,8 +3348,13 @@ object GroupD {
     * threshold (< 3 bits) is meaningful across document lengths.
     *
     * Scale shape: (doc_id, token) partial-agg count — corpus-sized but
-    * map-side combined — then a doc-keyed partial agg to one row per
-    * doc; no window, no state beyond the aggregation buffers.
+    * map-side combined, so the first shuffle carries distinct tokens per
+    * doc, not raw occurrences — then a doc-keyed partial agg whose
+    * shuffle is ≤ one row per (doc, partition). Two small exchanges beat
+    * the one-exchange alternative (repartition(doc_id) then both aggs
+    * in place), which would shuffle the RAW exploded occurrence stream;
+    * no window, no join, no state beyond the aggregation buffers
+    * (plan-pinned).
     */
   /** d72: per-source KL divergence from the corpus unigram distribution —
     * the domain-shift diagnostic a mixture designer reads before setting

@@ -32,9 +32,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
-  test("b40/d66: top-k cuts plan as TakeOrderedAndProject, never a global sort") {
+  test("b40/b42/d66: top-k cuts plan as TakeOrderedAndProject, never a global sort") {
     assert(plan("b40_tpch_q3").contains("TakeOrderedAndProject"))
+    assert(plan("b42_tpch_q18").contains("TakeOrderedAndProject"))
     assert(plan("d66_skew_report").contains("TakeOrderedAndProject"))
+  }
+
+  test("d69: the Gopher gate is shuffle-free up to the presentation sort") {
+    // SCALE.md's d69 claim made structural: one Exchange total (the
+    // range partitioning feeding the ORDER BY doc_id), nothing else —
+    // no aggregation, no window, no join may sneak a shuffle into the
+    // scan-bound gate
+    val p = plan("d69_gopher_rules")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the presentation-sort exchange:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"))
+  }
+
+  test("d71: both aggregations are partial-before-shuffle, nothing else moves") {
+    // two hash exchanges is the RIGHT shape: the first carries map-side
+    // combined (doc_id, token) counts (≈ distinct tokens per doc, not
+    // raw occurrences), the second carries ≤ one partial row per
+    // (doc, input partition). A single doc_id repartition would be one
+    // exchange of RAW exploded occurrences — strictly more bytes. Pin
+    // the count and the absence of joins/windows.
+    val p = plan("d71_doc_entropy")
+    val hashEx = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected the 2 partial-agg exchanges, saw $hashEx:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "aggregates must combine map-side before the shuffle")
+    assert(!p.contains("Join") && !p.contains("Window"))
   }
 
   test("d59: boilerplate membership is a broadcast join (df-tail build side)") {
@@ -258,7 +288,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "d60_ann_ivfpq",
       // d66 crosses each ≤5-row top-k frame with its 1-row total
       // aggregate (d16's pattern, once per profiled key)
-      "d66_skew_report")
+      "d66_skew_report",
+      // d72 crosses the per-source frame with the 1-row corpus-total
+      // aggregate (d16's pattern)
+      "d72_source_divergence")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
