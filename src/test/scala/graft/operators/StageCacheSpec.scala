@@ -42,6 +42,29 @@ class StageCacheSpec extends AnyFunSuite {
     assert(!StageCache.enabled)
   }
 
+  test("the near-dup cluster family shares pairs + labels (round 13)") {
+    assert(!StageCache.enabled)
+    val rawPairs = rows(GroupD.d1DedupMinhashLsh(spark, sf))
+    val rawClusters = rows(GroupD.d14DedupClusters(spark, sf))
+    val rawKeepBest = rows(GroupD.d46DedupKeepBest(spark, sf))
+    sys.props("graft.model.cache") =
+      TestSpark.tempDir("stage-cache-models3").toString
+    try {
+      StageCache.clear()
+      assert(rows(GroupD.d1DedupMinhashLsh(spark, sf)) === rawPairs)
+      assert(rows(GroupD.d14DedupClusters(spark, sf)) === rawClusters)
+      assert(rows(GroupD.d46DedupKeepBest(spark, sf)) === rawKeepBest)
+      // keep-best must consume the persisted cluster frame, not re-run
+      // the iterative propagation
+      val plan = GroupD.d46DedupKeepBest(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"))
+    } finally {
+      StageCache.clear()
+      sys.props.remove("graft.model.cache")
+    }
+  }
+
   test("a second persisted() call serves the same frame instance") {
     sys.props("graft.model.cache") =
       TestSpark.tempDir("stage-cache-models2").toString
