@@ -89,6 +89,28 @@ object BpeTrain {
       case c    => c.toString
     } + "'"
 
+  /** APPLY a trained merge table — the encode half of the tokenizer
+    * lifecycle (round 13): rewrites a symbol-array SQL expression
+    * through the merges in rank order using the SAME left-to-right
+    * greedy fold the trainer used, so an encoded corpus can never
+    * disagree with the table's training dynamics. The result is a
+    * rank-deep nested HOF chain compiled once per query; merge tables
+    * are model-sized, and the expression embeds them as literals (the
+    * NearestCentroid constant-plan discipline). For production-sized
+    * tables (~10⁴ merges) the same per-merge fold runs as train's loop
+    * does — one round per merge over the vocab frame with checkpoint
+    * truncation — the nested form is for the bounded tables a query
+    * embeds directly.
+    */
+  def encodeExpr(symExpr: String, ms: Seq[Merge]): String =
+    ms.sortBy(_.rank).foldLeft(symExpr) { (inner, m) =>
+      val q1 = sqlLit(m.left); val q2 = sqlLit(m.right)
+      s"aggregate($inner, cast(array() as array<string>), (acc, x) -> " +
+        s"IF(size(acc) > 0 AND element_at(acc, -1) = $q1 AND x = $q2, " +
+        s"concat(slice(acc, 1, size(acc) - 1), array($q1 || $q2)), " +
+        "concat(acc, array(x))))"
+    }
+
   /** Merge-table (de)serialization for the ModelCache disk layer —
     * tab/newline framed (the declared query's symbols are alnum; a
     * generic caller persisting exotic symbols should bring its own

@@ -3495,28 +3495,75 @@ object GroupD {
     * sequence, round-1 equality with d38's rank-1 pair, determinism).
     * Training memoizes per corpus (AnnTuning's one-time-build rule).
     */
-  def d63BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The corpus's trained BPE merge table (8 rounds), shared by d63's
+    * training report and d73's encode pass — one training per corpus via
+    * the memo, disk-backed through ModelStore under the ModelCache gate
+    * (a fresh JVM's pass 1 reloads instead of re-running the rounds,
+    * d41's sketch discipline).
+    */
+  private def trainedBpeMerges(spark: SparkSession,
+      sfDir: String): Seq[graft.operators.BpeTrain.Merge] = {
     val docs = Tables(spark, sfDir, "documents")
     val words = docs
       .select(explode(GroupC.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wc"))
-    // disk-backed second level under the memo (Bench/Verify only): the
-    // merge table persists via ModelStore bytes, keyed on the documents
-    // files' fingerprint — a fresh JVM's pass 1 reloads instead of
-    // re-running the 8 training rounds (d41's sketch discipline)
-    val merges = bpeMerges(s"bpe|$sfDir")(
+    bpeMerges(s"bpe|$sfDir")(
       graft.operators.ModelCache.cached("bpe", s"bpe|$sfDir", docs)(
           p => graft.operators.BpeTrain.fromBytes(
             graft.operators.ModelStore.loadSketch(spark, p)))(
           (p, m) => graft.operators.ModelStore.saveSketch(spark, p,
             graft.operators.BpeTrain.toBytes(m)))(
         graft.operators.BpeTrain.train(words, merges = 8)))
+  }
+
+  def d63BpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedBpeMerges(spark, sfDir)
     spark.createDataFrame(merges)
       .select(col("rank").cast("long").as("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"),
         col("count").as("pair_count"))
       .orderBy("rank")
+  }
+
+  /** d73: BPE ENCODE — the apply half closing d63's tokenizer lifecycle
+    * (train → ship the table → encode the corpus with it): every
+    * document's tokens are rewritten through the trained merge table and
+    * the per-doc compression is reported (words, characters, emitted
+    * symbols, chars-per-symbol fixed-point). Train and encode share ONE
+    * rewrite rule ([[graft.operators.BpeTrain.encodeExpr]] is the
+    * trainer's own fold, rank-ordered), so the encoded corpus cannot
+    * disagree with the table's training dynamics — pinned in BpeTrainSpec
+    * against a hand-derived textbook encoding.
+    *
+    * Scale shape: the encode fold runs over the word-TYPE table (Sennrich
+    * corpus trick, d63's argument — vocab-sized compute regardless of
+    * corpus), with the merge table embedded as plan literals
+    * (NearestCentroid's constant-plan discipline); the per-doc report
+    * then joins occurrences to encoded types on the token key — d16's
+    * vocab-build-side join shape — and partial-aggs to one row per doc.
+    * No oracle (the table comes from iterative training, d63's contract):
+    * rows-only + BpeTrainSpec pins (textbook encode, zero-merge identity,
+    * n_words ≤ n_symbols ≤ n_chars monotonicity).
+    */
+  def d73BpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedBpeMerges(spark, sfDir)
+    val docs = Tables(spark, sfDir, "documents")
+    val occ = docs.select(col("doc_id"),
+        explode(GroupC.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val types = occ.select("w").distinct()
+      .withColumn("n_sym", size(expr(graft.operators.BpeTrain.encodeExpr(
+        "filter(split(w, ''), x -> x <> '')", merges))).cast("long"))
+      .withColumn("n_ch", length(col("w")).cast("long"))
+    occ.join(types, "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum("n_ch").as("n_chars"),
+        sum("n_sym").as("n_symbols"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_symbols"),
+        expr("n_chars * 100 div n_symbols").as("chars_per_symbol_fp"))
+      .orderBy("doc_id")
   }
 
   private val bpeMemo =
@@ -3690,6 +3737,10 @@ object GroupD {
     // oracle (d27's contract); textbook-sequence + d38-round-1 +
     // determinism pins in BpeTrainSpec.
     "d63_bpe_train"        -> (d63BpeTrain _),
+    // d73 encodes with d63's trained table (iterative model — no SQL
+    // oracle, d63's contract); textbook-encode + identity + monotonicity
+    // pins in BpeTrainSpec.
+    "d73_bpe_encode"       -> (d73BpeEncode _),
     "d64_hashed_tf"        -> (d64HashedTf _),
     "d65_token_drift"      -> (d65TokenDrift _),
     "d66_skew_report"      -> (d66SkewReport _),

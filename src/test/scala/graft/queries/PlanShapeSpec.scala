@@ -28,7 +28,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "d13_ann_topk", "d27_kmeans", "d33_ann_pq", "d36_filtered_ann",
       "d39_semdedup", "d41_bigram_novelty_cms", "d43_containment_minhash",
       "d51_embedding_drift", "d52_label_knn_ann", "d53_ivf_maintain",
-      "d54_maintained_serve", "d60_ann_ivfpq", "d63_bpe_train"),
+      "d54_maintained_serve", "d60_ann_ivfpq", "d63_bpe_train",
+      "d73_bpe_encode"),
       s"unexpected oracle-less queries: $rowsOnly")
   }
 
