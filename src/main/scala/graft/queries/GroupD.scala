@@ -3419,6 +3419,57 @@ object GroupD {
       .orderBy("source")
   }
 
+  /** d74: content-defined chunking — the LBFS/FastCDC boundary rule
+    * (public: Muthitacharoen et al. 2001; Xia et al. 2016) a dedup/
+    * packing pipeline uses instead of fixed windows: a chunk boundary
+    * falls AFTER any 8-char window whose content hash ≡ 0 (mod 29), so
+    * an edit shifts only the chunks it touches — the property fixed
+    * d28-style chunking lacks. Emits the per-doc chunk table (index,
+    * start, length, md5) ready for corpus-wide chunk dedup. The window
+    * hash is md5-derived (engine-identical, the repo's no-RNG oracle
+    * discipline); a production deployment swaps in a gear/Rabin rolling
+    * hash behind the SAME plan shape — the boundary rule is the
+    * operator's contract, the hash is an implementation detail the
+    * oracle pins here.
+    *
+    * Scale shape: candidate positions explode scan-side (O(chars), d67's
+    * stride-1 precedent) and collapse immediately to the sparse cut
+    * list; chunk assembly is ONE per-doc window (lead + row_number share
+    * the (doc_id, start) sort) over cut-sized rows joined back to the
+    * doc-sized text frame on doc_id. No corpus-sized shuffle beyond the
+    * doc-keyed window; min/max chunk-length clamps (FastCDC's
+    * normalization) would bound state identically.
+    */
+  def d74CdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunksOf(Tables(spark, sfDir, "documents"))
+
+  /** d74's body on an arbitrary (doc_id, text) frame — reusable in specs
+    * (tiling and edit-stability want hand-built corpora).
+    */
+  private[queries] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n"))
+    val cuts = lens.filter(col("n") >= 8)
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(1L, n - 7), i -> struct(i AS i, " +
+          "cast(conv(substring(md5(substring(text, cast(i as int), 8)), " +
+          "1, 4), 16, 10) as bigint) AS hv))")).as("p"))
+      .filter(col("p.hv") % 29 === 0L && col("p.i") + 7L < col("n"))
+      .select(col("doc_id"), (col("p.i") + 7L).as("c"))
+    val starts = lens.select(col("doc_id"), lit(1L).as("s"))
+      .unionByName(cuts.select(col("doc_id"), (col("c") + 1L).as("s")))
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    starts.join(lens, "doc_id")
+      .withColumn("e", coalesce(lead("s", 1).over(w) - 1L, col("n")))
+      .select(col("doc_id"),
+        row_number().over(w).cast("long").as("chunk_idx"),
+        col("s").as("start_pos"),
+        (col("e") - col("s") + 1L).as("chunk_len"),
+        md5(expr("substring(text, cast(s as int), cast(e - s + 1 as int))")
+          .cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -3750,6 +3801,7 @@ object GroupD {
     "d70_zipf_fit"         -> (d70ZipfFit _),
     "d71_doc_entropy"      -> (d71DocEntropy _),
     "d72_source_divergence" -> (d72SourceDivergence _),
+    "d74_cdc_chunks"       -> (d74CdcChunks _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -3984,6 +4036,35 @@ object GroupD {
          |    AS low_entropy
          |FROM agg
          |ORDER BY doc_id""".stripMargin,
+    "d74_cdc_chunks" ->
+      """WITH lens AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i
+        |  FROM lens WHERE n >= 8),
+        |cuts AS (
+        |  SELECT doc_id, i + 7 AS c FROM pos
+        |  WHERE ('0x' || substr(md5(substr(text, i::INTEGER, 8)), 1, 4))::BIGINT
+        |          % 29 = 0
+        |    AND i + 7 < n),
+        |starts AS (
+        |  SELECT doc_id, 1::BIGINT AS s FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, c + 1 AS s FROM cuts),
+        |ch AS (
+        |  SELECT s.doc_id, s.s,
+        |    COALESCE(lead(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1,
+        |      l.n) AS e,
+        |    l.text
+        |  FROM starts s JOIN lens l USING (doc_id))
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s)::BIGINT
+        |    AS chunk_idx,
+        |  s AS start_pos,
+        |  (e - s + 1)::BIGINT AS chunk_len,
+        |  md5(substr(text, s::INTEGER, (e - s + 1)::INTEGER)) AS chunk_md5
+        |FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "d72_source_divergence" ->
       s"""WITH occ AS (
          |  SELECT source, unnest($tokSql) AS token FROM documents),

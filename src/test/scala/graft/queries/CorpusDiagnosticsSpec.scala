@@ -61,6 +61,44 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("d74 chunks tile each document exactly") {
+    val rows = GroupD.d74CdcChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, ch) =>
+      val sorted = ch.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $doc first chunk start")
+      // contiguous: each start is the previous end + 1
+      sorted.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s2 == s1 + l1, s"doc $doc gap at $s2")
+        case _ => ()
+      }
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+    }
+  }
+
+  test("d74 boundaries are edit-stable: a prefix edit leaves the tail chunks") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while nobody " +
+      "watches the long winding river flow quietly past the old mill"
+    val edited = "XX" + base // a 2-char prepend — fixed windows all shift
+    val chunks = GroupD.cdcChunksOf(
+        Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val a = chunks.filter(_._1 == 1L).map(_._2)
+    val b = chunks.filter(_._1 == 2L).map(_._2)
+    // all chunks after the first boundary re-synchronize: the edited
+    // doc's chunk md5 set must contain every base chunk except possibly
+    // the first (whose content absorbed the edit)
+    val shared = a.toSet intersect b.toSet
+    assert(shared.size >= a.length - 1,
+      s"CDC failed to resynchronize: ${a.length} base chunks, " +
+        s"${shared.size} shared")
+    assert(a.length >= 3, s"fixture too short to be meaningful: ${a.length}")
+  }
+
   test("d71 entropy respects its information-theoretic bounds") {
     val rows = GroupD.d71DocEntropy(spark, sf).collect()
     assert(rows.nonEmpty)
