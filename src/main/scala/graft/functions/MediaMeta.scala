@@ -635,7 +635,14 @@ object MkvMeta {
       val size = w.readSize()
       if (!w.fail) {
         if (id == DOC_TYPE) {
-          val s = w.string(size)
+          val raw = w.string(size)
+          // RFC 8794 §7: String elements may be zero-padded at the end;
+          // 'webm\0\0\0\0' is a VALID DocType (review finding, round 13)
+          val s = if (raw == null) null else {
+            var e = raw.length
+            while (e > 0 && raw.charAt(e - 1) == 0) e -= 1
+            raw.substring(0, e)
+          }
           if (s == null) {}
           else if (s == "matroska") doctype = 1L
           else if (s == "webm") doctype = 2L

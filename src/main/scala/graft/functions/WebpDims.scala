@@ -87,12 +87,15 @@ object WebpDims {
   def scan(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 20) return null
     if (tag(b, 0) != RIFF || tag(b, 8) != WEBP) return null
-    var i = 12
+    // cursor rides a Long (MkvMeta's discipline): a declared chunk size
+    // near 2³¹ must walk off the END of the buffer, not wrap an Int into
+    // a negative index — crawled bytes are adversarial input
+    var i = 12L
     // bounded by buffer length: every step advances ≥ 8 bytes
     while (i + 8 <= b.length) {
-      val id = tag(b, i)
-      val size = u32le(b, i + 4)
-      val p = i + 8 // payload start
+      val id = tag(b, i.toInt)
+      val size = u32le(b, i.toInt + 4)
+      val p = i.toInt + 8 // payload start
       if (id == VP8) {
         // frame tag(3) sync(3: 9D 01 2A) w(2 LE) h(2 LE)
         if (p + 10 > b.length || size < 10) return null
@@ -117,11 +120,9 @@ object WebpDims {
         val h = u24le(b, p + 7) + 1
         return Array(w, h, 2)
       } else {
-        // unknown chunk: skip payload + even padding
-        if (size > Int.MaxValue - 9L) return null
-        val step = size.toInt + (size.toInt & 1)
-        if (step < 0) return null
-        i = p + step
+        // unknown chunk: skip payload + even padding, in Long — a size
+        // near u32 max simply exits the loop instead of wrapping
+        i = p.toLong + size + (size & 1L)
       }
     }
     null

@@ -215,7 +215,12 @@ object Multimodal {
     // counts when the strict mp4 parse didn't claim the asset (above).
     // mkv's walk returns the video-capable 6-field shape and is wired
     // per-field below instead
-    val audio = coalesce(wav, flac, opus, when(mp4.isNull, mp3))
+    // the mp3 frame sniffer yields to BOTH strict container parses: an
+    // MKV whose lacing stores contiguous MPEG frames (or an MP4 whose
+    // mdat embeds them) must take its audio columns from the container
+    // walk, not the sniff — media_format and the audio columns may never
+    // disagree about which parse won (review finding, round 13)
+    val audio = coalesce(wav, flac, opus, when(mp4.isNull && mkv.isNull, mp3))
     df.withColumn("__graft_wav", expr(
         s"${graft.functions.GraftFunctions.WavMetaName}($bytesCol)"))
       .withColumn("__graft_flac", expr(

@@ -30,35 +30,56 @@ import org.apache.spark.storage.StorageLevel
   * keys per corpus. A stopped session's entries are rebuilt, not served.
   */
 object StageCache {
-  private val frames = new ConcurrentHashMap[String, DataFrame]()
+  /** Per-key lazy holder (the bpeMemo/AnnTuning putIfAbsent discipline,
+    * review finding round 13): a miss on key A must not block a
+    * concurrent build of key B behind one global monitor — each entry
+    * synchronizes only on itself, and `lazy val` gives exactly-once
+    * build-and-persist per holder.
+    */
+  private final class Entry(build: () => DataFrame) {
+    @volatile private[StageCache] var built = false
+    lazy val df: DataFrame = {
+      val d = build().persist(StorageLevel.MEMORY_AND_DISK)
+      built = true
+      d
+    }
+  }
+  private val frames = new ConcurrentHashMap[String, Entry]()
 
   def enabled: Boolean = ModelCache.root.nonEmpty
 
   /** Serve the persisted frame for `key` (callers namespace by corpus
     * dir: `s"$sfDir#stage"`), building + persisting on first touch.
+    * Assumes the drivers' one-live-session-per-JVM model (Bench/Verify):
+    * a frame from a STOPPED session is rebuilt, but two concurrently
+    * live sessions in one JVM would share entries — callers with that
+    * shape must namespace the key by session.
     */
   def persisted(key: String)(build: => DataFrame): DataFrame = {
     if (!enabled) build
     else {
-      val hit = frames.get(key)
-      if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
-      else frames.synchronized {
-        val again = frames.get(key)
-        if (again != null && !again.sparkSession.sparkContext.isStopped) again
-        else {
-          val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-          frames.put(key, df)
-          df
-        }
+      val fresh = new Entry(() => build)
+      var entry = frames.putIfAbsent(key, fresh)
+      if (entry == null) entry = fresh
+      val df = entry.df
+      if (!df.sparkSession.sparkContext.isStopped) df
+      else {
+        // stale session: replace THIS entry and rebuild (rare path)
+        val rebuilt = new Entry(() => build)
+        if (frames.replace(key, entry, rebuilt)) rebuilt.df
+        else frames.get(key).df
       }
     }
   }
 
   /** Unpersist and drop every entry — for specs that toggle the policy. */
   def clear(): Unit = {
-    frames.values.forEach { df =>
-      try df.unpersist(blocking = false)
-      catch { case scala.util.control.NonFatal(_) => () }
+    frames.values.forEach { e =>
+      // only force entries that actually built — clearing must not run
+      // a never-requested build just to unpersist it
+      if (e.built)
+        try e.df.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     frames.clear()
   }

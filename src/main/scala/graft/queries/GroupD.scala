@@ -847,8 +847,9 @@ object GroupD {
     * two strings within 2 edits always share a variant reachable by ≤ 2
     * deletions from each (delete the aligned positions the ops touch),
     * so the neighborhood is the string + its 1-deletion + its C(len,2)
-    * 2-deletion variants. Exact `levenshtein` verify keeps the contract
-    * exact; the same brute-force quadratic oracle verifies at sf0.01.
+    * 2-deletion variants. The same brute-force quadratic oracle
+    * verifies at sf0.01; FuzzyJoinGapBoundSpec pins the gap-bound
+    * arithmetic against brute-force levenshtein on adversarial corpora.
     *
     * Round-13 affix factoring: `ed(P·x·S, P·y·S) = ed(x, y)` when every
     * string shares constant prefix P and suffix S, so the corpus-wide
@@ -889,6 +890,18 @@ object GroupD {
     * the min needs all of them (array_distinct here would lose the
     * optimal witness and break exactness).
     *
+    * Collision contract (review finding, round 13): pair identity rides
+    * the variants' 8-byte xxhash64 — the SAME trade c2/d1/d67 make for
+    * their shingle and window hashes. Two UNRELATED names joining
+    * requires two different variant strings colliding in 64 bits AND
+    * the colliding instance's gap bound passing ≤ 2: expected false
+    * pairs ≈ V²/2⁶⁵ — ~10⁻⁸ at this corpus (V ≈ 10⁶ variants), single
+    * digits per run at a 10¹⁰-variant production corpus. Exactness is
+    * therefore with-that-probability, not unconditional; a deployment
+    * that cannot accept it re-attaches names and filters
+    * `levenshtein(a, b, 2) = dist` on the OUTPUT pairs (output-sized
+    * cost, the contract restored for ~1 s at sf0.1).
+    *
     * Scale shape: one explode scan (≤ 1+len+C(len,2) variants a row over
     * the STRIPPED tail), one equi-join on the 8-byte variant hash, a
     * codegen'd int-only bound filter on the join stream, then one
@@ -904,14 +917,20 @@ object GroupD {
     // min/max pair (classic trick); the shared suffix likewise on the
     // reversed remainders (computed on the post-prefix remainder so an
     // all-identical corpus can't double-count overlapping affixes)
+    // NOTE: the probe is EAGER — building this frame runs two tiny
+    // aggregate jobs (a deliberate plan-time statistic, the same trade
+    // AQE makes with runtime stats). Null-safe: an empty or all-NULL
+    // table yields no affixes and the plan degrades to plain FastSS
+    // (review finding, round 13).
+    def shared(a: String, b: String): Int =
+      if (a == null || b == null) 0
+      else a.zip(b).takeWhile { case (x, y) => x == y }.length
     val mm = custFull.agg(min("fullname"), max("fullname")).head()
-    val (lo, hi) = (mm.getString(0), mm.getString(1))
-    val plen = lo.zip(hi).takeWhile { case (x, y) => x == y }.length
+    val plen = shared(mm.getString(0), mm.getString(1))
     val mmS = custFull
       .select(reverse(expr(s"substr(fullname, ${plen + 1})")).as("r"))
       .agg(min("r"), max("r")).head()
-    val slen = mmS.getString(0).zip(mmS.getString(1))
-      .takeWhile { case (x, y) => x == y }.length
+    val slen = shared(mmS.getString(0), mmS.getString(1))
     val cust = custFull.select(col("id"),
       expr(s"substr(fullname, ${plen + 1}, " +
         s"length(fullname) - ${plen + slen})").as("name"))
@@ -3328,8 +3347,10 @@ object GroupD {
 
   /** d70: Zipf fit — the "is this shard natural language" corpus
     * diagnostic: per language, rank the unigram vocabulary by frequency
-    * and fit log(freq) against log(rank) with the built-in least-squares
-    * aggregate; natural text sits near slope −1, templated or synthetic
+    * and fit log(freq) against log(rank) by least squares (explicit
+    * moment sums — each per-term double cast to decimal so the
+    * aggregation is exact and merge-order-independent); natural text
+    * sits near slope −1, templated or synthetic
     * text drifts shallow (this corpus's word soup measures exactly
     * that). Reported with the vocabulary and token volumes so the slope
     * has its denominators next to it.
@@ -3347,20 +3368,35 @@ object GroupD {
         explode(GroupC.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+    // least squares via explicit moment sums, each per-term double cast
+    // to decimal BEFORE aggregation: decimal addition is exact and
+    // associative, so the sums are independent of partition merge order
+    // (regr_slope's double buffers are not — review finding, round 13);
+    // the one double conversion happens once per final value
     val w = Window.partitionBy("lang").orderBy(col("freq").desc, col("token"))
+    def dsum(term: String) =
+      expr(s"cast(sum(cast($term as decimal(30,15))) as double)")
     freq.withColumn("rank", row_number().over(w))
       .groupBy("lang").agg(
         count(lit(1)).as("n_types"),
         sum("freq").as("n_tokens"),
-        round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("zipf_slope"))
+        dsum("ln(freq) * ln(rank)").as("sxy"),
+        dsum("ln(rank)").as("sx"),
+        dsum("ln(freq)").as("sy"),
+        dsum("ln(rank) * ln(rank)").as("sxx"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        round((col("n_types") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_types") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"))
       .orderBy("lang")
   }
 
   /** d71: per-document unigram entropy — the information-theoretic
     * repetition signal next to d18's threshold rule: H = log₂(n) −
     * (Σ c·ln c)/(n·ln 2) over the document's word counts (the
-    * numerically stable single-pass form — only integer counts are
-    * aggregated, the logs apply once per distinct word). Low-entropy
+    * numerically stable single-pass form — logs apply once per distinct
+    * word, and each c·ln c term is cast to decimal before the sum so
+    * the aggregation is exact and merge-order-independent). Low-entropy
     * docs are the "same words over and over" quality rejects that a
     * length gate misses; H is bounded by log₂(n_types), so the flag
     * threshold (< 3 bits) is meaningful across document lengths.
@@ -3389,9 +3425,9 @@ object GroupD {
     * corpus distribution, the per-source totals, and the grand total all
     * DERIVE from that vocab×sources frame (c_t = Σₛ c_st — the marginal,
     * not a second scan). The token join's build side is vocab-sized
-    * (broadcastable or bucket-joinable at any corpus) and the KL sum is
-    * a partial-aggregable fold per source. Output is one row per source
-    * forever.
+    * (broadcastable or bucket-joinable at any corpus) and the KL fold sums
+    * decimal-cast terms per source (exact, merge-order-independent).
+    * Output is one row per source forever.
     */
   def d72SourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
@@ -3407,9 +3443,11 @@ object GroupD {
     bySource.join(corpus, "token")
       .groupBy("source")
       // Σ c_st · ln(c_st / c_t): the corpus/source totals factor out of
-      // the log and re-enter once per source below (exact algebra —
-      // only integer counts aggregate, d71's discipline)
-      .agg(sum(expr("c_st * (ln(c_st) - ln(c_t))")).as("fold"))
+      // the log and re-enter once per source below; per-term doubles
+      // are cast to decimal before the sum so the fold is exact and
+      // merge-order-independent (d71's discipline, review finding r13)
+      .agg(expr("cast(sum(cast(c_st * (ln(c_st) - ln(c_t)) " +
+        "as decimal(30,15))) as double)").as("fold"))
       .join(totals, "source")
       .crossJoin(broadcast(n))
       .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
@@ -3479,7 +3517,10 @@ object GroupD {
       .groupBy("doc_id").agg(
         sum("c").as("n_toks"),
         count(lit(1)).as("n_types"),
-        sum(expr("c * ln(c)")).as("clnc"))
+        // per-term doubles cast to decimal before summing: exact,
+        // merge-order-independent aggregation (review finding, r13)
+        expr("cast(sum(cast(c * ln(c) as decimal(30,15))) as double)")
+          .as("clnc"))
       .select(col("doc_id"), col("n_toks"), col("n_types"),
         round((log(col("n_toks")) - col("clnc") / col("n_toks")) /
           log(lit(2.0)), 4).as("entropy_bits"))
@@ -4014,11 +4055,21 @@ object GroupD {
          |ranked AS (
          |  SELECT lang, freq, row_number() OVER (
          |    PARTITION BY lang ORDER BY freq DESC, token) AS rank
-         |  FROM freq)
-         |SELECT lang, count(*)::BIGINT AS n_types,
-         |  CAST(sum(freq) AS BIGINT) AS n_tokens,
-         |  round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope
-         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+         |  FROM freq),
+         |sums AS (
+         |  SELECT lang, count(*)::BIGINT AS n_types,
+         |    CAST(sum(freq) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CAST(ln(freq) * ln(rank) AS DECIMAL(30,15))) AS DOUBLE)
+         |      AS sxy,
+         |    CAST(sum(CAST(ln(rank) AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(ln(freq) AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(ln(rank) * ln(rank) AS DECIMAL(30,15))) AS DOUBLE)
+         |      AS sxx
+         |  FROM ranked GROUP BY lang)
+         |SELECT lang, n_types, n_tokens,
+         |  round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 4)
+         |    AS zipf_slope
+         |FROM sums ORDER BY lang""".stripMargin,
     "d71_doc_entropy" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
@@ -4028,7 +4079,7 @@ object GroupD {
          |agg AS (
          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
          |    count(*)::BIGINT AS n_types,
-         |    sum(c * ln(c)) AS clnc
+         |    CAST(sum(CAST(c * ln(c) AS DECIMAL(30,15))) AS DOUBLE) AS clnc
          |  FROM cnt GROUP BY 1)
          |SELECT doc_id, n_toks, n_types,
          |  round((ln(n_toks) - clnc / n_toks) / ln(2), 4) AS entropy_bits,
@@ -4080,7 +4131,9 @@ object GroupD {
          |  FROM by_source GROUP BY 1),
          |n AS (SELECT count(*)::BIGINT AS n_corpus FROM occ2),
          |folds AS (
-         |  SELECT s.source, sum(s.c_st * (ln(s.c_st) - ln(c.c_t))) AS fold
+         |  SELECT s.source,
+         |    CAST(sum(CAST(s.c_st * (ln(s.c_st) - ln(c.c_t))
+         |      AS DECIMAL(30,15))) AS DOUBLE) AS fold
          |  FROM by_source s JOIN corpus c ON c.token = s.token
          |  GROUP BY 1)
          |SELECT f.source, t.n_s AS n_tokens, t.n_types,

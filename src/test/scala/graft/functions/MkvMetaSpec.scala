@@ -134,6 +134,21 @@ class MkvMetaSpec extends AnyFunSuite {
     assert(MkvMeta.scan(Array.emptyByteArray) == null)
   }
 
+  test("zero-padded DocType is valid per RFC 8794 §7 (review finding)") {
+    // a muxer may pad String elements with trailing NULs; 'webm\0\0\0\0'
+    // must classify as webm, not refuse the whole file
+    val padded = el(EBML, el(DOCTYPE,
+      "webm".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)))
+    val info = el(INFO, el(TSCALE, uint(1000000L)) ++ el(DURATION, f32(2000f)))
+    val b = padded ++ el(SEGMENT, info)
+    val m = MkvMeta.scan(b)
+    assert(m != null && row(m)(5) == 2L, if (m == null) "null" else row(m))
+    // padding on a FOREIGN doctype must still refuse
+    val foreign = el(EBML, el(DOCTYPE,
+      "banana".getBytes("US-ASCII") ++ Array[Byte](0, 0)))
+    assert(MkvMeta.scan(foreign ++ el(SEGMENT, info)) == null)
+  }
+
   test("non-finite or absurd values refuse the derived field only") {
     val info = el(INFO, el(DURATION, f32(Float.NaN)))
     val tracks = el(TRACKS, audioEntry(f32(Float.PositiveInfinity), Some(2L)))

@@ -84,6 +84,12 @@ class WebpDimsSpec extends AnyFunSuite {
     assert(WebpDims.scan(null) == null)
     assert(WebpDims.scan(Array.emptyByteArray) == null)
     assert(WebpDims.scan(riff(Seq())) == null) // no bitstream chunk at all
+    // a declared chunk size near 2³¹ must walk off the buffer end, not
+    // wrap the cursor into a negative index (review finding, round 13)
+    val huge = riff(ascii("JUNK") ++ u32le(0x7FFFFFF0L) ++ Seq(0, 0, 0, 0))
+    assert(WebpDims.scan(huge) == null)
+    val umax = riff(ascii("JUNK") ++ u32le(0xFFFFFFFFL) ++ Seq(0, 0, 0, 0))
+    assert(WebpDims.scan(umax) == null)
   }
 
   test("interpreted eval and codegen agree; imageDimsPlan classifies webp") {
