@@ -3479,7 +3479,12 @@ object GroupD {
     * normalization) would bound state identically.
     */
   def d74CdcChunks(spark: SparkSession, sfDir: String): DataFrame =
-    cdcChunksOf(Tables(spark, sfDir, "documents"))
+    // the chunk table is the shared hub of the CDC family (d75 consumes
+    // it for cross-doc dedup accounting) and its 5M-window hash pass is
+    // the cost — one materialization per corpus under the StageCache
+    // policy (d1Pairs' rule; specs exercise the raw plan)
+    graft.operators.StageCache.persisted(s"$sfDir#d74_chunks")(
+      cdcChunksOf(Tables(spark, sfDir, "documents")))
 
   /** d74's body on an arbitrary (doc_id, text) frame — reusable in specs
     * (tiling and edit-stability want hand-built corpora).
@@ -3506,6 +3511,46 @@ object GroupD {
         md5(expr("substring(text, cast(s as int), cast(e - s + 1 as int))")
           .cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** d75: chunk-level dedup accounting — the reason d74 exists: which
+    * chunks recur across DIFFERENT documents (boilerplate, quoted
+    * passages, syndicated fragments), per document. A chunk is "shared"
+    * when its md5 occurs in ≥ 2 distinct docs (d67's df≥2 rule at chunk
+    * granularity, but content-defined so edits don't hide the overlap);
+    * the report gives per-doc chunk volume, shared-chunk count, shared
+    * character total, and the fixed-point shared fraction. Short chunks
+    * (< 16 chars) are excluded from the SHARED test — a 1-char chunk
+    * recurring is noise, not duplication (the same reason d67 windows 16
+    * tokens) — but still count in the volume denominators.
+    *
+    * Scale shape: d74's chunk table (its plan, not a rescan) → one
+    * (md5) partial-agg distinct-doc count — the build side is the df≥2
+    * TAIL, far smaller than the chunk stream (d59's membership-join
+    * argument, broadcast/bucket at any corpus) — then a per-doc partial
+    * agg. The 16-byte md5 is the only corpus-sized shuffle payload;
+    * text never moves.
+    */
+  def d75ChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = d74CdcChunks(spark, sfDir)
+      .select("doc_id", "chunk_len", "chunk_md5")
+    val eligible = chunks.filter(col("chunk_len") >= 16L)
+    val sharedKeys = eligible.groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("chunk_md5")
+    val shared = eligible.join(sharedKeys, "chunk_md5")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("shared_chunks"),
+        sum("chunk_len").as("shared_chars"))
+    chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("n_chars"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_chars"),
+        coalesce(col("shared_chunks"), lit(0L)).as("shared_chunks"),
+        coalesce(col("shared_chars"), lit(0L)).as("shared_chars"))
+      .withColumn("shared_fp",
+        expr("shared_chars * 10000 div greatest(n_chars, 1)"))
+      .orderBy("doc_id")
   }
 
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
@@ -3843,6 +3888,7 @@ object GroupD {
     "d71_doc_entropy"      -> (d71DocEntropy _),
     "d72_source_divergence" -> (d72SourceDivergence _),
     "d74_cdc_chunks"       -> (d74CdcChunks _),
+    "d75_chunk_dedup"      -> (d75ChunkDedup _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4087,6 +4133,51 @@ object GroupD {
          |    AS low_entropy
          |FROM agg
          |ORDER BY doc_id""".stripMargin,
+    "d75_chunk_dedup" ->
+      """WITH lens AS (
+        |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+        |pos AS (
+        |  SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i
+        |  FROM lens WHERE n >= 8),
+        |cuts AS (
+        |  SELECT doc_id, i + 7 AS c FROM pos
+        |  WHERE ('0x' || substr(md5(substr(text, i::INTEGER, 8)), 1, 4))::BIGINT
+        |          % 29 = 0
+        |    AND i + 7 < n),
+        |starts AS (
+        |  SELECT doc_id, 1::BIGINT AS s FROM lens
+        |  UNION ALL
+        |  SELECT doc_id, c + 1 AS s FROM cuts),
+        |ch AS (
+        |  SELECT s.doc_id, s.s,
+        |    COALESCE(lead(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1,
+        |      l.n) AS e,
+        |    l.text
+        |  FROM starts s JOIN lens l USING (doc_id)),
+        |chunks AS (
+        |  SELECT doc_id, (e - s + 1)::BIGINT AS chunk_len,
+        |    md5(substr(text, s::INTEGER, (e - s + 1)::INTEGER)) AS chunk_md5
+        |  FROM ch),
+        |eligible AS (SELECT * FROM chunks WHERE chunk_len >= 16),
+        |shared_keys AS (
+        |  SELECT chunk_md5 FROM eligible
+        |  GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2),
+        |shared AS (
+        |  SELECT e.doc_id, count(*)::BIGINT AS shared_chunks,
+        |    CAST(sum(e.chunk_len) AS BIGINT) AS shared_chars
+        |  FROM eligible e JOIN shared_keys k USING (chunk_md5)
+        |  GROUP BY e.doc_id),
+        |vol AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    CAST(sum(chunk_len) AS BIGINT) AS n_chars
+        |  FROM chunks GROUP BY doc_id)
+        |SELECT v.doc_id, v.n_chunks, v.n_chars,
+        |  COALESCE(s.shared_chunks, 0) AS shared_chunks,
+        |  COALESCE(s.shared_chars, 0) AS shared_chars,
+        |  COALESCE(s.shared_chars, 0) * 10000
+        |    // greatest(v.n_chars, 1) AS shared_fp
+        |FROM vol v LEFT JOIN shared s ON s.doc_id = v.doc_id
+        |ORDER BY v.doc_id""".stripMargin,
     "d74_cdc_chunks" ->
       """WITH lens AS (
         |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),

@@ -78,6 +78,24 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     }
   }
 
+  test("d75 volumes reconcile with d74's chunk table") {
+    val vol = GroupD.d74CdcChunks(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, ch) => d -> ((ch.length.toLong, ch.map(_.getLong(3)).sum)) }
+    val rows = GroupD.d75ChunkDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val doc = r.getLong(0)
+      val (nCh, nChars) = vol(doc)
+      assert(r.getLong(1) == nCh && r.getLong(2) == nChars,
+        s"doc $doc volume mismatch")
+      assert(r.getLong(3) <= nCh && r.getLong(4) <= nChars,
+        s"doc $doc shared exceeds volume")
+      assert(r.getLong(5) == r.getLong(4) * 10000 / math.max(nChars, 1L))
+    }
+    assert(rows.map(_.getLong(0)).toSet == vol.keySet, "doc sets differ")
+  }
+
   test("d74 boundaries are edit-stable: a prefix edit leaves the tail chunks") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then " +
