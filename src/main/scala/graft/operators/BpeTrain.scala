@@ -111,6 +111,36 @@ object BpeTrain {
         "concat(acc, array(x))))"
     }
 
+  /** The loop-path encode for PRODUCTION-sized merge tables (round 13):
+    * one fold round per merge over the vocab frame with localCheckpoint
+    * lineage truncation — train's own loop shape, byte-identical
+    * semantics to [[encodeExpr]]'s nested chain (spec-pinned). Use this
+    * past a few dozen merges: a 10⁴-deep nested expression would blow
+    * the analyzer/codegen, while N checkpointed rounds over a
+    * vocab-sized frame are exactly what training already proved cheap.
+    * Returns the input frame plus `sym` (the encoded symbol array);
+    * `chunk` truncates lineage every that-many merges (each checkpoint
+    * materializes the vocab frame once — batching trades peak lineage
+    * depth against materializations).
+    */
+  def encode(words: DataFrame, ms: Seq[Merge], symCol: String = "sym",
+      chunk: Int = 16): DataFrame = {
+    var cur = words.withColumn(symCol,
+      org.apache.spark.sql.functions.expr(
+        "filter(split(w, ''), x -> x <> '')"))
+    val sorted = ms.sortBy(_.rank)
+    var i = 0
+    while (i < sorted.length) {
+      val batch = sorted.slice(i, math.min(i + chunk, sorted.length))
+      val prev = cur
+      cur = cur.withColumn(symCol, org.apache.spark.sql.functions.expr(
+        encodeExpr(symCol, batch))).localCheckpoint(true)
+      free(prev)
+      i += chunk
+    }
+    cur
+  }
+
   /** Merge-table (de)serialization for the ModelCache disk layer —
     * tab/newline framed (the declared query's symbols are alnum; a
     * generic caller persisting exotic symbols should bring its own

@@ -84,6 +84,28 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(id == Seq("a", "b", "c"))
   }
 
+  test("loop-path encode equals the nested chain across chunk sizes") {
+    import spark.implicits._
+    // train a deeper table than any sane nested chain would embed, then
+    // drive the SAME corpus through both paths — they must agree word
+    // for word (the loop is the production shape for ~10⁴-merge tables)
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "lowest" -> 4L, "newer" -> 2L, "wider" -> 1L,
+      "stress" -> 2L, "stressed" -> 1L, "tested" -> 3L)
+    val words = corpus.toDF("w", "wc")
+    val merges = BpeTrain.train(words, merges = 24)
+    assert(merges.length >= 10, s"fixture too shallow: ${merges.length}")
+    val viaChain = words.select(col("w"), expr(BpeTrain.encodeExpr(
+        "filter(split(w, ''), x -> x <> '')", merges)).as("sym"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (chunk <- Seq(1, 4, 16, 100)) {
+      val viaLoop = BpeTrain.encode(words, merges, chunk = chunk)
+        .select("w", "sym")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(viaLoop == viaChain, s"chunk=$chunk diverged")
+    }
+  }
+
   test("d73 reports consistent, monotone compression (round 13)") {
     val rows = graft.queries.GroupD.d73BpeEncode(spark, sf).collect()
     assert(rows.nonEmpty)
