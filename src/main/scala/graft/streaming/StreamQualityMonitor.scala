@@ -7,6 +7,10 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
 /** A flagged document entering the monitor. */
 final case class MonitoredDoc(source: String, n_tokens: Long, keep: Boolean)
 
+/** [[MonitoredDoc]] plus the event time — the event-time variant's row. */
+final case class MonitoredDocTs(source: String, n_tokens: Long,
+    keep: Boolean, ts: java.sql.Timestamp)
+
 /** Cumulative per-source state carried across micro-batches. */
 final case class SourceStats(n_docs: Long, n_dropped: Long, n_tokens: Long)
 
@@ -93,6 +97,70 @@ object StreamQualityMonitor {
               prev.n_dropped + dropped, prev.n_tokens + tokens)
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
+            snap(next, batchDocs, evicted = false)
+          }
+      }
+  }
+
+  /** The EVENT-TIME eviction variant (round 13, closing the last
+    * GroupStateTimeout mode): for a (source, text, `tsCol`, …) stream,
+    * a source is evicted when the WATERMARK passes its newest event
+    * time plus `idleTimeoutMs` — data-driven and replay-deterministic
+    * (a reprocessed log evicts at the same batch every run), where the
+    * processing-time variant's clock depends on wall time. The timeout
+    * timestamp is clamped above the current watermark (a batch of
+    * exclusively allowed-late rows could otherwise set one in the
+    * past, which Spark rejects). No busy-loop caveat here: no-data
+    * batches are scheduled only when the watermark actually advances,
+    * so `processAllAvailable` works and the spec needs no sleeps.
+    */
+  def monitorEventTime(spark: SparkSession, docs: DataFrame, tsCol: String,
+      watermarkDelay: String, idleTimeoutMs: Long): Dataset[SourceSnapshot] = {
+    import spark.implicits._
+    StreamFunnel.flagged(docs)
+      // cast BEFORE the watermark: a cast over a watermarked column
+      // drops its event-time tag and EventTimeTimeout then refuses
+      .withColumn("__mon_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__mon_ts", watermarkDelay)
+      .select(col("source"), col("__n_tokens").as("n_tokens"),
+        col("__keep").as("keep"), col("__mon_ts").as("ts"))
+      .as[MonitoredDocTs]
+      .groupByKey(_.source)
+      .mapGroupsWithState[SourceStats, SourceSnapshot](
+        GroupStateTimeout.EventTimeTimeout) {
+        (source: String, batch: Iterator[MonitoredDocTs],
+         state: org.apache.spark.sql.streaming.GroupState[SourceStats]) =>
+          def snap(s: SourceStats, batchDocs: Long,
+                   evicted: Boolean): SourceSnapshot =
+            SourceSnapshot(source, batchDocs, s.n_docs, s.n_dropped,
+              s.n_tokens,
+              if (s.n_docs > 0) s.n_dropped * 10000L / s.n_docs else 0L,
+              evicted)
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
+            state.remove()
+            snap(last, 0L, evicted = true)
+          } else {
+            var batchDocs = 0L
+            var dropped = 0L
+            var tokens = 0L
+            var maxTs = Long.MinValue
+            batch.foreach { d =>
+              batchDocs += 1
+              if (!d.keep) dropped += 1
+              tokens += d.n_tokens
+              if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
+            }
+            val prev = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
+            val next = SourceStats(prev.n_docs + batchDocs,
+              prev.n_dropped + dropped, prev.n_tokens + tokens)
+            state.update(next)
+            val wm = state.getCurrentWatermarkMs()
+            val at = math.max(
+              if (maxTs == Long.MinValue) wm + idleTimeoutMs
+              else maxTs + idleTimeoutMs,
+              wm + 1L)
+            state.setTimeoutTimestamp(at)
             snap(next, batchDocs, evicted = false)
           }
       }

@@ -75,6 +75,53 @@ class StreamQualityMonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time eviction fires when the watermark passes, no clock involved") {
+    val spark = TestSpark.spark
+    val dir = tempDir("smon-evt")
+    def doc(id: Long, src: String, ts: String) =
+      s"$id;$src;$ts;alpha beta gamma delta epsilon $id\n"
+    val hdr = "doc_id;source;ts;text\n"
+    csvFile(dir, "b1.csv", hdr +
+      doc(1, "feedA", "2026-01-01 10:00:00") +
+      doc(2, "feedA", "2026-01-01 10:00:05"))
+    val stream = CsvStream.readStream(spark, dir,
+        CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("ts").cast("timestamp").as("ts"), col("text"))
+    val seen = scala.collection.mutable.ArrayBuffer[SourceSnapshot]()
+    // idle timeout 60 s of EVENT time, watermark delay 10 s
+    val q = StreamQualityMonitor.monitorEventTime(spark, stream, "ts",
+        watermarkDelay = "10 seconds", idleTimeoutMs = 60000L)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SourceSnapshot], _: Long) =>
+        seen.synchronized { seen ++= df.collect() }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.exists(s =>
+        s.source == "feedA" && s.n_docs == 2L && !s.evicted)))
+      assert(seen.synchronized(!seen.exists(_.evicted)))
+      // a feedB batch 30 min later drives the watermark past feedA's
+      // 10:00:05 + 60 s timeout — eviction is DATA-driven, so this test
+      // needs no sleeps and replays identically every run
+      csvFile(dir, "b2.csv", hdr + doc(3, "feedB", "2026-01-01 10:30:00"))
+      q.processAllAvailable()
+      val ev = seen.synchronized(
+        seen.filter(s => s.source == "feedA" && s.evicted))
+      assert(ev.nonEmpty, s"no event-time eviction: ${seen.toSeq}")
+      assert(ev.head.n_docs == 2L && ev.head.batch_docs == 0L)
+      // feedB is fresh relative to the watermark: still resident
+      assert(seen.synchronized(!seen.exists(s =>
+        s.source == "feedB" && s.evicted)))
+      // the feed returns within the NEW watermark: fresh accumulation
+      csvFile(dir, "b3.csv", hdr + doc(4, "feedA", "2026-01-01 10:31:00"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.exists(s =>
+        s.source == "feedA" && !s.evicted && s.n_docs == 1L)),
+        seen.synchronized(seen.toSeq).toString)
+    } finally q.stop()
+  }
+
   test("idle sources are emitted-and-evicted; re-arrival re-accumulates") {
     val spark = TestSpark.spark
     val dir = tempDir("smon-evict")
