@@ -31,6 +31,13 @@ object BpeTrain {
     */
   final case class Merge(rank: Int, left: String, right: String, count: Long)
 
+  /** The seed tokenization — a word's initial symbol array. ONE
+    * definition shared by train, both encode paths, and the specs: the
+    * train/encode agreement contract rests on the seed rule never
+    * diverging between them (review finding, round 13).
+    */
+  val SeedSymExpr: String = "filter(split(w, ''), x -> x <> '')"
+
   /** Train `merges` rounds over a (w: string, wc: long) word-frequency
     * frame. Symbols are the word's characters (the tokenizer's alnum
     * alphabet — no quoting hazards in the generated SQL literals, which
@@ -38,7 +45,7 @@ object BpeTrain {
     */
   def train(words: DataFrame, merges: Int): Seq[Merge] = {
     var seqs = words
-      .select(col("wc"), expr("filter(split(w, ''), x -> x <> '')").as("sym"))
+      .select(col("wc"), expr(SeedSymExpr).as("sym"))
       .filter(size(col("sym")) >= 1)
       .localCheckpoint(true)
     val learned = Seq.newBuilder[Merge]
@@ -125,9 +132,8 @@ object BpeTrain {
     */
   def encode(words: DataFrame, ms: Seq[Merge], symCol: String = "sym",
       chunk: Int = 16): DataFrame = {
-    var cur = words.withColumn(symCol,
-      org.apache.spark.sql.functions.expr(
-        "filter(split(w, ''), x -> x <> '')"))
+    require(chunk > 0, s"chunk must be positive, got $chunk")
+    var cur = words.withColumn(symCol, expr(SeedSymExpr))
     val sorted = ms.sortBy(_.rank)
     var i = 0
     while (i < sorted.length) {

@@ -3691,7 +3691,7 @@ object GroupD {
       .filter(col("w") =!= "")
     val types = occ.select("w").distinct()
       .withColumn("n_sym", size(expr(graft.operators.BpeTrain.encodeExpr(
-        "filter(split(w, ''), x -> x <> '')", merges))).cast("long"))
+        graft.operators.BpeTrain.SeedSymExpr, merges))).cast("long"))
       .withColumn("n_ch", length(col("w")).cast("long"))
     occ.join(types, "w")
       .groupBy("doc_id").agg(
@@ -4053,6 +4053,34 @@ object GroupD {
        |WHERE d.source <> 'src0'
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The CDC chunk-construction CTE block (lens → pos → cuts → starts →
+    * ch), shared VERBATIM by the d74 and d75 oracles — on the Spark side
+    * d75 consumes d74's plan, so the SQL must share one definition too
+    * or a boundary-rule change could silently leave the two oracles on
+    * different chunkings (review finding, round 13; lmCtes' discipline).
+    */
+  private lazy val cdcChunkCtes: String =
+    """WITH lens AS (
+      |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+      |pos AS (
+      |  SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i
+      |  FROM lens WHERE n >= 8),
+      |cuts AS (
+      |  SELECT doc_id, i + 7 AS c FROM pos
+      |  WHERE ('0x' || substr(md5(substr(text, i::INTEGER, 8)), 1, 4))::BIGINT
+      |          % 29 = 0
+      |    AND i + 7 < n),
+      |starts AS (
+      |  SELECT doc_id, 1::BIGINT AS s FROM lens
+      |  UNION ALL
+      |  SELECT doc_id, c + 1 AS s FROM cuts),
+      |ch AS (
+      |  SELECT s.doc_id, s.s,
+      |    COALESCE(lead(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1,
+      |      l.n) AS e,
+      |    l.text
+      |  FROM starts s JOIN lens l USING (doc_id))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d69_gopher_rules" ->
       s"""WITH base AS (
@@ -4134,26 +4162,7 @@ object GroupD {
          |FROM agg
          |ORDER BY doc_id""".stripMargin,
     "d75_chunk_dedup" ->
-      """WITH lens AS (
-        |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
-        |pos AS (
-        |  SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i
-        |  FROM lens WHERE n >= 8),
-        |cuts AS (
-        |  SELECT doc_id, i + 7 AS c FROM pos
-        |  WHERE ('0x' || substr(md5(substr(text, i::INTEGER, 8)), 1, 4))::BIGINT
-        |          % 29 = 0
-        |    AND i + 7 < n),
-        |starts AS (
-        |  SELECT doc_id, 1::BIGINT AS s FROM lens
-        |  UNION ALL
-        |  SELECT doc_id, c + 1 AS s FROM cuts),
-        |ch AS (
-        |  SELECT s.doc_id, s.s,
-        |    COALESCE(lead(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1,
-        |      l.n) AS e,
-        |    l.text
-        |  FROM starts s JOIN lens l USING (doc_id)),
+      s"""$cdcChunkCtes,
         |chunks AS (
         |  SELECT doc_id, (e - s + 1)::BIGINT AS chunk_len,
         |    md5(substr(text, s::INTEGER, (e - s + 1)::INTEGER)) AS chunk_md5
@@ -4179,26 +4188,7 @@ object GroupD {
         |FROM vol v LEFT JOIN shared s ON s.doc_id = v.doc_id
         |ORDER BY v.doc_id""".stripMargin,
     "d74_cdc_chunks" ->
-      """WITH lens AS (
-        |  SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
-        |pos AS (
-        |  SELECT doc_id, text, n, unnest(range(1, n - 6)) AS i
-        |  FROM lens WHERE n >= 8),
-        |cuts AS (
-        |  SELECT doc_id, i + 7 AS c FROM pos
-        |  WHERE ('0x' || substr(md5(substr(text, i::INTEGER, 8)), 1, 4))::BIGINT
-        |          % 29 = 0
-        |    AND i + 7 < n),
-        |starts AS (
-        |  SELECT doc_id, 1::BIGINT AS s FROM lens
-        |  UNION ALL
-        |  SELECT doc_id, c + 1 AS s FROM cuts),
-        |ch AS (
-        |  SELECT s.doc_id, s.s,
-        |    COALESCE(lead(s.s) OVER (PARTITION BY s.doc_id ORDER BY s.s) - 1,
-        |      l.n) AS e,
-        |    l.text
-        |  FROM starts s JOIN lens l USING (doc_id))
+      s"""$cdcChunkCtes
         |SELECT doc_id,
         |  row_number() OVER (PARTITION BY doc_id ORDER BY s)::BIGINT
         |    AS chunk_idx,

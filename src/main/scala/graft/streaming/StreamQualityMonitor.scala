@@ -12,7 +12,8 @@ final case class MonitoredDocTs(source: String, n_tokens: Long,
     keep: Boolean, ts: java.sql.Timestamp)
 
 /** Cumulative per-source state carried across micro-batches. */
-final case class SourceStats(n_docs: Long, n_dropped: Long, n_tokens: Long)
+final case class SourceStats(n_docs: Long, n_dropped: Long,
+    n_tokens: Long, max_ts_ms: Long = 0L)
 
 /** One per-source snapshot emitted each batch the source appears in —
   * or, under an idle timeout, the source's FINAL snapshot (`evicted`
@@ -55,6 +56,24 @@ final case class SourceSnapshot(
   */
 object StreamQualityMonitor {
 
+  /** One snapshot shape for BOTH timeout variants — extracted so the
+    * drop-rate fixed point and eviction row can never drift between
+    * them (review finding, round 13).
+    */
+  private def snapOf(source: String, s: SourceStats, batchDocs: Long,
+      evicted: Boolean): SourceSnapshot =
+    SourceSnapshot(source, batchDocs, s.n_docs, s.n_dropped, s.n_tokens,
+      if (s.n_docs > 0) s.n_dropped * 10000L / s.n_docs else 0L, evicted)
+
+  /** The shared terminal-emit-and-remove eviction step. */
+  private def evict(source: String,
+      state: org.apache.spark.sql.streaming.GroupState[SourceStats])
+      : SourceSnapshot = {
+    val last = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
+    state.remove()
+    snapOf(source, last, 0L, evicted = true)
+  }
+
   /** Attach the monitor to a (source, text, …) stream; `idleTimeout`
     * (e.g. "30 minutes") enables emit-and-drop eviction of idle sources.
     */
@@ -71,19 +90,10 @@ object StreamQualityMonitor {
       .mapGroupsWithState[SourceStats, SourceSnapshot](timeoutConf) {
         (source: String, batch: Iterator[MonitoredDoc],
          state: org.apache.spark.sql.streaming.GroupState[SourceStats]) =>
-          def snap(s: SourceStats, batchDocs: Long,
-                   evicted: Boolean): SourceSnapshot =
-            SourceSnapshot(source, batchDocs, s.n_docs, s.n_dropped,
-              s.n_tokens,
-              if (s.n_docs > 0) s.n_dropped * 10000L / s.n_docs else 0L,
-              evicted)
-          if (state.hasTimedOut) {
-            // idle feed: publish the terminal totals and free the row;
-            // if the source comes back it starts a fresh accumulation
-            val last = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
-            state.remove()
-            snap(last, 0L, evicted = true)
-          } else {
+          // idle feed: publish the terminal totals and free the row;
+          // if the source comes back it starts a fresh accumulation
+          if (state.hasTimedOut) evict(source, state)
+          else {
             var batchDocs = 0L
             var dropped = 0L
             var tokens = 0L
@@ -97,7 +107,7 @@ object StreamQualityMonitor {
               prev.n_dropped + dropped, prev.n_tokens + tokens)
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
-            snap(next, batchDocs, evicted = false)
+            snapOf(source, next, batchDocs, evicted = false)
           }
       }
   }
@@ -130,21 +140,12 @@ object StreamQualityMonitor {
         GroupStateTimeout.EventTimeTimeout) {
         (source: String, batch: Iterator[MonitoredDocTs],
          state: org.apache.spark.sql.streaming.GroupState[SourceStats]) =>
-          def snap(s: SourceStats, batchDocs: Long,
-                   evicted: Boolean): SourceSnapshot =
-            SourceSnapshot(source, batchDocs, s.n_docs, s.n_dropped,
-              s.n_tokens,
-              if (s.n_docs > 0) s.n_dropped * 10000L / s.n_docs else 0L,
-              evicted)
-          if (state.hasTimedOut) {
-            val last = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
-            state.remove()
-            snap(last, 0L, evicted = true)
-          } else {
+          if (state.hasTimedOut) evict(source, state)
+          else {
             var batchDocs = 0L
             var dropped = 0L
             var tokens = 0L
-            var maxTs = Long.MinValue
+            var maxTs = 0L
             batch.foreach { d =>
               batchDocs += 1
               if (!d.keep) dropped += 1
@@ -152,16 +153,20 @@ object StreamQualityMonitor {
               if (d.ts != null && d.ts.getTime > maxTs) maxTs = d.ts.getTime
             }
             val prev = state.getOption.getOrElse(SourceStats(0L, 0L, 0L))
+            // the deadline derives from the ALL-TIME newest event, not
+            // this batch's: an allowed-late batch must never pull the
+            // deadline backward and evict a non-idle source (review
+            // finding, round 13) — max_ts_ms is monotone, so the
+            // timeout timestamp is too
             val next = SourceStats(prev.n_docs + batchDocs,
-              prev.n_dropped + dropped, prev.n_tokens + tokens)
+              prev.n_dropped + dropped, prev.n_tokens + tokens,
+              math.max(prev.max_ts_ms, maxTs))
             state.update(next)
             val wm = state.getCurrentWatermarkMs()
-            val at = math.max(
-              if (maxTs == Long.MinValue) wm + idleTimeoutMs
-              else maxTs + idleTimeoutMs,
-              wm + 1L)
-            state.setTimeoutTimestamp(at)
-            snap(next, batchDocs, evicted = false)
+            val base = if (next.max_ts_ms > 0L) next.max_ts_ms else wm
+            state.setTimeoutTimestamp(
+              math.max(base + idleTimeoutMs, wm + 1L))
+            snapOf(source, next, batchDocs, evicted = false)
           }
       }
   }

@@ -63,7 +63,7 @@ class BpeTrainSpec extends AnyFunSuite {
       BpeTrain.Merge(2, "es", "t", 9L), BpeTrain.Merge(3, "l", "o", 7L),
       BpeTrain.Merge(4, "lo", "w", 7L))
     val enc = expr(BpeTrain.encodeExpr(
-      "filter(split(w, ''), x -> x <> '')", merges))
+      BpeTrain.SeedSymExpr, merges))
     val got = Seq("low", "lower", "newest", "widest", "stress")
       .toDF("w").select(col("w"), enc.as("sym")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
@@ -79,7 +79,7 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got("stress") == Seq("s", "t", "r", "es", "s"), got("stress"))
     // zero-merge identity: encoding with an empty table is the char split
     val id = Seq("abc").toDF("w").select(expr(BpeTrain.encodeExpr(
-      "filter(split(w, ''), x -> x <> '')", Seq())).as("s"))
+      BpeTrain.SeedSymExpr, Seq())).as("s"))
       .collect().head.getSeq[String](0)
     assert(id == Seq("a", "b", "c"))
   }
@@ -96,7 +96,7 @@ class BpeTrainSpec extends AnyFunSuite {
     val merges = BpeTrain.train(words, merges = 24)
     assert(merges.length >= 10, s"fixture too shallow: ${merges.length}")
     val viaChain = words.select(col("w"), expr(BpeTrain.encodeExpr(
-        "filter(split(w, ''), x -> x <> '')", merges)).as("sym"))
+        BpeTrain.SeedSymExpr, merges)).as("sym"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     for (chunk <- Seq(1, 4, 16, 100)) {
       val viaLoop = BpeTrain.encode(words, merges, chunk = chunk)
@@ -121,9 +121,9 @@ class BpeTrainSpec extends AnyFunSuite {
     import spark.implicits._
     val words = Seq("newest", "widest", "low").toDF("w")
     val n2 = words.select(size(expr(BpeTrain.encodeExpr(
-      "filter(split(w, ''), x -> x <> '')", merges))).as("n")).collect()
+      BpeTrain.SeedSymExpr, merges))).as("n")).collect()
     val n1 = words.select(size(expr(BpeTrain.encodeExpr(
-      "filter(split(w, ''), x -> x <> '')", merges.take(1)))).as("n")).collect()
+      BpeTrain.SeedSymExpr, merges.take(1)))).as("n")).collect()
     n2.zip(n1).foreach { case (a, b) =>
       assert(a.getInt(0) <= b.getInt(0))
     }
