@@ -270,9 +270,39 @@ object GroupA {
     spark.read.format(fmt).load(dir.toString).orderBy("event_id")
   }
 
+  /** a15: gzip-compressed CSV round-trip — the wire shape crawl dumps
+    * actually arrive in: the reference's CSV layer reads plain files;
+    * at 100 TB nothing ships uncompressed. Spark's CSV source applies
+    * the codec transparently per FILE, and gzip is NOT splittable — one
+    * decompress stream per file — so the scale layout keeps many
+    * moderate .csv.gz parts rather than few huge ones (the partitioned
+    * write here produces exactly that shape; a splittable deployment
+    * swaps zstd/bzip2 with the same plan). Doubles survive via
+    * shortest-representation rendering (a4's PlainDouble discipline);
+    * the oracle reads the ORIGINAL parquet, so compress + decompress +
+    * parse all sit under the hash gate.
+    */
+  def a15CsvGzipRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = Tables.stagingDir(sfDir, "a15", kind = "csvgz")
+    src.write.mode("overwrite")
+      .option("compression", "gzip").option("header", "true")
+      .csv(dir.toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", LongType),
+      org.apache.spark.sql.types.StructField("user_id", LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(dir.toString)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
     "a13_avro_roundtrip" -> (a13AvroRoundTrip _),
+    "a15_csv_gzip_roundtrip" -> (a15CsvGzipRoundTrip _),
     "a14_partitioned_roundtrip" -> (a14PartitionedRoundTrip _),
     "a9_schema_drift" -> (a9SchemaDrift _),
     "a10_jsonl_roundtrip" -> (a10JsonlRoundTrip _),
@@ -329,6 +359,9 @@ object GroupA {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a13_avro_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a15_csv_gzip_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a14_partitioned_roundtrip" ->

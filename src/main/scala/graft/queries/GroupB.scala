@@ -1079,7 +1079,49 @@ object GroupB {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** b43: TPC-H Q1 (pricing summary report) on this schema — the
+    * canonical full-scan aggregate, here with the EXACT arithmetic Q1
+    * deserves: quantities/prices/discounts/taxes become integer units
+    * (cents) at the scan, the two product measures accumulate as
+    * decimal(38,0) — at 100 TB the charge sum passes 10¹⁸ and a long
+    * would wrap silently (d29's overflow rule) while a double-sum would
+    * make every figure an ulp lottery — and the averages are integer
+    * fixed-point divisions of exact sums. Plan shape: one pushed-filter
+    * scan, partial+final hash aggregate on a 4-group key, no exchange
+    * beyond the group-by's — the classic map-side-combine showcase.
+    */
+  def b43TpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit(cutoff))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("cast(round(l_quantity) as bigint)").as("qty"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"),
+        expr("cast(round(l_discount * 100) as bigint)").as("disc_c"),
+        expr("cast(round(l_tax * 100) as bigint)").as("tax_c"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sum_qty"),
+        sum("price_c").as("sum_base_fp"),
+        sum(expr("cast(price_c as decimal(38,0)) * (100 - disc_c)"))
+          .as("disc_price"),
+        sum(expr("cast(price_c as decimal(38,0)) * (100 - disc_c) " +
+          "* (100 + tax_c)")).as("charge"),
+        sum("disc_c").as("sum_disc_c"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_fp"),
+        col("disc_price").cast("decimal(38,0)").as("sum_disc_price_fp"),
+        col("charge").cast("decimal(38,0)").as("sum_charge_fp"),
+        expr("sum_qty * 100 div n_rows").as("avg_qty_fp"),
+        expr("sum_base_fp div n_rows").as("avg_price_fp"),
+        expr("sum_disc_c * 100 div n_rows").as("avg_disc_fp"),
+        col("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b43_tpch_q1"      -> (b43TpchQ1 _),
     "b39_event_funnel" -> (b39EventFunnel _),
     "b40_tpch_q3"      -> (b40TpchQ3 _),
     "b41_tpch_q10"     -> (b41TpchQ10 _),
@@ -1125,6 +1167,29 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b43_tpch_q1" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+        |    CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_base_fp,
+        |  CAST(SUM(CAST(price_c AS HUGEINT) * (100 - disc_c))
+        |    AS DECIMAL(38,0)) AS sum_disc_price_fp,
+        |  CAST(SUM(CAST(price_c AS HUGEINT) * (100 - disc_c) * (100 + tax_c))
+        |    AS DECIMAL(38,0)) AS sum_charge_fp,
+        |  CAST(SUM(qty) AS BIGINT) * 100 // COUNT(*) AS avg_qty_fp,
+        |  CAST(SUM(price_c) AS BIGINT) // COUNT(*) AS avg_price_fp,
+        |  CAST(SUM(disc_c) AS BIGINT) * 100 // COUNT(*) AS avg_disc_fp,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM c
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "b42_tpch_q18" ->
       """WITH big AS (
         |  SELECT l_orderkey, SUM(l_quantity) AS sum_qty

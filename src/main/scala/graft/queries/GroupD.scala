@@ -3553,6 +3553,36 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d76: language-ID confusion matrix — the QA report for d5's gate:
+    * per (true_lang, pred_lang) cell, the document count, that cell's
+    * fixed-point share of its TRUE language's row, and the hit flag.
+    * The diagonal's share IS per-language recall; off-diagonal hot
+    * cells say which languages the n-gram heuristic confuses — the
+    * evidence a curator needs before trusting d5 to route d26's
+    * mixture. Composes d5's prediction frame verbatim (one predictor,
+    * two reports — the d14/d46 rule), and its oracle embeds the SAME
+    * predictor SQL the d5 oracle uses, so the two checks cannot drift.
+    *
+    * Scale shape: d5's per-doc aggregation is the only corpus-sized
+    * work; the confusion matrix is a (langs × langs+1) partial-agg
+    * groupBy over 2-string rows, and the share join's build side is
+    * langs-sized. Output is ≤ |langs|·(|langs|+1) rows forever.
+    */
+  def d76LangConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val pred = d5LangId(spark, sfDir).select("doc_id", "pred_lang")
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "lang")
+    val cells = docs.join(pred, "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("true_lang")
+      .agg(sum("n").as("total"))
+    cells.join(broadcast(totals), "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("n * 10000 div total").as("share_fp"),
+        (col("true_lang") === col("pred_lang")).as("hit"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -3889,6 +3919,7 @@ object GroupD {
     "d72_source_divergence" -> (d72SourceDivergence _),
     "d74_cdc_chunks"       -> (d74CdcChunks _),
     "d75_chunk_dedup"      -> (d75ChunkDedup _),
+    "d76_lang_confusion"   -> (d76LangConfusion _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4080,6 +4111,30 @@ object GroupD {
       |      l.n) AS e,
       |    l.text
       |  FROM starts s JOIN lens l USING (doc_id))""".stripMargin
+
+  /** d5's oracle SELECT (no ORDER BY) — shared by the d5 oracle and
+    * d76's confusion-matrix oracle so the predictor SQL can never drift
+    * between them (lmCtes' discipline).
+    */
+  private lazy val langIdSelectSql: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |${langLists.map { case (l, ws) =>
+             s"    sum(CASE WHEN token IN ${sqlInList(ws)} THEN 1 ELSE 0 END)::BIGINT AS ${l}_hits" }
+           .mkString(",\n")}
+         |  FROM toks GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |${langLists.map { case (l, _) =>
+             s"  COALESCE(${l}_hits, 0)::BIGINT AS ${l}_hits" }.mkString(",\n")},
+         |  CASE
+         |    WHEN COALESCE(en_hits,0) > 0 AND COALESCE(en_hits,0) >= COALESCE(es_hits,0) AND COALESCE(en_hits,0) >= COALESCE(fr_hits,0) AND COALESCE(en_hits,0) >= COALESCE(de_hits,0) THEN 'en'
+         |    WHEN COALESCE(es_hits,0) > 0 AND COALESCE(es_hits,0) >= COALESCE(fr_hits,0) AND COALESCE(es_hits,0) >= COALESCE(de_hits,0) THEN 'es'
+         |    WHEN COALESCE(fr_hits,0) > 0 AND COALESCE(fr_hits,0) >= COALESCE(de_hits,0) THEN 'fr'
+         |    WHEN COALESCE(de_hits,0) > 0 THEN 'de'
+         |    ELSE 'und' END AS pred_lang
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "d69_gopher_rules" ->
@@ -5060,26 +5115,23 @@ object GroupD {
         |    AND list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
         |          CAST(e.embedding AS DOUBLE[])) >= 0.3)
         |ORDER BY e.vec_id""".stripMargin,
-    "d5_lang_id" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($tokSql) AS token FROM documents),
-         |hits AS (
-         |  SELECT doc_id,
-         |${langLists.map { case (l, ws) =>
-             s"    sum(CASE WHEN token IN ${sqlInList(ws)} THEN 1 ELSE 0 END)::BIGINT AS ${l}_hits" }
-           .mkString(",\n")}
-         |  FROM toks GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |${langLists.map { case (l, _) =>
-             s"  COALESCE(${l}_hits, 0)::BIGINT AS ${l}_hits" }.mkString(",\n")},
-         |  CASE
-         |    WHEN COALESCE(en_hits,0) > 0 AND COALESCE(en_hits,0) >= COALESCE(es_hits,0) AND COALESCE(en_hits,0) >= COALESCE(fr_hits,0) AND COALESCE(en_hits,0) >= COALESCE(de_hits,0) THEN 'en'
-         |    WHEN COALESCE(es_hits,0) > 0 AND COALESCE(es_hits,0) >= COALESCE(fr_hits,0) AND COALESCE(es_hits,0) >= COALESCE(de_hits,0) THEN 'es'
-         |    WHEN COALESCE(fr_hits,0) > 0 AND COALESCE(fr_hits,0) >= COALESCE(de_hits,0) THEN 'fr'
-         |    WHEN COALESCE(de_hits,0) > 0 THEN 'de'
-         |    ELSE 'und' END AS pred_lang
-         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "d5_lang_id" -> (langIdSelectSql + "\nORDER BY d.doc_id"),
+    "d76_lang_confusion" ->
+      s"""WITH pred AS (
+         |$langIdSelectSql
+         |),
+         |cells AS (
+         |  SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n
+         |  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT true_lang, CAST(sum(n) AS BIGINT) AS total
+         |  FROM cells GROUP BY 1)
+         |SELECT c.true_lang, c.pred_lang, c.n,
+         |  c.n * 10000 // t.total AS share_fp,
+         |  (c.true_lang = c.pred_lang) AS hit
+         |FROM cells c JOIN tot t USING (true_lang)
+         |ORDER BY true_lang, pred_lang""".stripMargin,
     "d6_quality_score" ->
       s"""WITH base AS (
          |  SELECT doc_id, text, $tokSql AS ts FROM documents)
