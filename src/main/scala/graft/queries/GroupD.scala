@@ -3583,6 +3583,54 @@ object GroupD {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** d77: shared-chunk REMOVAL — the transform d75's accounting exists
+    * for: reconstruct each document with its cross-doc shared chunks
+    * (d75's df≥2, len≥16 rule) cut out — the CDC-grained boilerplate
+    * strip next to d59's span rule, robust to alignment because the
+    * chunk boundaries are content-defined. Reports per doc what was
+    * kept/removed and the md5 of the CLEANED text (the fingerprint, not
+    * the body, is what the gate hashes — d8/c6's small-shuffle-row
+    * discipline), so the transform is verified without ever shipping
+    * reconstructed text through the compare.
+    *
+    * Scale shape: chunk pieces re-derive by substring against the
+    * doc-keyed text join (no second window pass — d74's cached frame
+    * carries offsets); the only text shuffle is the per-doc piece
+    * collect, doc-bounded by construction, and the reassembly is one
+    * array_sort over ≤ chunks-per-doc structs. Shared-key build side is
+    * the df≥2 tail (d75's argument).
+    */
+  def d77RemoveSharedChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val chunks = d74CdcChunks(spark, sfDir)
+      .select("doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_md5")
+    val sharedKeys = chunks.filter(col("chunk_len") >= 16L)
+      .groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("chunk_md5")
+    val flagged = chunks
+      .join(sharedKeys.withColumn("shared", lit(true)), Seq("chunk_md5"), "left")
+      .withColumn("shared",
+        coalesce(col("shared"), lit(false)) && col("chunk_len") >= 16L)
+    val pieces = flagged.join(docs, "doc_id")
+      .withColumn("piece", expr(
+        "substring(text, cast(start_pos as int), cast(chunk_len as int))"))
+    pieces.groupBy("doc_id").agg(
+        sum(when(!col("shared"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(when(!col("shared"), col("chunk_len")).otherwise(0L))
+          .as("kept_chars"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("removed_chunks"),
+        sum(when(col("shared"), col("chunk_len")).otherwise(0L))
+          .as("removed_chars"),
+        collect_list(when(!col("shared"),
+          struct(col("chunk_idx"), col("piece")))).as("kept"))
+      .select(col("doc_id"), col("kept_chunks"), col("kept_chars"),
+        col("removed_chunks"), col("removed_chars"),
+        md5(expr("array_join(transform(array_sort(kept), x -> x.piece), '')")
+          .cast("binary")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -3920,6 +3968,7 @@ object GroupD {
     "d74_cdc_chunks"       -> (d74CdcChunks _),
     "d75_chunk_dedup"      -> (d75ChunkDedup _),
     "d76_lang_confusion"   -> (d76LangConfusion _),
+    "d77_remove_shared_chunks" -> (d77RemoveSharedChunks _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4216,6 +4265,35 @@ object GroupD {
          |    AS low_entropy
          |FROM agg
          |ORDER BY doc_id""".stripMargin,
+    "d77_remove_shared_chunks" ->
+      s"""$cdcChunkCtes,
+        |chunks AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s)::BIGINT
+        |      AS chunk_idx,
+        |    (e - s + 1)::BIGINT AS chunk_len,
+        |    substr(text, s::INTEGER, (e - s + 1)::INTEGER) AS piece,
+        |    md5(substr(text, s::INTEGER, (e - s + 1)::INTEGER)) AS chunk_md5
+        |  FROM ch),
+        |shared_keys AS (
+        |  SELECT chunk_md5 FROM chunks WHERE chunk_len >= 16
+        |  GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2),
+        |fl AS (
+        |  SELECT c.*, (k.chunk_md5 IS NOT NULL AND c.chunk_len >= 16)
+        |    AS shared
+        |  FROM chunks c LEFT JOIN shared_keys k USING (chunk_md5))
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN NOT shared THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_chunks,
+        |  CAST(sum(CASE WHEN NOT shared THEN chunk_len ELSE 0 END) AS BIGINT)
+        |    AS kept_chars,
+        |  CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed_chunks,
+        |  CAST(sum(CASE WHEN shared THEN chunk_len ELSE 0 END) AS BIGINT)
+        |    AS removed_chars,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT shared THEN piece END, ''
+        |    ORDER BY chunk_idx), '')) AS cleaned_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d75_chunk_dedup" ->
       s"""$cdcChunkCtes,
         |chunks AS (

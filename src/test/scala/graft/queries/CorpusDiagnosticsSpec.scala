@@ -96,6 +96,29 @@ class CorpusDiagnosticsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet == vol.keySet, "doc sets differ")
   }
 
+  test("d77 reconstructs untouched docs bit-exactly and reconciles with d75") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.queries.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("orig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d75 = GroupD.d75ChunkDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = GroupD.d77RemoveSharedChunks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val doc = r.getLong(0)
+      val (nCh, nChars) = d75(doc)
+      assert(r.getLong(1) + r.getLong(3) == nCh, s"doc $doc chunk split")
+      assert(r.getLong(2) + r.getLong(4) == nChars, s"doc $doc char split")
+      // chunks TILE the doc, so removing nothing reconstructs the
+      // original text exactly — the md5 must match the raw text's
+      if (r.getLong(3) == 0L)
+        assert(r.getString(5) == docs(doc), s"doc $doc reconstruction")
+      else
+        assert(r.getString(5) != docs(doc), s"doc $doc removed yet identical")
+    }
+  }
+
   test("d74 boundaries are edit-stable: a prefix edit leaves the tail chunks") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and then " +
