@@ -289,13 +289,9 @@ object GroupA {
     src.write.mode("overwrite")
       .option("compression", "gzip").option("header", "true")
       .csv(dir.toString)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", LongType),
-      org.apache.spark.sql.types.StructField("user_id", LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", DoubleType)))
-    spark.read.schema(schema).option("header", "true").csv(dir.toString)
+    // the read schema IS the written frame's schema — one definition, so
+    // a select-list change cannot silently drift the two apart
+    spark.read.schema(src.schema).option("header", "true").csv(dir.toString)
       .orderBy("event_id")
   }
 
