@@ -1120,7 +1120,34 @@ object GroupB {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** b44: TPC-H Q6 (revenue-change forecast) — the canonical
+    * scan-dominated query: one year of shipments in a discount/quantity
+    * band, a single global revenue sum. EVERY predicate pushes into the
+    * parquet scan (shipdate range prunes row groups by min/max stats;
+    * at 100 TB with date partitioning it prunes whole directories), the
+    * aggregate is one partial-sum per task + a 1-row final — the query
+    * IS the scan, which is the point: Q6 measures nothing but I/O and
+    * predicate evaluation. Revenue rides exact integer cents × discount
+    * points (b40's discipline; the discount band compares ROUNDED
+    * integer points, not raw doubles — 0.07 is not exactly
+    * representable and a raw `<= 0.07` is an ulp lottery at the band
+    * edge).
+    */
+  def b44TpchQ6(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+        expr("cast(round(l_discount * 100) as bigint)").between(5L, 7L) &&
+        col("l_quantity") < 24.0)
+      .select((expr("cast(round(l_extendedprice * 100) as bigint)") *
+        expr("cast(round(l_discount * 100) as bigint)")).as("rev_fp"))
+      .agg(sum("rev_fp").as("revenue_fp"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "b44_tpch_q6"      -> (b44TpchQ6 _),
     "b43_tpch_q1"      -> (b43TpchQ1 _),
     "b39_event_funnel" -> (b39EventFunnel _),
     "b40_tpch_q3"      -> (b40TpchQ3 _),
@@ -1167,6 +1194,17 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b44_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_fp,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
     "b43_tpch_q1" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_linestatus,
