@@ -39,6 +39,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("d66_skew_report").contains("TakeOrderedAndProject"))
   }
 
+  test("b44: every Q6 predicate reaches the scan; the agg is partial+final") {
+    val p = plan("b44_tpch_q6")
+    // shipdate range + quantity bound reach PushedFilters (the rendered
+    // list truncates, so assert the leading entries + the DataFilters
+    // mirror of the quantity bound)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("l_quantity#") && p.contains("< 24.0"))
+    assert(p.contains("partial_sum"), "Q6 must combine map-side")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("b43: Q1 is one pushed-filter scan into a partial+final hash agg") {
+    val p = plan("b43_tpch_q1")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(p.contains("partial_sum"), "Q1 must combine map-side")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one for the group-by, one for the presentation sort — nothing else
+    assert(exchanges <= 2, p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n"))
+  }
+
   test("d69: the Gopher gate is shuffle-free up to the presentation sort") {
     // SCALE.md's d69 claim made structural: one Exchange total (the
     // range partitioning feeding the ORDER BY doc_id), nothing else —
