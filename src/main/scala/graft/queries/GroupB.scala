@@ -1089,6 +1089,15 @@ object GroupB {
     * fixed-point divisions of exact sums. Plan shape: one pushed-filter
     * scan, partial+final hash aggregate on a 4-group key, no exchange
     * beyond the group-by's — the classic map-side-combine showcase.
+    *
+    * The two 128-bit sums are RENDERED as canonical decimal strings
+    * (round-14 reconciliation): r13's driver flagged hash_match=false on
+    * exactly this query while rows/schema matched and independent
+    * re-runs showed value-exact agreement — the only declared query
+    * whose hash rode decimal128 canonicalization. Emitting the digits
+    * as text on BOTH engine and oracle sides removes the hasher's
+    * int128 representation from the contract without touching the
+    * exact-arithmetic semantics (the string IS the exact value).
     */
   def b43TpchQ1(spark: SparkSession, sfDir: String): DataFrame = {
     val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
@@ -1111,8 +1120,10 @@ object GroupB {
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), col("l_linestatus"),
         col("sum_qty"), col("sum_base_fp"),
-        col("disc_price").cast("decimal(38,0)").as("sum_disc_price_fp"),
-        col("charge").cast("decimal(38,0)").as("sum_charge_fp"),
+        col("disc_price").cast("decimal(38,0)").cast("string")
+          .as("sum_disc_price_fp"),
+        col("charge").cast("decimal(38,0)").cast("string")
+          .as("sum_charge_fp"),
         expr("sum_qty * 100 div n_rows").as("avg_qty_fp"),
         expr("sum_base_fp div n_rows").as("avg_price_fp"),
         expr("sum_disc_c * 100 div n_rows").as("avg_disc_fp"),
@@ -1218,9 +1229,9 @@ object GroupB {
         |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
         |  CAST(SUM(price_c) AS BIGINT) AS sum_base_fp,
         |  CAST(SUM(CAST(price_c AS HUGEINT) * (100 - disc_c))
-        |    AS DECIMAL(38,0)) AS sum_disc_price_fp,
+        |    AS VARCHAR) AS sum_disc_price_fp,
         |  CAST(SUM(CAST(price_c AS HUGEINT) * (100 - disc_c) * (100 + tax_c))
-        |    AS DECIMAL(38,0)) AS sum_charge_fp,
+        |    AS VARCHAR) AS sum_charge_fp,
         |  CAST(SUM(qty) AS BIGINT) * 100 // COUNT(*) AS avg_qty_fp,
         |  CAST(SUM(price_c) AS BIGINT) // COUNT(*) AS avg_price_fp,
         |  CAST(SUM(disc_c) AS BIGINT) * 100 // COUNT(*) AS avg_disc_fp,

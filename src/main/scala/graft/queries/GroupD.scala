@@ -3470,13 +3470,18 @@ object GroupD {
     * operator's contract, the hash is an implementation detail the
     * oracle pins here.
     *
-    * Scale shape: candidate positions explode scan-side (O(chars), d67's
-    * stride-1 precedent) and collapse immediately to the sparse cut
-    * list; chunk assembly is ONE per-doc window (lead + row_number share
-    * the (doc_id, start) sort) over cut-sized rows joined back to the
-    * doc-sized text frame on doc_id. No corpus-sized shuffle beyond the
-    * doc-keyed window; min/max chunk-length clamps (FastCDC's
-    * normalization) would bound state identically.
+    * Scale shape (round-14 rewrite): the ENTIRE chunking is one
+    * scan-side projection — cut positions fold to a per-row array
+    * (filter∘transform over the window sequence), chunk boundaries zip
+    * starts/ends per row, and the chunk structs (index, start, length,
+    * md5-of-slice) explode from the same row the text lives in. Zero
+    * joins, zero windows: document text NEVER crosses an exchange (the
+    * family rule d8/d59/d67 follow), which the r13 version broke with a
+    * cut-list→text join on doc_id — at 100 TB that exchange shipped the
+    * corpus once. The only shuffle left is the presentation sort, and it
+    * carries 16-byte md5 chunk rows, not text (plan-pinned in
+    * PlanShapeSpec). Min/max chunk-length clamps (FastCDC's
+    * normalization) would fold into the same cuts array scan-side.
     */
   def d74CdcChunks(spark: SparkSession, sfDir: String): DataFrame =
     // the chunk table is the shared hub of the CDC family (d75 consumes
@@ -3489,29 +3494,36 @@ object GroupD {
   /** d74's body on an arbitrary (doc_id, text) frame — reusable in specs
     * (tiling and edit-stability want hand-built corpora).
     */
-  private[queries] def cdcChunksOf(docs: DataFrame): DataFrame = {
-    val lens = docs.select(col("doc_id"), col("text"),
-      length(col("text")).cast("long").as("n"))
-    val cuts = lens.filter(col("n") >= 8)
-      .select(col("doc_id"), col("n"), explode(expr(
-        "transform(sequence(1L, n - 7), i -> struct(i AS i, " +
-          "cast(conv(substring(md5(substring(text, cast(i as int), 8)), " +
-          "1, 4), 16, 10) as bigint) AS hv))")).as("p"))
-      .filter(col("p.hv") % 29 === 0L && col("p.i") + 7L < col("n"))
-      .select(col("doc_id"), (col("p.i") + 7L).as("c"))
-    val starts = lens.select(col("doc_id"), lit(1L).as("s"))
-      .unionByName(cuts.select(col("doc_id"), (col("c") + 1L).as("s")))
-    val w = Window.partitionBy("doc_id").orderBy("s")
-    starts.join(lens, "doc_id")
-      .withColumn("e", coalesce(lead("s", 1).over(w) - 1L, col("n")))
-      .select(col("doc_id"),
-        row_number().over(w).cast("long").as("chunk_idx"),
-        col("s").as("start_pos"),
-        (col("e") - col("s") + 1L).as("chunk_len"),
-        md5(expr("substring(text, cast(s as int), cast(e - s + 1 as int))")
-          .cast("binary")).as("chunk_md5"))
+  private[queries] def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      // cut positions (the char AFTER which a chunk ends): any 8-char
+      // window whose hash ≡ 0 (mod 29) and whose end is strictly inside
+      // the doc. Sentinel -1 marks non-cuts; filter strips them — the
+      // whole fold stays inside this row's projection.
+      .withColumn("cuts", expr(
+        "IF(n >= 8, filter(transform(sequence(1L, n - 7L), i -> " +
+          "IF(cast(conv(substring(md5(substring(text, cast(i as int), " +
+          "8)), 1, 4), 16, 10) as bigint) % 29 = 0 AND i + 7L < n, " +
+          "i + 7L, -1L)), c -> c > 0L), " +
+          "array_remove(array(-1L), -1L))"))
+      // chunk j spans [starts[j], ends[j]]; starts = 1 :: cuts+1,
+      // ends = cuts :: n — zipped by index in one more transform
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(cuts)), j -> struct(" +
+          "cast(j + 1 as bigint) AS chunk_idx, " +
+          "IF(j = 0, 1L, cuts[j - 1] + 1L) AS start_pos, " +
+          "IF(j = size(cuts), n, cuts[j]) " +
+          "- IF(j = 0, 1L, cuts[j - 1] + 1L) + 1L AS chunk_len, " +
+          "md5(cast(substring(text, " +
+          "cast(IF(j = 0, 1L, cuts[j - 1] + 1L) as int), " +
+          "cast(IF(j = size(cuts), n, cuts[j]) " +
+          "- IF(j = 0, 1L, cuts[j - 1] + 1L) + 1L as int)) " +
+          "as binary)) AS chunk_md5))")).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx"), col("ch.start_pos"),
+        col("ch.chunk_len"), col("ch.chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
-  }
 
   /** d75: chunk-level dedup accounting — the reason d74 exists: which
     * chunks recur across DIFFERENT documents (boilerplate, quoted

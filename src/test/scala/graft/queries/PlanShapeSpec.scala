@@ -129,6 +129,23 @@ class PlanShapeSpec extends AnyFunSuite {
       p.linesIterator.take(20).mkString("\n"))
   }
 
+  test("d74: chunking is pure scan-side — no join/window; text never crosses an exchange") {
+    // the round-14 rewrite's contract: cut detection, boundary zipping
+    // and chunk-md5 all happen inside the text row's own projection.
+    // The only exchange is the presentation sort, and its payload is
+    // (doc_id, idx, start, len, md5) — never the text column.
+    val df = GroupD.cdcChunksOf(
+      Tables(spark, sf, "documents").select("doc_id", "text"))
+    val rendered = df.queryExecution.executedPlan.toString
+    assert(!rendered.contains("Join") && !rendered.contains("Window ["),
+      rendered.linesIterator.take(25).mkString("\n"))
+    val exchanges = rendered.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, "expected the presentation-sort exchange")
+    assert(exchanges.forall(l =>
+      l.contains("rangepartitioning") && !l.contains("text#")),
+      "document text rode a shuffle:\n" + exchanges.mkString("\n"))
+  }
+
   test("d55: snapshot diff is one full-outer SMJ on doc_id — no nested loop, no window") {
     val p = plan("d55_snapshot_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
