@@ -141,7 +141,11 @@ object BpeTrain {
       val prev = cur
       cur = cur.withColumn(symCol, org.apache.spark.sql.functions.expr(
         encodeExpr(symCol, batch))).localCheckpoint(true)
-      free(prev)
+      // round 0's `prev` is a projection over the CALLER'S `words` —
+      // its plan leaves (e.g. a checkpoint backing the caller's frame)
+      // are not ours to unpersist (advice finding r13); only the
+      // encode-owned checkpoints from round 1 on are freed
+      if (i > 0) free(prev)
       i += chunk
     }
     cur

@@ -37,11 +37,22 @@ object StageCache {
     * build-and-persist per holder.
     */
   private final class Entry(build: () => DataFrame) {
-    @volatile private[StageCache] var built = false
+    // the frame this entry persisted, visible to release()/clear()
+    // without forcing a never-requested build; null until the lazy
+    // build completes (an in-flight build during clear() leaks at most
+    // a cache MARK, never computed blocks — documented single-threaded-
+    // driver assumption for the toggle paths)
+    @volatile private[StageCache] var persistedDf: DataFrame = null
     lazy val df: DataFrame = {
       val d = build().persist(StorageLevel.MEMORY_AND_DISK)
-      built = true
+      persistedDf = d
       d
+    }
+    private[StageCache] def drop(): Unit = {
+      val d = persistedDf
+      if (d != null)
+        try d.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
   private val frames = new ConcurrentHashMap[String, Entry]()
@@ -67,20 +78,40 @@ object StageCache {
         // stale session: replace THIS entry and rebuild (rare path)
         val rebuilt = new Entry(() => build)
         if (frames.replace(key, entry, rebuilt)) rebuilt.df
-        else frames.get(key).df
+        else {
+          // lost the race: serve whoever won — or, if a concurrent
+          // clear()/release() removed the key entirely, build locally
+          // (review finding r13: the bare get(key).df NPE'd here)
+          val cur = frames.get(key)
+          if (cur != null) cur.df else rebuilt.df
+        }
+      }
+    }
+  }
+
+  /** Release every entry of ONE corpus (keys are `s"$corpus#stage"`):
+    * the eviction story a long-lived production session needs — a
+    * session that cycles through corpora calls `release(dir)` when a
+    * corpus's pipeline run ends, unpinning its stage frames while other
+    * corpora keep serving theirs. Removal happens before unpersist so a
+    * concurrent `persisted` rebuilds rather than serving a dropped
+    * frame.
+    */
+  def release(corpus: String): Unit = {
+    val prefix = corpus + "#"
+    val it = frames.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        it.remove()
+        e.getValue.drop()
       }
     }
   }
 
   /** Unpersist and drop every entry — for specs that toggle the policy. */
   def clear(): Unit = {
-    frames.values.forEach { e =>
-      // only force entries that actually built — clearing must not run
-      // a never-requested build just to unpersist it
-      if (e.built)
-        try e.df.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => () }
-    }
+    frames.values.forEach(_.drop())
     frames.clear()
   }
 }

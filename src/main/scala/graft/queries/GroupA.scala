@@ -295,8 +295,31 @@ object GroupA {
       .orderBy("event_id")
   }
 
+  /** a16: bzip2-compressed CSV round-trip — the SPLITTABLE twin a15's
+    * scale row promises. bzip2 is the one Hadoop text codec whose block
+    * structure lets a 10 GB .csv.bz2 split across tasks (gzip forces
+    * one stream per file; Hadoop's zstd needs native libs and is not
+    * splittable for text either — zstd's splittable home is the parquet
+    * row-group path, where the columnar round-trips already live). So
+    * at 100 TB the layout choice is: gzip → many moderate parts (a15),
+    * bzip2 → parts may be huge because readers split INSIDE them (this
+    * query). Same hash gate as a15: compress + decompress + parse vs
+    * the original parquet.
+    */
+  def a16CsvBzip2RoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = Tables.stagingDir(sfDir, "a16", kind = "csvbz2")
+    src.write.mode("overwrite")
+      .option("compression", "bzip2").option("header", "true")
+      .csv(dir.toString)
+    spark.read.schema(src.schema).option("header", "true").csv(dir.toString)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "a1_scan_project" -> (a1ScanProject _),
+    "a16_csv_bzip2_roundtrip" -> (a16CsvBzip2RoundTrip _),
     "a13_avro_roundtrip" -> (a13AvroRoundTrip _),
     "a15_csv_gzip_roundtrip" -> (a15CsvGzipRoundTrip _),
     "a14_partitioned_roundtrip" -> (a14PartitionedRoundTrip _),
@@ -358,6 +381,9 @@ object GroupA {
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a15_csv_gzip_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a16_csv_bzip2_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
     "a14_partitioned_roundtrip" ->

@@ -85,4 +85,36 @@ class StageCacheSpec extends AnyFunSuite {
       sys.props.remove("graft.model.cache")
     }
   }
+
+  test("release(corpus) unpins ONE corpus; others keep serving (round 14)") {
+    sys.props("graft.model.cache") =
+      TestSpark.tempDir("stage-cache-models4").toString
+    try {
+      StageCache.clear()
+      var buildsA, buildsB = 0
+      def bA = { buildsA += 1; spark.range(4).toDF("id") }
+      def bB = { buildsB += 1; spark.range(5).toDF("id") }
+      val a1 = StageCache.persisted("corpusA#stage")(bA)
+      val b1 = StageCache.persisted("corpusB#stage")(bB)
+      a1.count(); b1.count()
+      assert(a1.storageLevel.useMemory || a1.storageLevel.useDisk)
+
+      StageCache.release("corpusA")
+      // corpusA's frame is unpinned (async unpersist → level eventually
+      // NONE; the MARK is dropped immediately so a re-request rebuilds)
+      val a2 = StageCache.persisted("corpusA#stage")(bA)
+      assert(buildsA === 2, "released corpus must rebuild on next touch")
+      assert(a2 ne a1)
+      // corpusB untouched: same instance, no rebuild
+      val b2 = StageCache.persisted("corpusB#stage")(bB)
+      assert(buildsB === 1)
+      assert(b2 eq b1)
+      // releasing an unknown corpus is a no-op
+      StageCache.release("corpusZ")
+      assert(StageCache.persisted("corpusB#stage")(bB) eq b1)
+    } finally {
+      StageCache.clear()
+      sys.props.remove("graft.model.cache")
+    }
+  }
 }
