@@ -115,6 +115,7 @@ object GraftFunctions {
   val BloomName = "graft_bloom_contains"
   val JpegDimsName = "graft_jpeg_dims"
   val WebpDimsName = "graft_webp_dims"
+  val BmpDhashName = "graft_bmp_dhash"
   val JpegExifOrientationName = "graft_jpeg_exif_orientation"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
@@ -210,6 +211,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$WebpDimsName expects 1 argument")
         WebpDims(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(BmpDhashName,
+      { exprs =>
+        require(exprs.length == 1, s"$BmpDhashName expects 1 argument")
+        BmpDhash(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(JpegExifOrientationName,
       { exprs =>

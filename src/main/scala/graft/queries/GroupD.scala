@@ -3643,6 +3643,110 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d78: IMAGE near-dup dedup — the modality the dedup ladder was
+    * missing (text c2/d1/d2 ✓, embedding d9/d10 ✓, chunk d75 ✓): pairs
+    * of images whose perceptual difference-hash (dHash-64, the native
+    * pixel-decoding [[graft.functions.BmpDhash]]) differ in ≤ 3 of 64
+    * bits, found by banded Hamming LSH. Banding is EXACT here, not
+    * approximate: 4 disjoint 16-bit bands and threshold 3 means any
+    * qualifying pair has ≥ 1 band with zero differing bits (pigeonhole),
+    * so the equi-join on (band, key) generates every true pair and the
+    * bit_count verify filters false candidates — same contract shape as
+    * d1's verify, but with zero recall loss.
+    *
+    * The c8 oracle discipline one level deeper: content bytes are a real
+    * 24-bit BMP CONSTRUCTED from doc_id arithmetic (9×8 px, bottom-up
+    * rows, 4-byte stride padding — every pixel B=G=R so integer luma is
+    * exact), pixel-DECODED back by the native walk, and the oracle never
+    * sees bytes: it re-derives each image's 64 comparison bits from the
+    * same doc_id arithmetic and computes Hamming distances directly.
+    * Docs ≡ 0 (mod 17) carry junk bytes — the walk must refuse them
+    * (NULL), both sides exclude them. Families of 4 consecutive doc_ids
+    * share a base pattern with 0–3 per-doc bit flips, so real near-dup
+    * structure exists at every scale factor.
+    *
+    * Scale shape: construction+decode+banding are one scan-side
+    * projection (the real pipeline reads `content` from parquet — the
+    * plan from the decode on is identical); the only corpus-sized
+    * shuffle carries (band, 16-bit key, 8-byte hash) rows — never
+    * pixels; the self-join is band-bucketed like d1's, candidate volume
+    * bounded by band-key collisions, and the merge hint shares one
+    * exchange across both sides.
+    */
+  // BITMAPFILEHEADER + BITMAPINFOHEADER for the constructed 9×8 24bpp
+  // bottom-up bitmap: "BM", file size 278, pixel offset 54, DIB 40,
+  // planes 1, BI_RGB, stride 28 (27 + 1 pad), image size 224
+  private val BmpHeaderHex: String =
+    "424D160100000000000036000000" +
+      "280000000900000008000000" +
+      "01001800" +
+      "00000000E0000000" +
+      "130B0000130B0000" +
+      "0000000000000000"
+
+  /** The 64 comparison bits of doc_id's constructed pattern: family base
+    * bit (double middle-square mix — measured zero cross-family pairs at
+    * 5 000 docs where one squaring round still left 844 structural
+    * near-collisions) XOR a run of `doc_id mod 4` per-doc flips starting
+    * at position `doc_id mod 61` — all bigint arithmetic the oracle
+    * repeats verbatim, with every intermediate reduced below √(2⁶³) so
+    * neither engine's multiplication can overflow at any scale factor.
+    */
+  private val bmpBitsExpr: String =
+    "transform(sequence(0L, 63L), k -> " +
+      "((((((doc_id div 4) * 1000003L + k * 7919L + 12345L) % 1000000007L)" +
+      " * (((doc_id div 4) * 1000003L + k * 7919L + 12345L) % 1000000007L)" +
+      " % 2147483647L)" +
+      " * ((((doc_id div 4) * 1000003L + k * 7919L + 12345L) % 1000000007L)" +
+      " * (((doc_id div 4) * 1000003L + k * 7919L + 12345L) % 1000000007L)" +
+      " % 2147483647L) % 2147483647L div 1024L % 2L" +
+      " + IF(k >= doc_id % 61 AND k < doc_id % 61 + doc_id % 4, 1L, 0L))" +
+      " % 2L))"
+
+  /** The 8 storage rows (bottom row first) as hex: each logical row is a
+    * luma walk from 128 stepping −10 on a 1-bit, +10 on a 0-bit, so
+    * cell (r,c) > cell (r,c+1) iff bit r·8+c is set; pixels are BGR
+    * triples of the walk value plus the 1-byte stride pad. `bits` is the
+    * 64-element pattern array computed once per doc.
+    */
+  private val bmpPixelsHex: String = {
+    val step = "IF(bits[(7 - s) * 8 + c - 1] = 1L, -10L, 10L)"
+    "concat_ws('', transform(sequence(0, 7), s -> " +
+      "aggregate(sequence(1, 8), " +
+      "named_struct('v', 128L, 'hx', repeat('80', 3)), " +
+      s"(acc, c) -> named_struct(" +
+      s"'v', acc.v + $step, " +
+      s"'hx', concat(acc.hx, repeat(lpad(hex(acc.v + $step), 2, '0'), 3))), " +
+      "acc -> concat(acc.hx, '00'))))"
+  }
+
+  private[queries] val bmpContentExpr: String =
+    s"IF(doc_id % 17 = 0, unhex('00112233'), " +
+      s"unhex(concat('$BmpHeaderHex', $bmpPixelsHex)))"
+
+  def d78ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(bmpBitsExpr).as("bits"))
+      .select(col("doc_id"), expr(bmpContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .BmpDhashName}(content)").as("dhash"))
+      .filter(col("dhash").isNotNull)
+    val bands = hashed.select(col("doc_id"), col("dhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), t -> shiftright(dhash, t * 16) & 65535L)"))
+        .as(Seq("band", "key")))
+    bands.as("x").hint("merge")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("cast(bit_count(x.dhash ^ y.dhash) as bigint)").as("hamming"))
+      .filter(col("hamming") <= 3L)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -3981,6 +4085,7 @@ object GroupD {
     "d75_chunk_dedup"      -> (d75ChunkDedup _),
     "d76_lang_confusion"   -> (d76LangConfusion _),
     "d77_remove_shared_chunks" -> (d77RemoveSharedChunks _),
+    "d78_image_dedup" -> (d78ImageDedup _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4306,6 +4411,26 @@ object GroupD {
         |  md5(COALESCE(string_agg(CASE WHEN NOT shared THEN piece END, ''
         |    ORDER BY chunk_idx), '')) AS cleaned_md5
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d78_image_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |       // 1024 % 2
+        |     + CASE WHEN k >= doc_id % 61 AND k < doc_id % 61 + doc_id % 4
+        |            THEN 1 ELSE 0 END) % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 4) * 1000003 + k * 7919 + 12345)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |h AS (
+        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+        |           AS hamming
+        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d75_chunk_dedup" ->
       s"""$cdcChunkCtes,
         |chunks AS (

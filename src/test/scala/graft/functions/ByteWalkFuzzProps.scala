@@ -26,6 +26,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     Mp3Meta.scan(b)
     OggOpusMeta.scan(b)
     MkvMeta.scan(b)
+    BmpDhash.scan(b)
     true
   }
 
@@ -41,7 +42,8 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     ascii("Xing"), ascii("OggS"), ascii("OpusHead"),
     Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),  // EBML magic
     Array[Byte](0x18, 0x53, 0x80.toByte, 0x67),         // Segment
-    ascii("WEBP"), ascii("VP8 "), ascii("VP8L"), ascii("VP8X"))
+    ascii("WEBP"), ascii("VP8 "), ascii("VP8L"), ascii("VP8X"),
+    ascii("BM"))
 
   property("random bytes never throw in any scanner") =
     Prop.forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) {
@@ -99,8 +101,18 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
         0xE1.toByte, 0x89.toByte,
         0xB5.toByte, 0x84.toByte, 0x47, 0x3B, 0x80.toByte, 0x00,
         0x9F.toByte, 0x81.toByte, 0x02)
+    val bmpSeed = {
+      val bb = java.nio.ByteBuffer.allocate(278)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(278).putInt(0).putInt(54)
+      bb.putInt(40).putInt(9).putInt(8).putShort(1).putShort(24)
+      bb.putInt(0).putInt(224).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var i = 0
+      while (bb.remaining() > 0) { bb.put((i * 37 % 251).toByte); i += 1 }
+      bb.array()
+    }
     val gen = for {
-      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus, mkv))
+      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus, mkv, bmpSeed))
       cut <- Gen.chooseNum(0, seed.length)
       at <- Gen.chooseNum(0, math.max(0, seed.length - 1))
       v <- Arbitrary.arbitrary[Byte]
