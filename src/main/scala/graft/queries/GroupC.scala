@@ -211,18 +211,25 @@ object GroupC {
     * under the driver's hash gate. The trick that makes a binary parser
     * DuckDB-verifiable: the content bytes are CONSTRUCTED deterministically
     * from doc_id by Spark expressions (unhex/concat of spec-layout fields —
-    * a header-only WAV for doc_id ≡ 0 (mod 7), a PNG signature+IHDR for
+    * a header-only WAV for doc_id ≡ 0 (mod 11), a PNG signature+IHDR for
     * ≡ 1, an Ogg BOS page carrying OpusHead plus an EOS granule page for
     * ≡ 2, an MP4 moov/mvhd box pair for ≡ 3, a webm EBML tree for ≡ 4,
     * a WebP for ≡ 5 (VP8X canvas on even ids, VP8L packed bits on odd —
-    * round 13), magicless junk for ≡ 6),
+    * round 13), and — round 14, closing the "every shipped walk under
+    * the hash gate" gap — a FLAC STREAMINFO with its bit-sliced
+    * rate/channels/bits/total-samples packing for ≡ 6, a Xing-tagged V1
+    * Layer-III MP3 frame for ≡ 7, a JPEG whose APP1/Exif orientation AND
+    * SOF0 dims both ride the marker chain for ≡ 8, a BITMAPINFOHEADER
+    * BMP (negative top-down height on odd ids) for ≡ 9, magicless junk
+    * for ≡ 10; the modulus is PRIME so every `id % m` parameter still
+    * varies inside each arm's residue class),
     * then parsed BACK by the native walks; the oracle never sees bytes —
     * it derives the same fields arithmetically from doc_id. A walk that
     * misreads any offset, width, endianness, or the junk-refusal contract
-    * hash-mismatches. Round 12 extends the cycle to opus (LE fields, the
+    * hash-mismatches. Round 12 extended the cycle to opus (LE fields, the
     * granule−preSkip duration rule at 48 kHz) and mp4 (BE box walk,
-    * mvhd timescale division) so four of the five audio/container walks
-    * are oracle-anchored, not just spec-pinned.
+    * mvhd timescale division); with round 14 every shipped audio/image
+    * walk is oracle-anchored, not just spec-pinned.
     *
     * Scale shape: pure per-row codegen'd construction + parsing, zero
     * shuffles before the final sort — the metadata-backfill pass is
@@ -341,12 +348,77 @@ object GroupC {
       asc("VP8L"), le32(lit(5L)), unhex(lit("2F")),
       le32((hwp - 1) * lit(16384L) + (wwp - 1)), u8(lit(0L))) // even pad
     val webp = when(id % 2 === 0, webpX).otherwise(webpL)
-    val content = when(id % 7 === 0, wav)
-      .when(id % 7 === 1, png)
-      .when(id % 7 === 2, opus)
-      .when(id % 7 === 3, mp4)
-      .when(id % 7 === 4, webm)
-      .when(id % 7 === 5, webp)
+    // FLAC (round 14): fLaC magic + last-block STREAMINFO (type 0, 34
+    // bytes) packing rate (20 bits), channels−1 (3), bits−1 (5), total
+    // samples (36) across bytes 10–17 — the bit-sliced layout the walk
+    // unpacks; total = rate·secs so duration round-trips to secs·1000
+    val flacRate = lit(16000L) * (lit(1L) + id % 3)
+    val flacCh = lit(1L) + id % 2
+    val flacBits = lit(16L) + lit(8L) * (id % 2)
+    val flacSecs = lit(1L) + id % 5
+    val flacTotal = flacRate * flacSecs // < 2³² — the 36-bit top nibble is 0
+    val flac = concat(asc("fLaC"),
+      unhex(lit("80000022")),            // last-block flag, type 0, len 34
+      unhex(lit("10001000")),            // min/max blocksize 4096
+      unhex(lit("000000000000")),        // min/max frame size unknown
+      u8(flacRate / 4096L),              // rate bits 19..12
+      u8((flacRate / 16L) % 256L),       // rate bits 11..4
+      u8((flacRate % 16L) * 16L + (flacCh - 1L) * 2L + (flacBits - 1L) / 16L),
+      u8(((flacBits - 1L) % 16L) * 16L), // + total-samples top nibble (0)
+      be32(flacTotal),                   // total samples low 32 bits
+      unhex(lit("0" * 32)))              // 16-byte md5 signature (unset)
+    // MP3 (round 14): one V1 Layer-III frame header (no CRC) whose Xing
+    // tag at the exact side-info offset provides the corroboration the
+    // sniffer demands AND the frame count its duration rule divides
+    val mp3SrIdx = id % 3 // 0→44100, 1→48000, 2→32000 (V1 table)
+    val mp3Sr = when(mp3SrIdx === 0, 44100L).when(mp3SrIdx === 1, 48000L)
+      .otherwise(32000L)
+    val mp3Mono = id % 2 === 0
+    val mp3Frames = lit(100L) * (lit(1L) + id % 4)
+    val mp3 = concat(u8(lit(255L)), u8(lit(251L)),       // sync, V1, L3, no CRC
+      u8(lit(144L) + mp3SrIdx * 4L),                     // bitrate 128k, sr idx
+      when(mp3Mono, u8(lit(192L))).otherwise(u8(lit(0L))), // mode bits
+      when(mp3Mono, unhex(lit("0" * 34)))                // side info: 17 B mono
+        .otherwise(unhex(lit("0" * 64))),                // 32 B stereo
+      asc("Xing"), be32(lit(1L)), be32(mp3Frames))       // FRAMES flag + count
+    // JPEG (round 14): SOI + APP1/Exif (big-endian TIFF, one IFD0 entry:
+    // tag 0x0112 orientation) + SOF0 carrying precision/height/width —
+    // both variable-offset walks (JpegDims + JpegExifOrientation) under
+    // the hash gate at once
+    val jw = lit(16L) + id % 200
+    val jh = lit(16L) + (id * 13) % 200
+    val jorient = lit(1L) + id % 8
+    val jpeg = concat(unhex(lit("FFD8")),
+      unhex(lit("FFE1")), be16(lit(34L)), asc("Exif"), unhex(lit("0000")),
+      unhex(lit("4D4D002A00000008")),    // "MM", 42, IFD0 at offset 8
+      be16(lit(1L)),                     // one directory entry
+      be16(lit(274L)), be16(lit(3L)), be32(lit(1L)), // tag 0x0112, SHORT, ×1
+      be16(jorient), be16(lit(0L)),
+      be32(lit(0L)),                     // next-IFD pointer: none
+      unhex(lit("FFC0")), be16(lit(11L)), u8(lit(8L)),
+      be16(jh), be16(jw), u8(lit(1L)))
+    // BMP (round 14): header-only BITMAPINFOHEADER — fixed-offset dims
+    // incl. the NEGATIVE-height top-down convention on odd ids, so
+    // leS32Abs's two's-complement branch sits under the hash gate
+    val bw = lit(9L) + id % 300
+    val bh = lit(8L) + (id * 17) % 300
+    val bhRaw = when(id % 2 === 0, bh).otherwise(lit(4294967296L) - bh)
+    val bmp = concat(asc("BM"), le32(lit(54L)), le32(lit(0L)), le32(lit(54L)),
+      le32(lit(40L)), le32(bw), le32(bhRaw), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(lit(0L)), le32(lit(2835L)), le32(lit(2835L)),
+      le32(lit(0L)), le32(lit(0L)))
+    // round 14: the cycle grows mod 7 → mod 11 (prime, so every id % m
+    // parameter above still varies across each arm's residue class)
+    val content = when(id % 11 === 0, wav)
+      .when(id % 11 === 1, png)
+      .when(id % 11 === 2, opus)
+      .when(id % 11 === 3, mp4)
+      .when(id % 11 === 4, webm)
+      .when(id % 11 === 5, webp)
+      .when(id % 11 === 6, flac)
+      .when(id % 11 === 7, mp3)
+      .when(id % 11 === 8, jpeg)
+      .when(id % 11 === 9, bmp)
       .otherwise(md5(id.cast("string")).cast("binary")) // no magic anywhere
     val built = docs.withColumn("content", content)
     graft.multimodal.Multimodal.mediaMetaPlan(
@@ -355,7 +427,8 @@ object GroupC {
         col("audio_sample_rate_hz"), col("audio_channels"),
         col("audio_bits"), col("media_duration_ms"),
         col("media_video_width"), col("media_video_height"),
-        col("img_format"), col("img_width"), col("img_height"))
+        col("img_format"), col("img_width"), col("img_height"),
+        col("img_orientation"))
       .orderBy("doc_id")
   }
 
@@ -442,45 +515,73 @@ object GroupC {
     // container bytes — so the hash compare verifies the byte walks
     "c8_media_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0 THEN 'wav'
-        |       WHEN doc_id % 7 = 2 THEN 'opus'
-        |       WHEN doc_id % 7 = 3 THEN 'mp4'
-        |       WHEN doc_id % 7 = 4 THEN 'webm' END AS media_format,
-        |  CASE WHEN doc_id % 7 = 0
+        |  CASE WHEN doc_id % 11 = 0 THEN 'wav'
+        |       WHEN doc_id % 11 = 2 THEN 'opus'
+        |       WHEN doc_id % 11 = 3 THEN 'mp4'
+        |       WHEN doc_id % 11 = 4 THEN 'webm'
+        |       WHEN doc_id % 11 = 6 THEN 'flac'
+        |       WHEN doc_id % 11 = 7 THEN 'mp3' END AS media_format,
+        |  CASE WHEN doc_id % 11 = 0
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 7 = 2
+        |       WHEN doc_id % 11 = 2
         |    THEN CAST(12000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 7 = 4
+        |       WHEN doc_id % 11 = 4
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
+        |       WHEN doc_id % 11 = 6
+        |    THEN CAST(16000 * (1 + doc_id % 3) AS BIGINT)
+        |       WHEN doc_id % 11 = 7
+        |    THEN CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |              ELSE 32000 END AS BIGINT)
         |  END AS audio_sample_rate_hz,
-        |  CASE WHEN doc_id % 7 = 0 THEN CAST(1 + doc_id % 2 AS BIGINT)
-        |       WHEN doc_id % 7 = 2 THEN CAST(1 + doc_id % 2 AS BIGINT)
-        |       WHEN doc_id % 7 = 4 THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |  CASE WHEN doc_id % 11 IN (0, 2, 4, 6)
+        |    THEN CAST(1 + doc_id % 2 AS BIGINT)
+        |       WHEN doc_id % 11 = 7
+        |    THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
         |  END AS audio_channels,
-        |  CASE WHEN doc_id % 7 = 0 THEN CAST(16 AS BIGINT) END AS audio_bits,
-        |  CASE WHEN doc_id % 7 = 0
+        |  CASE WHEN doc_id % 11 = 0 THEN CAST(16 AS BIGINT)
+        |       WHEN doc_id % 11 = 6
+        |    THEN CAST(16 + 8 * (doc_id % 2) AS BIGINT) END AS audio_bits,
+        |  CASE WHEN doc_id % 11 = 0
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 7 = 2
+        |       WHEN doc_id % 11 = 2
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 7 = 3
+        |       WHEN doc_id % 11 = 3
         |    THEN CAST((2 + doc_id % 6) * 1000 AS BIGINT)
-        |       WHEN doc_id % 7 = 4
+        |       WHEN doc_id % 11 = 4
         |    THEN CAST(1 AS BIGINT) << CAST(10 + doc_id % 6 AS INTEGER)
+        |       WHEN doc_id % 11 = 6
+        |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
+        |       WHEN doc_id % 11 = 7
+        |    THEN CAST(100 * (1 + doc_id % 4) * 1152 * 1000
+        |      // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |          ELSE 32000 END) AS BIGINT)
         |  END AS media_duration_ms,
-        |  CASE WHEN doc_id % 7 = 4
+        |  CASE WHEN doc_id % 11 = 4
         |    THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS media_video_width,
-        |  CASE WHEN doc_id % 7 = 4
+        |  CASE WHEN doc_id % 11 = 4
         |    THEN CAST(100 + (doc_id * 3) % 1000 AS BIGINT) END AS media_video_height,
-        |  CASE WHEN doc_id % 7 = 1 THEN 'png'
-        |       WHEN doc_id % 7 = 5 THEN 'webp' END AS img_format,
-        |  CASE WHEN doc_id % 7 = 1
+        |  CASE WHEN doc_id % 11 = 1 THEN 'png'
+        |       WHEN doc_id % 11 = 5 THEN 'webp'
+        |       WHEN doc_id % 11 = 8 THEN 'jpeg'
+        |       WHEN doc_id % 11 = 9 THEN 'bmp' END AS img_format,
+        |  CASE WHEN doc_id % 11 = 1
         |    THEN CAST(16 + doc_id % 100 AS BIGINT)
-        |       WHEN doc_id % 7 = 5
-        |    THEN CAST(100 + doc_id % 500 AS BIGINT) END AS img_width,
-        |  CASE WHEN doc_id % 7 = 1
+        |       WHEN doc_id % 11 = 5
+        |    THEN CAST(100 + doc_id % 500 AS BIGINT)
+        |       WHEN doc_id % 11 = 8
+        |    THEN CAST(16 + doc_id % 200 AS BIGINT)
+        |       WHEN doc_id % 11 = 9
+        |    THEN CAST(9 + doc_id % 300 AS BIGINT) END AS img_width,
+        |  CASE WHEN doc_id % 11 = 1
         |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT)
-        |       WHEN doc_id % 7 = 5
-        |    THEN CAST(100 + (doc_id * 11) % 500 AS BIGINT) END AS img_height
+        |       WHEN doc_id % 11 = 5
+        |    THEN CAST(100 + (doc_id * 11) % 500 AS BIGINT)
+        |       WHEN doc_id % 11 = 8
+        |    THEN CAST(16 + (doc_id * 13) % 200 AS BIGINT)
+        |       WHEN doc_id % 11 = 9
+        |    THEN CAST(8 + (doc_id * 17) % 300 AS BIGINT) END AS img_height,
+        |  CASE WHEN doc_id % 11 = 8
+        |    THEN CAST(1 + doc_id % 8 AS BIGINT) END AS img_orientation
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
