@@ -3724,14 +3724,42 @@ object GroupD {
     s"IF(doc_id % 17 = 0, unhex('00112233'), " +
       s"unhex(concat('$BmpHeaderHex', $bmpPixelsHex)))"
 
-  def d78ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** d78's construct→decode stage: one (doc_id, dhash) row per parseable
+    * image — split out so specs/tools can probe the decode separately
+    * from the banding join.
+    */
+  def d78Hashed(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val hashed = Tables(spark, sfDir, "documents")
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr(bmpBitsExpr).as("bits"))
+      // CONSTRUCTION-ONLY barrier: without it CollapseProject inlines the
+      // 64-element `bits` transform into each of the pixel walk's ~128
+      // array references and the interpreted HOF re-evaluates it per
+      // reference (measured 49 s at sf0.1; 1.3 s with the barrier). The
+      // exchange carries 5 000 tiny (doc_id, 64×long) rows and exists
+      // only on the synthetic-bytes side — the real pipeline reads
+      // `content` from parquet and starts at the decode below.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), expr(bmpContentExpr).as("content"))
       .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
         .BmpDhashName}(content)").as("dhash"))
-      .filter(col("dhash").isNotNull)
+      // NO isNotNull filter here, deliberately: a Filter on `dhash`
+      // pushes through the repartition barrier below it and lands
+      // adjacent to the bits/content projections, where predicate
+      // inlining rebuilds and re-decodes the bytes once per reference —
+      // measured 25 s of the original 27 s at sf0.1. Unparseable rows
+      // (NULL dhash) produce NULL band keys and die in the inner
+      // equi-join with zero extra code.
+      // second barrier: downstream the band transform and both join
+      // sides reference `dhash` — inlined, every reference would rebuild
+      // the bytes and re-decode them. Materializing the (doc_id, 8-byte
+      // dhash) rows here means construct+decode runs once per doc, and
+      // the self-join's two sides REUSE this one exchange.
+      .repartition(col("doc_id"))
+  }
+
+  def d78ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = d78Hashed(spark, sfDir)
     val bands = hashed.select(col("doc_id"), col("dhash"),
       posexplode(expr(
         "transform(sequence(0, 3), t -> shiftright(dhash, t * 16) & 65535L)"))
@@ -3741,7 +3769,15 @@ object GroupD {
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("cast(bit_count(x.dhash ^ y.dhash) as bigint)").as("hamming"))
+        // coalesce is a semantic no-op (matched rows always carry
+        // non-null hashes — a NULL hash yields NULL band keys and never
+        // survives the equi-join) but it is NULL-TOLERANT, so constraint
+        // inference cannot derive `isnotnull(dhash)` from this predicate
+        // and push it below the barriers — where the inlined
+        // reconstruction costs 25 s at sf0.1 (same pathology as the
+        // removed explicit filter, see d78Hashed).
+        expr("cast(bit_count(coalesce(x.dhash, 0L) ^ coalesce(y.dhash, 0L))" +
+          " as bigint)").as("hamming"))
       .filter(col("hamming") <= 3L)
       .distinct()
       .orderBy("doc_a", "doc_b")

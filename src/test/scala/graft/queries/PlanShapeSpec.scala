@@ -146,6 +146,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "document text rode a shuffle:\n" + exchanges.mkString("\n"))
   }
 
+  test("d78: the pixel decode runs ONCE per join side — never re-derived at the scan") {
+    // the round-14 pathology pinned: an isnotnull(dhash) — explicit or
+    // inferred from the hamming predicate — pushes through the
+    // repartition barriers and re-inlines the whole construct+decode
+    // into a per-row scan filter (measured 25 of 27 s at sf0.1). The
+    // decode expression may appear once per join side, nowhere else.
+    val p = plan("d78_image_dedup")
+    val occurrences = "graft_bmp_dhash\\(".r.findAllMatchIn(p).length
+    assert(occurrences <= 2, s"decode expression appears $occurrences times")
+    assert(!p.contains("DataFilters: [isnotnull(graft_bmp_dhash"),
+      "inferred null filter re-derives the decode at the scan")
+  }
+
   test("d55: snapshot diff is one full-outer SMJ on doc_id — no nested loop, no window") {
     val p = plan("d55_snapshot_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
