@@ -116,6 +116,7 @@ object GraftFunctions {
   val JpegDimsName = "graft_jpeg_dims"
   val WebpDimsName = "graft_webp_dims"
   val BmpDhashName = "graft_bmp_dhash"
+  val BmpResizeName = "graft_bmp_resize"
   val JpegExifOrientationName = "graft_jpeg_exif_orientation"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
@@ -216,6 +217,22 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$BmpDhashName expects 1 argument")
         BmpDhash(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(BmpResizeName,
+      { exprs =>
+        require(exprs.length == 3,
+          s"$BmpResizeName expects (binary, targetW, targetH)")
+        def intArg(e: Expression, name: String): Int = {
+          require(e.foldable, s"$BmpResizeName: '$name' must be a literal")
+          e.eval() match {
+            case i: Int  => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"$BmpResizeName: '$name' must be an integer literal, got $other")
+          }
+        }
+        BmpResize(exprs.head, intArg(exprs(1), "targetW"),
+          intArg(exprs(2), "targetH"))
       }, "built-in")
     reg.createOrReplaceTempFunction(JpegExifOrientationName,
       { exprs =>

@@ -3758,6 +3758,69 @@ object GroupD {
       .repartition(col("doc_id"))
   }
 
+  /** d79: IMAGE RESIZE — the real pixel transform the multimodal
+    * mandate's resize step called for ([[graft.functions.BmpResize]]:
+    * per-channel box-average downsampling emitting a fresh canonical
+    * BMP), driven end to end under the hash gate: each doc's bytes are
+    * the PIXEL-DOUBLED 18×16 rendering of its d78 pattern, the native
+    * resize brings them back to 9×8, and the resized bytes are
+    * re-decoded by the header walk (dims) and [[graft.functions
+    * .BmpDhash]] (pixels). Because every 2×2 source block is constant,
+    * the box average is exact and the resized image IS the direct 9×8
+    * construction — so the oracle re-derives the reported dHash from
+    * doc_id arithmetic (as two 32-bit halves rendered canonical-hex,
+    * dodging 64-bit shift overflow in SQL) without ever seeing bytes.
+    * Junk docs (≡ 0 mod 17) pin the refusal path: resize NULL,
+    * downstream fields NULL.
+    *
+    * Scale shape: one scan-side projection per stage with d78's
+    * materialization barriers (the HOF construction must not inline into
+    * downstream references); no joins, no aggregation — the resize pass
+    * is embarrassingly parallel at any corpus size, and at 100 TB reads
+    * `content` from parquet instead of constructing it.
+    */
+  private val Bmp18HeaderHex: String =
+    "424DB6030000000000003600000028000000120000001000000001001800" +
+      "0000000080030000130B0000130B00000000000000000000"
+
+  private val bmp18PixelsHex: String = {
+    // storage rows 0..15 bottom-up; logical row 15-s, walk row (15-s)/2;
+    // each walk pixel spans 2 columns (6 bytes) and each walk row 2 rows
+    val step = "IF(bits[((15 - s) div 2) * 8 + c - 1] = 1L, -10L, 10L)"
+    "concat_ws('', transform(sequence(0, 15), s -> " +
+      "aggregate(sequence(1, 8), " +
+      "named_struct('v', 128L, 'hx', repeat('80', 6)), " +
+      s"(acc, c) -> named_struct(" +
+      s"'v', acc.v + $step, " +
+      s"'hx', concat(acc.hx, repeat(lpad(hex(acc.v + $step), 2, '0'), 6))), " +
+      "acc -> concat(acc.hx, '0000'))))"
+  }
+
+  private[queries] val bmp18ContentExpr: String =
+    s"IF(doc_id % 17 = 0, unhex('00112233'), " +
+      s"unhex(concat('$Bmp18HeaderHex', $bmp18PixelsHex)))"
+
+  def d79ImageResize(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val resized = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(bmpBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // d78's construction barrier
+      .select(col("doc_id"), expr(bmp18ContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .BmpResizeName}(content, 9, 8)").as("resized"))
+      // materialize the resized bytes once: the dims walks and the dHash
+      // below each reference them several times
+      .repartition(col("doc_id"))
+    graft.multimodal.Multimodal.imageDimsPlan(resized, "resized")
+      .select(col("doc_id"),
+        col("img_format").as("r_format"),
+        col("img_width").as("r_w"),
+        col("img_height").as("r_h"),
+        lpad(hex(expr(s"${graft.functions.GraftFunctions
+          .BmpDhashName}(resized)")), 16, "0").as("dhash_hex"))
+      .orderBy("doc_id")
+  }
+
   def d78ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val hashed = d78Hashed(spark, sfDir)
     val bands = hashed.select(col("doc_id"), col("dhash"),
@@ -4122,6 +4185,7 @@ object GroupD {
     "d76_lang_confusion"   -> (d76LangConfusion _),
     "d77_remove_shared_chunks" -> (d77RemoveSharedChunks _),
     "d78_image_dedup" -> (d78ImageDedup _),
+    "d79_image_resize" -> (d79ImageResize _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4467,6 +4531,35 @@ object GroupD {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d79_image_resize" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |       // 1024 % 2
+        |     + CASE WHEN k >= doc_id % 61 AND k < doc_id % 61 + doc_id % 4
+        |            THEN 1 ELSE 0 END) % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 4) * 1000003 + k * 7919 + 12345)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k < 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN k >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER))
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 17 <> 0 THEN 'bmp' END AS r_format,
+        |  CASE WHEN d.doc_id % 17 <> 0 THEN CAST(9 AS BIGINT) END AS r_w,
+        |  CASE WHEN d.doc_id % 17 <> 0 THEN CAST(8 AS BIGINT) END AS r_h,
+        |  CASE WHEN d.doc_id % 17 <> 0 THEN
+        |    upper(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0'))
+        |  END AS dhash_hex
+        |FROM d JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d75_chunk_dedup" ->
       s"""$cdcChunkCtes,
         |chunks AS (

@@ -27,6 +27,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     OggOpusMeta.scan(b)
     MkvMeta.scan(b)
     BmpDhash.scan(b)
+    BmpResize.scan(b, 4, 4)
     true
   }
 
