@@ -3821,7 +3821,16 @@ object GroupD {
       .orderBy("doc_id")
   }
 
-  def d78ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** d78's verified pair list without the presentation sort — the hub
+    * frame d80's component labeling consumes (d1Pairs/d14's shape at the
+    * image modality); StageCache'd so the construct+decode+band pass
+    * pays once per corpus.
+    */
+  def d78Pairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.StageCache.persisted(s"$sfDir#d78_pairs")(
+      d78PairsRaw(spark, sfDir))
+
+  private def d78PairsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     val hashed = d78Hashed(spark, sfDir)
     val bands = hashed.select(col("doc_id"), col("dhash"),
       posexplode(expr(
@@ -3843,7 +3852,39 @@ object GroupD {
           " as bigint)").as("hamming"))
       .filter(col("hamming") <= 3L)
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  def d78ImageDedup(spark: SparkSession, sfDir: String): DataFrame =
+    d78Pairs(spark, sfDir).orderBy("doc_a", "doc_b")
+
+  /** d80: IMAGE near-dup CLUSTERS — d14's component labeling at the
+    * image modality, closing the dedup lifecycle for images the same way
+    * text has it (pairs → clusters → keep/remove decisions): connected
+    * components over d78's verified pair list, labeled by the iterative
+    * [[graft.operators.ConnectedComponents]] propagation (min-id label,
+    * delta-bounded rounds), with per-cluster sizes attached. Both the
+    * pair hub and the labeled frame ride the StageCache policy
+    * (iterative propagation is the most re-derivation-hostile shape
+    * there is — d14's argument verbatim).
+    *
+    * Scale shape: inherited — pair volume is band-collision-bounded
+    * (d78), propagation shuffles only (id, label) pairs per round with
+    * localCheckpoint lineage truncation, sizes are one partial agg on
+    * the component key.
+    */
+  def d80ImageClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val clustered = graft.operators.StageCache.persisted(
+        s"$sfDir#d80_clusters") {
+      val pairs = d78Pairs(spark, sfDir).select("doc_a", "doc_b")
+      val labels = graft.operators.ConnectedComponents
+        .label(pairs, src = "doc_a", dst = "doc_b")
+      val sizes = labels.groupBy("component")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+    }
+    clustered.orderBy("doc_id")
   }
 
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
@@ -4186,6 +4227,7 @@ object GroupD {
     "d77_remove_shared_chunks" -> (d77RemoveSharedChunks _),
     "d78_image_dedup" -> (d78ImageDedup _),
     "d79_image_resize" -> (d79ImageResize _),
+    "d80_image_clusters" -> (d80ImageClusters _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4307,6 +4349,31 @@ object GroupD {
       |       ELSE 'test' END AS split
       |FROM ranked
       |ORDER BY doc_id""".stripMargin
+
+  /** d78's pair oracle, shared with d80's component labeling (the
+    * d14-over-c2 nesting pattern): Hamming ≤ 3 over the arithmetically
+    * re-derived 64-bit patterns.
+    */
+  private val d78PairOracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+      |       // 1024 % 2
+      |     + CASE WHEN k >= doc_id % 61 AND k < doc_id % 61 + doc_id % 4
+      |            THEN 1 ELSE 0 END) % 2 AS b
+      |  FROM (SELECT doc_id, k,
+      |          ((doc_id // 4) * 1000003 + k * 7919 + 12345)
+      |            % 1000000007 AS x
+      |        FROM d, range(64) t(k))),
+      |h AS (
+      |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+      |           AS hamming
+      |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private val d14OracleSql: String = {
     val pairSql = GroupC.oracleSql("c2_dedup_near")
@@ -4511,26 +4578,28 @@ object GroupD {
         |  md5(COALESCE(string_agg(CASE WHEN NOT shared THEN piece END, ''
         |    ORDER BY chunk_idx), '')) AS cleaned_md5
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "d78_image_dedup" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
-        |bits AS (
-        |  SELECT doc_id, k,
-        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
-        |       // 1024 % 2
-        |     + CASE WHEN k >= doc_id % 61 AND k < doc_id % 61 + doc_id % 4
-        |            THEN 1 ELSE 0 END) % 2 AS b
-        |  FROM (SELECT doc_id, k,
-        |          ((doc_id // 4) * 1000003 + k * 7919 + 12345)
-        |            % 1000000007 AS x
-        |        FROM d, range(64) t(k))),
-        |h AS (
-        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
-        |           AS hamming
-        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d78_image_dedup" -> d78PairOracleSql,
+    "d80_image_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d78PairOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS root FROM verts
+         |  UNION
+         |  SELECT e.d AS doc_id, r.root
+         |  FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |comp AS (
+         |  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size
+         |  FROM comp GROUP BY cluster_id)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size
+         |FROM comp c JOIN sizes s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d79_image_resize" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |bits AS (
