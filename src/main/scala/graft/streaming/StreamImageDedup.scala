@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of d78's image near-dup dedup — the ingest gate for a
+  * crawled-image feed: each micro-batch of arriving assets is
+  * PERCEPTUALLY deduped (dHash-64 via the native pixel decode, Hamming ≤
+  * `maxDist`, banded candidate generation) against the standing accepted
+  * set plus smaller-id batch peers, and only survivors pass to the sink.
+  * Banding stays EXACT (pigeonhole: `maxDist` < 4 bands ⇒ every
+  * qualifying pair shares an intact 16-bit band), so the gate's recall
+  * is 1 by construction — same contract as the batch query.
+  *
+  * Like [[StreamIngestDedup]], the per-batch relational body is not an
+  * append-mode streaming plan, so it runs per micro-batch via
+  * `foreachBatch`; the only streaming state is the standing hash set.
+  * Intra-batch semantics mirror d34's rule verbatim: an asset drops if
+  * it near-duplicates the standing set OR a batch peer with a SMALLER
+  * id, whether or not that peer itself survives.
+  *
+  * UNPARSEABLE assets (NULL dHash — truncated files, non-BMP bytes) pass
+  * the gate (a dup cannot be proven) but never enter the standing side;
+  * the caller's downstream quality gate owns them. That choice keeps the
+  * gate monotone: accepting junk never suppresses a future real image.
+  *
+  * Scale shape: the standing side carries (asset_id, 8-byte dhash) —
+  * never pixels — so the standing band index is tiny relative to the
+  * corpus; the probe side is trigger-bounded; survivors checkpoint
+  * before the standing union so lineage stays one plan deep per batch.
+  * `standingStore` makes the accepted hash set durable (parquet append
+  * AFTER the sink call — a crash between them re-emits on replay,
+  * at-least-once, rather than silently swallowing a batch).
+  */
+object StreamImageDedup {
+
+  def start(delta: DataFrame, base: DataFrame, queryName: String,
+            sink: (DataFrame, Long) => Unit,
+            maxDist: Int = 3,
+            standingStore: Option[String] = None): StreamingQuery = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"banded exactness needs maxDist < 4 (bands), got $maxDist")
+    val spark = base.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+
+    def hashed(df: DataFrame): DataFrame =
+      df.select(col("asset_id"), expr(s"${graft.functions.GraftFunctions
+        .BmpDhashName}(content)").as("dhash"))
+        .filter(col("dhash").isNotNull)
+
+    def bandsOf(h: DataFrame): DataFrame =
+      h.select(col("asset_id"), col("dhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), t -> shiftright(dhash, t * 16) & 65535L)"))
+          .as(Seq("band", "key")))
+
+    val persisted = standingStore.flatMap { dir =>
+      try Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
+      catch { case scala.util.control.NonFatal(_) => None } // empty store
+    }
+    var standing = persisted.foldLeft(hashed(base))(_ unionByName _)
+      .localCheckpoint(true)
+
+    val hammingOk =
+      s"bit_count(coalesce(d.dhash, 0L) ^ coalesce(s.dhash, 0L)) <= $maxDist"
+
+    delta.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // deterministic within-batch survivor per asset_id (at-least-once
+        // redelivery may vary passthrough columns), then drop ids the
+        // standing side already accepted — a redelivery, not a new asset
+        val w = Window.partitionBy("asset_id")
+          .orderBy(xxhash64(batch.columns.map(col).toIndexedSeq: _*))
+        val b0 = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .join(standing.select("asset_id"), Seq("asset_id"), "left_anti")
+          .localCheckpoint(true)
+        val bh = hashed(b0).localCheckpoint(true)
+        val bb = bandsOf(bh)
+        val dupVsStanding = bb.as("d")
+          .join(bandsOf(standing).as("s"),
+            col("d.band") === col("s.band") && col("d.key") === col("s.key"))
+          .filter(expr(hammingOk))
+          .select(col("d.asset_id"))
+        val dupInBatch = bb.as("d")
+          .join(bb.as("s"),
+            col("d.band") === col("s.band") && col("d.key") === col("s.key") &&
+              col("s.asset_id") < col("d.asset_id")) // d34's smaller-id rule
+          .filter(expr(hammingOk))
+          .select(col("d.asset_id"))
+        val dups = dupVsStanding.unionByName(dupInBatch).distinct()
+        val kept = b0.join(dups, Seq("asset_id"), "left_anti")
+          .localCheckpoint(true)
+        val keptHashes = hashed(kept).localCheckpoint(true)
+        standing = standing.unionByName(keptHashes)
+        sink(kept, batchId)
+        standingStore.foreach { dir =>
+          keptHashes.write.mode("append").parquet(dir)
+        }
+      }
+      .start()
+  }
+}

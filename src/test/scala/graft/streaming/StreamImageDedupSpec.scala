@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.TestSpark.{csvFile, tempDir}
+import graft.sources.CsvDialect
+
+/** The streaming image-ingest gate ([[StreamImageDedup]]): perceptual
+  * near-dup drops against the standing set, d34's smaller-id rule inside
+  * a batch, cross-batch first-arrival-wins, redelivery suppression, and
+  * the unparseable-pass-through contract.
+  */
+class StreamImageDedupSpec extends AnyFunSuite {
+
+  /** 9×8 grayscale BMP whose dHash-64 equals `bits` exactly: each row is
+    * the luma walk from 128 stepping −10 on a 1-bit, +10 on a 0-bit
+    * (the d78 construction's rule, built here in plain bytes).
+    */
+  private def bmpFor(bits: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(278)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(278).putInt(0).putInt(54)
+    b.putInt(40).putInt(9).putInt(8).putShort(1).putShort(24)
+    b.putInt(0).putInt(224).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (s <- 0 until 8) {
+      val r = 7 - s // bottom-up storage
+      var v = 128
+      for (c <- 0 to 8) {
+        if (c > 0)
+          v += (if (((bits >> (r * 8 + c - 1)) & 1L) == 1L) -10 else 10)
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+      }
+      b.put(0.toByte) // stride pad
+    }
+    b.array()
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(x => f"${x & 0xff}%02X").mkString
+
+  private val P1 = 0xAAAAAAAAAAAAAAAAL // alternating
+  private val P2 = 0L
+  private val P3 = 0x0F0F0F0F0F0F0F0FL
+  private def flip(p: Long, ks: Int*): Long = ks.foldLeft(p)((x, k) => x ^ (1L << k))
+
+  test("gate semantics: standing drop, smaller-id peer drop, redelivery, junk pass") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // sanity: the builder really produces the intended hashes
+    assert(graft.functions.BmpDhash.scan(bmpFor(P1)) == P1)
+    assert(graft.functions.BmpDhash.scan(bmpFor(flip(P2, 5, 40))) == flip(P2, 5, 40))
+
+    val base = Seq((1L, bmpFor(P1))).toDF("asset_id", "content")
+    val dir = tempDir("simgdedup")
+    def csv(rows: (Long, Array[Byte])*): String =
+      "asset_id;content_hex\n" +
+        rows.map { case (i, bs) => s"$i;${hex(bs)}" }.mkString("\n") + "\n"
+    val junk = Array[Byte](1, 2, 3, 4)
+    // batch 1: 10 ≈ base (drops), 11 new (passes), 12 ≈ peer 11 with a
+    // smaller id (drops), 13 unparseable (passes through)
+    csvFile(dir, "b1.csv", csv(
+      10L -> bmpFor(flip(P1, 3, 17)),
+      11L -> bmpFor(P2),
+      12L -> bmpFor(flip(P2, 5, 40)),
+      13L -> junk))
+    val stream = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val perBatch = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = StreamImageDedup.start(stream, base, "simgdedup",
+      (surv, id) => {
+        perBatch(id) = surv.select("asset_id").collect().map(_.getLong(0)).toSet
+        ()
+      })
+    try {
+      q.processAllAvailable()
+      // batch 2: 20 ≈ ACCEPTED 11 (cross-batch drop), 21 new (passes),
+      // 11 redelivered verbatim (suppressed by id), 22 junk again
+      // (unparseables never enter standing — the gate stays monotone and
+      // junk passes every time; downstream quality gates own it)
+      csvFile(dir, "b2.csv", csv(
+        20L -> bmpFor(flip(P2, 60)),
+        21L -> bmpFor(P3),
+        11L -> bmpFor(P2),
+        22L -> junk))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L) == Set(11L, 13L), s"batch 0: ${perBatch.get(0L)}")
+    assert(perBatch(1L) == Set(21L, 22L), s"batch 1: ${perBatch.get(1L)}")
+  }
+
+  test("hamming > maxDist passes: distance 4 with maxDist 3 is NOT a dup") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq((1L, bmpFor(P1))).toDF("asset_id", "content")
+    val dir = tempDir("simgdedup2")
+    val far = flip(P1, 2, 19, 37, 55) // one flip in each 16-bit band
+    csvFile(dir, "b1.csv",
+      "asset_id;content_hex\n" + s"30;${hex(bmpFor(far))}\n")
+    val stream = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val got = scala.collection.mutable.Set[Long]()
+    val q = StreamImageDedup.start(stream, base, "simgdedup2",
+      (surv, _) => { got ++= surv.select("asset_id").collect().map(_.getLong(0)); () })
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set(30L),
+      "a hamming-4 twin (one flip per band: no intact band, no candidate) " +
+        "must survive a maxDist-3 gate")
+  }
+}
