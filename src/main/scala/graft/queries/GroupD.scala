@@ -3887,6 +3887,43 @@ object GroupD {
     clustered.orderBy("doc_id")
   }
 
+  /** d81: IMAGE keep-best — d46's representative election at the image
+    * modality, with the criterion that actually matters for images:
+    * RESOLUTION. Docs alternate between the 9×8 rendering and its
+    * pixel-doubled 18×16 twin (same dHash by construction — the classic
+    * same-image-different-resolution case real crawls are full of), so
+    * clusters mix resolutions and the election keeps the largest pixel
+    * count (ties broken by smallest doc_id, the deterministic-tiebreak
+    * discipline). Resolution comes from DECODING the constructed bytes
+    * (the header walk), not from the arithmetic — the decode is in the
+    * gate.
+    *
+    * Scale shape: d80's cached cluster frame join a scan-side dims
+    * decode; the election is one WindowGroupLimit-shaped rank per
+    * cluster over cluster-sized groups.
+    */
+  def d81ImageKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val mixed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(bmpBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // d78's construction barrier
+      .select(col("doc_id"), expr(
+        s"IF(doc_id % 2 = 0, $bmp18ContentExpr, $bmpContentExpr)")
+        .as("content"))
+      // barrier before the dims walk's many content references
+      .repartition(col("doc_id"))
+    val dims = graft.multimodal.Multimodal.imageDimsPlan(mixed, "content")
+      .select(col("doc_id"), (col("img_width") * col("img_height")).as("px"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("px").desc, col("doc_id"))
+    d80ImageClusters(spark, sfDir)
+      .select("doc_id", "cluster_id")
+      .join(dims, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("px"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -4228,6 +4265,7 @@ object GroupD {
     "d78_image_dedup" -> (d78ImageDedup _),
     "d79_image_resize" -> (d79ImageResize _),
     "d80_image_clusters" -> (d80ImageClusters _),
+    "d81_image_keep_best" -> (d81ImageKeepBest _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4629,6 +4667,31 @@ object GroupD {
         |    upper(lpad(to_hex(hi), 8, '0') || lpad(to_hex(lo), 8, '0'))
         |  END AS dhash_hex
         |FROM d JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "d81_image_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d78PairOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS root FROM verts
+         |  UNION
+         |  SELECT e.d AS doc_id, r.root
+         |  FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |comp AS (
+         |  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |px AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN CAST(288 AS BIGINT)
+         |         ELSE CAST(72 AS BIGINT) END AS px
+         |  FROM comp)
+         |SELECT c.doc_id, c.cluster_id, p.px,
+         |  (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY p.px DESC, c.doc_id) = 1) AS keep
+         |FROM comp c JOIN px p USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
     "d75_chunk_dedup" ->
       s"""$cdcChunkCtes,
         |chunks AS (
