@@ -1157,7 +1157,102 @@ object GroupB {
         count(lit(1)).as("n_rows"))
   }
 
+  /** b45: TPC-H Q14 (promotion effect) re-expressed on this schema — the
+    * conditional-aggregate-over-join pattern: one month of shipments
+    * joined to the part dim, promo revenue as a share of total. The dim
+    * side BROADCASTS (part is corpus-bounded; at 100 TB it is still a
+    * dim), the date band pushes to the lineitem scan, and both sums ride
+    * one partial agg — the join never shuffles the fact side beyond the
+    * scan. Revenue is exact integer cents × discount points (b40's
+    * discipline); the share is basis points by integer division, so the
+    * headline number no engine can render differently. At 100 TB the
+    * bigint product sums sit ~10³ under overflow for this one-month
+    * band; a full-history variant swaps decimal(38,0) (b43's move).
+    */
+  def b45TpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .join(broadcast(Tables(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("p_partkey") === col("l_partkey"))
+      .select((expr("cast(round(l_extendedprice * 100) as bigint)") *
+        (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+        .as("rev_fp"),
+        (col("p_type") === "PROMO").as("promo"))
+      .agg(sum(when(col("promo"), col("rev_fp")).otherwise(0L))
+        .as("promo_rev_fp"),
+        sum("rev_fp").as("total_rev_fp"))
+      .select(col("promo_rev_fp"), col("total_rev_fp"),
+        expr("promo_rev_fp * 10000 div total_rev_fp").as("promo_share_bp"))
+  }
+
+  /** b46: TPC-H Q4 (order priority checking) re-expressed on this
+    * schema — the EXISTS-semi-join census: one quarter of orders, count
+    * per priority of those with at least one LATE line (shipped more
+    * than 30 days after the order date; the reference schema's
+    * commit/receipt pair is re-expressed on the columns this corpus
+    * carries). Plan: date band pushes to the orders scan, the semi-join
+    * carries the non-equi lateness predicate INSIDE the join (no
+    * post-join dedup — semi-join semantics give per-order existence for
+    * free), the census is a 5-row partial agg.
+    */
+  def b46TpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+    val lines = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders.join(lines,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** b47: TPC-H Q19 (discounted revenue) re-expressed on this schema —
+    * the DISJUNCTIVE-predicate showcase: revenue over three OR'd
+    * (brand, size-band, quantity-band) arms. The classic Q19 trap is a
+    * plan that evaluates the OR only after a full fact×dim join; the
+    * HOISTED common implications (brand ∈ the three, size ≤ the widest
+    * band, quantity ≤ the widest band) are applied as conjunctive
+    * pre-filters — the part side prunes BEFORE broadcast and the
+    * quantity bound pushes into the lineitem scan — then the exact
+    * disjunction runs post-join on the surviving sliver. Catalyst does
+    * not derive these from an OR across branches; hoisting them by hand
+    * is the documented, semantics-preserving rewrite (each arm implies
+    * its hoisted bound).
+    */
+  def b47TpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .filter(col("p_brand").isin("Brand#4", "Brand#19", "Brand#25") &&
+        col("p_size").between(1, 15))
+    val lines = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity").between(1.0, 30.0))
+      .select(col("l_partkey"), col("l_quantity"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+    lines.join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20.0, 30.0)))
+      .agg(sum("rev_fp").as("revenue_fp"), count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "b45_tpch_q14"     -> (b45TpchQ14 _),
+    "b46_tpch_q4"      -> (b46TpchQ4 _),
+    "b47_tpch_q19"     -> (b47TpchQ19 _),
     "b44_tpch_q6"      -> (b44TpchQ6 _),
     "b43_tpch_q1"      -> (b43TpchQ1 _),
     "b39_event_funnel" -> (b39EventFunnel _),
@@ -1205,6 +1300,45 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b45_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_fp,
+        |    (p_type = 'PROMO') AS promo
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT
+        |  CAST(SUM(CASE WHEN promo THEN rev_fp ELSE 0 END) AS BIGINT)
+        |    AS promo_rev_fp,
+        |  CAST(SUM(rev_fp) AS BIGINT) AS total_rev_fp,
+        |  CAST(SUM(CASE WHEN promo THEN rev_fp ELSE 0 END) * 10000
+        |    // SUM(rev_fp) AS BIGINT) AS promo_share_bp
+        |FROM j""".stripMargin,
+    "b46_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*)::BIGINT AS n_late_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "b47_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_fp,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "b44_tpch_q6" ->
       """SELECT
         |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

@@ -52,6 +52,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("b45: Q14's dim broadcasts; both sums combine map-side; date band pushed") {
+    val p = plan("b45_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(p.contains("partial_sum"), "promo/total sums must combine map-side")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("b46: Q4 is a SEMI join (existence for free, no post-join dedup)") {
+    val p = plan("b46_tpch_q4")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(20).mkString("\n"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date band must reach the orders scan")
+    assert(!p.contains("HashAggregate(keys=[o_orderkey"),
+      "existence must come from the semi join, not a dedup aggregate")
+  }
+
+  test("b47: Q19's hoisted bounds reach BOTH scans; the dim prunes pre-broadcast") {
+    val p = plan("b47_tpch_q19")
+    assert(p.contains("In(p_brand"), "brand set must push to the part scan")
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "hoisted quantity bound must push to the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"), "pruned part dim must broadcast")
+  }
+
   test("b43: Q1 is one pushed-filter scan into a partial+final hash agg") {
     val p = plan("b43_tpch_q1")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
