@@ -1249,7 +1249,98 @@ object GroupB {
       .agg(sum("rev_fp").as("revenue_fp"), count(lit(1)).as("n_rows"))
   }
 
+  /** b48: TPC-H Q17 (small-quantity-order revenue) re-expressed — the
+    * CORRELATED-per-group-average pattern: revenue locked in lines whose
+    * quantity is under 20% of their part's average. The correlated
+    * subquery runs as ONE partial-agg per part (sum, count) joined back
+    * on the part key — each side shuffles once on l_partkey. The 20%
+    * comparison is EXACT integer cross-multiplication
+    * (5·qty·n < Σqty — a double `< 0.2·avg` is an ulp lottery at the
+    * band edge, b44's discount-band discipline), and the headline
+    * revenue/7 is integer fixed point.
+    */
+  def b48TpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        expr("cast(round(l_quantity) as bigint)").as("qty_i"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+    val perPart = lines.groupBy("l_partkey")
+      .agg(sum("qty_i").as("sum_qty"), count(lit(1)).as("n_lines"))
+    val brandParts = Tables(spark, sfDir, "part")
+      .filter(col("p_brand") === "Brand#4" && col("p_type") === "MEDIUM")
+      .select("p_partkey")
+    lines
+      .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(col("qty_i") * 5L * col("n_lines") < col("sum_qty"))
+      .agg(sum("price_c").as("sum_price_c"), count(lit(1)).as("n_rows"))
+      .select(expr("sum_price_c div 7").as("avg_yearly_fp"),
+        col("sum_price_c"), col("n_rows"))
+  }
+
+  /** b49: TPC-H Q22 (global-customer-relationship) re-expressed — the
+    * scalar-subquery + ANTI-join pattern: positive-balance customers
+    * above the GLOBAL positive average who never placed an order,
+    * censused per nation. The global average is a 1-row broadcast
+    * (sum, count) and the comparison is exact cross-multiplication
+    * (bal·n > Σbal in integer cents); the absence test is a left-anti
+    * join on the customer key — no NOT IN null-trap, no distinct. The
+    * absent relation is URGENT orders (this corpus gives every customer
+    * SOME order, so Q22's literal "never ordered" would census an empty
+    * set and prove nothing — the anti-join pattern is the point, and the
+    * priority filter pushes to the orders scan).
+    */
+  def b49TpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val custs = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_c"))
+      .filter(col("bal_c") > 0L)
+    val globalAvg = custs.agg(
+      sum("bal_c").as("sum_bal"), count(lit(1)).as("n_bal"))
+    custs.crossJoin(broadcast(globalAvg))
+      .filter(col("bal_c") * col("n_bal") > col("sum_bal"))
+      .join(Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_custs"), sum("bal_c").as("total_bal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  /** b50: TPC-H Q15 (top supplier) re-expressed — the ARGMAX-over-
+    * aggregate pattern: per-supplier revenue for one quarter, then the
+    * supplier(s) achieving the maximum. Two passes over the SAME
+    * aggregate frame (Catalyst reuses the exchange): a 1-row max
+    * broadcast cross-joined back — no window over the whole frame, no
+    * self-join on revenue. Exact integer cents make the max boundary
+    * deterministic (a double-sum argmax can disagree between engines on
+    * the last ulp — the whole reason Q15 is in the exactness family).
+    */
+  def b50TpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val rev = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_suppkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+      .groupBy("l_suppkey").agg(sum("rev_fp").as("total_rev_fp"))
+    val top = rev.agg(max("total_rev_fp").as("max_rev_fp"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_rev_fp") === col("max_rev_fp"))
+      .join(Tables(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_fp"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b48_tpch_q17"     -> (b48TpchQ17 _),
+    "b49_tpch_q22"     -> (b49TpchQ22 _),
+    "b50_tpch_q15"     -> (b50TpchQ15 _),
     "b45_tpch_q14"     -> (b45TpchQ14 _),
     "b46_tpch_q4"      -> (b46TpchQ4 _),
     "b47_tpch_q19"     -> (b47TpchQ19 _),
@@ -1300,6 +1391,55 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b48_tpch_q17" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |per_part AS (
+        |  SELECT l_partkey, SUM(qty_i) AS sum_qty, COUNT(*) AS n_lines
+        |  FROM l GROUP BY l_partkey),
+        |sel AS (
+        |  SELECT price_c
+        |  FROM l
+        |  JOIN part ON p_partkey = l.l_partkey
+        |  JOIN per_part p ON p.l_partkey = l.l_partkey
+        |  WHERE p_brand = 'Brand#4' AND p_type = 'MEDIUM'
+        |    AND qty_i * 5 * n_lines < sum_qty)
+        |SELECT CAST(SUM(price_c) // 7 AS BIGINT) AS avg_yearly_fp,
+        |  CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM sel""".stripMargin,
+    "b49_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0),
+        |g AS (SELECT SUM(bal_c) AS sum_bal, COUNT(*) AS n_bal FROM c)
+        |SELECT c_nationkey, COUNT(*)::BIGINT AS n_custs,
+        |  CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+        |FROM c, g
+        |WHERE bal_c * n_bal > sum_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "b50_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS total_rev_fp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_fp
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev_fp = (SELECT MAX(total_rev_fp) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "b45_tpch_q14" ->
       """WITH j AS (
         |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)

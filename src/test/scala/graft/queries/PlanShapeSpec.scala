@@ -77,6 +77,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "pruned part dim must broadcast")
   }
 
+  test("b49: Q22's absence test is a LEFT ANTI join; priority filter pushed") {
+    val p = plan("b49_tpch_q22")
+    assert(p.contains("LeftAnti"), p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "priority filter must reach the orders scan")
+  }
+
+  test("b50: Q15's argmax is a 1-row broadcast back over the aggregate — no window") {
+    val p = plan("b50_tpch_q15")
+    assert(p.contains("BroadcastExchange"), "max must broadcast")
+    assert(!p.contains("Window"), "argmax must not sort the whole aggregate")
+  }
+
   test("b43: Q1 is one pushed-filter scan into a partial+final hash agg") {
     val p = plan("b43_tpch_q1")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
