@@ -117,6 +117,7 @@ object GraftFunctions {
   val WebpDimsName = "graft_webp_dims"
   val BmpDhashName = "graft_bmp_dhash"
   val BmpResizeName = "graft_bmp_resize"
+  val WavEnergyHashName = "graft_wav_ehash"
   val JpegExifOrientationName = "graft_jpeg_exif_orientation"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
@@ -217,6 +218,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$BmpDhashName expects 1 argument")
         BmpDhash(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(WavEnergyHashName,
+      { exprs =>
+        require(exprs.length == 1, s"$WavEnergyHashName expects 1 argument")
+        WavEnergyHash(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(BmpResizeName,
       { exprs =>

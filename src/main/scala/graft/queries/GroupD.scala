@@ -3924,6 +3924,93 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d82: AUDIO near-dup dedup — the last modality on the dedup ladder
+    * (text ✓, embedding ✓, chunk ✓, image ✓): pairs of PCM WAVs whose
+    * energy-envelope hash ([[graft.functions.WavEnergyHash]] — a real
+    * SAMPLE-level decode, 65 windows of exact integer energy, dHash-64
+    * over the envelope) differ in ≤ 3 of 64 bits, by the same
+    * 4×16-bit-band pigeonhole-exact Hamming join as d78.
+    *
+    * Construction mirrors d78 one modality over: each doc renders its
+    * 64-bit pattern as a mono 16-bit PCM WAV (65 windows × 8 constant
+    * samples walking 10000 ± 100 per bit, so window energies reproduce
+    * the comparisons exactly); families of 5 consecutive doc_ids share a
+    * base pattern with 0–3 per-doc flips (distinct mixer constants from
+    * d78 so the two modalities' cluster structures differ); docs ≡ 0
+    * (mod 17) carry junk the sample walk must refuse. The oracle
+    * re-derives the bits arithmetically and computes Hamming directly —
+    * it never sees bytes.
+    *
+    * Scale shape: d78's verbatim — construction barriers, scan-side
+    * decode, (band, key, hash) shuffle rows only, null-tolerant hamming
+    * predicate so no inferred filter re-derives the decode at the scan.
+    */
+  private val wavBitsExpr: String =
+    "transform(sequence(0L, 63L), k -> " +
+      "((((((doc_id div 5) * 999983L + k * 8263L + 54321L) % 1000000007L)" +
+      " * (((doc_id div 5) * 999983L + k * 8263L + 54321L) % 1000000007L)" +
+      " % 2147483647L)" +
+      " * ((((doc_id div 5) * 999983L + k * 8263L + 54321L) % 1000000007L)" +
+      " * (((doc_id div 5) * 999983L + k * 8263L + 54321L) % 1000000007L)" +
+      " % 2147483647L) % 2147483647L div 1024L % 2L" +
+      " + IF(k >= doc_id % 59 AND k < doc_id % 59 + doc_id % 4, 1L, 0L))" +
+      " % 2L))"
+
+  // RIFF/WAVE + fmt(PCM mono 16-bit 8 kHz) + data(1040 B = 520 samples)
+  private val WavHeaderHex: String =
+    "52494646" + "34040000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" +
+      "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "10040000"
+
+  /** 65 windows × 8 identical LE samples: the walk starts at 10000 and
+    * steps −100 on a 1-bit, +100 on a 0-bit, so window k is strictly
+    * louder than k+1 exactly when bit k is set (range 3600–16400 —
+    * safely inside 16-bit signed).
+    */
+  private val wavSamplesHex: String = {
+    val step = "IF(bits[c - 1] = 1L, -100L, 100L)"
+    def le16(v: String) =
+      s"concat(substring(lpad(hex($v), 4, '0'), 3, 2), " +
+        s"substring(lpad(hex($v), 4, '0'), 1, 2))"
+    "aggregate(sequence(1, 64), " +
+      s"named_struct('v', 10000L, 'hx', repeat(${le16("10000L")}, 8)), " +
+      s"(acc, c) -> named_struct(" +
+      s"'v', acc.v + $step, " +
+      s"'hx', concat(acc.hx, repeat(${le16(s"acc.v + $step")}, 8))), " +
+      "acc -> acc.hx)"
+  }
+
+  private[queries] val wavContentExpr: String =
+    s"IF(doc_id % 17 = 0, unhex('00112233'), " +
+      s"unhex(concat('$WavHeaderHex', $wavSamplesHex)))"
+
+  def d82AudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(wavBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // construction barrier (d78's lesson)
+      .select(col("doc_id"), expr(wavContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .WavEnergyHashName}(content)").as("ehash"))
+      .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+    val bands = hashed.select(col("doc_id"), col("ehash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), t -> shiftright(ehash, t * 16) & 65535L)"))
+        .as(Seq("band", "key")))
+    bands.as("x").hint("merge")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        // null-tolerant on purpose — see d78PairsRaw
+        expr("cast(bit_count(coalesce(x.ehash, 0L) ^ coalesce(y.ehash, 0L))" +
+          " as bigint)").as("hamming"))
+      .filter(col("hamming") <= 3L)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -4266,6 +4353,7 @@ object GroupD {
     "d79_image_resize" -> (d79ImageResize _),
     "d80_image_clusters" -> (d80ImageClusters _),
     "d81_image_keep_best" -> (d81ImageKeepBest _),
+    "d82_audio_dedup" -> (d82AudioDedup _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4692,6 +4780,26 @@ object GroupD {
          |      ORDER BY p.px DESC, c.doc_id) = 1) AS keep
          |FROM comp c JOIN px p USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+    "d82_audio_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |       // 1024 % 2
+        |     + CASE WHEN k >= doc_id % 59 AND k < doc_id % 59 + doc_id % 4
+        |            THEN 1 ELSE 0 END) % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 5) * 999983 + k * 8263 + 54321)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |h AS (
+        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+        |           AS hamming
+        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d75_chunk_dedup" ->
       s"""$cdcChunkCtes,
         |chunks AS (

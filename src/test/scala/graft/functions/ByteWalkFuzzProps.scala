@@ -28,6 +28,7 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     MkvMeta.scan(b)
     BmpDhash.scan(b)
     BmpResize.scan(b, 4, 4)
+    WavEnergyHash.scan(b)
     true
   }
 
