@@ -383,7 +383,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "d66_skew_report",
       // d72 crosses the per-source frame with the 1-row corpus-total
       // aggregate (d16's pattern)
-      "d72_source_divergence")
+      "d72_source_divergence",
+      // b49 crosses customers with the 1-row global-average aggregate,
+      // b50 the per-supplier revenue frame with the 1-row max — both
+      // d16's broadcast-scalar pattern (round 14)
+      "b49_tpch_q22", "b50_tpch_q15")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
