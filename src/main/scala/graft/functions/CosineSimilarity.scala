@@ -139,6 +139,22 @@ object GraftFunctions {
       Seq.fill(64)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Literal int extraction shared by every registration taking scalar
+    * int parameters (one definition — review finding r14; the Long case
+    * range-checks instead of silently truncating).
+    */
+  private def intArg(fn: String)(e: Expression, name: String): Int = {
+    require(e.foldable, s"$fn: '$name' must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long =>
+        require(l.isValidInt, s"$fn: '$name' out of int range: $l")
+        l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: '$name' must be an integer literal, got $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(CosineName,
@@ -171,33 +187,17 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 3,
           s"$LshKeysName expects (array<double>, tables, bits)")
-        def intArg(e: Expression, name: String): Int = {
-          require(e.foldable, s"$LshKeysName: '$name' must be a literal")
-          e.eval() match {
-            case i: Int  => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"$LshKeysName: '$name' must be an integer literal, got $other")
-          }
-        }
+        val arg = intArg(LshKeysName) _
         HyperplaneLshKeys(exprs.head,
-          intArg(exprs(1), "tables"), intArg(exprs(2), "bits"))
+          arg(exprs(1), "tables"), arg(exprs(2), "bits"))
       }, "built-in")
     reg.createOrReplaceTempFunction(LshProbeKeysName,
       { exprs =>
         require(exprs.length == 4,
           s"$LshProbeKeysName expects (array<double>, tables, bits, probes)")
-        def intArg(e: Expression, name: String): Int = {
-          require(e.foldable, s"$LshProbeKeysName: '$name' must be a literal")
-          e.eval() match {
-            case i: Int  => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"$LshProbeKeysName: '$name' must be an integer literal, got $other")
-          }
-        }
-        HyperplaneLshProbeKeys(exprs.head, intArg(exprs(1), "tables"),
-          intArg(exprs(2), "bits"), intArg(exprs(3), "probes"))
+        val arg = intArg(LshProbeKeysName) _
+        HyperplaneLshProbeKeys(exprs.head, arg(exprs(1), "tables"),
+          arg(exprs(2), "bits"), arg(exprs(3), "probes"))
       }, "built-in")
     reg.createOrReplaceTempFunction(BloomName,
       { exprs =>
@@ -228,17 +228,9 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 3,
           s"$BmpResizeName expects (binary, targetW, targetH)")
-        def intArg(e: Expression, name: String): Int = {
-          require(e.foldable, s"$BmpResizeName: '$name' must be a literal")
-          e.eval() match {
-            case i: Int  => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"$BmpResizeName: '$name' must be an integer literal, got $other")
-          }
-        }
-        BmpResize(exprs.head, intArg(exprs(1), "targetW"),
-          intArg(exprs(2), "targetH"))
+        val arg = intArg(BmpResizeName) _
+        BmpResize(exprs.head, arg(exprs(1), "targetW"),
+          arg(exprs(2), "targetH"))
       }, "built-in")
     reg.createOrReplaceTempFunction(JpegExifOrientationName,
       { exprs =>

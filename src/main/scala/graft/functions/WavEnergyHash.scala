@@ -85,15 +85,22 @@ object WavEnergyHash {
     if (b == null || b.length < 44) return null
     if (tag(b, 0) != RIFF || tag(b, 8) != WAVE) return null
     var i = 12L
+    var fmtSeen = false
     var fmtOk = false
     var dataOff = -1
     var dataLen = -1L
-    while (i + 8 <= b.length) {
+    // WavMeta's loop contract exactly (review finding r14): the FIRST
+    // fmt chunk decides (a malformed first fmt refuses, like WavMeta),
+    // and the walk STOPS once fmt and data are both seen — so a trailing
+    // stale chunk can never retroactively veto a parse WavMeta accepts,
+    // and the two walks agree on which fmt governs the same bytes.
+    while ((!fmtSeen || dataOff < 0) && i + 8 <= b.length) {
       val id = tag(b, i.toInt)
       val size = u32le(b, i.toInt + 4)
       val p = i.toInt + 8
       if (id == FMT) {
         if (size < 16 || p + 16 > b.length) return null
+        fmtSeen = true
         fmtOk = u16le(b, p) == 1 && u16le(b, p + 2) == 1 &&
           u16le(b, p + 14) == 16
       } else if (id == DATA && dataOff < 0) {

@@ -73,6 +73,12 @@ object StageCache {
       var entry = frames.putIfAbsent(key, fresh)
       if (entry == null) entry = fresh
       val df = entry.df
+      // a concurrent release()/clear() may have removed the entry while
+      // the build was in flight (its drop() saw persistedDf == null and
+      // was a no-op) — the frame would stay pinned with no owner. Detect
+      // the orphan and unpin it; the returned DataFrame stays usable,
+      // just uncached (review finding r14).
+      if (frames.get(key) ne entry) entry.drop()
       if (!df.sparkSession.sparkContext.isStopped) df
       else {
         // stale session: replace THIS entry and rebuild (rare path)

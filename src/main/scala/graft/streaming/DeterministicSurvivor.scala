@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   * price of the deterministic pick.
   */
 private[streaming] object DeterministicSurvivor {
-  def keepFirst(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("text").asc_nulls_first,
+  def keepFirst(df: DataFrame): DataFrame = keepFirstBy(df, "doc_id", "text")
+
+  /** Generalized pick for gates with other key/content columns
+    * ([[StreamImageDedup]]: asset_id + binary content, which sorts
+    * lexicographically) — the content-first tiebreak stays primary so a
+    * 64-bit hash collision between DIFFERENT contents cannot make the
+    * survivor partition-order dependent; the hash only breaks ties among
+    * rows whose content already matches (review finding r14).
+    */
+  def keepFirstBy(df: DataFrame, key: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(contentCol).asc_nulls_first,
         xxhash64(df.columns.map(col).toIndexedSeq: _*))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -71,13 +70,12 @@ object StreamImageDedup {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // deterministic within-batch survivor per asset_id (at-least-once
-        // redelivery may vary passthrough columns), then drop ids the
-        // standing side already accepted — a redelivery, not a new asset
-        val w = Window.partitionBy("asset_id")
-          .orderBy(xxhash64(batch.columns.map(col).toIndexedSeq: _*))
-        val b0 = batch.toDF()
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // redelivery may vary passthrough columns; content-first tiebreak
+        // via the shared definition so the gates cannot drift), then drop
+        // ids the standing side already accepted — a redelivery, not a
+        // new asset
+        val b0 = DeterministicSurvivor
+          .keepFirstBy(batch.toDF(), "asset_id", "content")
           .join(standing.select("asset_id"), Seq("asset_id"), "left_anti")
           .localCheckpoint(true)
         val bh = hashed(b0).localCheckpoint(true)

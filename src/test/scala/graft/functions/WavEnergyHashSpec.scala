@@ -72,6 +72,19 @@ class WavEnergyHashSpec extends AnyFunSuite {
     assert(WavEnergyHash.scan(wav(s, preChunks = pre.array())) == 42L)
   }
 
+  test("a trailing stale fmt chunk cannot veto an already-valid parse (r14)") {
+    // WavMeta's loop contract mirrored: once fmt + data are both seen the
+    // walk stops, so bytes WavMeta parses must also hash
+    val s = walkSamples(0x1234L)
+    val base = wav(s)
+    val staleFmt = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    staleFmt.put("fmt ".getBytes("US-ASCII")).putInt(4).putInt(0) // short+garbage
+    val withTrailer = base ++ staleFmt.array()
+    assert(WavEnergyHash.scan(withTrailer) == 0x1234L)
+    assert(WavMeta.scan(withTrailer) != null, "premise: WavMeta accepts these bytes")
+  }
+
   test("refusals: stereo, 8-bit, non-PCM, short data, junk, truncation") {
     val s = walkSamples(7L)
     assert(WavEnergyHash.scan(wav(s)) != null)
