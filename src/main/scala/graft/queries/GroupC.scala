@@ -407,18 +407,35 @@ object GroupC {
       le32(lit(40L)), le32(bw), le32(bhRaw), le16(lit(1L)), le16(lit(24L)),
       le32(lit(0L)), le32(lit(0L)), le32(lit(2835L)), le32(lit(2835L)),
       le32(lit(0L)), le32(lit(0L)))
-    // round 14: the cycle grows mod 7 → mod 11 (prime, so every id % m
-    // parameter above still varies across each arm's residue class)
-    val content = when(id % 11 === 0, wav)
-      .when(id % 11 === 1, png)
-      .when(id % 11 === 2, opus)
-      .when(id % 11 === 3, mp4)
-      .when(id % 11 === 4, webm)
-      .when(id % 11 === 5, webp)
-      .when(id % 11 === 6, flac)
-      .when(id % 11 === 7, mp3)
-      .when(id % 11 === 8, jpeg)
-      .when(id % 11 === 9, bmp)
+    // GIF (round 14, second wave): logical-screen u16 LE dims right
+    // after the magic — both GIF89a and GIF87a magics cycle by parity
+    val gw = lit(10L) + id % 400
+    val gh = lit(10L) + (id * 19) % 400
+    val gif = concat(
+      when(id % 2 === 0, asc("GIF89a")).otherwise(asc("GIF87a")),
+      le16(gw), le16(gh))
+    // BMP with a 12-byte BITMAPCOREHEADER (round 14, second wave): the
+    // dims live at DIFFERENT offsets in CORE files, so the walk must
+    // refuse them (dib < 40 → all-NULL row) rather than read garbage —
+    // the documented refusal path, now under the hash gate
+    val bmpCore = concat(asc("BM"), le32(lit(26L)), le32(lit(0L)),
+      le32(lit(26L)), le32(lit(12L)), le16(lit(20L)), le16(lit(20L)),
+      le16(lit(1L)), le16(lit(24L)))
+    // round 14: the cycle grows mod 7 → mod 11 → mod 13 (prime, so
+    // every id % m parameter above still varies across each arm's
+    // residue class)
+    val content = when(id % 13 === 0, wav)
+      .when(id % 13 === 1, png)
+      .when(id % 13 === 2, opus)
+      .when(id % 13 === 3, mp4)
+      .when(id % 13 === 4, webm)
+      .when(id % 13 === 5, webp)
+      .when(id % 13 === 6, flac)
+      .when(id % 13 === 7, mp3)
+      .when(id % 13 === 8, jpeg)
+      .when(id % 13 === 9, bmp)
+      .when(id % 13 === 10, gif)
+      .when(id % 13 === 11, bmpCore) // parseable-looking, must refuse
       .otherwise(md5(id.cast("string")).cast("binary")) // no magic anywhere
     val built = docs.withColumn("content", content)
     graft.multimodal.Multimodal.mediaMetaPlan(
@@ -515,72 +532,77 @@ object GroupC {
     // container bytes — so the hash compare verifies the byte walks
     "c8_media_meta" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 11 = 0 THEN 'wav'
-        |       WHEN doc_id % 11 = 2 THEN 'opus'
-        |       WHEN doc_id % 11 = 3 THEN 'mp4'
-        |       WHEN doc_id % 11 = 4 THEN 'webm'
-        |       WHEN doc_id % 11 = 6 THEN 'flac'
-        |       WHEN doc_id % 11 = 7 THEN 'mp3' END AS media_format,
-        |  CASE WHEN doc_id % 11 = 0
+        |  CASE WHEN doc_id % 13 = 0 THEN 'wav'
+        |       WHEN doc_id % 13 = 2 THEN 'opus'
+        |       WHEN doc_id % 13 = 3 THEN 'mp4'
+        |       WHEN doc_id % 13 = 4 THEN 'webm'
+        |       WHEN doc_id % 13 = 6 THEN 'flac'
+        |       WHEN doc_id % 13 = 7 THEN 'mp3' END AS media_format,
+        |  CASE WHEN doc_id % 13 = 0
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 11 = 2
+        |       WHEN doc_id % 13 = 2
         |    THEN CAST(12000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 11 = 4
+        |       WHEN doc_id % 13 = 4
         |    THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT)
-        |       WHEN doc_id % 11 = 6
+        |       WHEN doc_id % 13 = 6
         |    THEN CAST(16000 * (1 + doc_id % 3) AS BIGINT)
-        |       WHEN doc_id % 11 = 7
+        |       WHEN doc_id % 13 = 7
         |    THEN CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |              ELSE 32000 END AS BIGINT)
         |  END AS audio_sample_rate_hz,
-        |  CASE WHEN doc_id % 11 IN (0, 2, 4, 6)
+        |  CASE WHEN doc_id % 13 IN (0, 2, 4, 6)
         |    THEN CAST(1 + doc_id % 2 AS BIGINT)
-        |       WHEN doc_id % 11 = 7
+        |       WHEN doc_id % 13 = 7
         |    THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
         |  END AS audio_channels,
-        |  CASE WHEN doc_id % 11 = 0 THEN CAST(16 AS BIGINT)
-        |       WHEN doc_id % 11 = 6
+        |  CASE WHEN doc_id % 13 = 0 THEN CAST(16 AS BIGINT)
+        |       WHEN doc_id % 13 = 6
         |    THEN CAST(16 + 8 * (doc_id % 2) AS BIGINT) END AS audio_bits,
-        |  CASE WHEN doc_id % 11 = 0
+        |  CASE WHEN doc_id % 13 = 0
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 11 = 2
+        |       WHEN doc_id % 13 = 2
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 11 = 3
+        |       WHEN doc_id % 13 = 3
         |    THEN CAST((2 + doc_id % 6) * 1000 AS BIGINT)
-        |       WHEN doc_id % 11 = 4
+        |       WHEN doc_id % 13 = 4
         |    THEN CAST(1 AS BIGINT) << CAST(10 + doc_id % 6 AS INTEGER)
-        |       WHEN doc_id % 11 = 6
+        |       WHEN doc_id % 13 = 6
         |    THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT)
-        |       WHEN doc_id % 11 = 7
+        |       WHEN doc_id % 13 = 7
         |    THEN CAST(100 * (1 + doc_id % 4) * 1152 * 1000
         |      // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |          ELSE 32000 END) AS BIGINT)
         |  END AS media_duration_ms,
-        |  CASE WHEN doc_id % 11 = 4
+        |  CASE WHEN doc_id % 13 = 4
         |    THEN CAST(100 + doc_id % 1000 AS BIGINT) END AS media_video_width,
-        |  CASE WHEN doc_id % 11 = 4
+        |  CASE WHEN doc_id % 13 = 4
         |    THEN CAST(100 + (doc_id * 3) % 1000 AS BIGINT) END AS media_video_height,
-        |  CASE WHEN doc_id % 11 = 1 THEN 'png'
-        |       WHEN doc_id % 11 = 5 THEN 'webp'
-        |       WHEN doc_id % 11 = 8 THEN 'jpeg'
-        |       WHEN doc_id % 11 = 9 THEN 'bmp' END AS img_format,
-        |  CASE WHEN doc_id % 11 = 1
+        |  CASE WHEN doc_id % 13 = 1 THEN 'png'
+        |       WHEN doc_id % 13 = 5 THEN 'webp'
+        |       WHEN doc_id % 13 = 8 THEN 'jpeg'
+        |       WHEN doc_id % 13 = 9 THEN 'bmp'
+        |       WHEN doc_id % 13 = 10 THEN 'gif' END AS img_format,
+        |  CASE WHEN doc_id % 13 = 1
         |    THEN CAST(16 + doc_id % 100 AS BIGINT)
-        |       WHEN doc_id % 11 = 5
+        |       WHEN doc_id % 13 = 5
         |    THEN CAST(100 + doc_id % 500 AS BIGINT)
-        |       WHEN doc_id % 11 = 8
+        |       WHEN doc_id % 13 = 8
         |    THEN CAST(16 + doc_id % 200 AS BIGINT)
-        |       WHEN doc_id % 11 = 9
-        |    THEN CAST(9 + doc_id % 300 AS BIGINT) END AS img_width,
-        |  CASE WHEN doc_id % 11 = 1
+        |       WHEN doc_id % 13 = 9
+        |    THEN CAST(9 + doc_id % 300 AS BIGINT)
+        |       WHEN doc_id % 13 = 10
+        |    THEN CAST(10 + doc_id % 400 AS BIGINT) END AS img_width,
+        |  CASE WHEN doc_id % 13 = 1
         |    THEN CAST(16 + (doc_id * 7) % 100 AS BIGINT)
-        |       WHEN doc_id % 11 = 5
+        |       WHEN doc_id % 13 = 5
         |    THEN CAST(100 + (doc_id * 11) % 500 AS BIGINT)
-        |       WHEN doc_id % 11 = 8
+        |       WHEN doc_id % 13 = 8
         |    THEN CAST(16 + (doc_id * 13) % 200 AS BIGINT)
-        |       WHEN doc_id % 11 = 9
-        |    THEN CAST(8 + (doc_id * 17) % 300 AS BIGINT) END AS img_height,
-        |  CASE WHEN doc_id % 11 = 8
+        |       WHEN doc_id % 13 = 9
+        |    THEN CAST(8 + (doc_id * 17) % 300 AS BIGINT)
+        |       WHEN doc_id % 13 = 10
+        |    THEN CAST(10 + (doc_id * 19) % 400 AS BIGINT) END AS img_height,
+        |  CASE WHEN doc_id % 13 = 8
         |    THEN CAST(1 + doc_id % 8 AS BIGINT) END AS img_orientation
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_dedup_exact" ->
