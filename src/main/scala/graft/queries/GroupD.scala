@@ -4011,6 +4011,37 @@ object GroupD {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d83: INCREMENTAL image dedup — d34's weekly-ingest rule at the
+    * image modality, and the batch body of the [[graft.streaming
+    * .StreamImageDedup]] gate: the delta — whole FAMILIES arriving
+    * together (family ≡ 0 mod 3), the shape a new source shard actually
+    * has — is admitted against the standing base (everything else): a
+    * delta
+    * image drops if its dHash is within Hamming 3 of ANY base image, or
+    * of a SMALLER-id delta peer; survivors are reported. The dup rule is
+    * the SHARED [[graft.operators.PerceptualDedup]] definition the
+    * streaming gate runs per micro-batch, so query and gate cannot
+    * drift. Junk delta docs (unparseable, NULL hash) pass through —
+    * the gate's monotone contract — and the oracle mirrors that by
+    * construction (junk ids never appear in the pair set).
+    *
+    * Scale shape: the probe side is the delta, the standing side streams
+    * once through the band join and never self-joins (d34's contract);
+    * only (id, 8-byte hash) rows shuffle.
+    */
+  def d83ImageDedupIncremental(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val hashed = d78Hashed(spark, sfDir)
+    val delta = hashed.filter(expr("(doc_id div 4) % 3 = 0"))
+      .toDF("id", "hash")
+    val base = hashed.filter(expr("(doc_id div 4) % 3 != 0"))
+      .toDF("id", "hash")
+    val dups = graft.operators.PerceptualDedup.dupIds(delta, base, maxDist = 3)
+    delta.select(col("id").as("doc_id"))
+      .join(dups.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -4354,6 +4385,7 @@ object GroupD {
     "d80_image_clusters" -> (d80ImageClusters _),
     "d81_image_keep_best" -> (d81ImageKeepBest _),
     "d82_audio_dedup" -> (d82AudioDedup _),
+    "d83_image_dedup_incremental" -> (d83ImageDedupIncremental _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4780,6 +4812,17 @@ object GroupD {
          |      ORDER BY p.px DESC, c.doc_id) = 1) AS keep
          |FROM comp c JOIN px p USING (doc_id)
          |ORDER BY c.doc_id""".stripMargin,
+    "d83_image_dedup_incremental" ->
+      s"""WITH pairs AS (
+         |$d78PairOracleSql),
+         |delta AS (
+         |  SELECT doc_id FROM documents WHERE (doc_id // 4) % 3 = 0)
+         |SELECT d.doc_id FROM delta d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pairs p
+         |  WHERE (p.doc_a = d.doc_id AND (p.doc_b // 4) % 3 <> 0)
+         |     OR p.doc_b = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d82_audio_dedup" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
         |bits AS (

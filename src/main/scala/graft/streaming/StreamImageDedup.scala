@@ -49,21 +49,12 @@ object StreamImageDedup {
         .BmpDhashName}(content)").as("dhash"))
         .filter(col("dhash").isNotNull)
 
-    def bandsOf(h: DataFrame): DataFrame =
-      h.select(col("asset_id"), col("dhash"),
-        posexplode(expr(
-          "transform(sequence(0, 3), t -> shiftright(dhash, t * 16) & 65535L)"))
-          .as(Seq("band", "key")))
-
     val persisted = standingStore.flatMap { dir =>
       try Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
       catch { case scala.util.control.NonFatal(_) => None } // empty store
     }
     var standing = persisted.foldLeft(hashed(base))(_ unionByName _)
       .localCheckpoint(true)
-
-    val hammingOk =
-      s"bit_count(coalesce(d.dhash, 0L) ^ coalesce(s.dhash, 0L)) <= $maxDist"
 
     delta.writeStream
       .queryName(queryName)
@@ -79,19 +70,12 @@ object StreamImageDedup {
           .join(standing.select("asset_id"), Seq("asset_id"), "left_anti")
           .localCheckpoint(true)
         val bh = hashed(b0).localCheckpoint(true)
-        val bb = bandsOf(bh)
-        val dupVsStanding = bb.as("d")
-          .join(bandsOf(standing).as("s"),
-            col("d.band") === col("s.band") && col("d.key") === col("s.key"))
-          .filter(expr(hammingOk))
-          .select(col("d.asset_id"))
-        val dupInBatch = bb.as("d")
-          .join(bb.as("s"),
-            col("d.band") === col("s.band") && col("d.key") === col("s.key") &&
-              col("s.asset_id") < col("d.asset_id")) // d34's smaller-id rule
-          .filter(expr(hammingOk))
-          .select(col("d.asset_id"))
-        val dups = dupVsStanding.unionByName(dupInBatch).distinct()
+        // the SHARED dup rule (graft.operators.PerceptualDedup — one
+        // definition with the declared d83 batch query, so gate and
+        // query cannot drift): dup vs standing, or vs a smaller-id peer
+        val dups = graft.operators.PerceptualDedup.dupIds(
+            bh.toDF("id", "hash"), standing.toDF("id", "hash"), maxDist)
+          .withColumnRenamed("id", "asset_id")
         val kept = b0.join(dups, Seq("asset_id"), "left_anti")
           .localCheckpoint(true)
         val keptHashes = hashed(kept).localCheckpoint(true)
