@@ -1337,7 +1337,121 @@ object GroupB {
       .orderBy("s_suppkey")
   }
 
+  /** b51: TPC-H Q7 (volume shipping) re-expressed — the two-sided
+    * dim-filter pattern: bilateral trade volume between two nations by
+    * ship year. The nation filter is HOISTED to both dim sides before
+    * their joins (each side keeps only the two nations — b47's
+    * disjunction-hoist discipline), the exact pair disjunction runs
+    * post-join on the sliver, and the two fact-fact joins shuffle on
+    * their keys while the nation-annotated supplier/customer dims ride
+    * broadcasts. Revenue is exact integer cents; the year comes from the
+    * shipdate (both engines extract on the same ms timestamps).
+    */
+  def b51TpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val nations = Tables(spark, sfDir, "nation")
+      .filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nations.withColumnRenamed("n_name", "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nations.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev_fp").as("revenue_fp"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** b52: TPC-H Q8 (national market share) re-expressed — the
+    * share-of-conditional-sum pattern over the widest join graph in the
+    * set (fact ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region): of all PROMO-type volume sold to EUROPE customers over two
+    * years, the share supplied by NATION_5, per order year. Dims prune
+    * BEFORE their broadcasts (type filter on part, region filter walks
+    * nation→customer); both sums ride one partial agg; the share is
+    * integer basis points of exact cents.
+    */
+  def b52TpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val promoParts = Tables(spark, sfDir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val euroNations = Tables(spark, sfDir, "nation")
+      .join(broadcast(Tables(spark, sfDir, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val euroCust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(euroNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+      .join(broadcast(promoParts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(euroCust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_year")
+      .agg(sum(when(col("s_nationkey") === 5, col("rev_fp")).otherwise(0L))
+        .as("nation_rev_fp"),
+        sum("rev_fp").as("total_rev_fp"))
+      .select(col("o_year"), col("nation_rev_fp"), col("total_rev_fp"),
+        expr("nation_rev_fp * 10000 div total_rev_fp").as("mkt_share_bp"))
+      .orderBy("o_year")
+  }
+
+  /** b53: TPC-H Q13 (customer order-count distribution) re-expressed —
+    * the LEFT-join double-grouping pattern: orders per customer
+    * (zero-order customers INCLUDED via the left join + null-skipping
+    * count), then the distribution of those counts. The first grouping
+    * shuffles on the customer key, the second on the count — both
+    * partial-agg'd; no window, no distinct.
+    */
+  def b53TpchQ13(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer").select(col("c_custkey"))
+      .join(Tables(spark, sfDir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_custkey")).as("c_count")) // count() skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
   val queries: Map[String, Q] = Map(
+    "b51_tpch_q7"      -> (b51TpchQ7 _),
+    "b52_tpch_q8"      -> (b52TpchQ8 _),
+    "b53_tpch_q13"     -> (b53TpchQ13 _),
     "b48_tpch_q17"     -> (b48TpchQ17 _),
     "b49_tpch_q22"     -> (b49TpchQ22 _),
     "b50_tpch_q15"     -> (b50TpchQ15 _),
@@ -1391,6 +1505,54 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b51_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  EXTRACT(YEAR FROM l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    AS revenue_fp
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "b52_tpch_q8" ->
+      """WITH j AS (
+        |  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_fp,
+        |    s_nationkey
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN s_nationkey = 5 THEN rev_fp ELSE 0 END)
+        |    AS BIGINT) AS nation_rev_fp,
+        |  CAST(SUM(rev_fp) AS BIGINT) AS total_rev_fp,
+        |  CAST(SUM(CASE WHEN s_nationkey = 5 THEN rev_fp ELSE 0 END)
+        |    * 10000 // SUM(rev_fp) AS BIGINT) AS mkt_share_bp
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "b53_tpch_q13" ->
+      """SELECT c_count, COUNT(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "b48_tpch_q17" ->
       """WITH l AS (
         |  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
