@@ -35,18 +35,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamImageDedup {
 
+  /** `hashName` selects the perceptual 64-bit hash — the image decode by
+    * default; pass [[graft.functions.GraftFunctions.WavEnergyHashName]]
+    * and the SAME gate (same rule, same state shape, same durability)
+    * serves an audio-ingest feed, because everything past the decode
+    * operates on (id, 64-bit hash) only.
+    */
   def start(delta: DataFrame, base: DataFrame, queryName: String,
             sink: (DataFrame, Long) => Unit,
             maxDist: Int = 3,
-            standingStore: Option[String] = None): StreamingQuery = {
+            standingStore: Option[String] = None,
+            hashName: String =
+              graft.functions.GraftFunctions.BmpDhashName): StreamingQuery = {
     require(maxDist >= 0 && maxDist < 4,
       s"banded exactness needs maxDist < 4 (bands), got $maxDist")
     val spark = base.sparkSession
     graft.functions.GraftFunctions.register(spark)
 
     def hashed(df: DataFrame): DataFrame =
-      df.select(col("asset_id"), expr(s"${graft.functions.GraftFunctions
-        .BmpDhashName}(content)").as("dhash"))
+      df.select(col("asset_id"), expr(s"$hashName(content)").as("dhash"))
         .filter(col("dhash").isNotNull)
 
     val persisted = standingStore.flatMap { dir =>

@@ -91,6 +91,43 @@ class StreamImageDedupSpec extends AnyFunSuite {
     assert(perBatch(1L) == Set(21L, 22L), s"batch 1: ${perBatch.get(1L)}")
   }
 
+  test("the same gate serves audio: WAV hash swap, near-dup drops, junk passes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // mono 16-bit PCM rendering of a 64-bit pattern (the d82 walk)
+    def wavFor(bits: Long): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + 1040)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 1040)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(1040)
+      var v = 10000
+      for (w <- 0 to 64) {
+        if (w > 0) v += (if (((bits >> (w - 1)) & 1L) == 1L) -100 else 100)
+        for (_ <- 0 until 8) buf.putShort(v.toShort)
+      }
+      buf.array()
+    }
+    val base = Seq((1L, wavFor(P1))).toDF("asset_id", "content")
+    val dir = tempDir("saudiodedup")
+    csvFile(dir, "b1.csv", "asset_id;content_hex\n" +
+      s"40;${hex(wavFor(flip(P1, 7, 33)))}\n" + // ≈ base → drops
+      s"41;${hex(wavFor(P3))}\n" +              // new → passes
+      s"42;${hex(Array[Byte](9, 9, 9))}\n")     // junk → passes through
+    val stream = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val got = scala.collection.mutable.Set[Long]()
+    val q = StreamImageDedup.start(stream, base, "saudiodedup",
+      (surv, _) => { got ++= surv.select("asset_id").collect().map(_.getLong(0)); () },
+      hashName = graft.functions.GraftFunctions.WavEnergyHashName)
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set(41L, 42L), s"audio gate: $got")
+  }
+
   test("hamming > maxDist passes: distance 4 with maxDist 3 is NOT a dup") {
     val spark = TestSpark.spark
     import spark.implicits._
