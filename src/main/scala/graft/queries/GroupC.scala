@@ -513,7 +513,33 @@ object GroupC {
         expr("(c * 10000) div nb").as("cont_b_fp"))
       .orderBy("doc_a", "doc_b")
 
+  /** c9: media corpus card — d68's data-card at the media modality, and
+    * the walks under AGGREGATION: c8's decoded metadata frame censused
+    * per (media_format, img_format) cell with exact integer volume
+    * sums (asset counts, audio assets + total sample-rate and duration,
+    * image assets + total pixels). The junk and refused arms land in
+    * the (NULL, NULL) cell — the report SHOWS the unparseable tail
+    * instead of dropping it, which is what a real corpus card needs.
+    * Null group keys sort explicitly NULLS FIRST on both engines (their
+    * defaults differ — the one hash-relevant ordering trap in grouped
+    * nullable keys).
+    */
+  def c9MediaCard(spark: SparkSession, sfDir: String): DataFrame =
+    c8MediaMeta(spark, sfDir)
+      .groupBy("media_format", "img_format")
+      .agg(count(lit(1)).as("n_assets"),
+        count(col("audio_sample_rate_hz")).as("n_audio"),
+        sum(coalesce(col("audio_sample_rate_hz"), lit(0L))).as("sum_rate_hz"),
+        sum(coalesce(col("media_duration_ms"), lit(0L)))
+          .as("sum_duration_ms"),
+        count(col("img_width")).as("n_img"),
+        sum(coalesce(col("img_width") * col("img_height"), lit(0L)))
+          .as("sum_img_px"))
+      .orderBy(col("media_format").asc_nulls_first,
+        col("img_format").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
+    "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
     "c7_containment"     -> (c7Containment _),
@@ -526,11 +552,9 @@ object GroupC {
 
   private val tokSql = tokenizeSql("text")
 
-  val oracleSql: Map[String, String] = Map(
-    // c8's oracle never parses bytes: it re-derives every field from
-    // doc_id by the same arithmetic the Spark side used to CONSTRUCT the
-    // container bytes — so the hash compare verifies the byte walks
-    "c8_media_meta" ->
+  /** c8's oracle, shared with c9's aggregation (the d78/d80 nesting
+    * pattern at the media modality). */
+  private val c8OracleSql: String =
       """SELECT doc_id,
         |  CASE WHEN doc_id % 13 = 0 THEN 'wav'
         |       WHEN doc_id % 13 = 2 THEN 'opus'
@@ -604,7 +628,29 @@ object GroupC {
         |    THEN CAST(10 + (doc_id * 19) % 400 AS BIGINT) END AS img_height,
         |  CASE WHEN doc_id % 13 = 8
         |    THEN CAST(1 + doc_id % 8 AS BIGINT) END AS img_orientation
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "c9_media_card" ->
+      s"""WITH m AS (
+         |$c8OracleSql)
+         |SELECT media_format, img_format,
+         |  COUNT(*)::BIGINT AS n_assets,
+         |  COUNT(audio_sample_rate_hz)::BIGINT AS n_audio,
+         |  CAST(SUM(COALESCE(audio_sample_rate_hz, 0)) AS BIGINT)
+         |    AS sum_rate_hz,
+         |  CAST(SUM(COALESCE(media_duration_ms, 0)) AS BIGINT)
+         |    AS sum_duration_ms,
+         |  COUNT(img_width)::BIGINT AS n_img,
+         |  CAST(SUM(COALESCE(img_width * img_height, 0)) AS BIGINT)
+         |    AS sum_img_px
+         |FROM m GROUP BY media_format, img_format
+         |ORDER BY media_format NULLS FIRST, img_format NULLS FIRST"""
+        .stripMargin,
+    // c8's oracle never parses bytes: it re-derives every field from
+    // doc_id by the same arithmetic the Spark side used to CONSTRUCT the
+    // container bytes — so the hash compare verifies the byte walks
+    "c8_media_meta" -> c8OracleSql,
     "c1_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM (
         |  SELECT doc_id, lang, source, n_chars,
