@@ -101,7 +101,10 @@ object WavMeta {
     while (i + 8 <= b.length && (sr == null || dataSize < 0)) {
       val id = tag(b, i)
       val size = leU32(b, i + 4)
-      if (id == FMT) {
+      // the FIRST fmt chunk decides (sr == null guard): a second fmt
+      // before data cannot overwrite — same contract as WavEnergyHash,
+      // which mirrors this walk (review finding r15)
+      if (id == FMT && sr == null) {
         if (size < 16 || i + 8 + 16 > b.length) return null
         ch = leU16(b, i + 10).toLong
         sr = leU32(b, i + 12)

@@ -89,16 +89,18 @@ object WavEnergyHash {
     var fmtOk = false
     var dataOff = -1
     var dataLen = -1L
-    // WavMeta's loop contract exactly (review finding r14): the FIRST
-    // fmt chunk decides (a malformed first fmt refuses, like WavMeta),
-    // and the walk STOPS once fmt and data are both seen — so a trailing
-    // stale chunk can never retroactively veto a parse WavMeta accepts,
-    // and the two walks agree on which fmt governs the same bytes.
+    // WavMeta's loop contract exactly (review findings r14/r15): the
+    // FIRST fmt chunk decides — the branch guard makes that literal, so
+    // a second fmt arriving BEFORE data cannot overwrite the verdict
+    // (a malformed first fmt still refuses, like WavMeta) — and the walk
+    // STOPS once fmt and data are both seen, so a trailing stale chunk
+    // can never retroactively veto a parse WavMeta accepts. The two
+    // walks agree on which fmt governs the same bytes.
     while ((!fmtSeen || dataOff < 0) && i + 8 <= b.length) {
       val id = tag(b, i.toInt)
       val size = u32le(b, i.toInt + 4)
       val p = i.toInt + 8
-      if (id == FMT) {
+      if (id == FMT && !fmtSeen) {
         if (size < 16 || p + 16 > b.length) return null
         fmtSeen = true
         fmtOk = u16le(b, p) == 1 && u16le(b, p + 2) == 1 &&

@@ -83,14 +83,23 @@ object StageCache {
       else {
         // stale session: replace THIS entry and rebuild (rare path)
         val rebuilt = new Entry(() => build)
-        if (frames.replace(key, entry, rebuilt)) rebuilt.df
-        else {
-          // lost the race: serve whoever won — or, if a concurrent
-          // clear()/release() removed the key entirely, build locally
-          // (review finding r13: the bare get(key).df NPE'd here)
-          val cur = frames.get(key)
-          if (cur != null) cur.df else rebuilt.df
-        }
+        val winner =
+          if (frames.replace(key, entry, rebuilt)) rebuilt
+          else {
+            // lost the race: serve whoever won — or, if a concurrent
+            // clear()/release() removed the key entirely, build locally
+            // (review finding r13: the bare get(key).df NPE'd here)
+            val cur = frames.get(key)
+            if (cur != null) cur else rebuilt
+          }
+        val out = winner.df
+        // same orphan check as the first-build path (review finding
+        // r15): a concurrent clear()/release() that raced the rebuild's
+        // in-flight build saw persistedDf == null and no-op'd — if the
+        // map no longer holds `winner`, nobody owns its pin; unpin and
+        // keep serving the (now uncached) frame
+        if (frames.get(key) ne winner) winner.drop()
+        out
       }
     }
   }

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -28,12 +30,59 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale shape: the standing side carries (asset_id, 8-byte dhash) —
   * never pixels — so the standing band index is tiny relative to the
   * corpus; the probe side is trigger-bounded; survivors checkpoint
-  * before the standing union so lineage stays one plan deep per batch.
-  * `standingStore` makes the accepted hash set durable (parquet append
-  * AFTER the sink call — a crash between them re-emits on replay,
-  * at-least-once, rather than silently swallowing a batch).
+  * before the standing union so lineage stays shallow, and every
+  * `compactEvery` batches the accumulated union re-checkpoints back to
+  * a SINGLE leaf (each batch's union adds one plan leaf; on a
+  * long-running gate analysis cost would otherwise grow linearly with
+  * batch count). Survivor hashes come from the batch's already-decoded
+  * frame by a semi-join — the perceptual decode runs exactly once per
+  * arriving asset.
+  *
+  * `standingStore` makes the accepted hash set durable: parquet append
+  * AFTER the sink call (a crash between them re-emits on replay,
+  * at-least-once, rather than silently swallowing a batch), compacted
+  * every `compactEvery` batches — the per-batch appends are many tiny
+  * files a restart would otherwise re-list and re-read forever. The
+  * compaction swap is crash-safe: the compacted store lands in
+  * `<dir>.tmp` first, the live dir is only deleted once the tmp write
+  * committed, and both the loader and the next `start()` fall back to
+  * (and restore from) the tmp dir if a crash struck between delete and
+  * rename.
   */
 object StreamImageDedup {
+
+  private def tmpPath(dir: String) = dir.stripSuffix("/") + ".tmp"
+
+  /** Read the durable store, restoring a half-finished compaction swap
+    * first (live dir deleted, tmp not yet renamed): None = empty store.
+    */
+  private[streaming] def readStore(spark: SparkSession,
+                                   dir: String): Option[DataFrame] = {
+    val live = new Path(dir)
+    val tmp = new Path(tmpPath(dir))
+    try {
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    try Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
+    catch { case scala.util.control.NonFatal(_) => None } // empty store
+  }
+
+  /** Rewrite the store as one deduped snapshot (tmp-write → delete →
+    * rename; [[readStore]] heals the delete/rename crash window).
+    */
+  private[streaming] def compactStore(spark: SparkSession,
+                                      dir: String): Unit = {
+    val snapshot = spark.read.parquet(dir)
+      .select(col("asset_id"), col("dhash"))
+      .dropDuplicates("asset_id")
+    snapshot.write.mode("overwrite").parquet(tmpPath(dir))
+    val live = new Path(dir)
+    val tmp = new Path(tmpPath(dir))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(live, true)
+    fs.rename(tmp, live)
+  }
 
   /** `hashName` selects the perceptual 64-bit hash — the image decode by
     * default; pass [[graft.functions.GraftFunctions.WavEnergyHashName]]
@@ -45,10 +94,12 @@ object StreamImageDedup {
             sink: (DataFrame, Long) => Unit,
             maxDist: Int = 3,
             standingStore: Option[String] = None,
+            compactEvery: Int = 8,
             hashName: String =
               graft.functions.GraftFunctions.BmpDhashName): StreamingQuery = {
     require(maxDist >= 0 && maxDist < 4,
       s"banded exactness needs maxDist < 4 (bands), got $maxDist")
+    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     val spark = base.sparkSession
     graft.functions.GraftFunctions.register(spark)
 
@@ -56,12 +107,10 @@ object StreamImageDedup {
       df.select(col("asset_id"), expr(s"$hashName(content)").as("dhash"))
         .filter(col("dhash").isNotNull)
 
-    val persisted = standingStore.flatMap { dir =>
-      try Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
-      catch { case scala.util.control.NonFatal(_) => None } // empty store
-    }
+    val persisted = standingStore.flatMap(dir => readStore(spark, dir))
     var standing = persisted.foldLeft(hashed(base))(_ unionByName _)
       .localCheckpoint(true)
+    var batches = 0L
 
     delta.writeStream
       .queryName(queryName)
@@ -85,11 +134,25 @@ object StreamImageDedup {
           .withColumnRenamed("id", "asset_id")
         val kept = b0.join(dups, Seq("asset_id"), "left_anti")
           .localCheckpoint(true)
-        val keptHashes = hashed(kept).localCheckpoint(true)
+        // survivors' hashes come from bh by a semi-join — kept ⊆ b0 and
+        // bh = hashed(b0), so re-hashing kept.content would run the
+        // perceptual decode a second time per accepted asset (review
+        // finding r15); junk survivors (NULL hash) are already absent
+        // from bh, preserving the never-enter-standing contract
+        val keptHashes = bh
+          .join(kept.select("asset_id"), Seq("asset_id"), "left_semi")
+          .localCheckpoint(true)
         standing = standing.unionByName(keptHashes)
+        batches += 1
+        // collapse the ever-wider union back to one leaf periodically
+        // (review finding r15: one new leaf per batch means linearly
+        // growing analysis/band-explode cost on a long-running gate)
+        if (batches % compactEvery == 0)
+          standing = standing.localCheckpoint(true)
         sink(kept, batchId)
         standingStore.foreach { dir =>
           keptHashes.write.mode("append").parquet(dir)
+          if (batches % compactEvery == 0) compactStore(spark, dir)
         }
       }
       .start()

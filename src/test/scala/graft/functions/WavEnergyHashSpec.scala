@@ -85,6 +85,23 @@ class WavEnergyHashSpec extends AnyFunSuite {
     assert(WavMeta.scan(withTrailer) != null, "premise: WavMeta accepts these bytes")
   }
 
+  test("the FIRST fmt decides: a second fmt before data cannot overwrite (r15)") {
+    // a second, would-refuse fmt chunk (IEEE float) arriving BETWEEN the
+    // governing fmt and data must not flip the verdict — the branch is
+    // guarded on first-seen in BOTH walks, so they agree on which fmt
+    // governs the same bytes
+    val floatFmt = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    floatFmt.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(2).putInt(44100).putInt(352800)
+      .putShort(8).putShort(32)
+    val s = walkSamples(0xBEEFL)
+    assert(WavEnergyHash.scan(wav(s, preChunks = floatFmt.array())) == 0xBEEFL)
+    val meta = WavMeta.scan(wav(s, preChunks = floatFmt.array()))
+    assert(meta != null && meta.getLong(0) == 8000L,
+      "WavMeta must report the FIRST fmt's sample rate, not the imposter's")
+  }
+
   test("refusals: stereo, 8-bit, non-PCM, short data, junk, truncation") {
     val s = walkSamples(7L)
     assert(WavEnergyHash.scan(wav(s)) != null)

@@ -128,6 +128,95 @@ class StreamImageDedupSpec extends AnyFunSuite {
     assert(got.toSet == Set(41L, 42L), s"audio gate: $got")
   }
 
+  test("store compaction: a restarted gate after compaction admits/drops identically (r15)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq((1L, bmpFor(P1))).toDF("asset_id", "content")
+    val in1 = tempDir("scompact_in1")
+    val store = tempDir("scompact_store") + "/store"
+    // compactEvery = 1: the snapshot rewrite runs after EVERY batch, so
+    // the restart below reads a compacted store, never raw appends
+    csvFile(in1, "b1.csv", "asset_id;content_hex\n" +
+      s"11;${hex(bmpFor(P2))}\n" + s"12;${hex(bmpFor(P3))}\n")
+    val s1 = CsvStream.readStream(spark, in1, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val q1 = StreamImageDedup.start(s1, base, "scompact1", (_, _) => (),
+      standingStore = Some(store), compactEvery = 1)
+    try q1.processAllAvailable() finally q1.stop()
+    // the compacted store is one deduped snapshot of the accepted hashes
+    val snap = spark.read.parquet(store)
+    assert(snap.select("asset_id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(snap.count() == snap.dropDuplicates("asset_id").count())
+
+    // fresh gate, EMPTY base — standing comes only from the compacted
+    // store: near-dups of batch-1 survivors must drop, novel must pass
+    val in2 = tempDir("scompact_in2")
+    csvFile(in2, "b1.csv", "asset_id;content_hex\n" +
+      s"21;${hex(bmpFor(flip(P2, 3)))}\n" + // ≈ accepted 11 → drops
+      s"22;${hex(bmpFor(P1))}\n")           // ≈ base P1, NOT in store → passes
+    val s2 = CsvStream.readStream(spark, in2, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("asset_id", "content")
+    val got = scala.collection.mutable.Set[Long]()
+    val q2 = StreamImageDedup.start(s2, empty, "scompact2",
+      (surv, _) => { got ++= surv.select("asset_id").as[Long].collect(); () },
+      standingStore = Some(store), compactEvery = 1)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.toSet == Set(22L), s"restarted-after-compaction gate: $got")
+  }
+
+  test("compaction crash window heals: live dir deleted, tmp present → restored (r15)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq((1L, bmpFor(P1))).toDF("asset_id", "content")
+    val in1 = tempDir("sheal_in")
+    val store = tempDir("sheal_store") + "/store"
+    csvFile(in1, "b1.csv", "asset_id;content_hex\n" + s"11;${hex(bmpFor(P2))}\n")
+    val s1 = CsvStream.readStream(spark, in1, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val q1 = StreamImageDedup.start(s1, base, "sheal1", (_, _) => (),
+      standingStore = Some(store), compactEvery = 1)
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate the crash strictly between compaction's delete and rename:
+    // the live dir is gone and the full snapshot sits in <dir>.tmp
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".tmp"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store)))
+    // the loader restores tmp → live and the standing side is intact
+    val restored = StreamImageDedup.readStore(spark, store)
+    assert(restored.isDefined &&
+      restored.get.select("asset_id").as[Long].collect().toSet == Set(11L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store)),
+      "heal must move the snapshot back to the live path")
+  }
+
+  test("sink-before-store ordering: a failed sink leaves the batch out of the store (r15)") {
+    // the documented at-least-once contract: the durable store write
+    // lands AFTER the sink call, so a batch whose sink crashed is NOT
+    // remembered — on replay it re-emits (re-admission) rather than
+    // being silently swallowed
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq((1L, bmpFor(P1))).toDF("asset_id", "content")
+    val in = tempDir("sfail_in")
+    val store = tempDir("sfail_store") + "/store"
+    csvFile(in, "b1.csv", "asset_id;content_hex\n" + s"11;${hex(bmpFor(P2))}\n")
+    val s = CsvStream.readStream(spark, in, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val q = StreamImageDedup.start(s, base, "sfail",
+      (_, _) => throw new RuntimeException("sink down"),
+      standingStore = Some(store), compactEvery = 1)
+    intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    assert(StreamImageDedup.readStore(spark, store).isEmpty,
+      "a batch whose sink failed must not have reached the durable store")
+  }
+
   test("hamming > maxDist passes: distance 4 with maxDist 3 is NOT a dup") {
     val spark = TestSpark.spark
     import spark.implicits._
