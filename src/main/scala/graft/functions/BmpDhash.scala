@@ -140,14 +140,6 @@ object BmpDhash {
       gr += 1
     }
 
-    var hash = 0L
-    var k = 0
-    while (k < 64) {
-      val r = k / 8
-      val c = k % 8
-      if (cells(r * 9 + c) > cells(r * 9 + c + 1)) hash |= (1L << k)
-      k += 1
-    }
-    java.lang.Long.valueOf(hash)
+    java.lang.Long.valueOf(Dhash64.ofCells(cells))
   }
 }

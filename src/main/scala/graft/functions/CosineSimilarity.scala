@@ -116,6 +116,7 @@ object GraftFunctions {
   val JpegDimsName = "graft_jpeg_dims"
   val WebpDimsName = "graft_webp_dims"
   val BmpDhashName = "graft_bmp_dhash"
+  val PngDhashName = "graft_png_dhash"
   val BmpResizeName = "graft_bmp_resize"
   val WavEnergyHashName = "graft_wav_ehash"
   val JpegExifOrientationName = "graft_jpeg_exif_orientation"
@@ -218,6 +219,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$BmpDhashName expects 1 argument")
         BmpDhash(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(PngDhashName,
+      { exprs =>
+        require(exprs.length == 1, s"$PngDhashName expects 1 argument")
+        PngDhash(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(WavEnergyHashName,
       { exprs =>

@@ -1448,7 +1448,125 @@ object GroupB {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** b54: TPC-H Q21 (suppliers who kept orders waiting) re-expressed on
+    * this schema — the suite's hardest join-planning shape, and the one
+    * composition Group B didn't exercise: a SEMI and an ANTI existence
+    * test against the SAME fact. A supplier "kept an order waiting" when
+    * its line shipped late (30+ days after the order date — b46's
+    * lateness rule on the columns this corpus carries, standing in for
+    * the reference schema's commit/receipt pair) on a FINALIZED
+    * multi-supplier order where NO other supplier was late: semi-join
+    * (another supplier's line exists) + anti-join (no OTHER supplier's
+    * LATE line exists), both as joins carrying the supplier-inequality
+    * predicate INSIDE the join — never a count-distinct dedup.
+    *
+    * Plan shape: the annotated line frame (orderkey, suppkey, late)
+    * derives once from one lineitem⋈orders shuffle on the order key and
+    * all three consumers (the late probe, the semi side, the anti side)
+    * reuse that partitioning — the two existence joins are co-located,
+    * zero extra fact shuffles. The supplier dim broadcasts; the census
+    * is a 100-supplier agg under a TakeOrdered cut.
+    */
+  def b54TpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("late"))
+    val waiting = lo.filter(col("late"))
+      .select(col("l_orderkey").as("w_orderkey"),
+        col("l_suppkey").as("w_suppkey"))
+    waiting
+      // another supplier has SOME line on the order: existence via semi
+      .join(lo.select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("w_orderkey") &&
+          col("l_suppkey") =!= col("w_suppkey"), "left_semi")
+      // ... and no OTHER supplier's line was late: absence via anti
+      .join(lo.filter(col("late")).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("w_orderkey") &&
+          col("l_suppkey") =!= col("w_suppkey"), "left_anti")
+      .join(broadcast(Tables(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("w_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(100)
+  }
+
+  /** b55: TPC-H Q20 (potential part promotion) re-expressed on this
+    * schema — the nested-IN-chain shape: suppliers (of one nation) who
+    * DOMINATED a filtered part's shipments for a year, where "dominated"
+    * compares the supplier's per-part shipped quantity against the
+    * part's total by exact integer cross-multiplication (4·sq > total ⇒
+    * the supplier moved more than a quarter of the year's volume; the
+    * reference's availability-vs-half-of-shipped test re-expressed on
+    * the columns this corpus carries). The IN chain (parts by name
+    * prefix → their heavy suppliers → the supplier dim) runs innermost-
+    * out: the name-filtered part keys BROADCAST-prune the lineitem scan,
+    * the per-(supplier, part) agg is one partial agg whose per-part
+    * total joins back on the part key (b48's correlated-agg pattern,
+    * reusing the same shuffle side), and the outer IN is a SEMI join
+    * from the nation-filtered supplier dim — no distinct, no dedup agg.
+    */
+  def b55TpchQ20(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val namedParts = Tables(spark, sfDir, "part")
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val shipped = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .join(broadcast(namedParts), col("p_partkey") === col("l_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("sq"))
+    val totals = shipped.groupBy("l_partkey").agg(sum("sq").as("tq"))
+    val heavy = shipped.join(totals, "l_partkey")
+      .filter(col("sq") * 4L > col("tq"))
+      .select("l_suppkey")
+    Tables(spark, sfDir, "supplier")
+      .filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey"), col("s_name"))
+      .join(heavy, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .orderBy("s_name")
+  }
+
+  /** b56: TPC-H Q12 (shipping modes and order priority) re-expressed on
+    * this schema — the two-priority conditional census: among lines
+    * shipped LATE (b46's 30-day rule) in one year, per return flag (the
+    * small categorical this corpus carries where the reference has ship
+    * modes), how many belong to high-priority orders (1-URGENT/2-HIGH)
+    * vs the rest. One fact-fact join on the order key with the date band
+    * pushed to the lineitem scan and the lateness predicate inside the
+    * join; both counts ride ONE partial agg over a 3-row group space.
+    */
+  def b56TpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      .join(Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "b54_tpch_q21"     -> (b54TpchQ21 _),
+    "b55_tpch_q20"     -> (b55TpchQ20 _),
+    "b56_tpch_q12"     -> (b56TpchQ12 _),
     "b51_tpch_q7"      -> (b51TpchQ7 _),
     "b52_tpch_q8"      -> (b52TpchQ8 _),
     "b53_tpch_q13"     -> (b53TpchQ13 _),
@@ -1505,6 +1623,59 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b54_tpch_q21" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, COUNT(*)::BIGINT AS numwait
+        |FROM lo l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (
+        |    SELECT 1 FROM lo l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lo l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "b55_tpch_q20" ->
+      """WITH fp AS (
+        |  SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |shipped AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM fp)
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, SUM(sq) AS tq FROM shipped GROUP BY 1),
+        |heavy AS (
+        |  SELECT DISTINCT s.l_suppkey
+        |  FROM shipped s JOIN tot t USING (l_partkey)
+        |  WHERE 4 * s.sq > t.tq)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+        |  AND s_nationkey = 3
+        |ORDER BY s_name""".stripMargin,
+    "b56_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "b51_tpch_q7" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  EXTRACT(YEAR FROM l_shipdate) AS l_year,

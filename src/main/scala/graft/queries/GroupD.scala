@@ -4042,6 +4042,99 @@ object GroupD {
       .orderBy("doc_id")
   }
 
+  /** d84: PNG near-dup dedup — d78's image dedup moved onto the format
+    * image crawls actually contain: each doc renders its 64-bit pattern
+    * as a REAL 9×8 8-bit grayscale PNG (a well-formed zlib stream whose
+    * deflate payload is one STORED block over filter-type-0 scanlines —
+    * stored blocks keep the byte layout deterministic, so the
+    * constructed-bytes oracle discipline that anchors every shipped
+    * byte-walk holds for a COMPRESSED container too), and the native
+    * [[graft.functions.PngDhash]] walks chunks, inflates IDAT with the
+    * pure-JDK Inflater, unfilters, and dHashes the pixels through the
+    * SHARED [[graft.functions.Dhash64]] cell rule — so these PNGs dedup
+    * against BMP renderings of the same pixels, the cross-format
+    * property real crawls need. Families of 6 consecutive doc_ids share
+    * a base pattern with 0–4 per-doc flips (distinct mixer constants
+    * from d78/d82 so the three modality families cluster differently);
+    * docs ≡ 0 mod 17 carry junk the decode must refuse. The oracle
+    * re-derives the bits arithmetically and computes Hamming directly —
+    * it never sees bytes.
+    *
+    * Scale shape: d78's verbatim — construction barriers, scan-side
+    * decode, (band, key, hash) shuffle rows only, null-tolerant hamming
+    * predicate so no inferred filter re-derives the decode at the scan.
+    */
+  private val pngBitsExpr: String =
+    "transform(sequence(0L, 63L), k -> " +
+      "((((((doc_id div 6) * 1000033L + k * 7489L + 13579L) % 1000000007L)" +
+      " * (((doc_id div 6) * 1000033L + k * 7489L + 13579L) % 1000000007L)" +
+      " % 2147483647L)" +
+      " * ((((doc_id div 6) * 1000033L + k * 7489L + 13579L) % 1000000007L)" +
+      " * (((doc_id div 6) * 1000033L + k * 7489L + 13579L) % 1000000007L)" +
+      " % 2147483647L) % 2147483647L div 1024L % 2L" +
+      " + IF(k >= doc_id % 57 AND k < doc_id % 57 + doc_id % 5, 1L, 0L))" +
+      " % 2L))"
+
+  /** PNG preamble through the IDAT stored-block header: signature, IHDR
+    * (9×8, depth 8, grayscale, no interlace; CRCs zeroed — the decode
+    * verifies meaning, not checksums), IDAT length 0x5B = zlib hdr (2) +
+    * stored-block hdr (5: final, LEN=80 LE, NLEN) + 80 raw + adler (4).
+    */
+  private val PngHeaderHex: String =
+    "89504E470D0A1A0A" + "0000000D49484452" + "00000009" + "00000008" +
+      "0800000000" + "00000000" + "0000005B49444154" + "7801" +
+      "01" + "5000" + "AFFF"
+
+  /** Zeroed adler placeholder + IDAT CRC, then IEND. */
+  private val PngTrailerHex: String =
+    "00000000" + "00000000" + "00000000" + "49454E44" + "00000000"
+
+  /** The 8 scanlines TOP-DOWN (PNG row order): filter byte 0, then the
+    * luma walk from 128 stepping −10 on a 1-bit, +10 on a 0-bit — one
+    * byte per pixel (grayscale), so cell (r,c) > cell (r,c+1) iff bit
+    * r·8+c is set, same rule as the BMP rendering one byte-width over.
+    */
+  private val pngPixelsHex: String = {
+    val step = "IF(bits[s * 8 + c - 1] = 1L, -10L, 10L)"
+    "concat_ws('', transform(sequence(0, 7), s -> " +
+      "aggregate(sequence(1, 8), " +
+      "named_struct('v', 128L, 'hx', '0080'), " +
+      s"(acc, c) -> named_struct(" +
+      s"'v', acc.v + $step, " +
+      s"'hx', concat(acc.hx, lpad(hex(acc.v + $step), 2, '0'))), " +
+      "acc -> acc.hx)))"
+  }
+
+  private[queries] val pngContentExpr: String =
+    s"IF(doc_id % 17 = 0, unhex('00112233'), " +
+      s"unhex(concat('$PngHeaderHex', $pngPixelsHex, '$PngTrailerHex')))"
+
+  def d84PngDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(pngBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // construction barrier (d78's lesson)
+      .select(col("doc_id"), expr(pngContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .PngDhashName}(content)").as("dhash"))
+      .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+    val bands = hashed.select(col("doc_id"), col("dhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), t -> shiftright(dhash, t * 16) & 65535L)"))
+        .as(Seq("band", "key")))
+    bands.as("x").hint("merge")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        // null-tolerant on purpose — see d78PairsRaw
+        expr("cast(bit_count(coalesce(x.dhash, 0L) ^ coalesce(y.dhash, 0L))" +
+          " as bigint)").as("hamming"))
+      .filter(col("hamming") <= 3L)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -4386,6 +4479,7 @@ object GroupD {
     "d81_image_keep_best" -> (d81ImageKeepBest _),
     "d82_audio_dedup" -> (d82AudioDedup _),
     "d83_image_dedup_incremental" -> (d83ImageDedupIncremental _),
+    "d84_png_dedup" -> (d84PngDedup _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4823,6 +4917,26 @@ object GroupD {
          |  WHERE (p.doc_a = d.doc_id AND (p.doc_b // 4) % 3 <> 0)
          |     OR p.doc_b = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "d84_png_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |       // 1024 % 2
+        |     + CASE WHEN k >= doc_id % 57 AND k < doc_id % 57 + doc_id % 5
+        |            THEN 1 ELSE 0 END) % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 6) * 1000033 + k * 7489 + 13579)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |h AS (
+        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+        |           AS hamming
+        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d82_audio_dedup" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
         |bits AS (

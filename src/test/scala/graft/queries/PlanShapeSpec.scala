@@ -77,6 +77,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "pruned part dim must broadcast")
   }
 
+  test("b54: Q21's existence tests are SEMI and ANTI joins on the same fact — no dedup agg") {
+    val p = plan("b54_tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), "the 100-cut must not global-sort")
+    assert(!p.contains("HashAggregate(keys=[l_orderkey"),
+      "existence must come from the joins, not a count-distinct dedup")
+  }
+
+  test("b55: Q20's IN chain plans as broadcast-prune + partial agg + SEMI join") {
+    val p = plan("b55_tpch_q20")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the name-filtered part keys must broadcast-prune the fact scan")
+    assert(p.contains("partial_sum"), "per-(supplier, part) agg must combine map-side")
+  }
+
+  test("b56: Q12's date band reaches the scan; both counts ride one partial agg") {
+    val p = plan("b56_tpch_q12")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("partial_sum"), "the census must combine map-side")
+    assert(!p.contains("Window"), "no window belongs in a conditional census")
+  }
+
   test("b49: Q22's absence test is a LEFT ANTI join; priority filter pushed") {
     val p = plan("b49_tpch_q22")
     assert(p.contains("LeftAnti"), p.linesIterator.take(25).mkString("\n"))
@@ -194,6 +219,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val occurrences = "graft_bmp_dhash\\(".r.findAllMatchIn(p).length
     assert(occurrences <= 2, s"decode expression appears $occurrences times")
     assert(!p.contains("DataFilters: [isnotnull(graft_bmp_dhash"),
+      "inferred null filter re-derives the decode at the scan")
+  }
+
+  test("d84: the PNG decode runs ONCE per join side — never re-derived at the scan") {
+    // d78's pathology pin at the PNG leg: the inflate+unfilter decode is
+    // far more expensive than the BMP walk, so an inferred
+    // isnotnull(dhash) re-inlining it at the scan would hurt worse
+    val p = plan("d84_png_dedup")
+    val occurrences = "graft_png_dhash\\(".r.findAllMatchIn(p).length
+    assert(occurrences <= 2, s"decode expression appears $occurrences times")
+    assert(!p.contains("DataFilters: [isnotnull(graft_png_dhash"),
       "inferred null filter re-derives the decode at the scan")
   }
 
