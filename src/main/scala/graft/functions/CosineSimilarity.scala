@@ -119,6 +119,7 @@ object GraftFunctions {
   val PngDhashName = "graft_png_dhash"
   val BmpResizeName = "graft_bmp_resize"
   val WavEnergyHashName = "graft_wav_ehash"
+  val Y4mEnvelopeHashName = "graft_y4m_ehash"
   val JpegExifOrientationName = "graft_jpeg_exif_orientation"
   val CmsCountName = "graft_cms_count"
   val SigMatchName = "graft_sig_matches"
@@ -229,6 +230,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$WavEnergyHashName expects 1 argument")
         WavEnergyHash(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(Y4mEnvelopeHashName,
+      { exprs =>
+        require(exprs.length == 1, s"$Y4mEnvelopeHashName expects 1 argument")
+        Y4mEnvelopeHash(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(BmpResizeName,
       { exprs =>

@@ -4135,6 +4135,91 @@ object GroupD {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d85: VIDEO near-dup dedup — the LAST modality column on the dedup
+    * ladder (text ✓, embedding ✓, chunk ✓, image ✓, audio ✓): pairs of
+    * uncompressed YUV4MPEG2 clips whose frame-sequence envelope hash
+    * ([[graft.functions.Y4mEnvelopeHash]] — a real FRAME-level decode:
+    * per-frame luma-plane sums over raw planes, 65-window envelope,
+    * exact cross-multiplied comparisons) differ in ≤ 3 of 64 bits, by
+    * the same 4×16-bit-band pigeonhole-exact Hamming join as d78.
+    *
+    * Construction mirrors d82 one modality over: each doc renders its
+    * 64-bit pattern as a 65-frame 4×4 mono Y4M clip (constant-luma
+    * frames walking 128 ± 1 per bit, so frame means reproduce the
+    * comparisons exactly); families of 7 consecutive doc_ids share a
+    * base pattern with 0–3 per-doc flips (distinct mixer constants from
+    * d78/d82/d84 so every modality family clusters differently); docs
+    * ≡ 0 (mod 17) carry junk the frame walk must refuse. The oracle
+    * re-derives the bits arithmetically — it never sees bytes.
+    *
+    * Scale shape: d78's verbatim — construction barriers, scan-side
+    * decode, (band, key, hash) shuffle rows only, null-tolerant hamming
+    * predicate so no inferred filter re-derives the decode at the scan.
+    */
+  private val y4mBitsExpr: String =
+    "transform(sequence(0L, 63L), k -> " +
+      "((((((doc_id div 7) * 999979L + k * 9001L + 11213L) % 1000000007L)" +
+      " * (((doc_id div 7) * 999979L + k * 9001L + 11213L) % 1000000007L)" +
+      " % 2147483647L)" +
+      " * ((((doc_id div 7) * 999979L + k * 9001L + 11213L) % 1000000007L)" +
+      " * (((doc_id div 7) * 999979L + k * 9001L + 11213L) % 1000000007L)" +
+      " % 2147483647L) % 2147483647L div 1024L % 2L" +
+      " + IF(k >= doc_id % 53 AND k < doc_id % 53 + doc_id % 4, 1L, 0L))" +
+      " % 2L))"
+
+  /** `YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n` — a 4×4 mono stream, 16
+    * luma bytes per frame.
+    */
+  private val Y4mHeaderHex: String =
+    "595556344D50454732205734204834204632353A312049702041313A3120" +
+      "436D6F6E6F0A"
+
+  /** 65 `FRAME\n` + 16 constant luma bytes each: the walk starts at 128
+    * and steps −1 on a 1-bit, +1 on a 0-bit (range 64–192, safely inside
+    * a byte), so frame k's mean is strictly brighter than frame k+1's
+    * exactly when bit k is set.
+    */
+  private val y4mFramesHex: String = {
+    val step = "IF(bits[c - 1] = 1L, -1L, 1L)"
+    "aggregate(sequence(1, 64), " +
+      "named_struct('v', 128L, 'hx', concat('4652414D450A', repeat('80', 16))), " +
+      s"(acc, c) -> named_struct(" +
+      s"'v', acc.v + $step, " +
+      s"'hx', concat(acc.hx, '4652414D450A', " +
+      s"repeat(lpad(hex(acc.v + $step), 2, '0'), 16))), " +
+      "acc -> acc.hx)"
+  }
+
+  private[queries] val y4mContentExpr: String =
+    s"IF(doc_id % 17 = 0, unhex('00112233'), " +
+      s"unhex(concat('$Y4mHeaderHex', $y4mFramesHex)))"
+
+  def d85VideoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val hashed = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(y4mBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // construction barrier (d78's lesson)
+      .select(col("doc_id"), expr(y4mContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .Y4mEnvelopeHashName}(content)").as("vhash"))
+      .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+    val bands = hashed.select(col("doc_id"), col("vhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), t -> shiftright(vhash, t * 16) & 65535L)"))
+        .as(Seq("band", "key")))
+    bands.as("x").hint("merge")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        // null-tolerant on purpose — see d78PairsRaw
+        expr("cast(bit_count(coalesce(x.vhash, 0L) ^ coalesce(y.vhash, 0L))" +
+          " as bigint)").as("hamming"))
+      .filter(col("hamming") <= 3L)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   def d71DocEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     docs.select(col("doc_id"),
@@ -4480,6 +4565,7 @@ object GroupD {
     "d82_audio_dedup" -> (d82AudioDedup _),
     "d83_image_dedup_incremental" -> (d83ImageDedupIncremental _),
     "d84_png_dedup" -> (d84PngDedup _),
+    "d85_video_dedup" -> (d85VideoDedup _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
     "d39_semdedup"         -> (d39SemDedup _),
@@ -4927,6 +5013,26 @@ object GroupD {
         |            THEN 1 ELSE 0 END) % 2 AS b
         |  FROM (SELECT doc_id, k,
         |          ((doc_id // 6) * 1000033 + k * 7489 + 13579)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |h AS (
+        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+        |           AS hamming
+        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d85_video_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |       // 1024 % 2
+        |     + CASE WHEN k >= doc_id % 53 AND k < doc_id % 53 + doc_id % 4
+        |            THEN 1 ELSE 0 END) % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 7) * 999979 + k * 9001 + 11213)
         |            % 1000000007 AS x
         |        FROM d, range(64) t(k))),
         |h AS (

@@ -128,6 +128,38 @@ class StreamImageDedupSpec extends AnyFunSuite {
     assert(got.toSet == Set(41L, 42L), s"audio gate: $got")
   }
 
+  test("the same gate serves video: Y4M hash swap, near-dup drops, junk passes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 65-frame 4×4 mono Y4M rendering of a 64-bit pattern (the d85 walk)
+    def y4mFor(bits: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+      var v = 128
+      for (k <- 0 to 64) {
+        if (k > 0) v += (if (((bits >> (k - 1)) & 1L) == 1L) -1 else 1)
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        for (_ <- 0 until 16) out.write(v)
+      }
+      out.toByteArray
+    }
+    val base = Seq((1L, y4mFor(P1))).toDF("asset_id", "content")
+    val dir = tempDir("svideodedup")
+    csvFile(dir, "b1.csv", "asset_id;content_hex\n" +
+      s"50;${hex(y4mFor(flip(P1, 2, 44)))}\n" + // ≈ base → drops
+      s"51;${hex(y4mFor(P3))}\n" +              // new → passes
+      s"52;${hex(Array[Byte](9, 9, 9))}\n")     // junk → passes through
+    val stream = CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val got = scala.collection.mutable.Set[Long]()
+    val q = StreamImageDedup.start(stream, base, "svideodedup",
+      (surv, _) => { got ++= surv.select("asset_id").collect().map(_.getLong(0)); () },
+      hashName = graft.functions.GraftFunctions.Y4mEnvelopeHashName)
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set(51L, 52L), s"video gate: $got")
+  }
+
   test("store compaction: a restarted gate after compaction admits/drops identically (r15)") {
     val spark = TestSpark.spark
     import spark.implicits._
