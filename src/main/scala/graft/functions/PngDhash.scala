@@ -126,17 +126,20 @@ object PngDhash {
     var done = false
     while (!done && i + 8 <= b.length) {
       val len = u32be(b, i)
-      if (len > b.length) done = true // declared size beyond any real chunk
-      else {
-        val t = tag(b, i + 4)
-        val dataOff = i + 8
-        if (t == IDAT) {
-          val avail = math.min(len, (b.length - dataOff).toLong).toInt
-          if (avail > 0) { spans = (dataOff, avail) :: spans; zlibLen += avail }
-        } else if (t == IEND) done = true
-        val next = i.toLong + 12L + len
-        i = if (next > b.length) b.length else next.toInt
-      }
+      val t = tag(b, i + 4)
+      val dataOff = i + 8
+      if (t == IDAT) {
+        // splice whatever payload bytes exist even when the declared
+        // length runs past the buffer — the common crawl-truncation
+        // shape is an intact length field on a file cut mid-chunk, and
+        // the doc's truncated-but-decodable-prefix promise covers it
+        // (review finding r15: the old walk skipped such a chunk
+        // entirely, refusing assets it should hash)
+        val avail = math.min(len, (b.length - dataOff).toLong).toInt
+        if (avail > 0) { spans = (dataOff, avail) :: spans; zlibLen += avail }
+      } else if (t == IEND) done = true
+      val next = i.toLong + 12L + len
+      i = if (next > b.length) b.length else next.toInt
     }
     if (spans.isEmpty || zlibLen < 3) return null
 

@@ -123,14 +123,18 @@ object Y4mEnvelopeHash {
             if (tagByte == 'W') w = n else h = n
           case 'C' =>
             cSeen = true
-            val len = j - v0
-            if (len >= 4 && b(v0) == 'm' && b(v0 + 1) == 'o' &&
-              b(v0 + 2) == 'n' && b(v0 + 3) == 'o') cMono = true
-            else if (len >= 3 && b(v0) == '4' && b(v0 + 1) == '2' &&
-              b(v0 + 2) == '0') c420 = true
-            else if (len >= 3 && b(v0) == '4' && b(v0 + 1) == '4' &&
-              b(v0 + 2) == '4') c444 = true
-            else return null // unknown colourspace: refuse, don't misdecode
+            // EXACT 8-bit token whitelist (public spec tags). A prefix
+            // match would accept depth/alpha variants (C420p10, C444p10,
+            // C444alpha, Cmono16) as 8-bit layouts — the wrong frameSize
+            // usually derails the next FRAME-tag check, but raw plane
+            // bytes containing "FRAME\n" at the computed offset would
+            // hash garbage instead of refusing (review finding r15).
+            new String(b, v0, j - v0, "US-ASCII") match {
+              case "mono" => cMono = true
+              case "420" | "420jpeg" | "420mpeg2" | "420paldv" => c420 = true
+              case "444" => c444 = true
+              case _ => return null // refuse, don't misdecode
+            }
           case _ => () // F/I/A/X parameters don't affect the luma walk
         }
         i = j

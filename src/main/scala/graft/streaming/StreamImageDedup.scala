@@ -55,17 +55,29 @@ object StreamImageDedup {
 
   /** Read the durable store, restoring a half-finished compaction swap
     * first (live dir deleted, tmp not yet renamed): None = empty store.
+    *
+    * Only "directory absent" maps to None. IO/rename failures PROPAGATE:
+    * compaction deletes the live dir, so a transient FS error here can
+    * no longer be told apart from a never-written store — swallowing it
+    * would silently discard the entire accepted-hash history and
+    * re-admit every previously rejected near-dup (review finding r15).
+    * A loud restart failure is recoverable; a silently emptied gate is
+    * not.
     */
   private[streaming] def readStore(spark: SparkSession,
                                    dir: String): Option[DataFrame] = {
     val live = new Path(dir)
     val tmp = new Path(tmpPath(dir))
-    try {
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
-    } catch { case scala.util.control.NonFatal(_) => () }
-    try Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
-    catch { case scala.util.control.NonFatal(_) => None } // empty store
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      if (!fs.exists(tmp)) return None // legitimately empty store
+      // heal the delete→rename crash window — and fail loudly if we
+      // cannot, rather than restarting the gate with an empty memory
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(
+          s"cannot restore compaction snapshot ${tmpPath(dir)} -> $dir")
+    }
+    Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
   }
 
   /** Rewrite the store as one deduped snapshot (tmp-write → delete →

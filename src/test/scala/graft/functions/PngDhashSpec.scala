@@ -176,6 +176,16 @@ class PngDhashSpec extends AnyFunSuite {
     assert(PngDhash.scan(png(doubled)) == PngDhash.scan(png(g)))
   }
 
+  test("a truncated final IDAT (intact length field) still hashes the prefix") {
+    val whole = png(walkGrid(0x5AA5C33CL), level = 0)
+    // drop IEND (12), the IDAT CRC (4), and the zlib adler32 trailer (4):
+    // the declared IDAT length now exceeds the remaining bytes — the
+    // common crawl-truncation shape (file cut mid-chunk) — but the
+    // stored-block deflate payload is complete, so the
+    // truncated-but-decodable prefix must hash, not vanish (review r15)
+    assert(PngDhash.scan(whole.dropRight(20)) == PngDhash.scan(whole))
+  }
+
   test("refusals: every adversarial arm yields NULL, never an error") {
     val good = png(walkGrid(7L))
     assert(PngDhash.scan(good) != null)

@@ -97,6 +97,13 @@ class Y4mEnvelopeHashSpec extends AnyFunSuite {
     assert(Y4mEnvelopeHash.scan(y4m(f, colour = "C422",
       header = "YUV4MPEG2 W4 H4 C422\n")) == null,
       "unsupported colourspace must refuse, not misdecode")
+    // depth/alpha suffixes are NOT 8-bit layouts: the token whitelist is
+    // exact, never a prefix match (review finding r15 — a prefix match
+    // read C420p10 planes at half their real size and could hash garbage)
+    for (cs <- Seq("C420p10", "C444p10", "C444alpha", "Cmono16"))
+      assert(Y4mEnvelopeHash.scan(y4m(f, colour = cs,
+        header = s"YUV4MPEG2 W4 H4 $cs\n")) == null,
+        s"$cs must refuse: depth/alpha variant, not an 8-bit layout")
     assert(Y4mEnvelopeHash.scan(
       "YUV4MPEG2 W4 H4 Cmono".getBytes("US-ASCII")) == null,
       "no header terminator")

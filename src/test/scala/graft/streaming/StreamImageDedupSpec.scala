@@ -249,6 +249,21 @@ class StreamImageDedupSpec extends AnyFunSuite {
       "a batch whose sink failed must not have reached the durable store")
   }
 
+  test("readStore propagates read errors instead of emptying the gate (r16)") {
+    val spark = TestSpark.spark
+    val store = tempDir("sbadstore") + "/store"
+    // a present-but-unreadable store (a garbage file where the parquet
+    // dir should be) must FAIL LOUDLY: mapping every read error to an
+    // empty standing set would silently discard the accepted-hash
+    // history and re-admit all previously rejected near-dups (review
+    // finding r15); only a genuinely ABSENT directory means empty
+    val f = new java.io.File(store)
+    f.getParentFile.mkdirs()
+    val w = new java.io.FileWriter(f)
+    try w.write("not parquet") finally w.close()
+    intercept[Exception] { StreamImageDedup.readStore(spark, store) }
+  }
+
   test("hamming > maxDist passes: distance 4 with maxDist 3 is NOT a dup") {
     val spark = TestSpark.spark
     import spark.implicits._
