@@ -117,6 +117,7 @@ object GraftFunctions {
   val WebpDimsName = "graft_webp_dims"
   val BmpDhashName = "graft_bmp_dhash"
   val PngDhashName = "graft_png_dhash"
+  val GifDhashName = "graft_gif_dhash"
   val BmpResizeName = "graft_bmp_resize"
   val WavEnergyHashName = "graft_wav_ehash"
   val Y4mEnvelopeHashName = "graft_y4m_ehash"
@@ -225,6 +226,11 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$PngDhashName expects 1 argument")
         PngDhash(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(GifDhashName,
+      { exprs =>
+        require(exprs.length == 1, s"$GifDhashName expects 1 argument")
+        GifDhash(exprs.head)
       }, "built-in")
     reg.createOrReplaceTempFunction(WavEnergyHashName,
       { exprs =>

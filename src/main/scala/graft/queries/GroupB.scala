@@ -1563,7 +1563,172 @@ object GroupB {
       .orderBy("l_returnflag")
   }
 
+  /** b57: TPC-H Q9 (product-type profit) re-expressed on this schema —
+    * the largest-intermediate join/agg shape in the suite: profit per
+    * (supplier nation, order year) over lineitem ⋈ part ⋈ supplier ⋈
+    * orders ⋈ nation with a LIKE-filtered part side. This corpus has no
+    * partsupp, so the per-unit supply cost is the part's retail price
+    * (the same stand-in discipline as b55's availability rule): profit
+    * = revenue − retail·quantity, all EXACT integer fixed point — the
+    * subtraction is the classic Q9 ulp trap, so both terms live in the
+    * same cents×100 unit (rev_fp = price_c·(100−disc); cost_fp =
+    * retail_c·qty·100) and no double ever appears.
+    *
+    * Plan shape: the LIKE filter prunes part BEFORE its broadcast
+    * (plan-pinned), supplier and nation broadcast, and the only
+    * fact-fact shuffle is lineitem ⋈ orders on the order key; the
+    * (nation, year) agg is partial-agg'd over a 25·7-row group space.
+    */
+  def b57TpchQ9(spark: SparkSession, sfDir: String): DataFrame = {
+    val redParts = Tables(spark, sfDir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("retail_c"))
+    val suppNation = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_quantity) as bigint)").as("qty_i"),
+        (expr("cast(round(l_extendedprice * 100) as bigint)") *
+          (lit(100L) - expr("cast(round(l_discount * 100) as bigint)")))
+          .as("rev_fp"))
+      .join(broadcast(redParts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(suppNation), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("rev_fp") - col("retail_c") * col("qty_i") * 100L)
+        .as("sum_profit_fp"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** b58: TPC-H Q2 (minimum-cost supplier) re-expressed on this schema —
+    * the correlated-min-over-a-relationship shape: for each size-15
+    * part, the EUROPE suppliers offering the part's minimum cost, with
+    * supplier details, ordered by account balance. This corpus has no
+    * partsupp, so the (part, supplier) relationship derives from
+    * lineitem: the offer cost is the supplier's cheapest observed line
+    * charge for the part (min of exact cents — deterministic where the
+    * reference's ps_supplycost is a column). The correlated min runs as
+    * b48's agg-join-back: the per-part minimum is ONE partial agg over
+    * the candidate frame joined back on the part key, reusing the same
+    * shuffle side — never a sort or a window over the whole frame.
+    *
+    * Plan shape: the (part, supplier) offer agg shuffles lineitem once
+    * on the composite key; the size-filtered part side and the
+    * region-walked supplier dim broadcast-prune the candidate frame
+    * BEFORE the min; the presentation cut is a deterministic full-key
+    * sort under a LIMIT (TakeOrdered — the balance/nation/name/part
+    * tiebreak chain makes the boundary exact at any scale).
+    */
+  def b58TpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
+    val offers = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("price_c").as("cost_c"))
+    val sizedParts = Tables(spark, sfDir, "part")
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    val euroSupp = Tables(spark, sfDir, "supplier")
+      .join(broadcast(Tables(spark, sfDir, "nation")
+        .join(broadcast(Tables(spark, sfDir, "region")
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        expr("cast(round(s_acctbal * 100) as bigint)").as("acctbal_c"))
+    val cand = offers
+      .join(broadcast(sizedParts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(euroSupp), col("s_suppkey") === col("l_suppkey"))
+      .select(col("acctbal_c"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_c"))
+    val minCost = cand.groupBy("p_partkey").agg(min("cost_c").as("min_cost_c"))
+    cand.join(minCost, "p_partkey")
+      .filter(col("cost_c") === col("min_cost_c"))
+      .select("acctbal_c", "s_name", "n_name", "p_partkey", "p_name", "cost_c")
+      .orderBy(col("acctbal_c").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** b59: TPC-H Q11 (important stock identification) re-expressed on
+    * this schema — the global-threshold HAVING shape: per-part value
+    * held by one nation's suppliers, keeping parts whose value exceeds
+    * a fixed fraction (0.1%) of the nation's total. This corpus has no
+    * partsupp, so "value" is the exact-cents line revenue the nation's
+    * suppliers shipped per part. The global threshold is b49's 1-row
+    * broadcast cross-join, and the fraction compare is exact integer
+    * cross-multiplication (value·1000 > total) — no division, no
+    * double, so the boundary part cannot flip between engines.
+    *
+    * Plan shape: the nation filter walks supplier → broadcast-prunes
+    * the lineitem scan (1/25 of lines survive); ONE partial agg on the
+    * part key; the scalar total reuses that aggregate's exchange; the
+    * value-desc presentation sort carries the part-key tiebreak so ties
+    * order deterministically.
+    */
+  def b59TpchQ11(spark: SparkSession, sfDir: String): DataFrame = {
+    val nationSupp = Tables(spark, sfDir, "supplier")
+      .filter(col("s_nationkey") === 3).select("s_suppkey")
+    val values = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+      .join(broadcast(nationSupp), col("s_suppkey") === col("l_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum("price_c").as("value_c"))
+    val total = values.agg(sum("value_c").as("total_c"))
+    values.crossJoin(broadcast(total))
+      .filter(col("value_c") * 1000L > col("total_c"))
+      .select("l_partkey", "value_c")
+      .orderBy(col("value_c").desc, col("l_partkey"))
+  }
+
+  /** b60: TPC-H Q16 (parts/supplier relationship census) re-expressed
+    * on this schema — the NOT-IN + count-distinct census: how many
+    * distinct suppliers serve each (brand, type, size) cell of a
+    * filtered part family, excluding flagged suppliers. The (part,
+    * supplier) relationship derives from lineitem (no partsupp), the
+    * flagged set is negative-balance suppliers (the reference flags by
+    * a comment pattern this corpus doesn't carry), and the exclusion is
+    * a left-ANTI join — b3/b49's discipline, never a NOT IN null trap.
+    *
+    * Plan shape: the brand/type/size filter prunes part BEFORE its
+    * broadcast into the lineitem scan, so the distinct-relationship
+    * shuffle carries only surviving (partkey, suppkey) pairs; the tiny
+    * flagged-supplier set anti-joins broadcast; the count-distinct
+    * rides the same grouping exchange (expand + two-phase agg).
+    */
+  def b60TpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables(spark, sfDir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 14, 23, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = Tables(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "b57_tpch_q9"      -> (b57TpchQ9 _),
+    "b58_tpch_q2"      -> (b58TpchQ2 _),
+    "b59_tpch_q11"     -> (b59TpchQ11 _),
+    "b60_tpch_q16"     -> (b60TpchQ16 _),
     "b54_tpch_q21"     -> (b54TpchQ21 _),
     "b55_tpch_q20"     -> (b55TpchQ20 _),
     "b56_tpch_q12"     -> (b56TpchQ12 _),
@@ -1623,6 +1788,70 @@ object GroupB {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "b57_tpch_q9" ->
+      """SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+        |    - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+        |      * CAST(ROUND(l_quantity) AS BIGINT) * 100) AS BIGINT)
+        |    AS sum_profit_fp
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "b58_tpch_q2" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |esupp AS (
+        |  SELECT s_suppkey, s_name,
+        |    CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_c, n_name
+        |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT o.l_partkey AS p_partkey, p.p_name, o.cost_c,
+        |         e.s_name, e.acctbal_c, e.n_name
+        |  FROM offers o
+        |  JOIN part p ON p.p_partkey = o.l_partkey
+        |  JOIN esupp e ON e.s_suppkey = o.l_suppkey
+        |  WHERE p.p_size = 15),
+        |minc AS (
+        |  SELECT p_partkey, MIN(cost_c) AS min_cost_c FROM cand GROUP BY 1)
+        |SELECT c.acctbal_c, c.s_name, c.n_name, c.p_partkey, c.p_name,
+        |  c.cost_c
+        |FROM cand c
+        |JOIN minc m ON m.p_partkey = c.p_partkey AND c.cost_c = m.min_cost_c
+        |ORDER BY c.acctbal_c DESC, c.n_name, c.s_name, c.p_partkey
+        |LIMIT 100""".stripMargin,
+    "b59_tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS value_c
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey = 3
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(value_c) AS total_c FROM v)
+        |SELECT l_partkey, value_c FROM v, tot
+        |WHERE value_c * 1000 > total_c
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+    "b60_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 14, 23, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "b54_tpch_q21" ->
       """WITH lo AS (
         |  SELECT l_orderkey, l_suppkey,

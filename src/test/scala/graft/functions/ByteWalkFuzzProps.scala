@@ -29,6 +29,9 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     BmpDhash.scan(b)
     BmpResize.scan(b, 4, 4)
     WavEnergyHash.scan(b)
+    PngDhash.scan(b)
+    GifDhash.scan(b)
+    Y4mEnvelopeHash.scan(b)
     true
   }
 
@@ -45,7 +48,11 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte),  // EBML magic
     Array[Byte](0x18, 0x53, 0x80.toByte, 0x67),         // Segment
     ascii("WEBP"), ascii("VP8 "), ascii("VP8L"), ascii("VP8X"),
-    ascii("BM"))
+    ascii("BM"),
+    Array[Byte](0x89.toByte) ++ ascii("PNG") :+ 0x0D.toByte :+ 0x0A.toByte,
+    ascii("IHDR"), ascii("IDAT"), ascii("IEND"),
+    ascii("GIF89a"), ascii("GIF87a"),
+    ascii("YUV4MPEG2"), ascii("FRAME"))
 
   property("random bytes never throw in any scanner") =
     Prop.forAll(Gen.containerOf[Array, Byte](Arbitrary.arbitrary[Byte])) {
@@ -113,8 +120,42 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
       while (bb.remaining() > 0) { bb.put((i * 37 % 251).toByte); i += 1 }
       bb.array()
     }
+    // genuine stored-block grayscale PNG (9×8, all-128 pixels)
+    val pngSeed = {
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      val ihdr = be32(13) ++ ascii("IHDR") ++ be32(9) ++ be32(8) ++
+        Array[Byte](8, 0, 0, 0, 0) ++ be32(0)
+      val raw = Array.tabulate[Byte](80)(i => if (i % 10 == 0) 0 else 0x80.toByte)
+      val z = Array[Byte](0x78, 0x01, 0x01, 80, 0, (~80 & 0xff).toByte,
+        (~0 & 0xff).toByte) ++ raw ++ be32(0)
+      sig ++ be32(z.length) ++ ascii("IDAT") ++ z ++ be32(0) ++
+        be32(0) ++ ascii("IEND") ++ be32(0)
+    }
+    // genuine GIF (9×8, 4-gray palette, clear-per-pixel 3-bit codes)
+    val gifSeed = {
+      val head = ascii("GIF89a") ++ Array[Byte](9, 0, 8, 0, 0x80.toByte, 0, 0) ++
+        Array[Byte](0, 0, 0, 85, 85, 85, -86, -86, -86, -1, -1, -1) ++
+        Array[Byte](0x2C, 0, 0, 0, 0, 9, 0, 8, 0, 0, 2)
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def emit(c: Int): Unit = {
+        acc |= c.toLong << nbits; nbits += 3
+        while (nbits >= 8) { out.write((acc & 255).toInt); acc >>= 8; nbits -= 8 }
+      }
+      for (p <- 0 until 72) { emit(4); emit(p % 4) }
+      emit(5)
+      if (nbits > 0) out.write((acc & 255).toInt)
+      val codes = out.toByteArray
+      head ++ Array[Byte](codes.length.toByte) ++ codes ++
+        Array[Byte](0, 0x3B)
+    }
+    // genuine Y4M (4×4 mono, 65 constant frames)
+    val y4mSeed = ascii("YUV4MPEG2 W4 H4 Cmono\n") ++
+      Array.tabulate(65)(f => ascii("FRAME\n") ++
+        Array.fill[Byte](16)((100 + f).toByte)).flatten
     val gen = for {
-      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus, mkv, bmpSeed))
+      seed <- Gen.oneOf(Seq(jpeg, wav, mp4, flac, mp3, opus, mkv, bmpSeed,
+        pngSeed, gifSeed, y4mSeed))
       cut <- Gen.chooseNum(0, seed.length)
       at <- Gen.chooseNum(0, math.max(0, seed.length - 1))
       v <- Arbitrary.arbitrary[Byte]

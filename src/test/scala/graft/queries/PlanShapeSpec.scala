@@ -233,6 +233,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "inferred null filter re-derives the decode at the scan")
   }
 
+  test("d87: the GIF LZW decode runs ONCE per join side — never re-derived at the scan") {
+    val p = plan("d87_gif_dedup")
+    val occurrences = "graft_gif_dhash\\(".r.findAllMatchIn(p).length
+    assert(occurrences <= 2, s"decode expression appears $occurrences times")
+    assert(!p.contains("DataFilters: [isnotnull(graft_gif_dhash"),
+      "inferred null filter re-derives the decode at the scan")
+  }
+
+  test("d86: both decodes run ONCE per join side; qualifying pairs cross the format boundary") {
+    // the cross-format corpus runs BOTH native decodes under a coalesce
+    // (each refuses the other container at its signature), so the d78
+    // pathology pin applies to each: one occurrence per join side max,
+    // and no inferred isnotnull filter re-deriving them at the scan
+    val p = plan("d86_cross_format_dedup")
+    for (fn <- Seq("graft_bmp_dhash", "graft_png_dhash")) {
+      val occurrences = s"$fn\\(".r.findAllMatchIn(p).length
+      assert(occurrences <= 2, s"$fn appears $occurrences times")
+      assert(!p.contains(s"DataFilters: [isnotnull($fn"),
+        s"inferred null filter re-derives $fn at the scan")
+    }
+    // the claim under test: a BMP-rendered asset dedups against a
+    // PNG-rendered one — at least one verified pair spans the parity
+    // boundary (even doc_ids are BMP, odd are PNG)
+    val pairs = GroupD.d86CrossFormatDedup(spark, sf)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.exists(r => r.getLong(0) % 2 != r.getLong(1) % 2),
+      s"no cross-format pair among ${pairs.length} verified pairs")
+  }
+
   test("d55: snapshot diff is one full-outer SMJ on doc_id — no nested loop, no window") {
     val p = plan("d55_snapshot_diff")
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
@@ -423,7 +452,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // b49 crosses customers with the 1-row global-average aggregate,
       // b50 the per-supplier revenue frame with the 1-row max — both
       // d16's broadcast-scalar pattern (round 14)
-      "b49_tpch_q22", "b50_tpch_q15")
+      "b49_tpch_q22", "b50_tpch_q15",
+      // b59 crosses the per-part value frame with the 1-row nation
+      // total (Q11's global threshold — b49's pattern, round 16)
+      "b59_tpch_q11",
+      // c10 crosses each modality's 1-row census aggregates (d16's
+      // pattern, once per card row — the whole report is 6 rows)
+      "c10_media_dedup_card")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
