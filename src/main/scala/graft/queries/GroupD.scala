@@ -4456,8 +4456,11 @@ object GroupD {
       val p = pairs.select("doc_a", "doc_b")
       val counts = p.agg(
         count(lit(1)).as("n_pairs"),
+        // count(when(...)) not sum(when(...)): over an EMPTY pair frame
+        // sum returns NULL while the oracle's COUNT returns 0 — a
+        // degenerate corpus would hash-mismatch (review finding r16)
         (if (crossParity)
-          sum(when(col("doc_a") % 2 =!= col("doc_b") % 2, 1L).otherwise(0L))
+          count(when(col("doc_a") % 2 =!= col("doc_b") % 2, 1L))
         else nullLong).as("n_cross_format_pairs"))
       val docs = p.select(col("doc_a").as("d"))
         .unionAll(p.select(col("doc_b").as("d")))

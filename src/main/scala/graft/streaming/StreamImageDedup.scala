@@ -45,16 +45,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * files a restart would otherwise re-list and re-read forever. The
   * compaction swap is crash-safe: the compacted store lands in
   * `<dir>.tmp` first, the live dir is only deleted once the tmp write
-  * committed, and both the loader and the next `start()` fall back to
-  * (and restore from) the tmp dir if a crash struck between delete and
-  * rename.
+  * committed, and every crash window is adjudicated by the `_SUCCESS`
+  * commit marker at restore time — a committed tmp outranks a
+  * mid-delete live dir, a committed live outranks a stale tmp, and a
+  * store with NO committed side fails loudly instead of restarting the
+  * gate with a partial hash history (see [[readStore]]).
   */
 object StreamImageDedup {
 
   private def tmpPath(dir: String) = dir.stripSuffix("/") + ".tmp"
 
+  /** `_SUCCESS` commit marker Spark's file committer drops in every
+    * completed parquet write — the completeness witness the swap logic
+    * below keys on (both the per-batch appends and the compaction
+    * snapshot write re-emit it).
+    */
+  private def hasMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
+    fs.exists(new Path(p, "_SUCCESS"))
+
   /** Read the durable store, restoring a half-finished compaction swap
-    * first (live dir deleted, tmp not yet renamed): None = empty store.
+    * first: None = empty store.
     *
     * Only "directory absent" maps to None. IO/rename failures PROPAGATE:
     * compaction deletes the live dir, so a transient FS error here can
@@ -63,25 +73,65 @@ object StreamImageDedup {
     * re-admit every previously rejected near-dup (review finding r15).
     * A loud restart failure is recoverable; a silently emptied gate is
     * not.
+    *
+    * Crash-window adjudication is by the `_SUCCESS` commit marker
+    * (review finding r16 — `fs.delete(live)` is not atomic, so "live
+    * exists" alone does not mean "live is complete"):
+    *   - live present WITH marker → authoritative; a stale tmp (crash
+    *     between tmp write and delete) is discarded, not preferred —
+    *     live still holds every appended batch the snapshot holds.
+    *   - live present WITHOUT marker → a partial delete. The committed
+    *     tmp snapshot, if present, replaces it; with no committed tmp
+    *     the history is genuinely damaged and the gate fails loudly
+    *     rather than silently re-admitting past rejects.
+    *   - live absent → a committed tmp is renamed into place; an
+    *     UNcommitted tmp with no live dir is likewise damage, not an
+    *     empty store.
     */
   private[streaming] def readStore(spark: SparkSession,
                                    dir: String): Option[DataFrame] = {
     val live = new Path(dir)
     val tmp = new Path(tmpPath(dir))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) {
-      if (!fs.exists(tmp)) return None // legitimately empty store
+    val liveOk = fs.exists(live) && hasMarker(fs, live)
+    if (!liveOk) {
+      val tmpOk = fs.exists(tmp) && hasMarker(fs, tmp)
+      if (!tmpOk) {
+        if (fs.exists(live) || fs.exists(tmp))
+          throw new java.io.IOException(
+            s"standing store $dir has no committed snapshot (live " +
+              s"marker=${fs.exists(live) && hasMarker(fs, live)}, tmp " +
+              s"marker=${fs.exists(tmp) && hasMarker(fs, tmp)}) — " +
+              "refusing to restart the gate with a partial hash history")
+        return None // legitimately empty store
+      }
       // heal the delete→rename crash window — and fail loudly if we
       // cannot, rather than restarting the gate with an empty memory
+      if (fs.exists(live) && !fs.delete(live, true))
+        throw new java.io.IOException(
+          s"cannot clear partially-deleted store $dir before restore")
       if (!fs.rename(tmp, live))
         throw new java.io.IOException(
           s"cannot restore compaction snapshot ${tmpPath(dir)} -> $dir")
+    } else if (fs.exists(tmp)) {
+      // live is committed: the tmp snapshot is a leftover from a crash
+      // BEFORE the swap began — live superset-or-equals it, drop it (a
+      // failure to drop only costs a retry next restart, so best-effort)
+      fs.delete(tmp, true)
     }
     Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
   }
 
-  /** Rewrite the store as one deduped snapshot (tmp-write → delete →
-    * rename; [[readStore]] heals the delete/rename crash window).
+  /** Rewrite the store as one deduped snapshot (tmp-write → unmark →
+    * delete → rename; [[readStore]] adjudicates every crash window by
+    * the `_SUCCESS` marker).
+    *
+    * The live MARKER is deleted first, as its own single-file (atomic)
+    * delete, before the non-atomic recursive dir delete: that ordering
+    * is what makes "live has a marker" equivalent to "the delete never
+    * started, live is complete" in [[readStore]] — without it a crash
+    * mid-recursive-delete could leave a gutted live dir still wearing
+    * its marker (review finding r16).
     */
   private[streaming] def compactStore(spark: SparkSession,
                                       dir: String): Unit = {
@@ -92,6 +142,12 @@ object StreamImageDedup {
     val live = new Path(dir)
     val tmp = new Path(tmpPath(dir))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasMarker(fs, tmp))
+      throw new java.io.IOException(
+        s"compaction snapshot ${tmpPath(dir)} committed without a " +
+          "_SUCCESS marker — refusing to swap (the marker is the swap " +
+          "protocol's completeness witness)")
+    fs.delete(new Path(live, "_SUCCESS"), false) // atomic: live now stale
     fs.delete(live, true)
     fs.rename(tmp, live)
   }

@@ -133,7 +133,12 @@ object ByteWalkFuzzProps extends Properties("byteWalks") {
     }
     // genuine GIF (9×8, 4-gray palette, clear-per-pixel 3-bit codes)
     val gifSeed = {
-      val head = ascii("GIF89a") ++ Array[Byte](9, 0, 8, 0, 0x80.toByte, 0, 0) ++
+      // packed 0x81: GCT present, size bits 1 -> 2<<1 = 4 entries, matching
+      // the 4 RGB entries written below and the 0-3 pixel indices emitted —
+      // with 0x80 (2 entries) the scan rejects the seed at the palette
+      // check and the fuzzer never mutates a stream that reaches the LZW
+      // decoder (review finding r16)
+      val head = ascii("GIF89a") ++ Array[Byte](9, 0, 8, 0, 0x81.toByte, 0, 0) ++
         Array[Byte](0, 0, 0, 85, 85, 85, -86, -86, -86, -1, -1, -1) ++
         Array[Byte](0x2C, 0, 0, 0, 0, 9, 0, 8, 0, 0, 2)
       val out = new java.io.ByteArrayOutputStream()

@@ -227,6 +227,48 @@ class StreamImageDedupSpec extends AnyFunSuite {
       "heal must move the snapshot back to the live path")
   }
 
+  test("compaction crash window: unmarked live + committed tmp → tmp wins (r16)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = Seq((1L, bmpFor(P1))).toDF("asset_id", "content")
+    val in1 = tempDir("smark_in")
+    val store = tempDir("smark_store") + "/store"
+    csvFile(in1, "b1.csv", "asset_id;content_hex\n" + s"11;${hex(bmpFor(P2))}\n")
+    val s1 = CsvStream.readStream(spark, in1, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("asset_id").cast("long").as("asset_id"),
+        unhex(col("content_hex")).as("content"))
+    val q1 = StreamImageDedup.start(s1, base, "smark1", (_, _) => (),
+      standingStore = Some(store), compactEvery = 1)
+    try q1.processAllAvailable() finally q1.stop()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate the crash strictly inside compaction's recursive delete:
+    // tmp holds the committed snapshot, live survives but its marker
+    // (deleted first, atomically) and some part files are gone
+    fs.rename(p(store), p(store + ".tmp"))
+    fs.mkdirs(p(store))
+    assert(!fs.exists(p(store + "/_SUCCESS")))
+    val restored = StreamImageDedup.readStore(spark, store)
+    assert(restored.isDefined &&
+      restored.get.select("asset_id").as[Long].collect().toSet == Set(11L),
+      "committed tmp must outrank the partially-deleted live dir")
+    assert(fs.exists(p(store + "/_SUCCESS")) && !fs.exists(p(store + ".tmp")),
+      "restore must leave one committed live dir")
+  }
+
+  test("no committed side fails loudly instead of emptying the gate (r16)") {
+    val spark = TestSpark.spark
+    val store = tempDir("sunmark_store") + "/store"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live dir with no _SUCCESS and no tmp snapshot: a mid-delete
+    // wreck with the replacement lost — restarting with whatever files
+    // survived would silently re-admit past rejects
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store))
+    intercept[Exception] { StreamImageDedup.readStore(spark, store) }
+  }
+
   test("sink-before-store ordering: a failed sink leaves the batch out of the store (r15)") {
     // the documented at-least-once contract: the durable store write
     // lands AFTER the sink call, so a batch whose sink crashed is NOT
