@@ -139,6 +139,44 @@ object Job {
     cfg.sourceFile.map(Seq(_))
       .getOrElse(CsvCatalog.sourceFiles(cfg.sourceFolder.get))
 
+  /** R22 — the reference's raw-write framework hook
+    * (`WriteToSourceFile(string InputXML)`,
+    * reference src/CSVProvider.cs:702-717): write caller-supplied text
+    * VERBATIM into the configured source file. The reference re-maps
+    * its working directory (`SystemInformation.MapPath("/Files/")`)
+    * and combines it with the configured `SourceFile` name;
+    * `workingDir` is that seam — when given, the configured source
+    * file's NAME is resolved under it, otherwise the configured path
+    * is written as-is. No source file configured → no-op returning
+    * None (the reference's null/empty guard — note the hook keys on
+    * the FILE setting only; a folder-sourced job has no single file
+    * to overwrite). The primary NIO write falls back to a plain
+    * stream writer that first creates missing parent directories —
+    * the reference's `File.WriteAllText` →
+    * `TextFileHelper.WriteTextFile` fallback ladder (:709-715).
+    * Returns the path written.
+    *
+    * Driver-side by design, like the validations: this is the
+    * framework's UI/test seam for priming a job's input, not a data
+    * path — the distributed read happens when the job RUNS.
+    */
+  def writeToSourceFile(cfg: JobConfig, content: String,
+      workingDir: Option[Path] = None): Option[Path] =
+    cfg.sourceFile.map { f =>
+      val target = workingDir.fold(f)(_.resolve(f.getFileName))
+      try Files.writeString(target, content)
+      catch {
+        case NonFatal(_) =>
+          // fallback writer: create the missing parents the primary
+          // write tripped on, then stream the text out
+          Option(target.getParent).foreach(Files.createDirectories(_))
+          val w = new java.io.OutputStreamWriter(
+            Files.newOutputStream(target), java.nio.charset.StandardCharsets.UTF_8)
+          try w.write(content) finally w.close()
+      }
+      target
+    }
+
   /** Apply an edited schema (R19): positional rename of the inferred
     * columns, then optional per-column casts. A count mismatch is a config
     * error (the reference's edited schema likewise maps the inferred

@@ -245,4 +245,39 @@ class JobRunnerSpec extends AnyFunSuite {
       JobConfig(destFolder = fileAsDest, sourceFolder = Some(okSrc)))
       .exists(_.contains("not a folder")))
   }
+
+  test("writeToSourceFile primes the configured source file verbatim (R22)") {
+    val dest = tempDir("jobdst")
+    val src = srcDir()
+    val f = src.resolve("customers.csv")
+    val text = "id;name\n9;zoe\n"
+    // verbatim overwrite of the configured file; the job then reads it
+    val c = JobConfig(destFolder = dest, sourceFile = Some(f),
+      stabilitySleepMs = 1)
+    assert(Job.writeToSourceFile(c, text) == Some(f))
+    assert(Files.readString(f) == text)
+    val res = Job.run(spark, c, Seq(Mapping("customers", "primed_out", Seq(
+      ColumnMapping(Some("id"), "id", castTo = Some(LongType)),
+      ColumnMapping(Some("name"), "name")))), sleep = noSleep)
+    assert(res.ok && res.results.head.rowsWritten == 1L)
+
+    // working-dir mapping: the configured file's NAME resolves under the
+    // mapped dir (the reference's MapPath("/Files/") + combine)
+    val mapped = tempDir("jobwd")
+    assert(Job.writeToSourceFile(c, text, workingDir = Some(mapped)) ==
+      Some(mapped.resolve("customers.csv")))
+    assert(Files.readString(mapped.resolve("customers.csv")) == text)
+
+    // fallback ladder: primary write fails on a missing parent dir, the
+    // helper path creates it and writes (reference :709-715)
+    val deep = mapped.resolve("a/b")
+    val c2 = JobConfig(destFolder = dest,
+      sourceFile = Some(deep.resolve("x.csv")), stabilitySleepMs = 1)
+    assert(Job.writeToSourceFile(c2, text) == Some(deep.resolve("x.csv")))
+    assert(Files.readString(deep.resolve("x.csv")) == text)
+
+    // no configured source FILE → no-op (the reference's empty guard)
+    assert(Job.writeToSourceFile(
+      JobConfig(destFolder = dest, sourceFolder = Some(src)), text).isEmpty)
+  }
 }
