@@ -84,6 +84,17 @@ object BmpDhash {
     * Returns the boxed dHash-64 or null.
     */
   def scan(b: Array[Byte]): java.lang.Long = {
+    val cs = cells(b)
+    if (cs == null) null else java.lang.Long.valueOf(Dhash64.ofCells(cs))
+  }
+
+  /** The decode's intermediate: the row-major 8×9 box-averaged integer
+    * luma grid (72 longs), or null on refusal — the SAME array
+    * [[Dhash64]] compresses to 64 bits, exposed since round 17 as the
+    * real FEATURE vector ([[GridLumaCells]]) so the bytes→features→ANN
+    * pipeline runs on the native decode instead of the multimodal stub.
+    */
+  def cells(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 54) return null
     if (b(0) != 'B' || b(1) != 'M') return null
     val offset = u32le(b, 10)
@@ -140,6 +151,6 @@ object BmpDhash {
       gr += 1
     }
 
-    java.lang.Long.valueOf(Dhash64.ofCells(cells))
+    cells
   }
 }

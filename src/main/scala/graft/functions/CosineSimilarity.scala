@@ -132,6 +132,8 @@ object GraftFunctions {
   val MkvMetaName = "graft_mkv_meta"
   val NearestCentroidName = "graft_nearest_centroid"
   val ShingleHashesName = "graft_shingle_hashes"
+  val GridLumaCellsName = "graft_grid_luma"
+  val MediaEnvelopeName = "graft_media_envelope"
 
   /** Fixed seeded permutation constants for the 64-perm MinHash (a < 2³¹
     * keeps the affine product inside a long; see [[MinHashSignature]]).
@@ -301,6 +303,16 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 1, s"$ShingleHashesName expects 1 argument")
         ShingleHashes(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(GridLumaCellsName,
+      { exprs =>
+        require(exprs.length == 1, s"$GridLumaCellsName expects 1 argument")
+        GridLumaCells(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(MediaEnvelopeName,
+      { exprs =>
+        require(exprs.length == 1, s"$MediaEnvelopeName expects 1 argument")
+        MediaEnvelope(exprs.head)
       }, "built-in")
   }
 }

@@ -87,6 +87,16 @@ object GifDhash {
     * Returns the boxed dHash-64 or null.
     */
   def scan(b: Array[Byte]): java.lang.Long = {
+    val cs = cells(b)
+    if (cs == null) null else java.lang.Long.valueOf(Dhash64.ofCells(cs))
+  }
+
+  /** The decode's intermediate: the row-major 8×9 box-averaged integer
+    * luma grid (72 longs), or null on refusal — [[BmpDhash.cells]]'s
+    * contract for the GIF leg (the shared [[GridLumaCells]] feature
+    * seam).
+    */
+  def cells(b: Array[Byte]): Array[Long] = {
     // signature + logical screen descriptor
     if (b == null || b.length < 14) return null
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
@@ -297,6 +307,6 @@ object GifDhash {
       }
       gr += 1
     }
-    java.lang.Long.valueOf(Dhash64.ofCells(cells))
+    cells
   }
 }

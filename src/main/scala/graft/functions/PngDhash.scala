@@ -95,6 +95,16 @@ object PngDhash {
     * Returns the boxed dHash-64 or null.
     */
   def scan(b: Array[Byte]): java.lang.Long = {
+    val cs = cells(b)
+    if (cs == null) null else java.lang.Long.valueOf(Dhash64.ofCells(cs))
+  }
+
+  /** The decode's intermediate: the row-major 8×9 box-averaged integer
+    * luma grid (72 longs), or null on refusal — [[BmpDhash.cells]]'s
+    * contract for the PNG leg (the shared [[GridLumaCells]] feature
+    * seam).
+    */
+  def cells(b: Array[Byte]): Array[Long] = {
     // signature + the complete IHDR chunk
     if (b == null || b.length < 8 + 25) return null
     if ((b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' || b(3) != 'G' ||
@@ -241,6 +251,6 @@ object PngDhash {
       }
       gr += 1
     }
-    java.lang.Long.valueOf(Dhash64.ofCells(cells))
+    cells
   }
 }

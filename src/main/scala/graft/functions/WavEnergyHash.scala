@@ -80,8 +80,12 @@ object WavEnergyHash {
     */
   private val MaxSamples = 1 << 22
 
-  /** The sample walk; static so generated code calls it directly. */
-  def scan(b: Array[Byte]): java.lang.Long = {
+  /** Header walk shared by [[scan]] and [[envelope]]: `(dataOff,
+    * nSamples)` of the governing mono-16-bit PCM data window, or null on
+    * refusal — factored so the hash and the feature vector can never
+    * disagree about WHICH samples a WAV carries.
+    */
+  private def locate(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 44) return null
     if (tag(b, 0) != RIFF || tag(b, 8) != WAVE) return null
     var i = 12L
@@ -114,6 +118,15 @@ object WavEnergyHash {
     if (!fmtOk || dataOff < 0) return null
     val n = (dataLen / 2).toInt
     if (n < 65 || n > MaxSamples) return null
+    Array(dataOff, n)
+  }
+
+  /** The sample walk; static so generated code calls it directly. */
+  def scan(b: Array[Byte]): java.lang.Long = {
+    val loc = locate(b)
+    if (loc == null) return null
+    val dataOff = loc(0)
+    val n = loc(1)
 
     val e = new Array[Long](65)
     val cnt = new Array[Long](65)
@@ -143,5 +156,39 @@ object WavEnergyHash {
       k += 1
     }
     java.lang.Long.valueOf(hash)
+  }
+
+  /** The 65-window energy ENVELOPE as a feature vector (round 17,
+    * [[MediaEnvelope]]'s audio leg): raw window sums Σ|sample| (exact
+    * longs) over the stream TRIMMED to the largest multiple of 65
+    * samples, or null on refusal. Equal windows by construction, so
+    * the raw sums are one common positive multiple of the window MEANS
+    * — scale-invariant consumers (cosine similarity, the downstream
+    * ANN family) see exactly the mean-energy envelope while every
+    * value stays an exact integer an oracle can re-derive. When
+    * n % 65 == 0 (every constructed corpus) the trim is a no-op and
+    * the envelope is bit-for-bit the one [[scan]] hashes.
+    */
+  def envelope(b: Array[Byte]): Array[Long] = {
+    val loc = locate(b)
+    if (loc == null) return null
+    val dataOff = loc(0)
+    val win = loc(1) / 65 // ≥ 1: locate refuses n < 65
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var sum = 0L
+      var s = w * win
+      val s1 = s + win
+      while (s < s1) {
+        val o = dataOff + s * 2
+        val v = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+        sum += math.abs(v)
+        s += 1
+      }
+      e(w) = sum
+      w += 1
+    }
+    e
   }
 }

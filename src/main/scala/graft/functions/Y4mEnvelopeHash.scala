@@ -91,6 +91,76 @@ object Y4mEnvelopeHash {
     * Returns the boxed envelope dHash-64 or null.
     */
   def scan(b: Array[Byte]): java.lang.Long = {
+    val totals = frameTotals(b)
+    if (totals == null) return null
+    val n = totals.length
+
+    // 65-window envelope, cross-multiplied strict comparisons (the
+    // WavEnergyHash rule at the frame granularity)
+    val e = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var wdw = 0
+    while (wdw < 65) {
+      val f0 = (wdw.toLong * n / 65).toInt
+      val f1 = ((wdw + 1).toLong * n / 65).toInt
+      var s = 0L
+      var f = f0
+      while (f < f1) {
+        s += totals(f)
+        f += 1
+      }
+      e(wdw) = s
+      cnt(wdw) = (f1 - f0).toLong
+      wdw += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      // frame totals ≤ 255·2²⁴ and window counts ≤ 2¹⁶: the product
+      // stays ~2⁴⁸, far inside Long
+      if (e(k) * cnt(k + 1) > e(k + 1) * cnt(k)) hash |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** The 65-window luma ENVELOPE as a feature vector (round 17,
+    * [[MediaEnvelope]]'s video leg): raw window sums of per-frame luma
+    * totals (exact longs) over the clip TRIMMED to the largest
+    * multiple of 65 frames, or null on refusal — [[WavEnergyHash
+    * .envelope]]'s contract one modality over: equal windows make the
+    * sums one common positive multiple of the window means, so cosine
+    * consumers see exactly the mean-luma envelope in exact integers.
+    * When n % 65 == 0 (every constructed corpus: 65-frame clips) the
+    * trim is a no-op.
+    */
+  def envelope(b: Array[Byte]): Array[Long] = {
+    val totals = frameTotals(b)
+    if (totals == null) return null
+    val win = totals.length / 65 // ≥ 1: frameTotals refuses n < 65
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var sum = 0L
+      var f = w * win
+      val f1 = f + win
+      while (f < f1) {
+        sum += totals(f)
+        f += 1
+      }
+      e(w) = sum
+      w += 1
+    }
+    e
+  }
+
+  /** Header + frame walk shared by [[scan]] and [[envelope]]: the
+    * per-COMPLETE-frame luma-plane sums (exact-length array, ≥ 65
+    * entries), or null on refusal — factored so the hash and the
+    * feature vector can never disagree about which frames a clip
+    * carries.
+    */
+  private def frameTotals(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < Magic.length + 1) return null
     if (!startsWith(b, 0, Magic)) return null
     // header params to the first \n: W/H required, C selects the layout
@@ -178,33 +248,6 @@ object Y4mEnvelopeHash {
       }
     }
     if (n < 65) return null
-
-    // 65-window envelope, cross-multiplied strict comparisons (the
-    // WavEnergyHash rule at the frame granularity)
-    val e = new Array[Long](65)
-    val cnt = new Array[Long](65)
-    var wdw = 0
-    while (wdw < 65) {
-      val f0 = (wdw.toLong * n / 65).toInt
-      val f1 = ((wdw + 1).toLong * n / 65).toInt
-      var s = 0L
-      var f = f0
-      while (f < f1) {
-        s += totals(f)
-        f += 1
-      }
-      e(wdw) = s
-      cnt(wdw) = (f1 - f0).toLong
-      wdw += 1
-    }
-    var hash = 0L
-    var k = 0
-    while (k < 64) {
-      // frame totals ≤ 255·2²⁴ and window counts ≤ 2¹⁶: the product
-      // stays ~2⁴⁸, far inside Long
-      if (e(k) * cnt(k + 1) > e(k + 1) * cnt(k)) hash |= (1L << k)
-      k += 1
-    }
-    java.lang.Long.valueOf(hash)
+    java.util.Arrays.copyOf(totals, n)
   }
 }

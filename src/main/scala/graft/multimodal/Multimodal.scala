@@ -11,12 +11,17 @@ import org.apache.spark.sql.types._
   * (`mapInPandas`): one iterator in, one iterator out, executed once per
   * partition on the executors, never on the driver.
   *
-  * The DECODE KERNEL IS A STUB: real image/audio decoding libraries are
-  * intentionally absent from this environment, so [[FakeDecoder]] derives
-  * deterministic pseudo-features from the raw bytes. Everything around the
-  * kernel — schema, null handling, batch shape, partition parallelism,
-  * column pruning — is real and tested; swapping in a real decoder means
-  * replacing one pure function.
+  * The DECODE KERNEL IS REAL for every format the engine owns a native
+  * decode for (round 17 — [[RealDecoder]]): BMP/PNG/GIF pixels feed the
+  * 72-cell grid-luma vector ([[graft.functions.GridLumaCells]]), PCM WAV
+  * samples and Y4M frames feed the 65-window envelope
+  * ([[graft.functions.MediaEnvelope]]), box-resampled to the requested
+  * lane count. [[FakeDecoder]] remains ONLY as the documented fallback
+  * for bytes no native decode accepts (e.g. JPEG pixels — the reasoned
+  * NO-GO in SCALE.md: codec-library formats keep deterministic
+  * pseudo-features until the library escrow path lands), so the
+  * surrounding plumbing — schema, null handling, batch shape, partition
+  * parallelism, column pruning — keeps working over mixed crawls.
   */
 object Multimodal {
 
@@ -36,10 +41,13 @@ object Multimodal {
     StructField("meta", metaSchema),
   ))
 
-  /** STUB decode kernel — stands in for image/audio decoding. Pure and
-    * deterministic: folds the bytes through a 31-bit rolling hash per
-    * feature lane, normalized to [0, 1). A real decoder (JPEG → pixels →
-    * embedding, PCM → mel spectrogram, …) replaces exactly this function.
+  /** STUB decode kernel — the documented FALLBACK for bytes no native
+    * decode accepts (codec-library formats: JPEG pixels, compressed
+    * audio/video — SCALE.md's NO-GO note). Pure and deterministic:
+    * folds the bytes through a 31-bit rolling hash per feature lane,
+    * normalized to [0, 1). A library-backed decoder replaces exactly
+    * this function; every natively decodable format already routes
+    * around it through [[RealDecoder]].
     */
   object FakeDecoder {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -55,8 +63,44 @@ object Multimodal {
     }
   }
 
+  /** REAL decode kernel (round 17): signature-dispatched native decode
+    * to the format's natural feature vector — BMP/PNG/GIF pixels to
+    * the 72-cell grid-luma vector ([[graft.functions.GridLumaCells]]),
+    * WAV samples / Y4M frames to the 65-window envelope
+    * ([[graft.functions.MediaEnvelope]]) — then box-resampled to `dim`
+    * lanes by the decode family's own integer partition rule (lane i
+    * averages source indices [i·L/dim, (i+1)·L/dim); when dim > L the
+    * empty-lane case replicates the nearest source value). Bytes no
+    * native decode accepts fall back to [[FakeDecoder]], keeping the
+    * kernel total over adversarial crawls.
+    */
+  object RealDecoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (bytes == null) return Array.fill(dim)(0f)
+      var v = graft.functions.GridLumaCells.scan(bytes)
+      if (v == null) v = graft.functions.MediaEnvelope.scan(bytes)
+      if (v == null) return FakeDecoder.features(bytes, dim)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val a = (i.toLong * v.length / dim).toInt
+        val b = ((i + 1).toLong * v.length / dim).toInt
+        if (b <= a) out(i) = v(math.min(a, v.length - 1)).toFloat
+        else {
+          var s = 0.0
+          var j = a
+          while (j < b) { s += v(j); j += 1 }
+          out(i) = (s / (b - a)).toFloat
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Feature extraction over a DataFrame with [[assetSchema]] columns:
-    * appends `features: array<float>`. Runs via `mapPartitions` — batched,
+    * appends `features: array<float>` via [[RealDecoder]] (native
+    * decodes first, stub fallback). Runs via `mapPartitions` — batched,
     * executor-side, schema declared up front so downstream plans stay
     * columnar. Input column order is resolved by name, so the input may
     * carry extra columns in any order.
@@ -69,7 +113,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ FakeDecoder.features(bytes, dim).toSeq)
+        Row.fromSeq(r.toSeq :+ RealDecoder.features(bytes, dim).toSeq)
       }
     }
   }

@@ -180,6 +180,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodable content routes through the REAL kernels, junk falls back (r17)") {
+    // a real 9×8 BMP: features at dim=72 ARE the grid-luma cells
+    val grid = Array.tabulate(8, 9)((r, c) => (r * 31 + c * 17) % 211)
+    val b = java.nio.ByteBuffer.allocate(54 + 28 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + 28 * 8).putInt(0).putInt(54)
+    b.putInt(40).putInt(9).putInt(8).putShort(1).putShort(24)
+    b.putInt(0).putInt(28 * 8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (s <- 0 until 8) {
+      val r = 7 - s
+      for (c <- 0 until 9) {
+        val v = grid(r)(c).toByte
+        b.put(v).put(v).put(v)
+      }
+      b.put(0.toByte)
+    }
+    val bmpBytes = b.array()
+    val cells = graft.functions.GridLumaCells.scan(bmpBytes)
+    val full = Multimodal.RealDecoder.features(bmpBytes, dim = 72)
+    assert(full.toSeq == cells.map(_.toFloat).toSeq,
+      "dim = native length: features are the cells verbatim")
+    // dim=8: lane i box-averages cell indices [i·72/8, (i+1)·72/8) = 9 each
+    val down = Multimodal.RealDecoder.features(bmpBytes, dim = 8)
+    for (i <- 0 until 8) {
+      val exp = (cells.slice(i * 9, i * 9 + 9).sum / 9.0).toFloat
+      assert(down(i) == exp, s"lane $i")
+    }
+    // a real WAV routes through the envelope leg
+    val samples = Array.tabulate(65 * 8)(i => i / 8 + 1)
+    val wb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+    wb.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    wb.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    wb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(s => wb.putShort(s.toShort))
+    val env = graft.functions.MediaEnvelope.scan(wb.array())
+    val wfull = Multimodal.RealDecoder.features(wb.array(), dim = 65)
+    assert(wfull.toSeq == env.map(_.toFloat).toSeq)
+    // junk bytes: the documented FakeDecoder fallback, unchanged
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    assert(Multimodal.RealDecoder.features(junk, 8).toSeq ==
+      Multimodal.FakeDecoder.features(junk, 8).toSeq)
+    // null content stays all-zero
+    assert(Multimodal.RealDecoder.features(null, 8).forall(_ == 0f))
+  }
+
   test("resizeMetaPlan scales the long side down, never up") {
     val out = Multimodal.resizeMetaPlan(assets(), target = 960)
       .orderBy("asset_id").collect()
