@@ -4431,6 +4431,129 @@ object GroupD {
   def d87GifDedup(spark: SparkSession, sfDir: String): DataFrame =
     d87Pairs(spark, sfDir).orderBy("doc_a", "doc_b")
 
+  /** d88: media EMBED dedup — bytes → REAL features → the d9/d10
+    * cosine-dedup contract, end to end under the oracle hash gate: each
+    * doc renders as a 9×8 BMP, the native [[graft.functions
+    * .GridLumaCells]] decode emits the 72-cell grid-luma vector (the
+    * multimodal mandate's feature-extract step, REAL since r17 — no
+    * stub anywhere in this plan), features are mean-centered by the
+    * integer-exact ×72 trick (72·v − Σv is a positive scalar multiple
+    * of the centered vector, so every cosine is IDENTICAL to
+    * centered-luma cosine while all dot/norm accumulations stay exact
+    * integers inside 2⁵³ — both engines produce bit-equal doubles),
+    * and the keep-earliest rule drops any doc cosine-similar (≥ 0.95)
+    * to a smaller doc_id.
+    *
+    * Construction: families of 4 consecutive doc_ids share a BASE
+    * pixel walk (d78's double-middle-square mix, d88's own constants,
+    * no bit flips); each member shifts ONE row's luma by
+    * (doc_id mod 3) − 1 — the brightness-touched re-encode of the same
+    * image real crawls carry, so family cosines sit ≈ 1 and the drop
+    * structure is real at every scale factor. Docs ≡ 0 (mod 17) carry
+    * junk the decode must refuse; with no features they are never
+    * provably dups and pass — the monotone-gate contract (d83's),
+    * which also keeps NULL handling out of the join (no isnotnull
+    * filter for constraint inference to push below the barriers —
+    * d78Hashed's lesson).
+    *
+    * ORACLE-ANCHOR pair source — never run the quadratic at production
+    * sf: the exact BLOCK-PAIR (triangle) equi-join is d9's declared
+    * anchor shape verbatim (block i = doc_id mod 8; O(n·9) shuffle
+    * rows, 36 evenly-sized tasks, no full-corpus broadcast), because
+    * cosine at a general threshold admits no pigeonhole-exact banding
+    * and recall is the contract here. The production path is the SAME
+    * feature column through d10's LSH machinery in the near-dup regime
+    * it is built for — pinned with measured-zero-missed-drops in
+    * PipelineOpsSpec (the τ ≥ 0.8 pruning argument, now fed by real
+    * pixel features instead of synthetic vectors). Scale shape of
+    * everything before the pair source is d78's verbatim:
+    * construction barriers, one scan-side decode, feature rows of
+    * (doc_id, 72×8 B) are the only thing that shuffles.
+    */
+  private val d88BitsExpr: String =
+    "transform(sequence(0L, 63L), k -> " +
+      "((((doc_id div 4) * 1000151L + k * 7841L + 86420L) % 1000000007L)" +
+      " * (((doc_id div 4) * 1000151L + k * 7841L + 86420L) % 1000000007L)" +
+      " % 2147483647L)" +
+      " * ((((doc_id div 4) * 1000151L + k * 7841L + 86420L) % 1000000007L)" +
+      " * (((doc_id div 4) * 1000151L + k * 7841L + 86420L) % 1000000007L)" +
+      " % 2147483647L) % 2147483647L div 1024L % 2L)"
+
+  /** The 8 storage rows (bottom-up) of the d88 rendering: the d78 walk
+    * with a per-doc START offset on logical row `doc_id mod 8` — the
+    * whole row shifts by (doc_id mod 3) − 1, everything else is the
+    * family base. Values stay in [47, 209], inside a byte.
+    */
+  private val d88PixelsHex: String = {
+    val step = "IF(bits[(7 - s) * 8 + c - 1] = 1L, -10L, 10L)"
+    val start = "(128L + IF(7 - s = doc_id % 8, doc_id % 3 - 1L, 0L))"
+    "concat_ws('', transform(sequence(0, 7), s -> " +
+      "aggregate(sequence(1, 8), " +
+      s"named_struct('v', $start, " +
+      s"'hx', repeat(lpad(hex($start), 2, '0'), 3)), " +
+      s"(acc, c) -> named_struct(" +
+      s"'v', acc.v + $step, " +
+      s"'hx', concat(acc.hx, repeat(lpad(hex(acc.v + $step), 2, '0'), 3))), " +
+      "acc -> concat(acc.hx, '00'))))"
+  }
+
+  private[queries] val d88ContentExpr: String =
+    s"IF(doc_id % 17 = 0, unhex('00112233'), " +
+      s"unhex(concat('$BmpHeaderHex', $d88PixelsHex)))"
+
+  /** d88's feature frame: (doc_id, centered 72-dim grid-luma vector as
+    * array<double>; NULL for junk) — split out so the spec's LSH scale
+    * twin consumes the identical features.
+    */
+  private[queries] def d88Features(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(d88BitsExpr).as("bits"))
+      .repartition(col("doc_id")) // construction barrier (d78's lesson)
+      .select(col("doc_id"), expr(d88ContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .GridLumaCellsName}(content)").as("cells"))
+      .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+      // all values are exact small integers carried as doubles, so the
+      // total and the centered products are EXACT (≪ 2⁵³) — the oracle
+      // repeats the same arithmetic on integers and gets the same doubles
+      .select(col("doc_id"), col("cells"),
+        expr("aggregate(cells, 0D, (a, x) -> a + x)").as("tot"))
+      .repartition(col("doc_id")) // total-once barrier: the transform
+      // below references tot per element — inlined, the aggregate would
+      // re-fold the 72 cells once per output lane (the d78 HOF pathology)
+      .select(col("doc_id"),
+        expr("transform(cells, x -> x * 72D - tot)").as("v"))
+      .repartition(col("doc_id")) // feature-once barrier: both triangle
+      // sides below reference v
+  }
+
+  def d88MediaEmbedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 8
+    val feats = d88Features(spark, sfDir)
+    val blocked = feats
+      .withColumn("blk", pmod(col("doc_id"), lit(B)).cast("int"))
+    val left = blocked
+      .select(col("doc_id").as("ida"), col("v").as("va"), col("blk").as("bi"))
+      .withColumn("bj", explode(expr(s"sequence(bi, ${B - 1})")))
+    val right = blocked
+      .select(col("doc_id").as("idb"), col("v").as("vb"), col("blk").as("bj"))
+      .withColumn("bi", explode(expr("sequence(0, bj)")))
+    // d9's triangle meeting rule verbatim; junk docs carry NULL v, the
+    // cosine is NULL, the qualifying filter drops the pair — no
+    // isnotnull anywhere for inference to push below the barriers
+    val dupIds = left
+      .join(right, Seq("bi", "bj"))
+      .filter(col("ida") =!= col("idb"))
+      .filter(GroupC.cosine("va", "vb") >= 0.95)
+      .select(greatest(col("ida"), col("idb")).as("dup")).distinct()
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .join(dupIds, col("doc_id") === col("dup"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
     * with the decision column a curation card actually exists to drive
     * (the r14/r15 review's carried ask): per modality corpus, the
@@ -4833,6 +4956,7 @@ object GroupD {
     "d85_video_dedup" -> (d85VideoDedup _),
     "d86_cross_format_dedup" -> (d86CrossFormatDedup _),
     "d87_gif_dedup" -> (d87GifDedup _),
+    "d88_media_embed_dedup" -> (d88MediaEmbedDedup _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5262,6 +5386,47 @@ object GroupD {
         |    ORDER BY chunk_idx), '')) AS cleaned_md5
         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d78_image_dedup" -> d78PairOracleSql,
+    // d88: the oracle re-derives the 72 grid-luma cells from the SAME
+    // doc_id arithmetic the construction uses (prefix-sum walk over the
+    // family base bits + the one-row shift), centers by the ×72 trick,
+    // and applies the keep-earliest NOT-EXISTS cosine rule — it never
+    // sees bytes. All accumulator inputs are exact integers, so
+    // list_cosine_similarity and the native expression produce
+    // bit-equal doubles and the ≥ τ comparisons cannot straddle.
+    "d88_media_embed_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    ((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |      // 1024 % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 4) * 1000151 + k * 7841 + 86420)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |cells AS (
+        |  SELECT g.doc_id, g.r, g.c,
+        |    128 + CASE WHEN g.r = g.doc_id % 8
+        |               THEN g.doc_id % 3 - 1 ELSE 0 END
+        |        + COALESCE(SUM(CASE WHEN bb.b = 1 THEN -10 ELSE 10 END), 0)
+        |      AS v
+        |  FROM (SELECT doc_id, r, c
+        |        FROM d, range(8) rr(r), range(9) cc(c)) g
+        |  LEFT JOIN bits bb
+        |    ON bb.doc_id = g.doc_id AND bb.k >= g.r * 8
+        |   AND bb.k < g.r * 8 + g.c
+        |  GROUP BY 1, 2, 3),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(list(v * 72 - tot ORDER BY r, c) AS DOUBLE[]) AS f
+        |  FROM (SELECT doc_id, r, c, v,
+        |          SUM(v) OVER (PARTITION BY doc_id) AS tot FROM cells)
+        |  GROUP BY doc_id)
+        |SELECT d0.doc_id FROM documents d0
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM feat e JOIN feat p ON p.doc_id < e.doc_id
+        |  WHERE e.doc_id = d0.doc_id
+        |    AND list_cosine_similarity(p.f, e.f) >= 0.95)
+        |ORDER BY d0.doc_id""".stripMargin,
     "d80_image_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$d78PairOracleSql),

@@ -349,6 +349,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nCand < allPairs / 10, s"banding failed to prune: $nCand of $allPairs pairs")
   }
 
+  test("d88's production path: REAL pixel features through d10's LSH machinery (r17)") {
+    // d88's declared query is the exact block-pair oracle anchor (d9's
+    // shape); this pins the scale path — the SAME decoded grid-luma
+    // feature column through dedupEmbeddingLsh in the near-dup regime
+    // (family cosines ≈ 1 by the one-row-shift construction):
+    // measured-zero missed drops vs the exact anchor, junk passthrough
+    // preserved, and the banding actually prunes.
+    import org.apache.spark.sql.functions._
+    val feats = GroupD.d88Features(spark, sf)
+      .select(col("doc_id").as("vec_id"), lit("img").as("label"), col("v"))
+    val lsh = GroupD.dedupEmbeddingLsh(feats, spark,
+        tables = 8, bits = 12, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = GroupD.d88MediaEmbedDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsh == exact,
+      s"LSH twin diverged from the exact anchor (${lsh.size} vs " +
+        s"${exact.size} kept): banding recall dropped below 1.0 on the " +
+        "decoded features — retune tables/bits before declaring")
+    // junk docs (unparseable, NULL features) pass the gate
+    assert(exact.exists(_ % 17 == 0))
+    // pruning: candidate volume well under the all-pairs square
+    graft.functions.GraftFunctions.register(spark)
+    val keyed = feats.select(col("vec_id"), posexplode(expr(
+        s"${graft.functions.GraftFunctions.LshKeysName}(v, 8, 12)"))
+      .as(Seq("tbl", "bucket")))
+    val nCand = keyed.as("x").join(keyed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id")).distinct().count()
+    val n = feats.count()
+    assert(nCand < n * (n - 1) / 2 / 4,
+      s"banding failed to prune on decoded features: $nCand pairs")
+  }
+
   test("d5 language id emits a prediction for every document") {
     val docs = Tables(spark, sf, "documents")
     val out = GroupD.d5LangId(spark, sf)
