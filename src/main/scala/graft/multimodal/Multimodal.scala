@@ -104,8 +104,18 @@ object Multimodal {
     * executor-side, schema declared up front so downstream plans stay
     * columnar. Input column order is resolved by name, so the input may
     * carry extra columns in any order.
+    *
+    * SCALE CONTRACT (advice r17): the raw lanes mix per-modality scales
+    * — grid-luma cells are 0–255, envelope lanes are raw window energy
+    * sums up to ~2³¹, stub-fallback lanes are [0, 1) — so the DEFAULT
+    * output is only meaningful under scale-INVARIANT distances (cosine,
+    * the d88/d89 consumer). For Euclidean consumers over a mixed crawl
+    * (kNN, k-means) pass `normalize = true`: each vector is divided by
+    * its own L2 norm, landing every modality's leg on the unit sphere
+    * (all-zero vectors — absent bytes — stay all-zero).
     */
-  def extractFeatures(df: DataFrame, dim: Int = 8): DataFrame = {
+  def extractFeatures(df: DataFrame, dim: Int = 8,
+      normalize: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val contentIdx = df.schema.fieldIndex("content")
@@ -113,7 +123,20 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(r.toSeq :+ RealDecoder.features(bytes, dim).toSeq)
+        var f = RealDecoder.features(bytes, dim)
+        if (normalize) {
+          var s = 0.0
+          var i = 0
+          while (i < f.length) { s += f(i).toDouble * f(i); i += 1 }
+          if (s > 0) {
+            val inv = 1.0 / math.sqrt(s)
+            val g = new Array[Float](f.length)
+            i = 0
+            while (i < f.length) { g(i) = (f(i) * inv).toFloat; i += 1 }
+            f = g
+          }
+        }
+        Row.fromSeq(r.toSeq :+ f.toSeq)
       }
     }
   }

@@ -166,13 +166,24 @@ object Job {
       val target = workingDir.fold(f)(_.resolve(f.getFileName))
       try Files.writeString(target, content)
       catch {
-        case NonFatal(_) =>
+        case NonFatal(primary) =>
           // fallback writer: create the missing parents the primary
-          // write tripped on, then stream the text out
-          Option(target.getParent).foreach(Files.createDirectories(_))
-          val w = new java.io.OutputStreamWriter(
-            Files.newOutputStream(target), java.nio.charset.StandardCharsets.UTF_8)
-          try w.write(content) finally w.close()
+          // write tripped on, then stream the text out; if the fallback
+          // ALSO fails (permission denied, target is a directory — the
+          // cases the parent-creation retry cannot cure), the primary
+          // failure rides along as a suppressed exception so the caller
+          // sees the root cause, not only the second error
+          try {
+            Option(target.getParent).foreach(Files.createDirectories(_))
+            val w = new java.io.OutputStreamWriter(
+              Files.newOutputStream(target),
+              java.nio.charset.StandardCharsets.UTF_8)
+            try w.write(content) finally w.close()
+          } catch {
+            case NonFatal(fallback) =>
+              if (fallback ne primary) fallback.addSuppressed(primary)
+              throw fallback
+          }
       }
       target
     }

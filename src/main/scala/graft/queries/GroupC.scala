@@ -538,7 +538,138 @@ object GroupC {
       .orderBy(col("media_format").asc_nulls_first,
         col("img_format").asc_nulls_first)
 
+  // --- c11/c12: markup→text extraction (round 18) ------------------------
+  // Stage 0 of every real crawl pipeline: most training-data corpora
+  // arrive as HTML, and nothing downstream (Gopher gates, dedup,
+  // tokenization) is meaningful over tag soup. The reference family's own
+  // persistence layer is XML (/root/reference/src/CSVProvider.cs:363-454),
+  // so markup handling is native to this provider's world; a12 exercises
+  // XML as a data FORMAT — c11 treats markup as CONTENT.
+
+  /** Deterministic HTML construction over `documents`: each doc's text
+    * wrapped in a realistic page — head with title, a `<style>` block, a
+    * `<script>` block whose body contains `<`/`&&` (the classic tag-soup
+    * trap: script bodies must be stripped as BLOCKS before any generic
+    * tag pass, or `if (id < 2 && id > 0)` reads as a tag), a comment,
+    * entity-encoded punctuation (the 5 core entities, with `&amp;`
+    * decoded LAST so `&amp;lt;` single-decodes to `&lt;`, not `<`), and
+    * attribute-carrying tags. Parts are shared with [[c11HtmlSql]]
+    * through one literal list so the two engines can never drift.
+    */
+  private val IdPart = "\u0001"   // sentinel: doc_id as string
+  private val TextPart = "\u0002" // sentinel: the document text column
+  private val c11Parts: Seq[String] = Seq(
+    "<html><head><title>Doc ", IdPart, "</title>",
+    "<style type=\"text/css\">body { color: #000; margin: 0; }</style>",
+    "<script>var id = ", IdPart,
+    "; if (id < 2 && id > 0) { id = id * 2; }</script>",
+    "</head><body><h1 class=\"t\">Doc ", IdPart, "</h1>",
+    "<!-- generated ", IdPart, " -->",
+    "<p>Tom &amp; Jerry say &quot;hi&quot; &#39;n&#39; &lt;tag", IdPart,
+    "&gt;</p>",
+    "<p id=\"b\">", TextPart, "</p>",
+    "<a href=\"http://example.com/", IdPart, "\">link ", IdPart, "</a>",
+    "</body></html>")
+
+  private def c11Html: Column = concat(c11Parts.map {
+    case IdPart   => col("doc_id").cast("string")
+    case TextPart => col("text")
+    case s        => lit(s)
+  }: _*)
+
+  /** The identical construction as DuckDB SQL (literals carry no single
+    * quotes by construction, so no escaping layer is needed). */
+  private def c11HtmlSql: String = c11Parts.map {
+    case IdPart   => "CAST(doc_id AS VARCHAR)"
+    case TextPart => "text"
+    case s        => s"'$s'"
+  }.mkString(" || ")
+
+  /** The extraction chain, shared order both sides: strip script/style
+    * BLOCKS (lazy-dot-all — the block bodies may hold `<`), strip
+    * comments, strip remaining tags (each strip inserts a space so
+    * adjacent words never fuse), decode the 5 core entities (`&amp;`
+    * last — single-decode), collapse whitespace, trim. Every pattern is
+    * valid and identical under Java regex (Spark) and RE2 (DuckDB):
+    * inline `(?s)`, lazy `.*?`, `[^>]` classes and `\s` all agree on
+    * this construction's character set.
+    */
+  private val markupStripPatterns = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+    "<[^>]+>")
+  private val markupEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Markup→text over any string column — c11's kernel, reusable in
+    * front of every text operator (c12 feeds it into the Gopher gate).
+    * Pure codegen'd regexp/replace chain: scan-side, zero shuffles.
+    */
+  def markupClean(c: Column): Column = {
+    val stripped = markupStripPatterns.foldLeft(c)(
+      (acc, p) => regexp_replace(acc, p, " "))
+    val decoded = markupEntities.foldLeft(stripped) {
+      case (acc, (ent, rep)) => replace(acc, lit(ent), lit(rep))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The identical chain as DuckDB SQL over expression `e` (DuckDB's
+    * regexp_replace needs the explicit 'g' flag; Spark replaces all
+    * matches by default — same semantics either way).
+    */
+  private[queries] def markupCleanSql(e: String): String = {
+    val stripped = markupStripPatterns.foldLeft(e)(
+      (acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+    val decoded = markupEntities.foldLeft(stripped) {
+      case (acc, (ent, rep)) =>
+        val r = if (rep == "'") "''" else rep
+        s"replace($acc, '$ent', '$r')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** c11: markup→text extraction — the declared query: construct the
+    * page, extract the `<title>` text and the cleaned body text, report
+    * the cleaned length. `html` is an expensive expression referenced
+    * twice (title + clean), which CollapseProject declines to duplicate
+    * (non-cheap, multi-reference), so the construction evaluates once
+    * per row without needing a barrier.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state; at
+    * 100 TB the page bytes come off the scan instead of being
+    * constructed, and the chain rides whole-stage codegen unchanged.
+    * The ORDER BY is presentation.
+    */
+  def c11MarkupExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), c11Html.as("html"))
+      .select(col("doc_id"),
+        regexp_extract(col("html"), "<title>(.*?)</title>", 1).as("title"),
+        markupClean(col("html")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+
+  /** c12: the stage-0 composition — c11's cleaned text fed straight into
+    * d69's Gopher-rule gate (one shared body, [[GroupD.gopherOver]], so
+    * the composed gate can never drift from the declared d69). This is
+    * the shape a real crawl pipeline runs: markup-strip THEN quality
+    * gate, because every Gopher statistic (word count, alpha fraction,
+    * symbol pressure) is meaningless over tag soup. Referenced at call
+    * time only — object-init stays acyclic (GroupD's init reads GroupC
+    * vals, so GroupC's init must never read GroupD).
+    */
+  def c12MarkupGopher(spark: SparkSession, sfDir: String): DataFrame =
+    GroupD.gopherOver(
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), c11Html.as("html"))
+        .select(col("doc_id"), markupClean(col("html")).as("text")))
+
   val queries: Map[String, Q] = Map(
+    "c11_markup_extract" -> (c11MarkupExtract _),
+    "c12_markup_gopher"  -> (c12MarkupGopher _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -630,7 +761,67 @@ object GroupC {
         |    THEN CAST(1 + doc_id % 8 AS BIGINT) END AS img_orientation
         |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** d69's DuckDB oracle body, parameterized by extra leading CTEs and
+    * the (doc_id, text) source relation — shared by d69
+    * (source = documents) and c12 (source = the markup-cleaned CTE), so
+    * the composed gate's oracle is literally the declared d69's. It
+    * lives HERE, not next to d69 in GroupD, because GroupD's object
+    * initialization reads GroupC vals — a GroupC-init reference back
+    * into GroupD would deadlock/NPE the object-init cycle.
+    */
+  private[queries] def gopherOracleSql(ctes: String, source: String): String =
+    s"""WITH ${ctes}base AS (
+       |  SELECT doc_id, text,
+       |    list_filter(${tokenizeSql("text")}, t -> t <> '') AS ts
+       |  FROM $source),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(ts)::BIGINT AS n_words,
+       |    COALESCE(list_sum(list_transform(ts, t -> len(t))), 0)::BIGINT
+       |      AS sum_len,
+       |    len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::BIGINT
+       |      AS n_alpha,
+       |    (list_contains(ts, 'the')::BIGINT + list_contains(ts, 'be')::BIGINT
+       |     + list_contains(ts, 'to')::BIGINT + list_contains(ts, 'of')::BIGINT
+       |     + list_contains(ts, 'and')::BIGINT
+       |     + list_contains(ts, 'that')::BIGINT
+       |     + list_contains(ts, 'have')::BIGINT
+       |     + list_contains(ts, 'with')::BIGINT) AS stop_hits,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS n_symbols
+       |  FROM base)
+       |SELECT doc_id, n_words,
+       |  sum_len * 100 // greatest(n_words, 1) AS mean_word_len_fp,
+       |  n_alpha * 10000 // greatest(n_words, 1) AS alpha_frac_fp,
+       |  stop_hits,
+       |  n_symbols * 10000 // greatest(n_words, 1) AS symbol_frac_fp,
+       |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+       |  (sum_len * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
+       |    AS r_mean_len,
+       |  (n_alpha * 10000 // greatest(n_words, 1) >= 8000) AS r_alpha,
+       |  (stop_hits >= 1) AS r_stop,
+       |  (n_symbols * 10000 // greatest(n_words, 1) < 1000) AS r_symbol,
+       |  ((n_words BETWEEN 50 AND 100000)
+       |   AND (sum_len * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
+       |   AND (n_alpha * 10000 // greatest(n_words, 1) >= 8000)
+       |   AND (stop_hits >= 1)
+       |   AND (n_symbols * 10000 // greatest(n_words, 1) < 1000)) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "c11_markup_extract" ->
+      s"""WITH h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),
+         |c AS (SELECT doc_id,
+         |  regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+         |  ${markupCleanSql("html")} AS clean_text FROM h)
+         |SELECT doc_id, title, clean_text,
+         |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "c12_markup_gopher" -> gopherOracleSql(
+      s"h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),\n" +
+        s"cleaned AS (SELECT doc_id, ${markupCleanSql("html")} AS text " +
+        "FROM h),\n",
+      "cleaned"),
     "c9_media_card" ->
       s"""WITH m AS (
          |$c8OracleSql)

@@ -3310,8 +3310,18 @@ object GroupD {
     * ORDER BY is presentation. The cheapest possible gate, composable in
     * front of every downstream op (d22's stage-0 pattern).
     */
-  def d69GopherRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
+  def d69GopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherOver(Tables(spark, sfDir, "documents"))
+
+  /** d69's body over any (doc_id, text) frame — shared with c12, which
+    * feeds c11's markup-cleaned text through the SAME gate (one
+    * definition, so the composed stage-0 pipeline can never drift from
+    * the declared d69). The oracle twin is
+    * [[GroupC.gopherOracleSql]] (it lives in GroupC because GroupD's
+    * object init reads GroupC vals — the reverse reference at init time
+    * would cycle).
+    */
+  private[queries] def gopherOver(docs: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     docs.select(col("doc_id"), col("text"),
         filter(GroupC.tokens(col("text")), t => t =!= "").as("ts"))
@@ -4461,11 +4471,12 @@ object GroupD {
     * anchor shape verbatim (block i = doc_id mod 8; O(n·9) shuffle
     * rows, 36 evenly-sized tasks, no full-corpus broadcast), because
     * cosine at a general threshold admits no pigeonhole-exact banding
-    * and recall is the contract here. The production path is the SAME
-    * feature column through d10's LSH machinery in the near-dup regime
-    * it is built for — pinned with measured-zero-missed-drops in
-    * PipelineOpsSpec (the τ ≥ 0.8 pruning argument, now fed by real
-    * pixel features instead of synthetic vectors). Scale shape of
+    * and recall is the contract here. The production path is DECLARED
+    * since r18 — [[d89MediaEmbedDedupLsh]], the SAME feature column
+    * through d10's LSH machinery in the near-dup regime it is built
+    * for, pinned with measured-zero-missed-drops in PipelineOpsSpec
+    * (the τ ≥ 0.8 pruning argument, fed by real pixel features instead
+    * of synthetic vectors). Scale shape of
     * everything before the pair source is d78's verbatim:
     * construction barriers, one scan-side decode, feature rows of
     * (doc_id, 72×8 B) are the only thing that shuffles.
@@ -4502,10 +4513,19 @@ object GroupD {
       s"unhex(concat('$BmpHeaderHex', $d88PixelsHex)))"
 
   /** d88's feature frame: (doc_id, centered 72-dim grid-luma vector as
-    * array<double>; NULL for junk) — split out so the spec's LSH scale
-    * twin consumes the identical features.
+    * array<double>; NULL for junk) — split out so d89 and the spec's LSH
+    * scale twin consume the identical features. StageCache'd (d78Pairs'
+    * policy) since r18: the declared anchor (d88), its production twin
+    * (d89) and the anchor's own 3 self-references all read the ONE
+    * construct+decode+center pass per corpus instead of re-deriving it
+    * per plan reference.
     */
   private[queries] def d88Features(spark: SparkSession, sfDir: String)
+      : DataFrame =
+    graft.operators.StageCache.persisted(s"$sfDir#d88_features")(
+      d88FeaturesRaw(spark, sfDir))
+
+  private def d88FeaturesRaw(spark: SparkSession, sfDir: String)
       : DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
@@ -4528,6 +4548,34 @@ object GroupD {
       .repartition(col("doc_id")) // feature-once barrier: both triangle
       // sides below reference v
   }
+
+  /** d89: d88's PRODUCTION path, declared — the SAME decoded grid-luma
+    * feature column ([[d88Features]]) through [[dedupEmbeddingLsh]]'s
+    * banded hyperplane machinery (8 tables × 12 bits, τ = 0.95), exactly
+    * the d9→d10 precedent one modality over: the quadratic triangle
+    * anchor (d88) pins the contract at oracle scale, this query is the
+    * plan that runs at 100 TB. In the near-dup regime the features live
+    * in (family cosines ≈ 1 by the one-row-shift construction), banding
+    * PRUNES — PipelineOpsSpec pins, at both sf0.001 and the spec corpus,
+    * (a) recall 1.0 vs the exact anchor (zero missed drops, identical
+    * keep set) and (b) candidate volume under ¼ of all-pairs — which is
+    * what justifies sharing d88's oracle SQL verbatim: measured-exact
+    * equivalence on this corpus, the d10 discipline (d10 likewise
+    * hash-matches d9's NOT-EXISTS oracle).
+    *
+    * Scale shape: construction/decode/feature barriers inherited from
+    * [[d88Features]]; after them only (doc_id, band-key) and (doc_id,
+    * 72×8 B) rows shuffle; candidates are bucket-bounded, the exact
+    * cosine verify touches candidates only, and the keep rule is the
+    * same anti-join tail. Linear in documents in the banded regime.
+    */
+  def d89MediaEmbedDedupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbeddingLsh(
+      d88Features(spark, sfDir)
+        .select(col("doc_id").as("vec_id"), lit("img").as("label"), col("v")),
+      spark, tables = 8, bits = 12, threshold = 0.95)
+      .select(col("vec_id").as("doc_id"))
+      .orderBy("doc_id")
 
   def d88MediaEmbedDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val B = 8
@@ -4552,6 +4600,62 @@ object GroupD {
       .select(col("doc_id"))
       .join(dupIds, col("doc_id") === col("dup"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  /** d90: the MEDIA pipeline composed END TO END — d22's audit twin at
+    * the image modality (the r16/r17 review's carried ask): one lazily
+    * built plan that chains decode ([[d78Hashed]]) → verified near-dup
+    * pairs ([[d78Pairs]], the StageCache hub) → connected-component
+    * clusters ([[d80ImageClusters]], cached) → resolution keep-best
+    * ([[d81ImageKeepBest]]) and reports a d56-style FUNNEL row per
+    * stage (docs in / docs out / dropped) with c10's volume columns
+    * (pair count, cluster count, largest cluster) attached on the rows
+    * where they are defined — NULL elsewhere, the d68 show-structure
+    * discipline. Stage boundaries are exactly the declared operators'
+    * frames, so the audit can never disagree with the operators it
+    * summarizes; the keep-best survivor count comes from d81's actual
+    * `keep` column, not arithmetic.
+    *
+    * Scale shape: five 1-row partial aggregates over frames the
+    * pipeline already defines (two of them StageCache'd hubs), cross-
+    * joined broadcast into ONE metrics row, then the 4 stage rows
+    * inline-exploded from that single row — the metrics subplans
+    * evaluate once regardless of how many stages report them, and the
+    * report is 4 rows at any corpus size.
+    */
+  def d90MediaPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDec = d78Hashed(spark, sfDir)
+      .agg(count(col("dhash")).as("n_dec"))
+    val nPairs = d78Pairs(spark, sfDir).agg(count(lit(1)).as("n_pairs"))
+    val clAgg = d80ImageClusters(spark, sfDir).agg(
+      countDistinct(col("cluster_id")).as("n_clusters"),
+      max(col("cluster_size")).as("max_cluster"),
+      count(lit(1)).as("n_clustered"))
+    val nKeep = d81ImageKeepBest(spark, sfDir)
+      .agg(count(when(col("keep"), 1L)).as("n_keep"))
+    val m = nDocs.crossJoin(broadcast(nDec)).crossJoin(broadcast(nPairs))
+      .crossJoin(broadcast(clAgg)).crossJoin(broadcast(nKeep))
+    val nl = "cast(null as bigint)"
+    m.select(explode(expr(
+        s"""array(
+           |named_struct('stage', '1_decode', 'docs_in', n_docs,
+           |  'docs_out', n_dec, 'n_pairs', $nl, 'n_clusters', $nl,
+           |  'max_cluster', $nl),
+           |named_struct('stage', '2_pairs', 'docs_in', n_dec,
+           |  'docs_out', n_dec, 'n_pairs', n_pairs, 'n_clusters', $nl,
+           |  'max_cluster', $nl),
+           |named_struct('stage', '3_clusters', 'docs_in', n_dec,
+           |  'docs_out', n_dec, 'n_pairs', $nl, 'n_clusters', n_clusters,
+           |  'max_cluster', max_cluster),
+           |named_struct('stage', '4_keep_best', 'docs_in', n_dec,
+           |  'docs_out', n_dec - n_clustered + n_keep, 'n_pairs', $nl,
+           |  'n_clusters', $nl, 'max_cluster', $nl))""".stripMargin))
+        .as("r"))
+      .select(col("r.*"))
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .orderBy("stage")
   }
 
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
@@ -4957,6 +5061,8 @@ object GroupD {
     "d86_cross_format_dedup" -> (d86CrossFormatDedup _),
     "d87_gif_dedup" -> (d87GifDedup _),
     "d88_media_embed_dedup" -> (d88MediaEmbedDedup _),
+    "d89_media_embed_dedup_lsh" -> (d89MediaEmbedDedupLsh _),
+    "d90_media_pipeline_e2e" -> (d90MediaPipelineE2e _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5276,45 +5382,45 @@ object GroupD {
          |    ELSE 'und' END AS pred_lang
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin
 
+  private val d88OracleSql: String =
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+        |bits AS (
+        |  SELECT doc_id, k,
+        |    ((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+        |      // 1024 % 2 AS b
+        |  FROM (SELECT doc_id, k,
+        |          ((doc_id // 4) * 1000151 + k * 7841 + 86420)
+        |            % 1000000007 AS x
+        |        FROM d, range(64) t(k))),
+        |cells AS (
+        |  SELECT g.doc_id, g.r, g.c,
+        |    128 + CASE WHEN g.r = g.doc_id % 8
+        |               THEN g.doc_id % 3 - 1 ELSE 0 END
+        |        + COALESCE(SUM(CASE WHEN bb.b = 1 THEN -10 ELSE 10 END), 0)
+        |      AS v
+        |  FROM (SELECT doc_id, r, c
+        |        FROM d, range(8) rr(r), range(9) cc(c)) g
+        |  LEFT JOIN bits bb
+        |    ON bb.doc_id = g.doc_id AND bb.k >= g.r * 8
+        |   AND bb.k < g.r * 8 + g.c
+        |  GROUP BY 1, 2, 3),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(list(v * 72 - tot ORDER BY r, c) AS DOUBLE[]) AS f
+        |  FROM (SELECT doc_id, r, c, v,
+        |          SUM(v) OVER (PARTITION BY doc_id) AS tot FROM cells)
+        |  GROUP BY doc_id)
+        |SELECT d0.doc_id FROM documents d0
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM feat e JOIN feat p ON p.doc_id < e.doc_id
+        |  WHERE e.doc_id = d0.doc_id
+        |    AND list_cosine_similarity(p.f, e.f) >= 0.95)
+        |ORDER BY d0.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "d69_gopher_rules" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    list_filter($tokSql, t -> t <> '') AS ts
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    len(ts)::BIGINT AS n_words,
-         |    COALESCE(list_sum(list_transform(ts, t -> len(t))), 0)::BIGINT
-         |      AS sum_len,
-         |    len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))::BIGINT
-         |      AS n_alpha,
-         |    (list_contains(ts, 'the')::BIGINT + list_contains(ts, 'be')::BIGINT
-         |     + list_contains(ts, 'to')::BIGINT + list_contains(ts, 'of')::BIGINT
-         |     + list_contains(ts, 'and')::BIGINT
-         |     + list_contains(ts, 'that')::BIGINT
-         |     + list_contains(ts, 'have')::BIGINT
-         |     + list_contains(ts, 'with')::BIGINT) AS stop_hits,
-         |    len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS n_symbols
-         |  FROM base)
-         |SELECT doc_id, n_words,
-         |  sum_len * 100 // greatest(n_words, 1) AS mean_word_len_fp,
-         |  n_alpha * 10000 // greatest(n_words, 1) AS alpha_frac_fp,
-         |  stop_hits,
-         |  n_symbols * 10000 // greatest(n_words, 1) AS symbol_frac_fp,
-         |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
-         |  (sum_len * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
-         |    AS r_mean_len,
-         |  (n_alpha * 10000 // greatest(n_words, 1) >= 8000) AS r_alpha,
-         |  (stop_hits >= 1) AS r_stop,
-         |  (n_symbols * 10000 // greatest(n_words, 1) < 1000) AS r_symbol,
-         |  ((n_words BETWEEN 50 AND 100000)
-         |   AND (sum_len * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000)
-         |   AND (n_alpha * 10000 // greatest(n_words, 1) >= 8000)
-         |   AND (stop_hits >= 1)
-         |   AND (n_symbols * 10000 // greatest(n_words, 1) < 1000)) AS keep
-         |FROM m
-         |ORDER BY doc_id""".stripMargin,
+    // body shared with c12's markup-cleaned composition — one SQL text,
+    // parameterized by source (see GroupC.gopherOracleSql's init note)
+    "d69_gopher_rules" -> GroupC.gopherOracleSql("", "documents"),
     "d70_zipf_fit" ->
       s"""WITH occ AS (
          |  SELECT lang, unnest($tokSql) AS token FROM documents),
@@ -5393,40 +5499,57 @@ object GroupD {
     // sees bytes. All accumulator inputs are exact integers, so
     // list_cosine_similarity and the native expression produce
     // bit-equal doubles and the ≥ τ comparisons cannot straddle.
-    "d88_media_embed_dedup" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
-        |bits AS (
-        |  SELECT doc_id, k,
-        |    ((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
-        |      // 1024 % 2 AS b
-        |  FROM (SELECT doc_id, k,
-        |          ((doc_id // 4) * 1000151 + k * 7841 + 86420)
-        |            % 1000000007 AS x
-        |        FROM d, range(64) t(k))),
-        |cells AS (
-        |  SELECT g.doc_id, g.r, g.c,
-        |    128 + CASE WHEN g.r = g.doc_id % 8
-        |               THEN g.doc_id % 3 - 1 ELSE 0 END
-        |        + COALESCE(SUM(CASE WHEN bb.b = 1 THEN -10 ELSE 10 END), 0)
-        |      AS v
-        |  FROM (SELECT doc_id, r, c
-        |        FROM d, range(8) rr(r), range(9) cc(c)) g
-        |  LEFT JOIN bits bb
-        |    ON bb.doc_id = g.doc_id AND bb.k >= g.r * 8
-        |   AND bb.k < g.r * 8 + g.c
-        |  GROUP BY 1, 2, 3),
-        |feat AS (
-        |  SELECT doc_id,
-        |    CAST(list(v * 72 - tot ORDER BY r, c) AS DOUBLE[]) AS f
-        |  FROM (SELECT doc_id, r, c, v,
-        |          SUM(v) OVER (PARTITION BY doc_id) AS tot FROM cells)
-        |  GROUP BY doc_id)
-        |SELECT d0.doc_id FROM documents d0
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM feat e JOIN feat p ON p.doc_id < e.doc_id
-        |  WHERE e.doc_id = d0.doc_id
-        |    AND list_cosine_similarity(p.f, e.f) >= 0.95)
-        |ORDER BY d0.doc_id""".stripMargin,
+    "d88_media_embed_dedup" -> d88OracleSql,
+    // d89 = the SAME contract through the banded production path; the
+    // shared oracle is justified by the spec-pinned measured-exact
+    // equivalence (recall 1.0, zero spurious drops — verification is
+    // exact cosine both sides), precisely d10's relationship to d9
+    "d89_media_embed_dedup_lsh" -> d88OracleSql,
+    // d90's oracle re-derives every stage count from the same CTE chain
+    // the d80/d81 oracles use (pairs arithmetically from doc_id, the
+    // recursive-reach components), plus the decode count from the junk
+    // rule — the constructed-bytes discipline end to end. The keep-best
+    // survivor count equals n_clusters (ROW_NUMBER = 1 per cluster).
+    "d90_media_pipeline_e2e" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d78PairOracleSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+         |verts AS (SELECT DISTINCT s AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS root FROM verts
+         |  UNION
+         |  SELECT e.d AS doc_id, r.root
+         |  FROM reach r JOIN edges e ON e.s = r.doc_id),
+         |comp AS (
+         |  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*)::BIGINT AS n
+         |  FROM comp GROUP BY cluster_id),
+         |m AS (SELECT
+         |  (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT COUNT(*) FROM documents
+         |   WHERE doc_id % 17 <> 0)::BIGINT AS n_dec,
+         |  (SELECT COUNT(*) FROM pairs)::BIGINT AS n_pairs,
+         |  (SELECT COUNT(*) FROM sizes)::BIGINT AS n_clusters,
+         |  (SELECT MAX(n) FROM sizes)::BIGINT AS max_cluster,
+         |  (SELECT COUNT(*) FROM comp)::BIGINT AS n_clustered)
+         |SELECT stage, docs_in, docs_out, n_pairs, n_clusters, max_cluster,
+         |  docs_in - docs_out AS dropped
+         |FROM (
+         |  SELECT '1_decode' AS stage, n_docs AS docs_in, n_dec AS docs_out,
+         |    CAST(NULL AS BIGINT) AS n_pairs,
+         |    CAST(NULL AS BIGINT) AS n_clusters,
+         |    CAST(NULL AS BIGINT) AS max_cluster FROM m
+         |  UNION ALL SELECT '2_pairs', n_dec, n_dec, n_pairs, NULL, NULL
+         |    FROM m
+         |  UNION ALL SELECT '3_clusters', n_dec, n_dec, NULL, n_clusters,
+         |    max_cluster FROM m
+         |  UNION ALL SELECT '4_keep_best', n_dec,
+         |    n_dec - n_clustered + n_clusters, NULL, NULL, NULL FROM m)
+         |ORDER BY stage""".stripMargin,
     "d80_image_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$d78PairOracleSql),

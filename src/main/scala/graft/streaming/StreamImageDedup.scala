@@ -63,6 +63,37 @@ object StreamImageDedup {
   private def hasMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
     fs.exists(new Path(p, "_SUCCESS"))
 
+  /** The swap protocol HARD-DEPENDS on the committer emitting `_SUCCESS`
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs`, default true).
+    * With markers disabled — common with cloud/object-store committers —
+    * [[readStore]] would treat every healthy store as damage and
+    * [[compactStore]] would refuse every swap, so the dependency is
+    * ASSERTED up front with a pointed message instead of surfacing as a
+    * spurious "partial hash history" failure at the first restart
+    * (advice r17). Not forced: the Hadoop conf is session-shared, and
+    * silently re-enabling markers could break a user's other writes.
+    */
+  private[streaming] def requireMarkers(
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    require(
+      conf.getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "StreamImageDedup's standing-store swap protocol adjudicates crash " +
+        "windows by the _SUCCESS commit marker, but " +
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs=false disables " +
+        "it — re-enable markers (or run without standingStore)")
+
+  /** True iff `dir` holds NO committed data file — only committer
+    * scratch (`_temporary`) and other `_`/`.`-prefixed bookkeeping. A
+    * crash during the very first append leaves exactly this shape (no
+    * marker, no data, no tmp): an EMPTY store, not damage (advice r17).
+    */
+  private def hasNoDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             p: Path): Boolean =
+    !fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+
   /** Read the durable store, restoring a half-finished compaction swap
     * first: None = empty store.
     *
@@ -93,10 +124,16 @@ object StreamImageDedup {
     val live = new Path(dir)
     val tmp = new Path(tmpPath(dir))
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireMarkers(spark.sparkContext.hadoopConfiguration)
     val liveOk = fs.exists(live) && hasMarker(fs, live)
     if (!liveOk) {
       val tmpOk = fs.exists(tmp) && hasMarker(fs, tmp)
       if (!tmpOk) {
+        // a crash during the very FIRST append leaves a live dir holding
+        // only committer scratch (_temporary), no marker, no tmp, no data
+        // — an empty store, not damage (advice r17)
+        if (fs.exists(live) && !fs.exists(tmp) && hasNoDataFiles(fs, live))
+          return None
         if (fs.exists(live) || fs.exists(tmp))
           throw new java.io.IOException(
             s"standing store $dir has no committed snapshot (live " +
@@ -135,6 +172,7 @@ object StreamImageDedup {
     */
   private[streaming] def compactStore(spark: SparkSession,
                                       dir: String): Unit = {
+    requireMarkers(spark.sparkContext.hadoopConfiguration)
     val snapshot = spark.read.parquet(dir)
       .select(col("asset_id"), col("dhash"))
       .dropDuplicates("asset_id")
@@ -147,9 +185,25 @@ object StreamImageDedup {
         s"compaction snapshot ${tmpPath(dir)} committed without a " +
           "_SUCCESS marker — refusing to swap (the marker is the swap " +
           "protocol's completeness witness)")
-    fs.delete(new Path(live, "_SUCCESS"), false) // atomic: live now stale
-    fs.delete(live, true)
-    fs.rename(tmp, live)
+    // every step's boolean result is CHECKED (advice r17): a false from
+    // the recursive delete with the rename still attempted would nest tmp
+    // INSIDE the surviving live dir (Hadoop rename-onto-existing-dir
+    // semantics) — no committed side at either path while the running
+    // query keeps appending. Throwing with the committed tmp intact keeps
+    // every failure inside readStore's restore protocol.
+    val liveMarker = new Path(live, "_SUCCESS")
+    if (fs.exists(liveMarker) && !fs.delete(liveMarker, false))
+      throw new java.io.IOException(
+        s"cannot unmark live store $dir before swap (committed snapshot " +
+          s"left at ${tmpPath(dir)})") // atomic single-file delete
+    if (fs.exists(live) && !fs.delete(live, true))
+      throw new java.io.IOException(
+        s"cannot delete live store $dir before swap (committed snapshot " +
+          s"left at ${tmpPath(dir)} — readStore restores it)")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(
+        s"cannot rename ${tmpPath(dir)} -> $dir (committed snapshot left " +
+          "in place — readStore restores it)")
   }
 
   /** `hashName` selects the perceptual 64-bit hash — the image decode by

@@ -147,6 +147,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a(2).getSeq[Float](3).forall(_ == 0f)) // null content -> zeros
   }
 
+  test("normalize=true lands every modality on the unit sphere (r17 advice)") {
+    // raw lanes mix per-modality scales (luma 0-255, envelope sums ~2^31,
+    // stub [0,1)); the normalized variant is what a Euclidean consumer
+    // (kNN / k-means over a mixed crawl) must read
+    val out = Multimodal.extractFeatures(assets(), dim = 8, normalize = true)
+      .orderBy("asset_id").collect()
+    for (r <- out) {
+      val v = r.getSeq[Float](3)
+      val n2 = v.map(x => x.toDouble * x).sum
+      // all-zero vectors (absent bytes) stay all-zero; everything else
+      // is unit-length within float tolerance
+      assert(n2 == 0.0 || math.abs(n2 - 1.0) < 1e-5, s"norm² was $n2")
+    }
+    assert(out.exists(_.getSeq[Float](3).exists(_ != 0f)))
+    // direction is preserved: normalized is a positive scalar multiple
+    val raw = Multimodal.extractFeatures(assets(), dim = 8)
+      .orderBy("asset_id").collect()
+    for ((n, r) <- out.zip(raw)) {
+      val nv = n.getSeq[Float](3); val rv = r.getSeq[Float](3)
+      val dot = nv.zip(rv).map { case (a, b) => a.toDouble * b }.sum
+      val nn = math.sqrt(nv.map(x => x.toDouble * x).sum)
+      val rn = math.sqrt(rv.map(x => x.toDouble * x).sum)
+      if (nn > 0 && rn > 0)
+        assert(math.abs(dot / (nn * rn) - 1.0) < 1e-5)
+    }
+  }
+
   test("feature extraction preserves partitioning (executor-side batches)") {
     val out = Multimodal.extractFeatures(assets())
     assert(out.rdd.getNumPartitions == 2)

@@ -279,5 +279,16 @@ class JobRunnerSpec extends AnyFunSuite {
     // no configured source FILE → no-op (the reference's empty guard)
     assert(Job.writeToSourceFile(
       JobConfig(destFolder = dest, sourceFolder = Some(src)), text).isEmpty)
+
+    // a failure the parent-creation retry cannot cure (target IS a
+    // directory): the fallback's error carries the primary write's
+    // exception as suppressed, so the root cause is never lost (r17
+    // advice)
+    val asDir = tempDir("jobdir_target")
+    val c3 = JobConfig(destFolder = dest, sourceFile = Some(asDir),
+      stabilitySleepMs = 1)
+    val e = intercept[Exception] { Job.writeToSourceFile(c3, text) }
+    assert(e.getSuppressed.nonEmpty,
+      "fallback failure must carry the primary write error as suppressed")
   }
 }

@@ -349,18 +349,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nCand < allPairs / 10, s"banding failed to prune: $nCand of $allPairs pairs")
   }
 
-  test("d88's production path: REAL pixel features through d10's LSH machinery (r17)") {
+  test("d89 (d88's DECLARED production path): recall 1.0 vs the exact anchor (r17/r18)") {
     // d88's declared query is the exact block-pair oracle anchor (d9's
-    // shape); this pins the scale path — the SAME decoded grid-luma
-    // feature column through dedupEmbeddingLsh in the near-dup regime
-    // (family cosines ≈ 1 by the one-row-shift construction):
-    // measured-zero missed drops vs the exact anchor, junk passthrough
-    // preserved, and the banding actually prunes.
+    // shape); d89 is the DECLARED scale path (r18) — the SAME decoded
+    // grid-luma feature column through dedupEmbeddingLsh in the
+    // near-dup regime (family cosines ≈ 1 by the one-row-shift
+    // construction): measured-zero missed drops vs the exact anchor,
+    // junk passthrough preserved, and the banding actually prunes.
+    // This equivalence is what justifies d89 sharing d88's oracle SQL.
     import org.apache.spark.sql.functions._
     val feats = GroupD.d88Features(spark, sf)
       .select(col("doc_id").as("vec_id"), lit("img").as("label"), col("v"))
-    val lsh = GroupD.dedupEmbeddingLsh(feats, spark,
-        tables = 8, bits = 12, threshold = 0.95)
+    val lsh = GroupD.d89MediaEmbedDedupLsh(spark, sf)
       .collect().map(_.getLong(0)).toSeq
     val exact = GroupD.d88MediaEmbedDedup(spark, sf)
       .collect().map(_.getLong(0)).toSeq
@@ -382,6 +382,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     val n = feats.count()
     assert(nCand < n * (n - 1) / 2 / 4,
       s"banding failed to prune on decoded features: $nCand pairs")
+  }
+
+  test("d90: the media funnel's stages agree with the operators they audit (r18)") {
+    import org.apache.spark.sql.functions._
+    val rows = GroupD.d90MediaPipelineE2e(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_decode", "2_pairs", "3_clusters", "4_keep_best"))
+    val m = rows.map(r => r.getString(0) -> r).toMap
+    val nDocs = m("1_decode").getLong(1)
+    val nDec = m("1_decode").getLong(2)
+    // decode refusals are exactly the junk docs (≡ 0 mod 17)
+    assert(nDocs - nDec == Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 17 === 0).count())
+    // stage metrics equal the declared operators' own numbers
+    assert(m("2_pairs").getLong(3) == GroupD.d78ImageDedup(spark, sf).count())
+    val cl = GroupD.d80ImageClusters(spark, sf)
+    val nClusters = cl.select("cluster_id").distinct().count()
+    assert(m("3_clusters").getLong(4) == nClusters)
+    // keep-best survivors: decoded − clustered + one representative each
+    assert(m("4_keep_best").getLong(2) == nDec - cl.count() + nClusters)
+    // every funnel row balances
+    rows.foreach(r => assert(r.getLong(6) == r.getLong(1) - r.getLong(2)))
   }
 
   test("d5 language id emits a prediction for every document") {

@@ -258,4 +258,39 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
       "avro round-trip is bit-exact")
   }
+
+  test("c11: markup kernel — script blocks, entity single-decode, whitespace (r18)") {
+    import spark.implicits._
+    val df = Seq(
+      // the tag-soup trap: the script BODY carries < and && — it must be
+      // stripped as a block, not read as tags by the generic pass
+      (1L, "<p>a</p><script>if (x < 2 && y > 3) { bad() }</script><b>b</b>"),
+      // &amp;lt; must single-decode to &lt; (amp decoded LAST), quotes
+      // and apostrophes decode, a bare &amp; decodes
+      (2L, "&amp;lt;  not &quot;a&quot; tag&#39;s &amp; here"),
+      // style blocks and comments strip; runs of whitespace collapse
+      (3L, "<style>p { color: red; }</style> <!-- note --> keep   this "),
+      (4L, "<a href=\"http://x/y?a=1&amp;b=2\">z</a>")
+    ).toDF("doc_id", "html")
+    val out = df.select($"doc_id", GroupC.markupClean($"html").as("t"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "a b", s"script body leaked: '${out(0)}'")
+    assert(out(1) == "&lt; not \"a\" tag's & here",
+      s"entity decode wrong: '${out(1)}'")
+    assert(out(2) == "keep this", s"style/comment/ws wrong: '${out(2)}'")
+    assert(out(3) == "z", s"attribute tag leaked: '${out(3)}'")
+  }
+
+  test("c12: the composed gate covers every document and keeps d69's schema (r18)") {
+    val c12 = GroupC.c12MarkupGopher(spark, sf)
+    val d69 = GroupD.d69GopherRules(spark, sf)
+    assert(c12.schema == d69.schema,
+      "the composed gate must be the SAME gate (shared gopherOver body)")
+    assert(c12.count() == Tables(spark, sf, "documents").count())
+    // the wrapper injects known-clean words (Doc/Tom/Jerry/link...), so
+    // cleaned word counts strictly exceed the raw text's
+    val joined = c12.select(col("doc_id"), col("n_words").as("nw_clean"))
+      .join(d69.select(col("doc_id"), col("n_words").as("nw_raw")), "doc_id")
+    assert(joined.filter(col("nw_clean") <= col("nw_raw")).count() == 0)
+  }
 }

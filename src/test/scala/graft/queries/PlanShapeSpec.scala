@@ -458,7 +458,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "b59_tpch_q11",
       // c10 crosses each modality's 1-row census aggregates (d16's
       // pattern, once per card row — the whole report is 6 rows)
-      "c10_media_dedup_card")
+      "c10_media_dedup_card",
+      // d90 crosses five 1-row stage aggregates into the ONE metrics
+      // row its 4 funnel rows inline-explode from (d56's pattern +
+      // c10's volume columns, round 18)
+      "d90_media_pipeline_e2e")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {

@@ -262,11 +262,55 @@ class StreamImageDedupSpec extends AnyFunSuite {
     val store = tempDir("sunmark_store") + "/store"
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a live dir with no _SUCCESS and no tmp snapshot: a mid-delete
-    // wreck with the replacement lost — restarting with whatever files
-    // survived would silently re-admit past rejects
+    // a live dir with DATA but no _SUCCESS and no tmp snapshot: a
+    // mid-delete wreck with the replacement lost — restarting with
+    // whatever files survived would silently re-admit past rejects
     fs.mkdirs(new org.apache.hadoop.fs.Path(store))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(store + "/part-00000.parquet"))
+    try out.write("stranded".getBytes) finally out.close()
     intercept[Exception] { StreamImageDedup.readStore(spark, store) }
+  }
+
+  test("live dir with only committer scratch is an EMPTY store, not damage (r17 advice)") {
+    val spark = TestSpark.spark
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash during the very FIRST append leaves the live dir holding
+    // only _temporary — no marker, no data file, no tmp. There is no
+    // history to lose, so the gate must restart empty instead of being
+    // unrecoverable forever
+    val scratch = tempDir("sfirstcrash") + "/store"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(scratch + "/_temporary/0"))
+    assert(StreamImageDedup.readStore(spark, scratch).isEmpty)
+    // same for a fully empty live dir (the append crashed even earlier)
+    val empty = tempDir("sfirstcrash2") + "/store"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(empty))
+    assert(StreamImageDedup.readStore(spark, empty).isEmpty)
+    // but scratch-only PLUS an uncommitted tmp is still adjudicated as
+    // damage — tmp presence means a compaction began, so appends had
+    // committed data before it
+    val wreck = tempDir("sfirstcrash3") + "/store"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wreck + "/_temporary/0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(wreck + ".tmp"))
+    intercept[Exception] { StreamImageDedup.readStore(spark, wreck) }
+  }
+
+  test("marker-disabled committer is refused up front (r17 advice)") {
+    val spark = TestSpark.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    conf.setBoolean(key, false)
+    try {
+      // the swap protocol's completeness witness is the _SUCCESS marker;
+      // with markers disabled every healthy store would read as damage,
+      // so the dependency fails loudly with a pointed message instead
+      val store = tempDir("snomarker") + "/store"
+      val e = intercept[IllegalArgumentException] {
+        StreamImageDedup.readStore(spark, store)
+      }
+      assert(e.getMessage.contains("marksuccessfuljobs"))
+    } finally conf.unset(key)
   }
 
   test("sink-before-store ordering: a failed sink leaves the batch out of the store (r15)") {
