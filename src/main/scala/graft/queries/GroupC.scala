@@ -667,9 +667,156 @@ object GroupC {
         .select(col("doc_id"), c11Html.as("html"))
         .select(col("doc_id"), markupClean(col("html")).as("text")))
 
+  // --- c13/d91: URL curation (round 18) ----------------------------------
+  // The other stage-0 axis of crawl curation: before any content op runs,
+  // a real pipeline dedups by CANONICAL URL and balances by DOMAIN (the
+  // C4/RefinedWeb per-host discipline). `documents` carries no URL column,
+  // so the corpus is CONSTRUCTED deterministically from doc_id (the
+  // c8/c11 discipline: one shared template renders the same bytes in both
+  // engines, and the oracle hash gate verifies the normalization kernel,
+  // never trusting either side).
+
+  /** One URL per doc, with every variance the normalizer must handle:
+    * mixed-case scheme/host, optional `www.`, default ports (`:443` only
+    * default under https — the CASE arms cross so both keep/drop arms of
+    * each port are exercised), a non-default `:8080`, `/index.html`
+    * tails, tracking params (`utm_*`/`fbclid`/`ref`) interleaved with
+    * real ones, a tracking-ONLY query (the `?` must vanish entirely),
+    * and fragments. The template is shared verbatim with the oracle via
+    * the `str` cast hook (STRING vs VARCHAR is the only dialect delta).
+    */
+  private def c13UrlSql(str: String => String): String = Seq(
+    "CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'HtTp' END",
+    "'://'",
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END",
+    "CASE WHEN doc_id % 9 = 0 THEN 'CDN.' ELSE '' END",
+    "'Site-'", str("doc_id % 37"), "'.'",
+    "CASE doc_id % 4 WHEN 0 THEN 'COM' WHEN 1 THEN 'com' " +
+      "WHEN 2 THEN 'Org' ELSE 'net' END",
+    "CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':80' " +
+      "WHEN 2 THEN ':8080' ELSE '' END",
+    "'/articles/'", str("doc_id % 100"),
+    "CASE WHEN doc_id % 6 = 0 THEN '/index.html' " +
+      "WHEN doc_id % 6 = 3 THEN '/' ELSE '' END",
+    s"CASE WHEN doc_id % 11 = 0 THEN '?utm_medium=email' " +
+      s"ELSE '?id=' || ${str("doc_id")} || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_campaign=x' " +
+      "ELSE '' END || " +
+      s"CASE WHEN doc_id % 7 = 0 THEN '&fbclid=abc' || ${str("doc_id")} " +
+      "ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '&ref=home' ELSE '' END END",
+    s"CASE WHEN doc_id % 4 = 0 THEN '#section-' || ${str("doc_id % 9")} " +
+      "ELSE '' END"
+  ).mkString(" || ")
+
+  private[queries] def c13Url: Column =
+    expr(c13UrlSql(e => s"CAST($e AS STRING)"))
+
+  /** The normalization kernel's patterns — one set of constants feeds
+    * both engines ([.]/[?] classes instead of backslash escapes, so the
+    * literals survive every quoting layer identically; all valid and
+    * semantically identical under Java regex and RE2).
+    */
+  private[queries] val UrlSchemeP   = "^([A-Za-z]+)://"
+  private[queries] val UrlHostportP = "^[A-Za-z]+://([^/?#]*)"
+  private[queries] val UrlRestP     = "^[A-Za-z]+://[^/?#]*([^#]*)"
+  private[queries] val UrlPortStripP = ":[0-9]+$"
+  private[queries] val UrlPortP     = ":([0-9]+)$"
+  private[queries] val UrlPathP     = "^([^?]*)"
+  private[queries] val UrlQueryP    = "[?](.*)$"
+  private[queries] val UrlTrackingP =
+    "(^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*"
+  private[queries] val UrlLeadAmpP  = "^&+"
+  private[queries] val UrlIndexP    = "/index[.]html$"
+  private[queries] val UrlWwwP      = "^www[.]"
+  private[queries] val UrlDomainP   = "([^.]+[.][^.]+)$"
+
+  private def urlHostNorm(u: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(u, UrlHostportP, 1)), UrlPortStripP, ""),
+      UrlWwwP, "")
+
+  /** Canonical URL from a raw one: lowercase scheme+host, strip `www.`,
+    * drop the port iff it is the scheme's default (443/https, 80/http),
+    * strip a trailing `/index.html` to `/`, drop tracking params
+    * (`utm_*`, `fbclid`, `gclid`, `ref`) and the `?` itself when nothing
+    * survives, drop the fragment. Pure codegen'd regexp chain — a
+    * scan-side projection, reusable in front of any URL-keyed dedup.
+    */
+  def urlNormalize(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, UrlSchemeP, 1))
+    val hostport = lower(regexp_extract(u, UrlHostportP, 1))
+    val port = regexp_extract(hostport, UrlPortP, 1)
+    val portN = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val rest = regexp_extract(u, UrlRestP, 1)
+    val path0 = regexp_extract(rest, UrlPathP, 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, UrlIndexP, "/"))
+    val qN = regexp_replace(
+      regexp_replace(regexp_extract(rest, UrlQueryP, 1), UrlTrackingP, ""),
+      UrlLeadAmpP, "")
+    concat(scheme, lit("://"), urlHostNorm(u), portN, path,
+      when(qN === "", lit("")).otherwise(concat(lit("?"), qN)))
+  }
+
+  /** Registered domain (last two host labels, after lowering and
+    * stripping port + `www.`) — the per-host balancing key (d91). */
+  def urlDomain(u: Column): Column =
+    regexp_extract(urlHostNorm(u), UrlDomainP, 1)
+
+  /** c13: URL canonicalization — the declared query: construct each
+    * doc's URL, emit the raw URL, its canonical form, and the registered
+    * domain. Scale shape: a pure per-row projection, zero shuffles; the
+    * `url` expression is non-cheap multi-reference, so CollapseProject
+    * keeps it evaluated once per row (c11's plan argument).
+    */
+  def c13UrlNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), c13Url.as("url"))
+      .select(col("doc_id"), col("url"),
+        urlNormalize(col("url")).as("norm_url"),
+        urlDomain(col("url")).as("domain"))
+      .orderBy("doc_id")
+
+  /** The oracle's normalization chain, CTE-staged, ending in relation
+    * `n(doc_id$carry, url, norm_url, domain)` — shared by c13 and d91's
+    * oracle (which threads `, n_chars` through `carry`). Every pattern
+    * is the SAME Scala constant the Spark kernel compiles.
+    */
+  private[queries] def c13NormCtes(carry: String): String =
+    s"""u AS (SELECT doc_id$carry,
+       |  ${c13UrlSql(e => s"CAST($e AS VARCHAR)")} AS url FROM documents),
+       |p AS (SELECT doc_id$carry, url,
+       |  lower(regexp_extract(url, '$UrlSchemeP', 1)) AS scheme,
+       |  lower(regexp_extract(url, '$UrlHostportP', 1)) AS hostport,
+       |  regexp_extract(url, '$UrlRestP', 1) AS rest FROM u),
+       |q AS (SELECT doc_id$carry, url, scheme,
+       |  regexp_replace(regexp_replace(hostport, '$UrlPortStripP', ''),
+       |    '$UrlWwwP', '') AS host_n,
+       |  regexp_extract(hostport, '$UrlPortP', 1) AS port,
+       |  regexp_extract(rest, '$UrlPathP', 1) AS path0,
+       |  regexp_extract(rest, '$UrlQueryP', 1) AS q0 FROM p),
+       |r AS (SELECT doc_id$carry, url, scheme, host_n,
+       |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+       |       OR (scheme = 'http' AND port = '80') THEN ''
+       |       ELSE ':' || port END AS port_n,
+       |  CASE WHEN path0 = '' THEN '/'
+       |       ELSE regexp_replace(path0, '$UrlIndexP', '/') END AS path,
+       |  regexp_replace(regexp_replace(q0, '$UrlTrackingP', '', 'g'),
+       |    '$UrlLeadAmpP', '') AS q_n FROM q),
+       |n AS (SELECT doc_id$carry, url,
+       |  scheme || '://' || host_n || port_n || path ||
+       |    CASE WHEN q_n = '' THEN '' ELSE '?' || q_n END AS norm_url,
+       |  regexp_extract(host_n, '$UrlDomainP', 1) AS domain FROM r)"""
+      .stripMargin
+
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),
     "c12_markup_gopher"  -> (c12MarkupGopher _),
+    "c13_url_normalize"  -> (c13UrlNormalize _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -817,6 +964,10 @@ object GroupC {
          |SELECT doc_id, title, clean_text,
          |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
          |FROM c ORDER BY doc_id""".stripMargin,
+    "c13_url_normalize" ->
+      s"""WITH ${c13NormCtes("")}
+         |SELECT doc_id, url, norm_url, domain FROM n
+         |ORDER BY doc_id""".stripMargin,
     "c12_markup_gopher" -> gopherOracleSql(
       s"h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),\n" +
         s"cleaned AS (SELECT doc_id, ${markupCleanSql("html")} AS text " +

@@ -4658,6 +4658,33 @@ object GroupD {
       .orderBy("stage")
   }
 
+  /** d91: per-DOMAIN quota cap — the C4/RefinedWeb per-host balancing
+    * discipline as a declared query: over c13's registered-domain key
+    * (the same construction + normalization kernel, evaluated in ONE
+    * scan-side projection here — no join back to c13), keep at most 3
+    * docs per domain, best-first by (n_chars DESC, doc_id ASC) — a
+    * deterministic quality proxy with a total tiebreak, so both engines
+    * rank identically.
+    *
+    * Scale shape: `row_number ≤ k` over a domain-partitioned window is
+    * the shape Spark rewrites to WindowGroupLimit (plan-pinned) — each
+    * map task keeps only its local top-3 per domain BEFORE the exchange,
+    * so the shuffle carries ≤ 3·domains rows per task, not the corpus;
+    * at 100 TB the per-domain cap is exactly the operator that must not
+    * sort the world, and this plan doesn't.
+    */
+  def d91DomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        GroupC.urlDomain(GroupC.c13Url).as("domain"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("domain"), col("doc_id"), col("n_chars"), col("rank"))
+      .orderBy("domain", "rank")
+  }
+
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
     * with the decision column a curation card actually exists to drive
     * (the r14/r15 review's carried ask): per modality corpus, the
@@ -5063,6 +5090,7 @@ object GroupD {
     "d88_media_embed_dedup" -> (d88MediaEmbedDedup _),
     "d89_media_embed_dedup_lsh" -> (d89MediaEmbedDedupLsh _),
     "d90_media_pipeline_e2e" -> (d90MediaPipelineE2e _),
+    "d91_domain_cap" -> (d91DomainCap _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5505,6 +5533,17 @@ object GroupD {
     // equivalence (recall 1.0, zero spurious drops — verification is
     // exact cosine both sides), precisely d10's relationship to d9
     "d89_media_embed_dedup_lsh" -> d88OracleSql,
+    // d91's oracle shares c13's construction + normalization CTE chain
+    // (the same Scala pattern constants compile the Spark kernel), then
+    // ranks inside each domain with the identical total order.
+    "d91_domain_cap" ->
+      s"""WITH ${GroupC.c13NormCtes(", n_chars")}
+         |SELECT domain, doc_id, n_chars, rank FROM (
+         |  SELECT domain, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM n) t
+         |WHERE rank <= 3 ORDER BY domain, rank""".stripMargin,
     // d90's oracle re-derives every stage count from the same CTE chain
     // the d80/d81 oracles use (pairs arithmetically from doc_id, the
     // recursive-reach components), plus the decode count from the junk

@@ -281,6 +281,55 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out(3) == "z", s"attribute tag leaked: '${out(3)}'")
   }
 
+  test("c13: URL normalization kernel — ports, tracking params, fragments, www (r18)") {
+    import spark.implicits._
+    val df = Seq(
+      // default port for the scheme drops; /index.html strips to /;
+      // tracking param drops; fragment drops; www. and case fold
+      (1L, "HTTPS://WWW.Ex.COM:443/a/index.html?id=1&utm_source=x#f"),
+      // tracking-ONLY query: the '?' must vanish; non-default port kept
+      (2L, "http://ex.com:8080/a?utm_medium=email"),
+      // :80 is default for http (drops); fbclid stripped mid-query
+      (3L, "HtTp://cdn.Ex.org:80/p?b=2&fbclid=z&id=3"),
+      // :443 on a NON-https scheme is not default — kept
+      (4L, "http://sub.site.net:443/x/")
+    ).toDF("doc_id", "url")
+    val out = df.select($"doc_id", GroupC.urlNormalize($"url").as("n"),
+        GroupC.urlDomain($"url").as("d"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "https://ex.com/a/?id=1", out(0).getString(1))
+    assert(out(1).getString(1) == "http://ex.com:8080/a", out(1).getString(1))
+    assert(out(2).getString(1) == "http://cdn.ex.org/p?b=2&id=3",
+      out(2).getString(1))
+    assert(out(3).getString(1) == "http://sub.site.net:443/x/",
+      out(3).getString(1))
+    assert(out(0).getString(2) == "ex.com")
+    assert(out(2).getString(2) == "ex.org") // subdomain excluded
+    assert(out(3).getString(2) == "site.net")
+  }
+
+  test("d91: per-domain cap ≤ 3, contiguous best-first ranks, WindowGroupLimit plan (r18)") {
+    val out = GroupD.d91DomainCap(spark, sf).cache()
+    try {
+      val g = out.groupBy("domain")
+        .agg(count(lit(1)).as("n"), max("rank").as("maxr"),
+          min("rank").as("minr"))
+      assert(g.filter(col("n") > 3).isEmpty, "a domain exceeded the cap")
+      // ranks are exactly 1..n within each domain
+      assert(g.filter(col("minr") =!= 1 || col("maxr") =!= col("n")).isEmpty)
+      // within a domain, rank order is n_chars DESC (doc_id tiebreak)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("rank")
+      val bad = out.withColumn("prev", lag("n_chars", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("n_chars"))
+      assert(bad.isEmpty, "rank order disagrees with n_chars DESC")
+      // the scale pin: rank ≤ k over a partitioned window must plan as
+      // WindowGroupLimit (map-side per-group pruning before the exchange)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    } finally out.unpersist()
+  }
+
   test("c12: the composed gate covers every document and keeps d69's schema (r18)") {
     val c12 = GroupC.c12MarkupGopher(spark, sf)
     val d69 = GroupD.d69GopherRules(spark, sf)
