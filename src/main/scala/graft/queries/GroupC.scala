@@ -742,8 +742,19 @@ object GroupC {
     * (`utm_*`, `fbclid`, `gclid`, `ref`) and the `?` itself when nothing
     * survives, drop the fragment. Pure codegen'd regexp chain — a
     * scan-side projection, reusable in front of any URL-keyed dedup.
+    *
+    * Non-absolute input (no `scheme://`) is REFUSED with NULL — the
+    * decoder discipline (junk never silently canonicalizes to a
+    * colliding degenerate value; a NULL key drops out of any dedup/cap
+    * join on its own). Idempotent on accepted input: every rewrite
+    * removes or lowers, and nothing it emits re-matches a strip pattern
+    * (spec-pinned on the full constructed corpus).
     */
-  def urlNormalize(u: Column): Column = {
+  def urlNormalize(u: Column): Column =
+    when(regexp_extract(u, UrlSchemeP, 1) === "", lit(null))
+      .otherwise(urlNormalizeAccepted(u))
+
+  private def urlNormalizeAccepted(u: Column): Column = {
     val scheme = lower(regexp_extract(u, UrlSchemeP, 1))
     val hostport = lower(regexp_extract(u, UrlHostportP, 1))
     val port = regexp_extract(hostport, UrlPortP, 1)
@@ -763,9 +774,13 @@ object GroupC {
   }
 
   /** Registered domain (last two host labels, after lowering and
-    * stripping port + `www.`) — the per-host balancing key (d91). */
+    * stripping port + `www.`) — the per-host balancing key (d91).
+    * Same refusal rule as [[urlNormalize]]: non-absolute input → NULL
+    * (a NULL domain would otherwise pool every junk row into one
+    * giant '' group in d91's cap). */
   def urlDomain(u: Column): Column =
-    regexp_extract(urlHostNorm(u), UrlDomainP, 1)
+    when(regexp_extract(u, UrlSchemeP, 1) === "", lit(null))
+      .otherwise(regexp_extract(urlHostNorm(u), UrlDomainP, 1))
 
   /** c13: URL canonicalization — the declared query: construct each
     * doc's URL, emit the raw URL, its canonical form, and the registered

@@ -308,6 +308,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out(3).getString(2) == "site.net")
   }
 
+  test("c13: non-absolute input refused with NULL; kernel idempotent on the corpus (r18)") {
+    import spark.implicits._
+    // junk refusal: no scheme:// → NULL from both kernels (a NULL key
+    // drops out of dedup/cap joins instead of colliding on a degenerate)
+    val junk = Seq((1L, "not a url"), (2L, "/relative/path?id=1"),
+      (3L, "www.ex.com/no-scheme")).toDF("doc_id", "url")
+      .select(GroupC.urlNormalize($"url").as("n"),
+        GroupC.urlDomain($"url").as("d"))
+    assert(junk.filter($"n".isNotNull || $"d".isNotNull).isEmpty)
+    // idempotence over the full constructed corpus: re-normalizing a
+    // canonical URL is the identity (nothing the kernel emits re-matches
+    // a strip pattern)
+    val once = GroupC.c13UrlNormalize(spark, sf)
+    val twice = once.select(col("doc_id"), col("norm_url"),
+      GroupC.urlNormalize(col("norm_url")).as("again"),
+      GroupC.urlDomain(col("norm_url")).as("dom_again"),
+      GroupC.urlDomain(col("url")).as("dom"))
+    assert(twice.filter(col("again") =!= col("norm_url")).isEmpty,
+      "urlNormalize is not idempotent")
+    assert(twice.filter(col("dom_again") =!= col("dom")).isEmpty,
+      "urlDomain disagrees between raw and canonical input")
+  }
+
   test("d91: per-domain cap ≤ 3, contiguous best-first ranks, WindowGroupLimit plan (r18)") {
     val out = GroupD.d91DomainCap(spark, sf).cache()
     try {
