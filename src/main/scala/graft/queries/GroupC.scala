@@ -797,13 +797,15 @@ object GroupC {
       .orderBy("doc_id")
 
   /** The oracle's normalization chain, CTE-staged, ending in relation
-    * `n(doc_id$carry, url, norm_url, domain)` — shared by c13 and d91's
-    * oracle (which threads `, n_chars` through `carry`). Every pattern
-    * is the SAME Scala constant the Spark kernel compiles.
+    * `n(doc_id$carry, url, norm_url, domain)` — shared by c13, d91
+    * (which threads `, n_chars` through `carry`) and d92 (which swaps
+    * in its collision-corpus construction). Every pattern is the SAME
+    * Scala constant the Spark kernel compiles.
     */
-  private[queries] def c13NormCtes(carry: String): String =
+  private[queries] def c13NormCtes(carry: String,
+      construct: String = c13UrlSql(e => s"CAST($e AS VARCHAR)")): String =
     s"""u AS (SELECT doc_id$carry,
-       |  ${c13UrlSql(e => s"CAST($e AS VARCHAR)")} AS url FROM documents),
+       |  $construct AS url FROM documents),
        |p AS (SELECT doc_id$carry, url,
        |  lower(regexp_extract(url, '$UrlSchemeP', 1)) AS scheme,
        |  lower(regexp_extract(url, '$UrlHostportP', 1)) AS hostport,
@@ -827,6 +829,39 @@ object GroupC {
        |    CASE WHEN q_n = '' THEN '' ELSE '?' || q_n END AS norm_url,
        |  regexp_extract(host_n, '$UrlDomainP', 1) AS domain FROM r)"""
       .stripMargin
+
+  /** d92's collision-bearing URL corpus: doc pairs (2k, 2k+1) share one
+    * page identity (every CONTENT arm — host, path id, query id — keys
+    * off `base = doc_id - doc_id % 2`) but differ in SURFACE form
+    * (every doc_id-keyed arm is normalization-invariant: scheme case,
+    * `www.`, the scheme-default port, `/index.html` vs `/`, a tracking
+    * param, a fragment). The two raw URLs are distinct strings whose
+    * canonical forms are IDENTICAL — the corpus shape exact URL dedup
+    * exists for. Same template discipline as [[c13UrlSql]].
+    */
+  private def d92UrlSql(str: String => String): String = Seq(
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END",
+    "'://'",
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END",
+    "'Site-'", str("(doc_id - doc_id % 2) % 37"), "'.'",
+    "CASE (doc_id - doc_id % 2) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org' " +
+      "WHEN 2 THEN 'net' ELSE 'io' END",
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END",
+    "'/articles/'", str("(doc_id - doc_id % 2) % 100"),
+    "CASE WHEN doc_id % 2 = 0 THEN '/index.html' ELSE '/' END",
+    s"'?id=' || ${str("doc_id - doc_id % 2")}",
+    "CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed' ELSE '' END",
+    "CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END"
+  ).mkString(" || ")
+
+  private[queries] def d92Url: Column =
+    expr(d92UrlSql(e => s"CAST($e AS STRING)"))
+
+  /** d92's oracle CTE: the collision corpus through the SAME
+    * normalization chain as c13 (relation
+    * `n(doc_id, url, norm_url, domain)`). */
+  private[queries] def d92NormCtes: String =
+    c13NormCtes("", d92UrlSql(e => s"CAST($e AS VARCHAR)"))
 
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),

@@ -4685,6 +4685,37 @@ object GroupD {
       .orderBy("domain", "rank")
   }
 
+  /** d92: exact dedup by CANONICAL URL — the op c13's kernel exists to
+    * feed, completing the URL axis (canonicalize → dedup → balance):
+    * over a collision-bearing corpus where doc pairs (2k, 2k+1) render
+    * one page identity in two raw surface forms (case, `www.`, default
+    * port, `/index.html`, tracking param, fragment — every delta
+    * normalization-invariant), group by canonical URL and keep the
+    * smallest doc_id, reporting the canonical URL, the keeper, and the
+    * raw-variant count.
+    *
+    * Scale shape: one scan-side construct+normalize projection, then
+    * ONE exchange grouped on the canonical URL itself with
+    * fixed-buffer aggregates (min/count) — HashAggregate with
+    * map-side partials, so each task ships one row per distinct
+    * canonical URL it saw and nothing sorts. (The c2-style
+    * hashed-key variant — group by `xxhash64(norm_url)` and carry the
+    * string as `min(norm_url)` — was tried and REJECTED: a string min
+    * is a var-length aggregation buffer, which kicks the plan from
+    * HashAggregate to SortAggregate and buys the narrower exchange row
+    * at the price of two full sorts. The output needs the string, so
+    * the string must cross the exchange either way; keying on it is
+    * the cheaper plan.)
+    */
+  def d92UrlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), GroupC.d92Url.as("url"))
+      .select(col("doc_id"), GroupC.urlNormalize(col("url")).as("norm_url"))
+      .groupBy(col("norm_url"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_raw"))
+      .orderBy("norm_url")
+
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
     * with the decision column a curation card actually exists to drive
     * (the r14/r15 review's carried ask): per modality corpus, the
@@ -5091,6 +5122,7 @@ object GroupD {
     "d89_media_embed_dedup_lsh" -> (d89MediaEmbedDedupLsh _),
     "d90_media_pipeline_e2e" -> (d90MediaPipelineE2e _),
     "d91_domain_cap" -> (d91DomainCap _),
+    "d92_url_dedup" -> (d92UrlDedup _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5544,6 +5576,12 @@ object GroupD {
          |      ORDER BY n_chars DESC, doc_id) AS rank
          |  FROM n) t
          |WHERE rank <= 3 ORDER BY domain, rank""".stripMargin,
+    // d92's oracle: the same normalized frame grouped by canonical URL.
+    "d92_url_dedup" ->
+      s"""WITH ${GroupC.d92NormCtes}
+         |SELECT norm_url, MIN(doc_id) AS keep_id,
+         |  COUNT(*)::BIGINT AS n_raw
+         |FROM n GROUP BY norm_url ORDER BY norm_url""".stripMargin,
     // d90's oracle re-derives every stage count from the same CTE chain
     // the d80/d81 oracles use (pairs arithmetically from doc_id, the
     // recursive-reach components), plus the decode count from the junk

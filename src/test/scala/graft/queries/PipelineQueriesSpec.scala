@@ -353,6 +353,31 @@ class PipelineQueriesSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("d92: raw pairs differ as strings, collide canonically, keeper is the even id (r18)") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    // the corpus shape: (2k, 2k+1) raw URLs are DIFFERENT strings with
+    // the SAME canonical form — the surface deltas all normalize away
+    val raw = docs.select($"doc_id", GroupC.d92Url.as("url"))
+      .select($"doc_id", $"url", GroupC.urlNormalize($"url").as("n"),
+        ($"doc_id" - $"doc_id" % 2).as("base"))
+    val byBase = raw.groupBy("base").agg(
+      countDistinct("url").as("nraw"), countDistinct("n").as("ncanon"),
+      count(lit(1)).as("cnt"))
+    val full = byBase.filter(col("cnt") === 2)
+    assert(full.filter(col("nraw") =!= 2 || col("ncanon") =!= 1).isEmpty,
+      "a pair's raw forms coincided or its canonical forms diverged")
+    val out = GroupD.d92UrlDedup(spark, sf)
+    assert(out.filter(col("keep_id") % 2 =!= 0).isEmpty,
+      "keeper must be the even (smaller) member")
+    // fixed-buffer aggs keyed on the string: HashAggregate with map-side
+    // partials, and NO SortAggregate (a min-over-string buffer would
+    // force one, paying two full sorts — the rejected variant)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
   test("c12: the composed gate covers every document and keeps d69's schema (r18)") {
     val c12 = GroupC.c12MarkupGopher(spark, sf)
     val d69 = GroupD.d69GopherRules(spark, sf)
