@@ -715,21 +715,27 @@ object GroupC {
   /** The normalization kernel's patterns — one set of constants feeds
     * both engines ([.]/[?] classes instead of backslash escapes, so the
     * literals survive every quoting layer identically; all valid and
-    * semantically identical under Java regex and RE2).
+    * semantically identical under Java regex and RE2). End anchors are
+    * `\z` (end of INPUT in both engines), not `$`: Java's default `$`
+    * also matches before a trailing line terminator where RE2's does
+    * not — `\z` removes that latent divergence for adversarial inputs
+    * carrying newlines (the constructed corpus never does, but the
+    * kernel is a reusable library surface).
     */
   private[queries] val UrlSchemeP   = "^([A-Za-z]+)://"
   private[queries] val UrlHostportP = "^[A-Za-z]+://([^/?#]*)"
   private[queries] val UrlRestP     = "^[A-Za-z]+://[^/?#]*([^#]*)"
-  private[queries] val UrlPortStripP = ":[0-9]+$"
-  private[queries] val UrlPortP     = ":([0-9]+)$"
+  private[queries] val UrlPortStripP = ":[0-9]+\\z"
+  private[queries] val UrlPortP     = ":([0-9]+)\\z"
   private[queries] val UrlPathP     = "^([^?]*)"
-  private[queries] val UrlQueryP    = "[?](.*)$"
+  private[queries] val UrlQueryP    = "[?](.*)\\z"
   private[queries] val UrlTrackingP =
     "(^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*"
   private[queries] val UrlLeadAmpP  = "^&+"
-  private[queries] val UrlIndexP    = "/index[.]html$"
-  private[queries] val UrlWwwP      = "^www[.]"
-  private[queries] val UrlDomainP   = "([^.]+[.][^.]+)$"
+  private[queries] val UrlIndexP    = "/index[.]html\\z"
+  private[queries] val UrlWwwP      = "^(www[.])+"
+  private[queries] val UrlDomainP   = "([^.]+[.][^.]+)\\z"
+  private[queries] val UrlMultiColonP = ":[^:]*:"
 
   private def urlHostNorm(u: Column): Column =
     regexp_replace(regexp_replace(
@@ -743,16 +749,24 @@ object GroupC {
     * survives, drop the fragment. Pure codegen'd regexp chain — a
     * scan-side projection, reusable in front of any URL-keyed dedup.
     *
-    * Non-absolute input (no `scheme://`) is REFUSED with NULL — the
-    * decoder discipline (junk never silently canonicalizes to a
-    * colliding degenerate value; a NULL key drops out of any dedup/cap
-    * join on its own). Idempotent on accepted input: every rewrite
-    * removes or lowers, and nothing it emits re-matches a strip pattern
-    * (spec-pinned on the full constructed corpus).
+    * REFUSED with NULL (the decoder discipline — junk never silently
+    * canonicalizes to a colliding degenerate value; a NULL key drops
+    * out of any dedup/cap join on its own): non-absolute input (no
+    * `scheme://`), and a multi-colon authority (`h:80:80` — malformed
+    * per the URI grammar's single optional port; bracketed IPv6 is out
+    * of scope, so any second colon is junk, and stripping one port
+    * would leave a colon-bearing host that re-strips on the next pass).
+    * Idempotent on accepted input: every rewrite removes or lowers, and
+    * nothing it emits re-matches a strip pattern (fuzz-pinned over an
+    * adversarial corpus and spec-pinned on the constructed one).
     */
   def urlNormalize(u: Column): Column =
-    when(regexp_extract(u, UrlSchemeP, 1) === "", lit(null))
-      .otherwise(urlNormalizeAccepted(u))
+    when(urlRefused(u), lit(null)).otherwise(urlNormalizeAccepted(u))
+
+  private[queries] def urlRefused(u: Column): Column =
+    regexp_extract(u, UrlSchemeP, 1) === "" ||
+      regexp_extract(regexp_extract(u, UrlHostportP, 1),
+        UrlMultiColonP, 0) =!= ""
 
   private def urlNormalizeAccepted(u: Column): Column = {
     val scheme = lower(regexp_extract(u, UrlSchemeP, 1))
@@ -775,11 +789,11 @@ object GroupC {
 
   /** Registered domain (last two host labels, after lowering and
     * stripping port + `www.`) — the per-host balancing key (d91).
-    * Same refusal rule as [[urlNormalize]]: non-absolute input → NULL
-    * (a NULL domain would otherwise pool every junk row into one
-    * giant '' group in d91's cap). */
+    * Same refusal rule as [[urlNormalize]] (no scheme, multi-colon
+    * authority → NULL — a NULL domain drops out of d91's cap instead
+    * of pooling junk into one giant group). */
   def urlDomain(u: Column): Column =
-    when(regexp_extract(u, UrlSchemeP, 1) === "", lit(null))
+    when(urlRefused(u), lit(null))
       .otherwise(regexp_extract(urlHostNorm(u), UrlDomainP, 1))
 
   /** c13: URL canonicalization — the declared query: construct each
