@@ -591,13 +591,26 @@ object GroupC {
     * adjacent words never fuse), decode the 5 core entities (`&amp;`
     * last — single-decode), collapse whitespace, trim. Every pattern is
     * valid and identical under Java regex (Spark) and RE2 (DuckDB):
-    * inline `(?s)`, lazy `.*?`, `[^>]` classes and `\s` all agree on
+    * inline `(?si)`, lazy `.*?`, `[^>]` classes and `\s` all agree on
     * this construction's character set.
+    *
+    * Order and flags carry real semantics (r18 review): the block
+    * patterns are `(?i)` because HTML tag names are case-insensitive
+    * (`<SCRIPT>` leaking its body into "clean" text was a live bug),
+    * and COMMENTS strip before script/style so a commented-out opener
+    * (`<!--<script>-->`, the common way to disable a block) cannot
+    * swallow legitimate content up to some later real `</script>`.
+    * The reverse failure (a literal `-->` inside a live script body
+    * truncating the comment strip) needs `-->` in JS source text —
+    * far rarer than commented-out blocks, and HTML tokenization itself
+    * treats `<!--` at top level as opening a comment. A regexp chain
+    * cannot get both cases right (HTML is not regular); this order
+    * matches the tokenizer on the common case.
     */
   private val markupStripPatterns = Seq(
-    "(?s)<script[^>]*>.*?</script>",
-    "(?s)<style[^>]*>.*?</style>",
     "(?s)<!--.*?-->",
+    "(?si)<script[^>]*>.*?</script>",
+    "(?si)<style[^>]*>.*?</style>",
     "<[^>]+>")
   private val markupEntities = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -720,17 +733,22 @@ object GroupC {
     * also matches before a trailing line terminator where RE2's does
     * not — `\z` removes that latent divergence for adversarial inputs
     * carrying newlines (the constructed corpus never does, but the
-    * kernel is a reusable library surface).
+    * kernel is a reusable library surface). Port strip is `[0-9]*` —
+    * zero digits included — because an EMPTY port (`host:`) is
+    * identical to no port per the URI grammar, and leaving the bare
+    * colon would split `http://h:/p` from `http://h/p`. Tracking strip
+    * is `(?i)` (campaign links appear uppercase in the wild) and
+    * allows underscores in the utm key (`utm_source_platform`).
     */
   private[queries] val UrlSchemeP   = "^([A-Za-z]+)://"
   private[queries] val UrlHostportP = "^[A-Za-z]+://([^/?#]*)"
   private[queries] val UrlRestP     = "^[A-Za-z]+://[^/?#]*([^#]*)"
-  private[queries] val UrlPortStripP = ":[0-9]+\\z"
+  private[queries] val UrlPortStripP = ":[0-9]*\\z"
   private[queries] val UrlPortP     = ":([0-9]+)\\z"
   private[queries] val UrlPathP     = "^([^?]*)"
   private[queries] val UrlQueryP    = "[?](.*)\\z"
   private[queries] val UrlTrackingP =
-    "(^|&)(utm_[a-z]+|fbclid|gclid|ref)=[^&]*"
+    "(?i)(^|&)(utm_[a-z_]+|fbclid|gclid|ref)=[^&]*"
   private[queries] val UrlLeadAmpP  = "^&+"
   private[queries] val UrlIndexP    = "/index[.]html\\z"
   private[queries] val UrlWwwP      = "^(www[.])+"
@@ -790,11 +808,17 @@ object GroupC {
   /** Registered domain (last two host labels, after lowering and
     * stripping port + `www.`) — the per-host balancing key (d91).
     * Same refusal rule as [[urlNormalize]] (no scheme, multi-colon
-    * authority → NULL — a NULL domain drops out of d91's cap instead
-    * of pooling junk into one giant group). */
+    * authority → NULL), PLUS: a host with fewer than two labels
+    * (`localhost`, intranet names, empty/degenerate authorities) HAS no
+    * registered domain and returns NULL too (r18 review — the empty
+    * string would pool every such doc into one giant degenerate group
+    * in d91's cap, the exact collision the NULL discipline exists to
+    * prevent; note [[urlNormalize]] still ACCEPTS these hosts — they
+    * canonicalize fine, they just don't balance). */
   def urlDomain(u: Column): Column =
     when(urlRefused(u), lit(null))
-      .otherwise(regexp_extract(urlHostNorm(u), UrlDomainP, 1))
+      .otherwise(nullif(regexp_extract(urlHostNorm(u), UrlDomainP, 1),
+        lit("")))
 
   /** c13: URL canonicalization — the declared query: construct each
     * doc's URL, emit the raw URL, its canonical form, and the registered

@@ -4679,6 +4679,11 @@ object GroupD {
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars"),
         GroupC.urlDomain(GroupC.c13Url).as("domain"))
+      // docs without a registered domain (urlDomain NULL: refused or
+      // sub-2-label host) have nothing to balance ON — they are gated
+      // out, not pooled into one NULL cap group (never fires on the
+      // constructed corpus; library semantics for real crawls)
+      .filter(col("domain").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("domain"), col("doc_id"), col("n_chars"), col("rank"))

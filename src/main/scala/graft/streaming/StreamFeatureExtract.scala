@@ -60,7 +60,9 @@ object StreamFeatureExtract {
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        sink(Multimodal.extractFeatures(batch.toDF(), dim, normalize), batchId)
+        // through transform, not the kernel directly: the two entry
+        // points must stay the same extraction by construction
+        sink(transform(batch.toDF(), dim, normalize), batchId)
       }
       .start()
 }

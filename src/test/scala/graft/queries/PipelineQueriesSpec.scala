@@ -308,6 +308,49 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out(3).getString(2) == "site.net")
   }
 
+  test("c13: review counterexamples — empty port, uppercase UTM, sub-2-label domain (r18)") {
+    import spark.implicits._
+    val df = Seq(
+      // an EMPTY port is the same as no port (URI grammar) — the bare
+      // colon must strip, or h:/p and h/p split identities
+      (1L, "http://h:/p"),
+      // campaign links appear uppercase in the wild; underscore-bearing
+      // utm keys must strip too
+      (2L, "http://h/p?UTM_SOURCE=x&utm_source_platform=y&id=1"),
+      // a sub-2-label host has NO registered domain: NULL, not '' (the
+      // empty string would pool all such docs into one d91 cap group)
+      (3L, "http://localhost/x"),
+      (4L, "http://h:/p?a=1")
+    ).toDF("doc_id", "url")
+    val out = df.select($"doc_id", GroupC.urlNormalize($"url").as("n"),
+        GroupC.urlDomain($"url").as("d"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "http://h/p", out(0).getString(1))
+    assert(out(1).getString(1) == "http://h/p?id=1", out(1).getString(1))
+    assert(out(2).getString(1) == "http://localhost/x")
+    assert(out(2).isNullAt(2), "sub-2-label host must have NULL domain")
+    assert(out(0).isNullAt(2) && out(3).isNullAt(2))
+    assert(out(3).getString(1) == "http://h/p?a=1")
+  }
+
+  test("c11: review counterexamples — uppercase blocks, commented-out script opener (r18)") {
+    import spark.implicits._
+    val df = Seq(
+      // HTML tag names are case-insensitive: an uppercase SCRIPT body
+      // must strip as a block, never leak as text
+      (1L, "<P>upper</P><SCRIPT>var x=1;</SCRIPT>done"),
+      (2L, "<STYLE>p{}</STYLE><Script>y</Script>keep"),
+      // a commented-out opener must not swallow content up to a later
+      // real </script>
+      (3L, "<!--<script>--><p>hello</p><script>x</script>")
+    ).toDF("doc_id", "html")
+    val out = df.select($"doc_id", GroupC.markupClean($"html").as("t"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "upper done", s"uppercase script leaked: '${out(0)}'")
+    assert(out(1) == "keep", s"uppercase style/mixed script leaked: '${out(1)}'")
+    assert(out(2) == "hello", s"commented-out opener mishandled: '${out(2)}'")
+  }
+
   test("c13: non-absolute input refused with NULL; kernel idempotent on the corpus (r18)") {
     import spark.implicits._
     // junk refusal: no scheme:// → NULL from both kernels (a NULL key

@@ -14,31 +14,7 @@ import graft.sources.CsvDialect
   */
 class StreamImageDedupSpec extends AnyFunSuite {
 
-  /** 9×8 grayscale BMP whose dHash-64 equals `bits` exactly: each row is
-    * the luma walk from 128 stepping −10 on a 1-bit, +10 on a 0-bit
-    * (the d78 construction's rule, built here in plain bytes).
-    */
-  private def bmpFor(bits: Long): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(278)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    b.put('B'.toByte).put('M'.toByte).putInt(278).putInt(0).putInt(54)
-    b.putInt(40).putInt(9).putInt(8).putShort(1).putShort(24)
-    b.putInt(0).putInt(224).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    for (s <- 0 until 8) {
-      val r = 7 - s // bottom-up storage
-      var v = 128
-      for (c <- 0 to 8) {
-        if (c > 0)
-          v += (if (((bits >> (r * 8 + c - 1)) & 1L) == 1L) -10 else 10)
-        b.put(v.toByte).put(v.toByte).put(v.toByte)
-      }
-      b.put(0.toByte) // stride pad
-    }
-    b.array()
-  }
-
-  private def hex(bytes: Array[Byte]): String =
-    bytes.map(x => f"${x & 0xff}%02X").mkString
+  import StreamTestMedia.{bmpFor, hex}
 
   private val P1 = 0xAAAAAAAAAAAAAAAAL // alternating
   private val P2 = 0L
