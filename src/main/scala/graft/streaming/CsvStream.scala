@@ -27,19 +27,34 @@ object CsvStream {
     * probed from one existing file (streams require a static schema up
     * front — reference-style header-or-positional naming, R2/R3 included
     * via [[CsvCatalog.columnNames]]).
+    *
+    * `explicitSchema` makes a restart SELF-SUFFICIENT (r18 review): with
+    * `cleanSource=delete` (the reference's delete-after-ingest mapping)
+    * a stream that consumed and deleted every file has nothing left to
+    * probe, so reopening from the checkpoint would fail despite all
+    * prior batches having committed. Callers running a cleaning source
+    * should capture the first open's schema (`df.schema`) beside their
+    * checkpoint and pass it back on restart; probing stays the
+    * zero-ceremony default for non-cleaning sources.
     */
   def readStream(spark: SparkSession, dir: Path,
                  dialect: CsvDialect = CsvDialect(),
                  schemaProbe: Option[Path] = None,
                  maxFilesPerTrigger: Int = 1000,
-                 cleanSource: String = "off"): DataFrame = {
-    val probe = schemaProbe.orElse(CsvCatalog.sourceFiles(dir).headOption)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no CSV file in $dir to probe the stream schema from"))
-    val names = CsvCatalog.columnNames(probe, dialect)
-    val schema = org.apache.spark.sql.types.StructType(names.map(
-      org.apache.spark.sql.types.StructField(_,
-        org.apache.spark.sql.types.StringType, nullable = true)))
+                 cleanSource: String = "off",
+                 explicitSchema: Option[org.apache.spark.sql.types.StructType]
+                   = None): DataFrame = {
+    val schema = explicitSchema.getOrElse {
+      val probe = schemaProbe.orElse(CsvCatalog.sourceFiles(dir).headOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no CSV file in $dir to probe the stream schema from (for a " +
+            "cleanSource stream restarting after full ingest, pass " +
+            "explicitSchema)"))
+      val names = CsvCatalog.columnNames(probe, dialect)
+      org.apache.spark.sql.types.StructType(names.map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.StringType, nullable = true)))
+    }
     spark.readStream
       .options(dialect.readOptions)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

@@ -60,7 +60,11 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val times = batch.map(_.ts.getTime).toArray.sorted
+            // null ts guard (r18 review): a malformed row with ts = null
+            // is NOT removed by the watermark's late filter (null
+            // comparisons aren't true), and .getTime would NPE the query
+            val times =
+              batch.filter(_.ts != null).map(_.ts.getTime).toArray.sorted
             var open = state.getOption
             val closed = Seq.newBuilder[UserSession]
             times.foreach { t =>
@@ -78,7 +82,15 @@ object Sessionize {
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastMs + gapMs)
+                // clamp above the CURRENT watermark (r18 review — the
+                // StreamQualityMonitor discipline): Spark admits late
+                // events by a one-batch-LAGGING watermark but validates
+                // timeout timestamps against the current one, so an
+                // allowed-late event with lastMs + gap below the current
+                // watermark would throw and kill the query; the clamp
+                // fires the flush at the next trigger instead
+                state.setTimeoutTimestamp(math.max(s.lastMs + gapMs,
+                  state.getCurrentWatermarkMs() + 1L))
               case None => state.remove()
             }
             closed.result().iterator

@@ -95,8 +95,11 @@ object StreamEventFunnel {
             out.iterator
           } else {
             // within-batch order is arrival order, not event order; sort
-            // so gap splits are event-time splits (Sessionize's rule)
-            val evs = batch.toArray.sortBy(_.ts.getTime)
+            // so gap splits are event-time splits (Sessionize's rule);
+            // null-ts rows are dropped, not NPE'd (the watermark's late
+            // filter keeps them — null comparisons aren't true)
+            val evs =
+              batch.filter(_.ts != null).toArray.sortBy(_.ts.getTime)
             var open = state.getOption
             val closed = Seq.newBuilder[UserFunnel]
             evs.foreach { e =>
@@ -113,7 +116,12 @@ object StreamEventFunnel {
             open match {
               case Some(w) =>
                 state.update(w)
-                state.setTimeoutTimestamp(w.lastMs + gapMs)
+                // clamped above the CURRENT watermark (Sessionize's r18
+                // rule): late events are admitted by a lagging watermark
+                // but timeouts validate against the current one — an
+                // unclamped lastMs + gap below it kills the query
+                state.setTimeoutTimestamp(math.max(w.lastMs + gapMs,
+                  state.getCurrentWatermarkMs() + 1L))
               case None => state.remove()
             }
             closed.result().iterator

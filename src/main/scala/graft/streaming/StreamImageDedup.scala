@@ -1,7 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -53,46 +51,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamImageDedup {
 
-  private def tmpPath(dir: String) = dir.stripSuffix("/") + ".tmp"
-
-  /** `_SUCCESS` commit marker Spark's file committer drops in every
-    * completed parquet write — the completeness witness the swap logic
-    * below keys on (both the per-batch appends and the compaction
-    * snapshot write re-emit it).
-    */
-  private def hasMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
-    fs.exists(new Path(p, "_SUCCESS"))
-
-  /** The swap protocol HARD-DEPENDS on the committer emitting `_SUCCESS`
-    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs`, default true).
-    * With markers disabled — common with cloud/object-store committers —
-    * [[readStore]] would treat every healthy store as damage and
-    * [[compactStore]] would refuse every swap, so the dependency is
-    * ASSERTED up front with a pointed message instead of surfacing as a
-    * spurious "partial hash history" failure at the first restart
-    * (advice r17). Not forced: the Hadoop conf is session-shared, and
-    * silently re-enabling markers could break a user's other writes.
-    */
+  /** See [[StandingStore.requireMarkers]] — kept as a delegate so the
+    * spec's pins on this gate's surface survive the r18 extraction. */
   private[streaming] def requireMarkers(
       conf: org.apache.hadoop.conf.Configuration): Unit =
-    require(
-      conf.getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
-      "StreamImageDedup's standing-store swap protocol adjudicates crash " +
-        "windows by the _SUCCESS commit marker, but " +
-        "mapreduce.fileoutputcommitter.marksuccessfuljobs=false disables " +
-        "it — re-enable markers (or run without standingStore)")
-
-  /** True iff `dir` holds NO committed data file — only committer
-    * scratch (`_temporary`) and other `_`/`.`-prefixed bookkeeping. A
-    * crash during the very first append leaves exactly this shape (no
-    * marker, no data, no tmp): an EMPTY store, not damage (advice r17).
-    */
-  private def hasNoDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                             p: Path): Boolean =
-    !fs.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    StandingStore.requireMarkers(conf)
 
   /** Read the durable store, restoring a half-finished compaction swap
     * first: None = empty store.
@@ -120,44 +83,8 @@ object StreamImageDedup {
     *     empty store.
     */
   private[streaming] def readStore(spark: SparkSession,
-                                   dir: String): Option[DataFrame] = {
-    val live = new Path(dir)
-    val tmp = new Path(tmpPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireMarkers(spark.sparkContext.hadoopConfiguration)
-    val liveOk = fs.exists(live) && hasMarker(fs, live)
-    if (!liveOk) {
-      val tmpOk = fs.exists(tmp) && hasMarker(fs, tmp)
-      if (!tmpOk) {
-        // a crash during the very FIRST append leaves a live dir holding
-        // only committer scratch (_temporary), no marker, no tmp, no data
-        // — an empty store, not damage (advice r17)
-        if (fs.exists(live) && !fs.exists(tmp) && hasNoDataFiles(fs, live))
-          return None
-        if (fs.exists(live) || fs.exists(tmp))
-          throw new java.io.IOException(
-            s"standing store $dir has no committed snapshot (live " +
-              s"marker=${fs.exists(live) && hasMarker(fs, live)}, tmp " +
-              s"marker=${fs.exists(tmp) && hasMarker(fs, tmp)}) — " +
-              "refusing to restart the gate with a partial hash history")
-        return None // legitimately empty store
-      }
-      // heal the delete→rename crash window — and fail loudly if we
-      // cannot, rather than restarting the gate with an empty memory
-      if (fs.exists(live) && !fs.delete(live, true))
-        throw new java.io.IOException(
-          s"cannot clear partially-deleted store $dir before restore")
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(
-          s"cannot restore compaction snapshot ${tmpPath(dir)} -> $dir")
-    } else if (fs.exists(tmp)) {
-      // live is committed: the tmp snapshot is a leftover from a crash
-      // BEFORE the swap began — live superset-or-equals it, drop it (a
-      // failure to drop only costs a retry next restart, so best-effort)
-      fs.delete(tmp, true)
-    }
-    Some(spark.read.parquet(dir).select(col("asset_id"), col("dhash")))
-  }
+                                   dir: String): Option[DataFrame] =
+    StandingStore.readStore(spark, dir, Seq("asset_id", "dhash"))
 
   /** Rewrite the store as one deduped snapshot (tmp-write → unmark →
     * delete → rename; [[readStore]] adjudicates every crash window by
@@ -171,40 +98,9 @@ object StreamImageDedup {
     * its marker (review finding r16).
     */
   private[streaming] def compactStore(spark: SparkSession,
-                                      dir: String): Unit = {
-    requireMarkers(spark.sparkContext.hadoopConfiguration)
-    val snapshot = spark.read.parquet(dir)
-      .select(col("asset_id"), col("dhash"))
-      .dropDuplicates("asset_id")
-    snapshot.write.mode("overwrite").parquet(tmpPath(dir))
-    val live = new Path(dir)
-    val tmp = new Path(tmpPath(dir))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hasMarker(fs, tmp))
-      throw new java.io.IOException(
-        s"compaction snapshot ${tmpPath(dir)} committed without a " +
-          "_SUCCESS marker — refusing to swap (the marker is the swap " +
-          "protocol's completeness witness)")
-    // every step's boolean result is CHECKED (advice r17): a false from
-    // the recursive delete with the rename still attempted would nest tmp
-    // INSIDE the surviving live dir (Hadoop rename-onto-existing-dir
-    // semantics) — no committed side at either path while the running
-    // query keeps appending. Throwing with the committed tmp intact keeps
-    // every failure inside readStore's restore protocol.
-    val liveMarker = new Path(live, "_SUCCESS")
-    if (fs.exists(liveMarker) && !fs.delete(liveMarker, false))
-      throw new java.io.IOException(
-        s"cannot unmark live store $dir before swap (committed snapshot " +
-          s"left at ${tmpPath(dir)})") // atomic single-file delete
-    if (fs.exists(live) && !fs.delete(live, true))
-      throw new java.io.IOException(
-        s"cannot delete live store $dir before swap (committed snapshot " +
-          s"left at ${tmpPath(dir)} — readStore restores it)")
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(
-        s"cannot rename ${tmpPath(dir)} -> $dir (committed snapshot left " +
-          "in place — readStore restores it)")
-  }
+                                      dir: String): Unit =
+    StandingStore.compactStore(spark, dir, Seq("asset_id", "dhash"),
+      dedupKey = "asset_id")
 
   /** `hashName` selects the perceptual 64-bit hash — the image decode by
     * default; pass [[graft.functions.GraftFunctions.WavEnergyHashName]]

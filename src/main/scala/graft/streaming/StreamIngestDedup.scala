@@ -51,17 +51,28 @@ object StreamIngestDedup {
     * call: a crash between sink and append re-emits on replay —
     * at-least-once — instead of silently swallowing the batch), and
     * restart rebuilds standing = base ∪ store before the first batch.
+    * The store rides [[StandingStore]]'s shared protocol (r18 review —
+    * this gate previously swallowed ALL restore errors as "empty
+    * store", silently discarding the accepted history on a transient
+    * FS failure; now only "never written" maps to empty, damage and IO
+    * failures fail the restart loudly), and every `compactEvery`
+    * batches it compacts to one snapshot via the marker-adjudicated
+    * swap while the in-memory union re-checkpoints back to a single
+    * plan leaf (each batch's union otherwise adds a leaf and analysis
+    * cost grows without bound on a long-running gate — the
+    * [[StreamImageDedup]] discipline).
     */
   def start(delta: DataFrame, base: DataFrame, queryName: String,
             sink: (DataFrame, Long) => Unit,
-            standingStore: Option[String] = None): StreamingQuery = {
+            standingStore: Option[String] = None,
+            compactEvery: Int = 8): StreamingQuery = {
+    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     val spark = base.sparkSession
-    val persisted = standingStore.flatMap { dir =>
-      try Some(spark.read.parquet(dir).select(col("doc_id"), col("text")))
-      catch { case scala.util.control.NonFatal(_) => None } // empty store
-    }
+    val persisted = standingStore.flatMap(dir =>
+      StandingStore.readStore(spark, dir, Seq("doc_id", "text")))
     var standing = persisted.foldLeft(
       base.select(col("doc_id"), col("text")))(_ unionByName _)
+    var batches = 0L
     delta.writeStream
       .queryName(queryName)
       .outputMode("append")
@@ -80,10 +91,16 @@ object StreamIngestDedup {
         // reuse it instead of re-running the probe/verify plan
         val kept = survivors.localCheckpoint(true)
         standing = standing.unionByName(kept.select("doc_id", "text"))
+        batches += 1
+        if (batches % compactEvery == 0)
+          standing = standing.localCheckpoint(true)
         sink(kept, batchId)
         standingStore.foreach { dir =>
           kept.select("doc_id", "text")
             .write.mode("append").parquet(dir)
+          if (batches % compactEvery == 0)
+            StandingStore.compactStore(spark, dir, Seq("doc_id", "text"),
+              dedupKey = "doc_id")
         }
       }
       .start()

@@ -251,4 +251,21 @@ class CsvStreamSpec extends AnyFunSuite {
         "stream and batch must produce identical chunks")
     } finally q.stop()
   }
+
+  test("explicitSchema reopens a cleaned-out source dir without a probe file (r18)") {
+    val spark = TestSpark.spark
+    val dir = tempDir("csv-reopen")
+    csvFile(dir, "b1.csv", "a;b\n1;2\n")
+    val schema = CsvStream.readStream(spark, dir, CsvDialect()).schema
+    // a cleanSource=delete stream that ingested everything has an empty
+    // dir on restart: pre-fix the schema probe threw and the checkpointed
+    // stream could never resume; with explicitSchema it reopens
+    val empty = tempDir("csv-reopen-empty")
+    val reopened = CsvStream.readStream(spark, empty, CsvDialect(),
+      explicitSchema = Some(schema))
+    assert(reopened.isStreaming && reopened.schema == schema)
+    intercept[IllegalArgumentException] {
+      CsvStream.readStream(spark, empty, CsvDialect())
+    }
+  }
 }

@@ -151,4 +151,53 @@ class SessionizeSpec extends AnyFunSuite {
         "stream and batch sessionization must agree event-for-event")
     } finally q.stop()
   }
+
+  test("allowed-late event with an expired horizon flushes instead of killing the query (r18)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tempDir("sess-late")
+    // b1: user 1 @12:00 → the eviction watermark after b1 is 11:50
+    // (10-minute delay). b2: user 2 @11:00 — ADMITTED (Spark's
+    // late-event filter lags one batch behind the eviction watermark),
+    // but 11:00 + 30min gap = 11:30 < 11:50, so an unclamped
+    // setTimeoutTimestamp would throw and terminate the query. b2 also
+    // carries a null-ts row (unparseable timestamp), which the late
+    // filter does NOT remove — pre-fix it NPE'd the state function.
+    csvFile(dir, "b1.csv", "ts;user;kind\n2024-01-01 12:00:00;1;a\n")
+    val raw = CsvStream.readStream(spark, dir, CsvDialect(),
+      maxFilesPerTrigger = 1)
+    val events = raw.selectExpr(
+      "cast(user as bigint) as user_id",
+      // try_cast, not to_timestamp: ANSI mode throws on the malformed
+      // row, and the point is to DELIVER a null ts to the state function
+      "try_cast(ts as timestamp) as ts",
+      "kind as event_type").as[SessionEvent]
+    val out = Sessionize.sessions(spark, events, gapMinutes = 30,
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("sessions_late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      csvFile(dir, "b2.csv",
+        "ts;user;kind\n2024-01-01 11:00:00;2;a\nnot-a-time;3;x\n")
+      q.processAllAvailable() // pre-fix: StreamingQueryException here
+      // advance the watermark; the clamped timeout fires and user 2's
+      // late singleton session flushes
+      csvFile(dir, "b3.csv", "ts;user;kind\n2024-01-01 13:00:00;9;a\n")
+      q.processAllAvailable()
+      csvFile(dir, "b4.csv", "ts;user;kind\n2024-01-01 14:00:00;9;a\n")
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive the late/garbage batch")
+      val rows = spark.table("sessions_late").collect()
+      // whether the 11:00 event is ADMITTED depends on the late-events
+      // watermark's batch lag (Spark may filter it); the contract pinned
+      // here is that neither outcome kills the query — if admitted, the
+      // clamp defers the flush instead of throwing (cf. the r13
+      // StreamQualityMonitor crash this mirrors); if filtered, it's
+      // simply absent
+      assert(rows.exists(r => r.getLong(0) == 1L),
+        s"on-time session must flush: ${rows.mkString(", ")}")
+      assert(!rows.exists(_.getLong(0) == 3L), "null-ts rows never session")
+    } finally q.stop()
+  }
 }

@@ -15,6 +15,17 @@ import graft.queries.GroupB
   * and flatMapGroupsWithState checkpoint recovery.
   */
 class StreamEventFunnelSpec extends AnyFunSuite {
+  /** readEvents with try_cast: ANSI to_timestamp throws on the malformed
+    * row, and the r18 late test needs to DELIVER a null ts. */
+  private def readLateEvents(dir: java.nio.file.Path) = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+      .selectExpr("cast(user as bigint) as user_id",
+        "try_cast(ts as timestamp) as ts", "kind as event_type")
+      .as[FunnelEvent]
+  }
+
   private def readEvents(dir: java.nio.file.Path) = {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -180,6 +191,40 @@ class StreamEventFunnelSpec extends AnyFunSuite {
       // second window has NO signup: strict-after yields nothing even
       // though a view and click are present
       assert(u1(1).stage_reached === 0L)
+    } finally q.stop()
+  }
+
+  test("allowed-late event with an expired horizon flushes instead of killing the query (r18)") {
+    val spark = TestSpark.spark
+    // Sessionize's r18 clamp scenario at the funnel operator: b1 user 1
+    // @12:00 puts the eviction watermark at 11:50; b2's user 2 @11:00 is
+    // admitted by the lagging late filter but its unclamped horizon
+    // (11:30) is below the watermark — pre-fix setTimeoutTimestamp threw
+    // and terminated the query; a null-ts row rides along (pre-fix NPE).
+    val dir = tempDir("funnel-late")
+    csvFile(dir, "b1.csv", "ts;user;kind\n2024-01-01 12:00:00;1;signup\n")
+    val out = StreamEventFunnel.funnels(spark, readLateEvents(dir),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("funnels_late").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      csvFile(dir, "b2.csv",
+        "ts;user;kind\n2024-01-01 11:00:00;2;signup\nnot-a-time;3;view\n")
+      q.processAllAvailable() // pre-fix: StreamingQueryException here
+      csvFile(dir, "b3.csv", "ts;user;kind\n2024-01-01 13:00:00;9;other\n")
+      q.processAllAvailable()
+      csvFile(dir, "b4.csv", "ts;user;kind\n2024-01-01 14:00:00;9;other\n")
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive the late/garbage batch")
+      import spark.implicits._
+      val rows = spark.table("funnels_late").as[UserFunnel].collect()
+      // admission of the 11:00 event depends on the late watermark's
+      // batch lag; the pinned contract is that neither outcome kills the
+      // query (clamped flush if admitted, absence if filtered)
+      assert(rows.exists(w => w.user_id == 1L),
+        s"on-time window must flush: ${rows.mkString(", ")}")
+      assert(!rows.exists(_.user_id == 3L), "null-ts rows never window")
     } finally q.stop()
   }
 }

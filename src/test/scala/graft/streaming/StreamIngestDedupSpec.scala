@@ -71,4 +71,58 @@ class StreamIngestDedupSpec extends AnyFunSuite {
     assert(perBatch(1L) == Set(21L),
       s"batch 1 must drop the cross-batch dup AND the redelivery, keep the unique: ${perBatch.get(1L)}")
   }
+
+  test("durable store: restart remembers survivors, compaction keeps one snapshot, damage fails loudly (r18)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tBase = "alpha beta gamma delta epsilon zeta eta theta"
+    val tUniq = "one two three four five six seven eight"
+    val tNew = "red orange yellow green blue indigo violet umber"
+    val base = Seq((1L, tBase)).toDF("doc_id", "text")
+    def csv(rows: (Long, String)*): String =
+      "doc_id;text\n" + rows.map { case (i, t) => s"$i;$t" }.mkString("\n") + "\n"
+    val store = tempDir("singest-store").resolve("store").toString
+
+    // run 1: two batches with compactEvery=1 — the store compacts to one
+    // marker-adjudicated snapshot after every batch
+    val dir1 = tempDir("singest3a")
+    csvFile(dir1, "b1.csv", csv(10L -> tUniq))
+    val s1 = CsvStream.readStream(spark, dir1, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val q1 = StreamIngestDedup.start(s1, base, "singest3a",
+      (_, _) => (), Some(store), compactEvery = 1)
+    try {
+      q1.processAllAvailable()
+      csvFile(dir1, "b2.csv", csv(21L -> tNew))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val snap = spark.read.parquet(store)
+    assert(snap.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 21L), "compacted store must hold both accepted survivors")
+
+    // run 2 (the restart): a near-dup of run 1's accepted doc must DROP —
+    // the store, not driver memory, carries the history
+    val dir2 = tempDir("singest3b")
+    csvFile(dir2, "b1.csv", csv(30L -> tUniq, 31L -> "nine ten eleven twelve thirteen fourteen fifteen sixteen"))
+    val s2 = CsvStream.readStream(spark, dir2, CsvDialect(), maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val got = scala.collection.mutable.Set[Long]()
+    val q2 = StreamIngestDedup.start(s2, base, "singest3b",
+      (surv, _) => { got ++= surv.select("doc_id").collect().map(_.getLong(0)); () },
+      Some(store))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.toSet == Set(31L),
+      s"restart must drop the store-remembered near-dup, keep the unique: $got")
+
+    // damage: a store dir with data-looking content but NO _SUCCESS
+    // marker must fail the restart loudly (pre-r18 this gate silently
+    // treated ANY restore failure as an empty store)
+    val damaged = tempDir("singest-dmg").resolve("store")
+    java.nio.file.Files.createDirectories(damaged)
+    java.nio.file.Files.writeString(damaged.resolve("part-00000.parquet"), "junk")
+    intercept[java.io.IOException] {
+      StreamIngestDedup.start(s2, base, "singest3c", (_, _) => (),
+        Some(damaged.toString))
+    }
+  }
 }
