@@ -131,9 +131,14 @@ object AnnTuning {
     * [[graft.functions.HyperplaneLshProbeKeys]] — the same native keys
     * as the query path.
     */
-  def lshStats(spark: SparkSession, sample: DataFrame,
+  def lshStats(spark: SparkSession, sampleIn: DataFrame,
                configs: Seq[LshConfig] = LshLadder): Seq[ConfigStats[LshConfig]] = {
     GraftFunctions.register(spark)
+    // the sample is read ~3× per ladder rung (qKeyed, iKeyed, maxBucket)
+    // — uncached, its upstream plan (hash filter over the full corpus)
+    // re-scanned ~45× per tuning pass at the 15-rung default (r18
+    // review); one materialization serves the whole ladder
+    val sample = sampleIn.cache()
     val m = sample.count()
     val orderedPairs = m.toDouble * (m - 1)
     val truth = exactTop1(sample, spark).cache()
@@ -163,7 +168,7 @@ object AnnTuning {
         ConfigStats(cfg, nCand / math.max(orderedPairs, 1.0),
           hits / math.max(nTruth, 1.0), maxBucket.toDouble / math.max(m, 1L))
       }
-    } finally truth.unpersist()
+    } finally { truth.unpersist(); sample.unpersist() }
   }
 
   /** Measure each IVF config on the sample. Centroids come from the FULL
@@ -172,9 +177,10 @@ object AnnTuning {
     * Candidate fraction = mean probed-cell mass per query; est recall =
     * P(true top-1's assigned cell ∈ query's probed cells).
     */
-  def ivfStats(spark: SparkSession, corpus: DataFrame, sample: DataFrame,
+  def ivfStats(spark: SparkSession, corpus: DataFrame, sampleIn: DataFrame,
                configs: Seq[IvfConfig] = IvfLadder): Seq[ConfigStats[IvfConfig]] = {
     GraftFunctions.register(spark)
+    val sample = sampleIn.cache() // lshStats' r18 rule: one materialization
     val m = sample.count().toDouble
     val truth = exactTop1(sample, spark)
       .select(col("qid"), col("nnid")).cache()
@@ -207,7 +213,7 @@ object AnnTuning {
           ConfigStats(cfg, frac, hits / math.max(nTruth, 1.0))
         } finally ranked.unpersist()
       }
-    } finally truth.unpersist()
+    } finally { truth.unpersist(); sample.unpersist() }
   }
 
   /** Deterministic selection: cheapest config meeting BOTH the recall
@@ -281,16 +287,12 @@ object AnnTuning {
   // depends on (maxSample and the ladder, not just targets). putIfAbsent
   // publishes a lazy holder; the tuning job runs under the holder's own
   // initialization lock, so same-key callers still compute exactly once.
-  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
-  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Tuned[LshConfig]]]()
-  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Tuned[IvfConfig]]]()
+  private val lshMemo = new java.util.concurrent.ConcurrentHashMap[String, LazyMemo[Tuned[LshConfig]]]()
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[String, LazyMemo[Tuned[IvfConfig]]]()
 
-  private def memoized[T](map: java.util.concurrent.ConcurrentHashMap[String, Memo[T]],
-                          key: String)(thunk: => T): T = {
-    val fresh = new Memo(() => thunk)
-    val prior = map.putIfAbsent(key, fresh)
-    (if (prior != null) prior else fresh).value
-  }
+  private def memoized[T](
+      map: java.util.concurrent.ConcurrentHashMap[String, LazyMemo[T]],
+      key: String)(thunk: => T): T = LazyMemo.memoized(map, key)(thunk)
 
   /** Tuned LSH config for a corpus, memoized on `key` (e.g. the sf dir):
     * deterministic sample → per-config stats → choose. maxSample=500
@@ -347,7 +349,7 @@ object AnnTuning {
       maxSample: Int = 500, ladder: Seq[LshConfig] = LshLadder): Unit =
     lshMemo.put(
       s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}",
-      new Memo(() => tuned))
+      new LazyMemo(() => tuned))
 
   /** [[installLsh]] for IVF decisions. */
   def installIvf(key: String, tuned: Tuned[IvfConfig],
@@ -355,7 +357,7 @@ object AnnTuning {
       maxSample: Int = 500, ladder: Seq[IvfConfig] = IvfLadder): Unit =
     ivfMemo.put(
       s"$key|$recallTarget|$budgetFraction|$maxSample|${ladder.mkString(",")}",
-      new Memo(() => tuned))
+      new LazyMemo(() => tuned))
 
   /** Test seam: clear the memo (specs tune the same key with different
     * corpora). */

@@ -63,17 +63,30 @@ object CellMaintenance {
       // max-struct on (d2, vec_id) breaks farthest ties toward the larger
       // id; cells with fewer than two members cannot split (both seeds
       // would be the same vector, appending a permanently-empty duplicate
-      // centroid) and stay unsplit — the SplitResult contract
+      // centroid) and stay unsplit — the SplitResult contract.
+      // degenerate-seed guard (r18 review): when the min-vec_id member
+      // was ALSO strictly farthest, sa and sb were the IDENTICAL vector,
+      // the strict-< tie-break sent every member to child A, and the
+      // "split" silently appended a dead duplicate centroid. The max-id
+      // member rides along in the SAME aggregate (sc — no extra job, the
+      // spec pins the bounded job count) and seeds child B whenever
+      // sb's id collides with sa's; sc.vec_id ≠ sa.vec_id for nm ≥ 2.
       val seedRows = members.groupBy("cluster").agg(
         min(struct(col("vec_id"), col("v"))).as("sa"),
         max(struct(col("d2"), col("vec_id"), col("v"))).as("sb"),
+        max(struct(col("vec_id"), col("v"))).as("sc"),
         count(lit(1)).as("nm"))
         .collect()
       var seeds: Map[Int, (Array[Double], Array[Double])] = seedRows
-        .filter(_.getLong(3) >= 2L)
+        .filter(_.getLong(4) >= 2L)
         .map { r =>
-          val sa = r.getStruct(1).getSeq[Double](1).toArray
-          val sb = r.getStruct(2).getSeq[Double](2).toArray
+          val saS = r.getStruct(1)
+          val sa = saS.getSeq[Double](1).toArray
+          val sbS = r.getStruct(2)
+          val sb =
+            if (sbS.getLong(1) == saS.getLong(0))
+              r.getStruct(3).getSeq[Double](1).toArray
+            else sbS.getSeq[Double](2).toArray
           r.getInt(0) -> (sa, sb)
         }.toMap
       if (seeds.isEmpty)

@@ -219,15 +219,25 @@ object Job {
     if (cfg.sourceStabilityCheck)
       checkSourceFilesChanging(files, cfg.stabilitySleepMs, sleep)
 
-    val overrides = cfg.schemaOverrides.map(o => o.table -> o).toMap
-    val catalog: Map[String, org.apache.spark.sql.DataFrame] =
-      files.map { f =>
-        val table = CsvCatalog.stem(f)
-        val raw = CsvCatalog.readTable(spark, f, cfg.sourceDialect)
-        table -> overrides.get(table).fold(raw)(applyOverride(raw, _))
-      }.toMap
-
     val runnable = mappings.filter(m => m.active && m.columns.exists(_.active))
+
+    // only tables a RUNNABLE mapping references are read (r18 review):
+    // the previous whole-folder eager load paid header I/O and (for
+    // non-UTF-8 dialects) full transcoding for every inactive table on
+    // every run, and an unreadable file NO mapping references aborted
+    // the job before any mapping executed; a bad file a mapping DOES
+    // reference still fails that mapping's run, as it must
+    val overrides = cfg.schemaOverrides.map(o => o.table -> o).toMap
+    val referenced = runnable.map(_.sourceTable).toSet
+    val catalog: Map[String, org.apache.spark.sql.DataFrame] =
+      files.flatMap { f =>
+        val table = CsvCatalog.stem(f)
+        if (!referenced.contains(table)) None
+        else {
+          val raw = CsvCatalog.readTable(spark, f, cfg.sourceDialect)
+          Some(table -> overrides.get(table).fold(raw)(applyOverride(raw, _)))
+        }
+      }.toMap
     val parallelism = math.max(1, cfg.maxParallelMappings)
     if (parallelism > 1) {
       val dests = runnable.map(_.destTable)
@@ -298,7 +308,15 @@ object Job {
           }
           try futures.flatMap(_.get())
           catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-        } finally pool.shutdown()
+        } finally {
+          // shutdownNow + bounded await (r18 review): a fatal rethrow
+          // from get() previously left in-flight mapping writes RUNNING
+          // after run() returned, racing whatever recovery the caller
+          // attempts (re-run, source delete); on the success path every
+          // task is already done and this is a no-op
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        }
       }
     val ok = results.size == runnable.size && results.forall(_.ok)
     if (ok && cfg.deleteSourceFiles)

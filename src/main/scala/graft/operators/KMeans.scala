@@ -79,12 +79,11 @@ object KMeans {
     // disk-backed second level (Bench/Verify only — see ModelCache):
     // centroids+wcss persist; assignments re-derive lazily for THESE
     // vectors with zero training actions
-    val fresh = new Memo(() => ModelCache.cached("kmeans", s"$key|$k|$iters",
+    LazyMemo.memoized(memo, s"$key|$k|$iters")(
+      ModelCache.cached("kmeans", s"$key|$k|$iters",
         vectors)(ModelStore.loadKMeans(vectors.sparkSession, _, vectors))(
         ModelStore.saveKMeans(vectors.sparkSession, _, _))(
         fit(vectors, k, iters)))
-    val prior = memo.putIfAbsent(s"$key|$k|$iters", fresh)
-    (if (prior != null) prior else fresh).value
   }
 
   /** Test seam: force retrains (a memo hit would make determinism pins
@@ -100,10 +99,9 @@ object KMeans {
     * ModelStoreSpec via a job-count listener).
     */
   def install(key: String, k: Int, iters: Int, model: Model): Unit =
-    memo.put(s"$key|$k|$iters", new Memo(() => model))
+    memo.put(s"$key|$k|$iters", new LazyMemo(() => model))
 
-  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Model]]()
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, LazyMemo[Model]]()
 
   /** Nearest-centroid id and its squared distance for every row —
     * training's per-iteration assignment, same native-expression
@@ -118,6 +116,13 @@ object KMeans {
     */
   def fit(vectors: DataFrame, k: Int, iters: Int): Model = {
     require(k >= 1 && iters >= 1, "k and iters must be positive")
+    // accept array<float> AND array<double> embeddings (r18 review):
+    // assignWith already casts to array<double>, but the seeding
+    // collects read Seq[Float] and ClassCastException'd on a double
+    // column — the cast is scoped to the collects (float→double is
+    // exact, so float corpora train identically; Model.assignments
+    // keeps the caller's embedding type)
+    val seedVec = col("embedding").cast("array<double>")
     val n = vectors.count()
     require(n > 0, "cannot cluster an empty relation")
     val kEff = math.min(k.toLong, n).toInt
@@ -137,11 +142,11 @@ object KMeans {
           .withColumn("__b",
             pmod(xxhash64(col("vec_id")), lit(kEff.toLong)).cast("int"))
           .groupBy("__b")
-          .agg(min(struct(col("vec_id"), col("embedding"))).as("s"))
+          .agg(min(struct(col("vec_id"), seedVec.as("embedding"))).as("s"))
           .orderBy("__b")
           .select(col("s.embedding"))
           .collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          .map(_.getSeq[Double](0).toArray)
       } else {
         val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
         val stride = math.max(1L, n / kEff)
@@ -149,9 +154,9 @@ object KMeans {
           .withColumn("__rn", row_number().over(w))
           .filter((col("__rn") - 1) % stride === 0)
           .orderBy("vec_id").limit(kEff)
+          .select(seedVec.as("embedding"))
           .collect()
-          .map(_.getSeq[Float](vectors.columns.indexOf("embedding"))
-            .map(_.toDouble).toArray)
+          .map(_.getSeq[Double](0).toArray)
       }
     val wcss = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {

@@ -28,6 +28,11 @@ object CondOp {
 /** One row predicate: column vs constant(s). */
 final case class Conditional(column: String, op: CondOp, values: Seq[String]) {
   def toColumn: Column = {
+    // a <conditional> with no <value> children loads as values = Nil and
+    // would die as a bare values.head NoSuchElementException mid-compile;
+    // fail as a VALIDATION error naming the conditional (r18 review)
+    require(op == CondOp.In || values.nonEmpty,
+      s"conditional on '$column' ($op) has no value")
     val c = col(column)
     op match {
       case CondOp.EqualTo     => c === values.head
@@ -88,9 +93,14 @@ final case class ColumnMapping(
     transform.fold(converted)(f => f(converted)).as(dest)
   }
 
+  // DecimalType included (r18 review): the WRITE side formats decimals
+  // under the culture rule, so the read side must normalize the comma
+  // separator for them too — a Decimal castTo with decimalMode Comma
+  // previously cast the raw comma string and silently produced NULLs
   private def isFloating(t: DataType): Boolean =
     t == org.apache.spark.sql.types.DoubleType ||
-    t == org.apache.spark.sql.types.FloatType
+    t == org.apache.spark.sql.types.FloatType ||
+    t.isInstanceOf[org.apache.spark.sql.types.DecimalType]
 
   private def isTimestamp(t: DataType): Boolean =
     t == org.apache.spark.sql.types.TimestampType

@@ -20,8 +20,7 @@ object PqIndex {
   /** `codebooks(m)(j)` = centroid j of subspace m (each `sub` doubles). */
   final case class Model(dim: Int, sub: Int, codebooks: Seq[Array[Array[Double]]])
 
-  private final class Memo[T](thunk: () => T) { lazy val value: T = thunk() }
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Memo[Model]]()
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, LazyMemo[Model]]()
 
   /** Train (or reuse) the codebooks for a corpus of L2-normalized vectors
     * (`vec_id`, `nvec: array<float>`). `key` must identify the corpus
@@ -30,12 +29,11 @@ object PqIndex {
     */
   def train(key: String, nv: DataFrame, m: Int, k: Int, iters: Int): Model = {
     // disk-backed second level (Bench/Verify only — see ModelCache)
-    val fresh = new Memo(() => ModelCache.cached("pq", s"$key|$m|$k|$iters",
+    LazyMemo.memoized(memo, s"$key|$m|$k|$iters")(
+      ModelCache.cached("pq", s"$key|$m|$k|$iters",
         nv)(ModelStore.loadPq(nv.sparkSession, _))(
         ModelStore.savePq(nv.sparkSession, _, _))(
         doTrain(nv, m, k, iters)))
-    val prior = memo.putIfAbsent(s"$key|$m|$k|$iters", fresh)
-    (if (prior != null) prior else fresh).value
   }
 
   /** Test seam: drop every memoized model (e.g. to pin that a RETRAIN is
@@ -49,7 +47,7 @@ object PqIndex {
     * M-codebook training pass — [[KMeans.install]]'s twin.
     */
   def install(key: String, m: Int, k: Int, iters: Int, model: Model): Unit =
-    memo.put(s"$key|$m|$k|$iters", new Memo(() => model))
+    memo.put(s"$key|$m|$k|$iters", new LazyMemo(() => model))
 
   private def doTrain(nv: DataFrame, m: Int, k: Int, iters: Int): Model = {
     val dimRow = nv.select(max(size(col("nvec"))), min(size(col("nvec")))).collect()(0)

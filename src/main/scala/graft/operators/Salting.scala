@@ -15,9 +15,26 @@ object Salting {
 
   private val SaltCol = "__graft_salt"
 
+  /** Deterministic salt: whole-row hash MIXED with the row's ordinal
+    * within its partition (r18 review — a hot key made of byte-IDENTICAL
+    * duplicate rows, precisely a dedup-corpus shape, hashed to ONE salt
+    * value and the "salted" join degenerated to the unsalted plan; the
+    * per-partition ordinal separates identical rows while staying
+    * deterministic for any fixed input partitioning). Fails fast on a
+    * pre-existing salt column instead of silently overwriting it
+    * (ShardedOrder's reserved-name rule).
+    */
+  private def saltOf(df: DataFrame, salt: Int) = {
+    require(!df.columns.contains(SaltCol),
+      s"input already carries $SaltCol — rename it first")
+    pmod(xxhash64(struct(df.columns.map(col) :+
+      monotonically_increasing_id(): _*)), lit(salt)).cast("int")
+  }
+
   /** Equi-join a skewed `big` side to a `small` side on `key`, splitting
     * every big-side key into `salt` sub-keys: big rows get a deterministic
-    * salt from a hash of the whole row, the small side is replicated once
+    * salt from a hash of the whole row mixed with its partition ordinal
+    * (identical duplicate rows must still spread), the small side is replicated once
     * per salt value, and the join runs on (key, salt) — a hot key's rows
     * spread over `salt` tasks instead of one. Small-side cost: ×`salt`
     * rows shuffled (pick `salt` ≈ a few × executor count, only worth it
@@ -37,8 +54,7 @@ object Salting {
     require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
         s"rows $salt times; safe types: inner, left, left_semi, left_anti")
-    val saltedBig = big.withColumn(SaltCol,
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val saltedBig = big.withColumn(SaltCol, saltOf(big, salt))
     val saltedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall, Seq(key, SaltCol), joinType).drop(SaltCol)
@@ -53,8 +69,7 @@ object Salting {
     */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    df.withColumn(SaltCol,
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salt)).cast("int"))
+    df.withColumn(SaltCol, saltOf(df, salt))
       .groupBy(col(key), col(SaltCol))
       .agg(sum(col(valueCol)).as("partial_sum"), count(lit(1)).as("partial_n"))
       .groupBy(col(key))

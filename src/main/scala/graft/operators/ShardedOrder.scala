@@ -78,7 +78,17 @@ object ShardedOrder {
       .withColumn("__soff", coalesce(sum("__s").over(wOff), lit(0L)))
       .withColumn("n", sum("__c").over(Window.partitionBy(kCols: _*)))
       .select(kCols ++ Seq(col("__shard"), col("__coff"), col("__soff"), col("n")): _*)
-    val out = ranked.join(broadcast(offs), keys :+ "__shard")
+    // NULL-SAFE offset attach (r18 review): a using-columns inner join
+    // would silently DROP every row whose key is NULL — but the window
+    // formulation this operator must be bit-identical to treats NULL as
+    // an ordinary partition value, so the join matches with <=> instead
+    val r = ranked.alias("__so_r")
+    val o = broadcast(offs).alias("__so_o")
+    val cond = (keys :+ "__shard")
+      .map(k => col(s"__so_r.$k") <=> col(s"__so_o.$k")).reduce(_ && _)
+    val out = r.join(o, cond)
+      .select(col("__so_r.*"), col("__so_o.__coff"),
+        col("__so_o.__soff"), col("__so_o.n"))
       .withColumn("rn", col("__srn") + col("__coff"))
     (if (weight.isDefined) out.withColumn("prefix", col("__spre") + col("__soff"))
      else out)

@@ -139,6 +139,30 @@ class CellMaintenanceSpec extends AnyFunSuite {
     assert(res.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
+  test("a cell whose min-id member is the farthest still splits into two live children (r18)") {
+    // pre-fix: sa (min vec_id) and sb (max d2) were the SAME outlier
+    // vector, the strict-< tie-break sent every member to child A, and
+    // the "split" appended a dead duplicate centroid; now child B seeds
+    // from a remaining member and the outlier separates from the core
+    val outlier = Seq((1L, bases(3).map(_.toFloat))) // smallest id, far mode
+    val core = cluster(0, 20, 100L, 9)
+    val corpus = df(outlier ++ core)
+    val cents = Array(bases(0), bases(1))
+    val res = CellMaintenance.splitCells(corpus, cents, Seq(0))
+    assert(res.children.contains(0), "flagged cell must split")
+    val (ca, cb) = res.children(0)
+    val byCell = KMeans.assignWith(corpus, res.centroids)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCell.getOrElse(ca, 0L) > 0L && byCell.getOrElse(cb, 0L) > 0L,
+      s"both children must receive members, got $byCell for ($ca, $cb)")
+    // the outlier sits alone in its child
+    val outCell = KMeans.assignWith(corpus, res.centroids)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .select("cluster").collect()(0).getInt(0)
+    assert(byCell(outCell) == 1L, s"outlier must separate, got $byCell")
+  }
+
   test("no flagged cells is a no-op without jobs; job count is bounded when flagged") {
     val model = fitStanding()
     val combined = df(refVecs ++ deltaVecs)

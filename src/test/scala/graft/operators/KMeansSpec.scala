@@ -35,6 +35,17 @@ class KMeansSpec extends AnyFunSuite {
     assert(m.centroids.length == 8 && m.centroids.forall(_.length == 64))
   }
 
+  test("fit accepts array<double> embeddings; float corpora train identically (r18)") {
+    // the seeding collects read Seq[Float] and ClassCastException'd on a
+    // double column that assignWith itself accepts
+    val dv = vectors.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val md = KMeans.fit(dv, k = 5, iters = 2)
+    val mf = KMeans.fit(vectors, k = 5, iters = 2)
+    assert(md.centroids.map(_.toSeq).toSeq == mf.centroids.map(_.toSeq).toSeq,
+      "float->double upcast is exact, so the trained model must match")
+  }
+
   test("rerun is bit-identical (deterministic seeding, means, tie-break)") {
     val a = KMeans.fit(vectors, k = 5, iters = 3)
     val b = KMeans.fit(vectors, k = 5, iters = 3)

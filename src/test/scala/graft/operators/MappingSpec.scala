@@ -102,6 +102,30 @@ class MappingSpec extends AnyFunSuite {
     assert(out(0).getDouble(0) == 1.25 && out(0).getDouble(1) == 3.5)
   }
 
+  test("decimal-separator normalization covers DecimalType destinations (r18)") {
+    // the write side formats decimals under the culture rule, so the
+    // read side must normalize commas for Decimal casts too — this
+    // previously cast the raw comma string and produced NULL
+    val d = Seq(("3,14", "2,50")).toDF("a", "b")
+    val out = Mapping("t", "o", Seq(
+      ColumnMapping(Some("a"), "a",
+        castTo = Some(org.apache.spark.sql.types.DecimalType(10, 2)),
+        decimalMode = graft.sources.DecimalMode.Comma),
+      ColumnMapping(Some("b"), "b",
+        castTo = Some(org.apache.spark.sql.types.DecimalType(10, 2)),
+        decimalMode = graft.sources.DecimalMode.Detect),
+    )).compile(d).collect()
+    assert(out(0).getDecimal(0) == new java.math.BigDecimal("3.14"))
+    assert(out(0).getDecimal(1) == new java.math.BigDecimal("2.50"))
+  }
+
+  test("a conditional with no values is a validation error, not a bare head crash (r18)") {
+    val e = intercept[IllegalArgumentException] {
+      Conditional("x", CondOp.EqualTo, Seq.empty).toColumn
+    }
+    assert(e.getMessage.contains("'x'"), e.getMessage)
+  }
+
   test("per-mapping value transform mirrors ConvertInputValueToOutputValue") {
     val df = Seq(("ann", "1"), ("bo", "2")).toDF("name", "id")
     val out = Mapping("t", "o", Seq(

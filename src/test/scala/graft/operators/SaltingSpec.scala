@@ -42,6 +42,28 @@ class SaltingSpec extends AnyFunSuite {
     assert(plan.contains("__graft_salt"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("byte-identical duplicate rows spread across salts (r18)") {
+    // a hot key made of IDENTICAL rows — a dedup-corpus shape — hashed
+    // to ONE salt value before the ordinal was mixed in, degenerating
+    // the salted join to the unsalted plan
+    val dup = spark.range(1000).select(lit(1L).as("k"), lit(7L).as("v"))
+    val plain = dup.join(dim(), Seq("k")).count()
+    assert(Salting.saltedJoin(dup, dim(), "k", salt = 8).count() == plain)
+    val nSalts = dup.withColumn("s",
+        pmod(xxhash64(struct(col("k"), col("v"),
+          monotonically_increasing_id())), lit(8)))
+      .select("s").distinct().count()
+    assert(nSalts > 1, "identical rows must not collapse to one salt")
+  }
+
+  test("a pre-existing salt column is rejected, not silently overwritten (r18)") {
+    val bad = skewed().withColumn("__graft_salt", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedJoin(bad, dim(), "k", salt = 4)
+    }
+    assert(e.getMessage.contains("__graft_salt"))
+  }
+
   test("outer join types that would duplicate small-side rows are rejected") {
     for (jt <- Seq("right", "full", "full_outer", "rightouter", "cross"))
       assertThrows[IllegalArgumentException] {

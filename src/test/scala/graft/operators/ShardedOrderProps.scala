@@ -20,7 +20,10 @@ object ShardedOrderProps extends Properties("shardedOrder") {
   private val rows: Gen[List[(Long, String, Long)]] =
     Gen.chooseNum(1, 60).flatMap { n =>
       Gen.listOfN(n, for {
-        k <- Gen.frequency((6, Gen.const("hot")), (1, Gen.oneOf("a", "b")))
+        // null keys included (r18 review: the offset join silently
+        // dropped NULL-keyed rows until it went null-safe)
+        k <- Gen.frequency((6, Gen.const("hot")), (1, Gen.oneOf("a", "b")),
+          (1, Gen.const(null: String)))
         w <- Gen.chooseNum(0L, 9L)
       } yield (k, w))
     }.map(_.zipWithIndex.map { case ((k, w), i) => (i.toLong, k, w) })
