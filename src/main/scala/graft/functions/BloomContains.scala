@@ -53,9 +53,16 @@ case class BloomContains(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (_, value) => {
-      val f = ctx.addReferenceObj("graftBloom", filter,
-        classOf[BloomFilter].getName)
-      s"${ev.value} = $f.mightContainLong($value);"
+      // a NULL literal filter must not NPE at PLANNING time by forcing
+      // the lazy deserialization (r18 review); nullSafeCodeGen's null
+      // check short-circuits this body for every row, so the emitted
+      // statement never runs — it only has to compile
+      if (left.eval() == null) s"${ev.value} = false;"
+      else {
+        val f = ctx.addReferenceObj("graftBloom", filter,
+          classOf[BloomFilter].getName)
+        s"${ev.value} = $f.mightContainLong($value);"
+      }
     })
 
   override protected def withNewChildrenInternal(

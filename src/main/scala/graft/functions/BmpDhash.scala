@@ -66,10 +66,17 @@ case class BmpDhash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object BmpDhash {
-  private def u16le(b: Array[Byte], i: Int): Int =
+/** ONE definition of "a BMP this library decodes" — the validated
+  * 24-bit BI_RGB header walk shared by [[BmpDhash]] and [[BmpResize]]
+  * (r18 review: the two walks previously held verbatim copies of this
+  * ~18-line validation block, the drift risk [[WavEnergyHash]]'s
+  * `locate` was factored to prevent). Callers apply their own minimum
+  * dimensions on top.
+  */
+private[functions] object BmpHeader {
+  private[functions] def u16le(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], i: Int): Long =
+  private[functions] def u32le(b: Array[Byte], i: Int): Long =
     (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
       ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
   private def s32le(b: Array[Byte], i: Int): Int = u32le(b, i).toInt
@@ -78,7 +85,37 @@ object BmpDhash {
     * and keeps the per-image work bounded (a 2³⁰-wide header on a
     * 100-byte buffer must fail the length check, not overflow).
     */
-  private val MaxDim = 1 << 20
+  private[functions] val MaxDim = 1 << 20
+
+  /** (dataOffset, width, height, topDown, stride) — geometry of the
+    * pixel array, validated against the buffer; null on refusal. */
+  final class Geometry(val off: Int, val w: Int, val h: Int,
+                       val topDown: Boolean, val stride: Int)
+
+  def locate(b: Array[Byte]): Geometry = {
+    if (b == null || b.length < 54) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    val offset = u32le(b, 10)
+    val dibSize = u32le(b, 14)
+    if (dibSize < 40) return null
+    val w = s32le(b, 18)
+    val hRaw = s32le(b, 22)
+    // Int.MinValue negates to itself — reject before abs
+    if (hRaw == Int.MinValue) return null
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (u16le(b, 26) != 1) return null          // planes
+    if (u16le(b, 28) != 24) return null         // bpp: BI_RGB truecolor only
+    if (u32le(b, 30) != 0L) return null         // compression: BI_RGB
+    if (w < 1 || h < 1 || w > MaxDim || h > MaxDim) return null
+    if (offset < 14 + dibSize || offset > b.length) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (offset + stride.toLong * h > b.length) return null
+    new Geometry(offset.toInt, w, h, topDown, stride)
+  }
+}
+
+object BmpDhash {
 
   /** The pixel walk; static so generated code calls it directly.
     * Returns the boxed dHash-64 or null.
@@ -95,25 +132,13 @@ object BmpDhash {
     * pipeline runs on the native decode instead of the multimodal stub.
     */
   def cells(b: Array[Byte]): Array[Long] = {
-    if (b == null || b.length < 54) return null
-    if (b(0) != 'B' || b(1) != 'M') return null
-    val offset = u32le(b, 10)
-    val dibSize = u32le(b, 14)
-    if (dibSize < 40) return null
-    val w = s32le(b, 18)
-    val hRaw = s32le(b, 22)
-    val topDown = hRaw < 0
-    // Int.MinValue negates to itself — reject before abs
-    if (hRaw == Int.MinValue) return null
-    val h = math.abs(hRaw)
-    if (u16le(b, 26) != 1) return null          // planes
-    if (u16le(b, 28) != 24) return null         // bpp: BI_RGB truecolor only
-    if (u32le(b, 30) != 0L) return null         // compression: BI_RGB
-    if (w < 9 || h < 8 || w > MaxDim || h > MaxDim) return null
-    if (offset < 14 + dibSize || offset > b.length) return null
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (offset + stride.toLong * h > b.length) return null
-    val off = offset.toInt
+    val g = BmpHeader.locate(b)
+    if (g == null) return null
+    val w = g.w; val h = g.h
+    if (w < 9 || h < 8) return null // every 9×8 cell must be non-empty
+    val topDown = g.topDown
+    val stride = g.stride
+    val off = g.off
 
     // 9×8 luma cells: cell (gr, gc) box-averages pixel rows
     // [gr·h/8, (gr+1)·h/8) × cols [gc·w/9, (gc+1)·w/9) — integer

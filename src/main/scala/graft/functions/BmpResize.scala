@@ -56,12 +56,6 @@ case class BmpResize(child: Expression, targetW: Int, targetH: Int)
 }
 
 object BmpResize {
-  private def u16le(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def u32le(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-  private def s32le(b: Array[Byte], i: Int): Int = u32le(b, i).toInt
   private def putU16(b: Array[Byte], i: Int, v: Int): Unit = {
     b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte
   }
@@ -70,8 +64,6 @@ object BmpResize {
     b(i + 2) = ((v >> 16) & 0xff).toByte; b(i + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  private val MaxDim = 1 << 20
-
   /** The resize; static so generated code calls it directly. Returns the
     * new BMP bytes or null. Output is always bottom-up with the
     * canonical header ([[graft.queries.GroupC]]'s constructed-bytes
@@ -79,24 +71,15 @@ object BmpResize {
     * byte-deterministic.
     */
   def scan(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
-    if (b == null || b.length < 54) return null
-    if (b(0) != 'B' || b(1) != 'M') return null
-    val offset = u32le(b, 10)
-    val dibSize = u32le(b, 14)
-    if (dibSize < 40) return null
-    val w = s32le(b, 18)
-    val hRaw = s32le(b, 22)
-    if (hRaw == Int.MinValue) return null
-    val topDown = hRaw < 0
-    val h = math.abs(hRaw)
-    if (u16le(b, 26) != 1) return null
-    if (u16le(b, 28) != 24) return null
-    if (u32le(b, 30) != 0L) return null
-    if (w < tw || h < th || w > MaxDim || h > MaxDim) return null
-    if (offset < 14 + dibSize || offset > b.length) return null
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (offset + stride.toLong * h > b.length) return null
-    val off = offset.toInt
+    // shared header walk (BmpHeader — one definition with BmpDhash);
+    // downscale-only is this walk's own floor
+    val g = BmpHeader.locate(b)
+    if (g == null) return null
+    val w = g.w; val h = g.h
+    if (w < tw || h < th) return null
+    val topDown = g.topDown
+    val stride = g.stride
+    val off = g.off
 
     val tStride = ((tw * 3 + 3) / 4) * 4
     val out = new Array[Byte](54 + tStride * th) // pad bytes stay zero

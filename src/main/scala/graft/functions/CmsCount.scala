@@ -47,9 +47,14 @@ case class CmsCount(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (_, value) => {
-      val f = ctx.addReferenceObj("graftCms", sketch,
-        classOf[CountMinSketch].getName)
-      s"${ev.value} = $f.estimateCount((Object) java.lang.Long.valueOf($value));"
+      // NULL-literal sketch: don't force the lazy deserialization at
+      // planning time (BloomContains' r18 rule — the body never runs)
+      if (left.eval() == null) s"${ev.value} = 0L;"
+      else {
+        val f = ctx.addReferenceObj("graftCms", sketch,
+          classOf[CountMinSketch].getName)
+        s"${ev.value} = $f.estimateCount((Object) java.lang.Long.valueOf($value));"
+      }
     })
 
   override protected def withNewChildrenInternal(

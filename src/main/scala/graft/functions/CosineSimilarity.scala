@@ -60,8 +60,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
         i += 1
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) null
-      else math.max(-1.0, math.min(1.0, dot / denom))
+      // NULL, never NaN (r18 review): Inf/Inf (both accumulators
+      // overflowing) and NaN lanes previously leaked NaN through the
+      // clamp, poisoning downstream comparisons the doc promises are
+      // clamped; a finite-overflow quotient (Inf/finite) still clamps
+      val r = dot / denom
+      if (denom == 0.0 || java.lang.Double.isNaN(r)) null
+      else math.max(-1.0, math.min(1.0, r))
     }
   }
 
@@ -87,10 +92,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
+         |  double ${denom}_r = $dot / $denom;
+         |  if ($denom == 0.0 || java.lang.Double.isNaN(${denom}_r)) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $dot / $denom));
+         |    ${ev.value} = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, ${denom}_r));
          |  }
          |}
        """.stripMargin

@@ -180,6 +180,11 @@ case class SimHashSignature(child: Expression, bits: Int)
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 2)
+      // a null struct element votes for nothing, it must not NPE the
+      // query (r18 review; the sibling array kernels likewise tolerate
+      // null elements)
+      if (row == null) { i += 1 }
+      else {
       val h = row.getLong(0)
       val cnt = row.getLong(1)
       var j = 0
@@ -188,6 +193,7 @@ case class SimHashSignature(child: Expression, bits: Int)
         j += 1
       }
       i += 1
+      }
     }
     var sig = 0L
     var j = 0

@@ -41,6 +41,9 @@ object WeightedMedian extends Aggregator[(Long, Long), Map[Long, Long], java.lan
   override def finish(hist: Map[Long, Long]): java.lang.Long = {
     if (hist.isEmpty) return null
     val half = (hist.valuesIterator.sum + 1) / 2
+    // total weight ≤ 0 (all-zero or net-negative weights): the median is
+    // UNDEFINED — NULL, not the Long.MinValue loop sentinel (r18 review)
+    if (half <= 0) return null
     var cum = 0L
     var res = Long.MinValue
     val it = hist.toSeq.sortBy(_._1).iterator

@@ -116,6 +116,11 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, dim: Int = 8,
       normalize: Boolean = false): DataFrame = {
+    // fail-fast on a clash (imageDimsPlan's rule, r18 review): appending
+    // a second `features` field would surface later as an
+    // ambiguous-reference AnalysisException far from the cause
+    require(!df.columns.contains("features"),
+      "input already carries a 'features' column — rename or drop it first")
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val contentIdx = df.schema.fieldIndex("content")

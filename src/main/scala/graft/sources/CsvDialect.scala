@@ -42,7 +42,8 @@ object MalformedMode {
   *
   * The data-read path trims all fields (TrimOptions.Trim,
   * src/CSVSourceReader.cs:48) while the schema-inference read does not
-  * (src/CSVProvider.cs:172) — [[readOptions]] vs [[schemaReadOptions]].
+  * (src/CSVProvider.cs:172) — [[readOptions]] vs [[CsvCatalog]]'s
+  * driver-side header read, which performs the untrimmed schema pass.
   * Quote-escaping is RFC-4180 `""` doubling (escape char == quote char,
   * src/CSVSourceReader.cs:49-51).
   */
@@ -72,21 +73,15 @@ final case class CsvDialect(
     "inferSchema"               -> "false",
   )
 
-  /** Options for the schema-inference read: NO trimming (reference
-    * schema dialect, src/CSVProvider.cs:166-178).
-    */
-  def schemaReadOptions: Map[String, String] =
-    readOptions ++ Map(
-      "ignoreLeadingWhiteSpace"  -> "false",
-      "ignoreTrailingWhiteSpace" -> "false",
-      "mode"                     -> "PERMISSIVE",
-    )
-
   /** Options for the write path. Reference quotes every non-NULL value
-    * (src/CSVDestinationWriter.cs:86-143) → quoteAll; NULL written as the
-    * bare sentinel; header per config (:82-85, 146-152). We emit properly
-    * escaped quotes — documented deviation from the reference's malformed
-    * output (SURVEY.md §2.4.1).
+    * (src/CSVDestinationWriter.cs:86-143) → quoteAll; header per config
+    * (:82-85, 146-152). We emit properly escaped quotes — documented
+    * deviation from the reference's malformed output (SURVEY.md §2.4.1).
+    * Under these options Spark writes NULL as the QUOTED sentinel
+    * ("NULL" — quoteAll covers the substituted nullValue string too;
+    * probe-verified r18, spec-pinned in CsvWriteSpec); the reference's
+    * bare-NULL byte shape is the single-file fidelity path's job
+    * ([[CsvWrite.writeSingleFile]] via referenceRecords).
     */
   def writeOptions: Map[String, String] = Map(
     "sep"        -> delimiter,

@@ -137,9 +137,14 @@ object CsvWrite {
     try {
       referenceRecords(df, dialect, culture).coalesce(1)
         .write.mode("overwrite").text(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      // the listing stream must CLOSE (r18 review — CsvCatalog's rule):
+      // unclosed DirectoryStreams leak one fd per exported table until GC
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        finally listing.close()
       val name = timestampSuffix match {
         case Some(ts) => s"$table[$ts].csv"
         case None     => s"$table.csv"
@@ -157,9 +162,12 @@ object CsvWrite {
       } finally { in.close(); out.close() }
       dest
     } finally {
-      if (Files.exists(tmp))
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      if (Files.exists(tmp)) {
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.deleteIfExists)
+        finally walk.close()
+      }
     }
   }
 }

@@ -57,6 +57,18 @@ class BloomContainsSpec extends AnyFunSuite {
     assert(run("NO_CODEGEN") == run("CODEGEN_ONLY"))
   }
 
+  test("a NULL literal sketch plans and yields NULL rows, no planning NPE (r18)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("k")
+    val out = df.select(expr(
+      s"${GraftFunctions.BloomName}(CAST(NULL AS BINARY), k)").as("m"))
+    assert(out.collect().forall(_.isNullAt(0)))
+    val cms = df.select(expr(
+      s"${GraftFunctions.CmsCountName}(CAST(NULL AS BINARY), k)").as("c"))
+    assert(cms.collect().forall(_.isNullAt(0)))
+  }
+
   test("d23 bloom-pruned decontamination equals d19's exact result") {
     val exact = GroupD.d19Decontaminate(spark, sf).collect().toSeq
     val bloom = GroupD.d23BloomDecon(spark, sf).collect().toSeq

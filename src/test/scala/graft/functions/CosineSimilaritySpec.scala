@@ -108,4 +108,29 @@ class CosineSimilaritySpec extends AnyFunSuite {
           org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) == null)
   }
+  test("non-finite accumulators yield NULL, never NaN (r18)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1e200, 1e200), Array(1e200, 1e200)), // Inf/Inf -> NaN pre-fix
+      (2L, Array(Double.NaN, 1.0), Array(1.0, 1.0)),  // NaN lane
+      (3L, Array(1e200, 0.0), Array(1.0, 0.0))        // Inf/finite clamps
+    ).toDF("id", "a", "b")
+      .select($"id", expr(s"${GraftFunctions.CosineName}(a, b)").as("c"))
+      .orderBy("id").collect()
+    assert(df(0).isNullAt(1), "Inf/Inf must be NULL")
+    assert(df(1).isNullAt(1), "NaN lane must be NULL")
+    assert(!df(2).isNullAt(1) && df(2).getDouble(1) <= 1.0)
+  }
+
+  test("simhash skips a null struct element instead of NPE-ing (r18)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq(1).toDF("x").select(expr(
+      s"${GraftFunctions.SimHashName}(array(" +
+        "named_struct('h', 3L, 'cnt', 2L), " +
+        "CAST(NULL AS struct<h:bigint,cnt:bigint>)))").as("s")).collect()
+    // only the live element votes: bits 0 and 1 of h=3 win -> sig = 3
+    assert(out(0).getLong(0) == 3L)
+  }
 }

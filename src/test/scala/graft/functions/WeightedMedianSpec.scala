@@ -55,6 +55,13 @@ class WeightedMedianSpec extends AnyFunSuite {
     assert(got === Map("a" -> 2L, "b" -> 5L))
   }
 
+  test("all-zero weights yield NULL, not the Long.MinValue sentinel (r18)") {
+    val hist = WeightedMedian.merge(
+      WeightedMedian.reduce(WeightedMedian.zero, (5L, 0L)),
+      WeightedMedian.reduce(WeightedMedian.zero, (7L, 0L)))
+    assert(WeightedMedian.finish(hist) == null)
+  }
+
   test("zero rows yield NULL like builtin aggregates, not an error") {
     assert(WeightedMedian.finish(WeightedMedian.zero) == null)
     val s = spark

@@ -32,6 +32,21 @@ class CsvWriteSpec extends AnyFunSuite {
     assert(lines.get(1) == "\"line1line2\";\"xy\"")
   }
 
+  test("writeDir's null byte shape is the QUOTED sentinel (r18 doc pin)") {
+    // the scale path (Spark's csv writer under quoteAll) writes NULL as
+    // "NULL" — quoteAll covers the substituted nullValue string; the
+    // reference's bare-NULL shape belongs to writeSingleFile's
+    // referenceRecords fidelity path (pinned elsewhere in this suite)
+    val dir = tempDir("wnull").resolve("out").toString
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    CsvWrite.writeDir(df(Seq(Row("x", null)), schema), dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part")).head
+    val lines = java.nio.file.Files.readAllLines(part.toPath)
+    assert(lines.get(1) == "\"x\";\"NULL\"", lines.toString)
+  }
+
   test("timestamps are written as dd-MM-yyyy HH:mm:ss:fff (R13)") {
     val dir = tempDir("w")
     val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
