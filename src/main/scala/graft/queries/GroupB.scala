@@ -1260,17 +1260,24 @@ object GroupB {
     * revenue/7 is integer fixed point.
     */
   def b48TpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
-    val lines = Tables(spark, sfDir, "lineitem")
-      .select(col("l_partkey"),
-        expr("cast(round(l_quantity) as bigint)").as("qty_i"),
-        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
-    val perPart = lines.groupBy("l_partkey")
-      .agg(sum("qty_i").as("sum_qty"), count(lit(1)).as("n_lines"))
     val brandParts = Tables(spark, sfDir, "part")
       .filter(col("p_brand") === "Brand#4" && col("p_type") === "MEDIUM")
       .select("p_partkey")
-    lines
-      .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"))
+    // The brand/type dim prunes BELOW the per-part pre-aggregate (r19 —
+    // the b55 discipline): the per-part average is only ever consumed for
+    // brand parts, so the broadcast SEMI join restricts the lineitem frame
+    // BEFORE its l_partkey exchange. Catalyst does not push joins through
+    // aggregates on its own; without this the full part key space crosses
+    // the shuffle and ~selectivity× of it is discarded one operator later.
+    val brandLines = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"),
+        expr("cast(round(l_quantity) as bigint)").as("qty_i"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+      .join(broadcast(brandParts), col("p_partkey") === col("l_partkey"),
+        "left_semi")
+    val perPart = brandLines.groupBy("l_partkey")
+      .agg(sum("qty_i").as("sum_qty"), count(lit(1)).as("n_lines"))
+    brandLines
       .join(perPart, "l_partkey")
       .filter(col("qty_i") * 5L * col("n_lines") < col("sum_qty"))
       .agg(sum("price_c").as("sum_price_c"), count(lit(1)).as("n_rows"))
@@ -1620,19 +1627,17 @@ object GroupB {
     * the candidate frame joined back on the part key, reusing the same
     * shuffle side — never a sort or a window over the whole frame.
     *
-    * Plan shape: the (part, supplier) offer agg shuffles lineitem once
-    * on the composite key; the size-filtered part side and the
-    * region-walked supplier dim broadcast-prune the candidate frame
-    * BEFORE the min; the presentation cut is a deterministic full-key
-    * sort under a LIMIT (TakeOrdered — the balance/nation/name/part
-    * tiebreak chain makes the boundary exact at any scale).
+    * Plan shape: the size-filtered part side and the region-walked
+    * supplier dim broadcast-SEMI-prune the lineitem scan BELOW the offer
+    * aggregate (r19 — so only ~1/50 × the EUROPE fraction of the
+    * part×supplier key space ever crosses the composite-key exchange);
+    * the offer agg shuffles that pruned frame once; the attribute joins
+    * above it reuse the same broadcast exchanges; the presentation cut
+    * is a deterministic full-key sort under a LIMIT (TakeOrdered — the
+    * balance/nation/name/part tiebreak chain makes the boundary exact
+    * at any scale).
     */
   def b58TpchQ2(spark: SparkSession, sfDir: String): DataFrame = {
-    val offers = Tables(spark, sfDir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"),
-        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
-      .groupBy("l_partkey", "l_suppkey")
-      .agg(min("price_c").as("cost_c"))
     val sizedParts = Tables(spark, sfDir, "part")
       .filter(col("p_size") === 15)
       .select(col("p_partkey"), col("p_name"))
@@ -1645,6 +1650,23 @@ object GroupB {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         expr("cast(round(s_acctbal * 100) as bigint)").as("acctbal_c"))
+    // Both dims prune BELOW the offer pre-aggregate (r19 — the b55
+    // discipline): the per-(part, supplier) min is only ever consumed for
+    // size-15 parts × EUROPE suppliers, so the broadcast SEMI joins
+    // restrict the lineitem frame BEFORE its composite-key exchange.
+    // Catalyst does not push joins through aggregates on its own; without
+    // this the FULL part×supplier key space crosses the shuffle and ~98%
+    // is discarded one operator later. The semi joins broadcast the same
+    // frames the attribute joins below broadcast, so the exchanges reuse.
+    val offers = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"))
+      .join(broadcast(sizedParts), col("p_partkey") === col("l_partkey"),
+        "left_semi")
+      .join(broadcast(euroSupp), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("price_c").as("cost_c"))
     val cand = offers
       .join(broadcast(sizedParts), col("p_partkey") === col("l_partkey"))
       .join(broadcast(euroSupp), col("s_suppkey") === col("l_suppkey"))
