@@ -294,6 +294,7 @@ object Job {
       } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
         val anyFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        var primary: Throwable = null
         try {
           val futures = runnable.map { m =>
             pool.submit(new java.util.concurrent.Callable[Option[MappingResult]] {
@@ -307,15 +308,31 @@ object Job {
             })
           }
           try futures.flatMap(_.get())
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        } catch {
+          case t: Throwable => primary = t; throw t
         } finally {
           // shutdownNow + bounded await (r18 review): a fatal rethrow
           // from get() previously left in-flight mapping writes RUNNING
           // after run() returned, racing whatever recovery the caller
           // attempts (re-run, source delete); on the success path every
-          // task is already done and this is a no-op
+          // task is already done and this is a no-op. The await RESULT
+          // is checked (r19 ADVICE): a pool that fails to quiesce in
+          // 60s means an in-flight write may still race the caller's
+          // recovery — surfaced as a suppressed exception on the
+          // primary failure, or thrown outright on the success path.
           pool.shutdownNow()
-          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          val quiesced =
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          if (!quiesced) {
+            val stillRunning = new IllegalStateException(
+              "mapping pool failed to quiesce within 60s of shutdownNow — " +
+                "an in-flight destination write may still be running")
+            if (primary != null) primary.addSuppressed(stillRunning)
+            else throw stillRunning
+          }
         }
       }
     val ok = results.size == runnable.size && results.forall(_.ok)

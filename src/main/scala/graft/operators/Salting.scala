@@ -15,12 +15,25 @@ object Salting {
 
   private val SaltCol = "__graft_salt"
 
-  /** Deterministic salt: whole-row hash MIXED with the row's ordinal
-    * within its partition (r18 review — a hot key made of byte-IDENTICAL
-    * duplicate rows, precisely a dedup-corpus shape, hashed to ONE salt
-    * value and the "salted" join degenerated to the unsalted plan; the
-    * per-partition ordinal separates identical rows while staying
-    * deterministic for any fixed input partitioning). Fails fast on a
+  /** Salt value: whole-row hash MIXED with the row's ordinal within its
+    * partition (r18 review — a hot key made of byte-IDENTICAL duplicate
+    * rows, precisely a dedup-corpus shape, hashed to ONE salt value and
+    * the "salted" join degenerated to the unsalted plan; the
+    * per-partition ordinal separates identical rows).
+    *
+    * Determinism contract (r19 ADVICE): salt VALUES are only
+    * LAYOUT-stable — `monotonically_increasing_id()` depends on the
+    * physical partition layout, so AQE coalescing or an upstream shuffle
+    * change can re-deal which salt bucket a row lands in between runs.
+    * JOIN/AGGREGATION RESULTS are salt-invariant regardless (every salt
+    * value meets the full replicated small side / merges in the final
+    * pass), so callers get reproducible RESULTS, not reproducible
+    * bucket assignments. The expression is also flagged nondeterministic
+    * by Catalyst, which fences predicate pushdown through the salted
+    * projection — apply filters BEFORE salting (the alternative, a
+    * custom ordinal expression falsely declared deterministic, would
+    * license Catalyst to re-evaluate/reorder it and silently break the
+    * identical-rows-spread property this exists for). Fails fast on a
     * pre-existing salt column instead of silently overwriting it
     * (ShardedOrder's reserved-name rule).
     */
