@@ -567,11 +567,21 @@ object GroupC {
     "<!-- generated ", IdPart, " -->",
     "<p>Tom &amp; Jerry say &quot;hi&quot; &#39;n&#39; &lt;tag", IdPart,
     "&gt;</p>",
+    // r19: the numeric/named reference block — each common ref appears
+    // DECODED (bare) and KEPT (behind `&amp;`, which single-decodes to
+    // the literal ref text so the chain's one-pass contract is visible
+    // in the output): nbsp family collapses into plain spaces, smart
+    // punctuation lands as the real characters.
+    "<p>it&#8217;s &#x2019;q&#x2019; &#x27;h&#x27; &#8216;u&apos; &#8220;w",
+    IdPart,
+    "&#8221; a&#8211;b c&#8212;d etc&#8230; more&hellip; nb&#160;sp&nbsp;x",
+    "&#xa0;y&#xA0;z &lsquo;m&rsquo; &ldquo;n&rdquo; e&ndash;f g&mdash;h",
+    " &amp;#8217; &amp;nbsp; &amp;ndash; kept</p>",
     "<p id=\"b\">", TextPart, "</p>",
     "<a href=\"http://example.com/", IdPart, "\">link ", IdPart, "</a>",
     "</body></html>")
 
-  private def c11Html: Column = concat(c11Parts.map {
+  private def partsHtml(parts: Seq[String]): Column = concat(parts.map {
     case IdPart   => col("doc_id").cast("string")
     case TextPart => col("text")
     case s        => lit(s)
@@ -579,11 +589,14 @@ object GroupC {
 
   /** The identical construction as DuckDB SQL (literals carry no single
     * quotes by construction, so no escaping layer is needed). */
-  private def c11HtmlSql: String = c11Parts.map {
+  private def partsHtmlSql(parts: Seq[String]): String = parts.map {
     case IdPart   => "CAST(doc_id AS VARCHAR)"
     case TextPart => "text"
     case s        => s"'$s'"
   }.mkString(" || ")
+
+  private def c11Html: Column = partsHtml(c11Parts)
+  private def c11HtmlSql: String = partsHtmlSql(c11Parts)
 
   /** The extraction chain, shared order both sides: strip script/style
     * BLOCKS (lazy-dot-all — the block bodies may hold `<`), strip
@@ -612,9 +625,54 @@ object GroupC {
     "(?si)<script[^>]*>.*?</script>",
     "(?si)<style[^>]*>.*?</style>",
     "<[^>]+>")
+
+  /** Whitespace-collapse class, shared verbatim by both engines (r19
+    * ADVICE): spelled out as an explicit character class because Java's
+    * `\s` includes `\x0B` (vertical tab) while RE2's `\s` is
+    * `[\t\n\f\r ]` — a document carrying `\x0B` would collapse on the
+    * Spark side but not in the oracle. The explicit class is valid and
+    * IDENTICAL under both engines, restoring the "every shared pattern
+    * means the same thing in Java regex and RE2" invariant on
+    * adversarial input (the constructed corpus never hits it).
+    */
+  private val MarkupWsP = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Entity decode pairs — the 5 named core entities plus the numeric
+    * character references most common in crawl HTML (r19: smart
+    * quotes/apostrophes, dashes, ellipsis, non-breaking space — the refs
+    * that otherwise survive as literal `&#...;` text and pollute every
+    * downstream token statistic: d69 symbol pressure, d7 counts). All
+    * LITERAL replace pairs (`replace()` is identical in Spark and
+    * DuckDB — the dialect-portable c11 discipline; a general `&#\d+;`
+    * decoder would need per-engine char-from-codepoint functions).
+    *
+    * Order carries semantics: no pair's REPLACEMENT contains `&`, so no
+    * replacement can create a match for a later pattern — EXCEPT
+    * `&amp;` → `&`, which therefore decodes LAST (single-decode:
+    * `&amp;lt;` → `&lt;` kept as text, never `<`; `&amp;#8217;` →
+    * `&#8217;` kept, because the numeric pairs already ran). The
+    * numeric-ref encodings of `&` itself (`&#38;`/`&#x26;`) are
+    * deliberately ABSENT: two amp-producing pairs cannot both be
+    * single-decode-safe against each other in a replace chain (whichever
+    * runs second re-decodes the first's output), and `&amp;` dominates
+    * them in the wild. `&#160;`/`&nbsp;` decode to a PLAIN space: U+00A0
+    * is outside both engines' whitespace classes, so carrying the real
+    * nbsp through would make the collapse and every downstream token
+    * split treat it as a word character — decoding to ' ' is the
+    * standard extraction choice and identical in both engines.
+    */
   private val markupEntities = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&amp;" -> "&")
+    "&#39;" -> "'", "&#x27;" -> "'", "&apos;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ", "&#xA0;" -> " ",
+    "&#8216;" -> "‘", "&lsquo;" -> "‘",
+    "&#8217;" -> "’", "&#x2019;" -> "’", "&rsquo;" -> "’",
+    "&#8220;" -> "“", "&ldquo;" -> "“",
+    "&#8221;" -> "”", "&rdquo;" -> "”",
+    "&#8211;" -> "–", "&ndash;" -> "–",
+    "&#8212;" -> "—", "&mdash;" -> "—",
+    "&#8230;" -> "…", "&hellip;" -> "…",
+    "&amp;" -> "&")
 
   /** Markup→text over any string column — c11's kernel, reusable in
     * front of every text operator (c12 feeds it into the Gopher gate).
@@ -626,7 +684,7 @@ object GroupC {
     val decoded = markupEntities.foldLeft(stripped) {
       case (acc, (ent, rep)) => replace(acc, lit(ent), lit(rep))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, MarkupWsP, " "))
   }
 
   /** The identical chain as DuckDB SQL over expression `e` (DuckDB's
@@ -641,7 +699,7 @@ object GroupC {
         val r = if (rep == "'") "''" else rep
         s"replace($acc, '$ent', '$r')"
     }
-    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace($decoded, '$MarkupWsP', ' ', 'g'))"
   }
 
   /** c11: markup→text extraction — the declared query: construct the
@@ -836,25 +894,41 @@ object GroupC {
 
   /** The oracle's normalization chain, CTE-staged, ending in relation
     * `n(doc_id$carry, url, norm_url, domain)` — shared by c13, d91
-    * (which threads `, n_chars` through `carry`) and d92 (which swaps
-    * in its collision-corpus construction). Every pattern is the SAME
-    * Scala constant the Spark kernel compiles.
+    * (which threads `, n_chars` through `carry`), d92 (which swaps in
+    * its collision-corpus construction) and c14 (which points `from` at
+    * its exploded-outlink relation). Every pattern is the SAME Scala
+    * constant the Spark kernel compiles, and — r19 ADVICE — the chain
+    * now carries the kernel's FULL NULL-domain discipline, not just the
+    * happy path: the `refused` gate (no `scheme://`, multi-colon
+    * authority → `norm_url` and `domain` both NULL — lowering changes
+    * neither emptiness nor colon count, so testing the lowered scheme/
+    * hostport is exactly the kernel's raw-input test) and
+    * `NULLIF(domain, '')` (a sub-2-label host HAS no registered
+    * domain). The constructed c13/d91/d92 corpora never refuse, so
+    * their hashes are unchanged — but the CTE chain is a reusable
+    * surface, and without the gate any future oracle reuse over
+    * junk-bearing input (c14's relative hrefs are the first) would
+    * silently diverge from the library kernel.
     */
   private[queries] def c13NormCtes(carry: String,
-      construct: String = c13UrlSql(e => s"CAST($e AS VARCHAR)")): String =
+      construct: String = c13UrlSql(e => s"CAST($e AS VARCHAR)"),
+      from: String = "documents"): String =
     s"""u AS (SELECT doc_id$carry,
-       |  $construct AS url FROM documents),
+       |  $construct AS url FROM $from),
        |p AS (SELECT doc_id$carry, url,
        |  lower(regexp_extract(url, '$UrlSchemeP', 1)) AS scheme,
        |  lower(regexp_extract(url, '$UrlHostportP', 1)) AS hostport,
        |  regexp_extract(url, '$UrlRestP', 1) AS rest FROM u),
        |q AS (SELECT doc_id$carry, url, scheme,
+       |  (scheme = '' OR
+       |    regexp_extract(hostport, '$UrlMultiColonP', 0) <> '')
+       |    AS refused,
        |  regexp_replace(regexp_replace(hostport, '$UrlPortStripP', ''),
        |    '$UrlWwwP', '') AS host_n,
        |  regexp_extract(hostport, '$UrlPortP', 1) AS port,
        |  regexp_extract(rest, '$UrlPathP', 1) AS path0,
        |  regexp_extract(rest, '$UrlQueryP', 1) AS q0 FROM p),
-       |r AS (SELECT doc_id$carry, url, scheme, host_n,
+       |r AS (SELECT doc_id$carry, url, scheme, refused, host_n,
        |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
        |       OR (scheme = 'http' AND port = '80') THEN ''
        |       ELSE ':' || port END AS port_n,
@@ -863,9 +937,13 @@ object GroupC {
        |  regexp_replace(regexp_replace(q0, '$UrlTrackingP', '', 'g'),
        |    '$UrlLeadAmpP', '') AS q_n FROM q),
        |n AS (SELECT doc_id$carry, url,
-       |  scheme || '://' || host_n || port_n || path ||
-       |    CASE WHEN q_n = '' THEN '' ELSE '?' || q_n END AS norm_url,
-       |  regexp_extract(host_n, '$UrlDomainP', 1) AS domain FROM r)"""
+       |  CASE WHEN refused THEN NULL ELSE
+       |    scheme || '://' || host_n || port_n || path ||
+       |      CASE WHEN q_n = '' THEN '' ELSE '?' || q_n END
+       |  END AS norm_url,
+       |  CASE WHEN refused THEN NULL
+       |    ELSE NULLIF(regexp_extract(host_n, '$UrlDomainP', 1), '')
+       |  END AS domain FROM r)"""
       .stripMargin
 
   /** d92's collision-bearing URL corpus: doc pairs (2k, 2k+1) share one
@@ -892,19 +970,89 @@ object GroupC {
     "CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END"
   ).mkString(" || ")
 
-  private[queries] def d92Url: Column =
+  private[graft] def d92Url: Column =
     expr(d92UrlSql(e => s"CAST($e AS STRING)"))
 
   /** d92's oracle CTE: the collision corpus through the SAME
     * normalization chain as c13 (relation
-    * `n(doc_id, url, norm_url, domain)`). */
-  private[queries] def d92NormCtes: String =
-    c13NormCtes("", d92UrlSql(e => s"CAST($e AS VARCHAR)"))
+    * `n(doc_id$carry, url, norm_url, domain)`; d93 threads `, n_chars`
+    * through `carry` for its cap stage). */
+  private[queries] def d92NormCtesCarry(carry: String): String =
+    c13NormCtes(carry, d92UrlSql(e => s"CAST($e AS VARCHAR)"))
+  private[queries] def d92NormCtes: String = d92NormCtesCarry("")
+
+  // --- c14: outlink harvest (round 19) -----------------------------------
+  // The crawl-frontier operator bridging the two stage-0 axes: c11's pages
+  // already carry <a href> anchors; harvesting their targets through c13's
+  // canonicalization kernel is how a crawler discovers URLs. Per-doc
+  // outlink statistics — link count, DISTINCT canonical targets (surface
+  // variants of one page must collapse), and the lexicographically first
+  // canonical target as the deterministic representative.
+
+  /** The anchor block appended inside c11's page body for the outlink
+    * corpus — one href per discipline arm: (1) a SURFACE-variant absolute
+    * URL (uppercase scheme/host, `www.`, the https-default `:443`,
+    * `/index.html`, a tracking-only query), (2) the same target in plain
+    * canonical form — the pair collapses under c13's kernel, so
+    * n_canon < n_links by construction, (3) a cross-domain link keeping a
+    * real param while dropping `fbclid` and the fragment, (4) a RELATIVE
+    * href — the refusal arm: no `scheme://`, so urlNormalize yields NULL
+    * and the link counts toward n_links but never toward canonical
+    * targets. Plus c11's own `example.com` anchor (5 links per page).
+    */
+  private val c14AnchorParts: Seq[String] = Seq(
+    "<nav><a href=\"HTTPS://WWW.Out-", IdPart,
+    ".Org:443/read/", IdPart, "/index.html?utm_campaign=x\">v1</a>",
+    "<a href=\"https://out-", IdPart, ".org/read/", IdPart, "/\">v2</a>",
+    "<a href=\"http://Ref-", IdPart, ".net:8080/r?id=", IdPart,
+    "&fbclid=z#frag\">x</a>",
+    "<a href=\"/local/about\">rel</a></nav>")
+
+  /** c11's page with the anchor block spliced in before `</body>` —
+    * shared verbatim with the oracle through the same parts list. */
+  private val c14Parts: Seq[String] =
+    c11Parts.init ++ c14AnchorParts :+ c11Parts.last
+
+  /** Shared href pattern — double-quoted attribute values only (the
+    * constructed corpus uses them exclusively), identical under Java
+    * regex and RE2. */
+  private[queries] val HrefP = "href=\"([^\"]*)\""
+
+  /** c14: outlink harvest — construct the page, extract every href,
+    * canonicalize each through [[urlNormalize]], report per-doc link
+    * count, distinct canonical target count, and the lexicographically
+    * first canonical target.
+    *
+    * Scale shape: ZERO shuffles up to the presentation sort — the
+    * extract → transform → distinct → min pipeline runs entirely inside
+    * the row's own projection (`links`/`canon` are non-cheap
+    * multi-reference columns, so CollapseProject keeps each evaluated
+    * once per row — c11's plan argument); no explode, so the per-doc
+    * link lists never hit an exchange. At 100 TB the frontier-dedup step
+    * that FOLLOWS this (explode + d92's canonical-URL dedup) is the
+    * shuffle, and it ships only the canonical strings this operator
+    * already reduced.
+    */
+  def c14OutlinkHarvest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), partsHtml(c14Parts).as("html"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("html"), lit(HrefP), lit(1)).as("links"))
+      .select(col("doc_id"),
+        size(col("links")).cast("long").as("n_links"),
+        array_distinct(filter(
+          transform(col("links"), u => urlNormalize(u)),
+          u => u.isNotNull)).as("canon"))
+      .select(col("doc_id"), col("n_links"),
+        size(col("canon")).cast("long").as("n_canon"),
+        array_min(col("canon")).as("min_target"))
+      .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),
     "c12_markup_gopher"  -> (c12MarkupGopher _),
     "c13_url_normalize"  -> (c13UrlNormalize _),
+    "c14_outlink_harvest" -> (c14OutlinkHarvest _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -1056,6 +1204,20 @@ object GroupC {
       s"""WITH ${c13NormCtes("")}
          |SELECT doc_id, url, norm_url, domain FROM n
          |ORDER BY doc_id""".stripMargin,
+    // c14: the page construction + href explode feed the SAME
+    // normalization CTE chain c13/d91/d92 compile (from = the exploded
+    // link relation). COUNT(DISTINCT)/MIN skip the refused arm's NULLs —
+    // the Spark side filters them before distinct/min, same contract.
+    "c14_outlink_harvest" ->
+      s"""WITH h AS (SELECT doc_id, ${partsHtmlSql(c14Parts)} AS html
+         |  FROM documents),
+         |l AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(html, '$HrefP', 1)) AS url FROM h),
+         |${c13NormCtes("", "url", "l")}
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_links,
+         |  COUNT(DISTINCT norm_url)::BIGINT AS n_canon,
+         |  MIN(norm_url) AS min_target
+         |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "c12_markup_gopher" -> gopherOracleSql(
       s"h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),\n" +
         s"cleaned AS (SELECT doc_id, ${markupCleanSql("html")} AS text " +
