@@ -3999,16 +3999,24 @@ object GroupD {
     * (d78Pairs' policy) so c10's dedup-volume card reuses the one
     * construct+decode+band pass instead of re-running it.
     */
+  /** d82's construct→decode stage (d78Hashed's shape at the audio
+    * modality) — split out in r19 so d94's funnel can census the decode
+    * without re-opening the banding join. */
+  private[queries] def d82Hashed(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(wavBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // construction barrier (d78's lesson)
+      .select(col("doc_id"), expr(wavContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .WavEnergyHashName}(content)").as("ehash"))
+      .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+  }
+
   private[queries] def d82Pairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.StageCache.persisted(s"$sfDir#d82_pairs") {
-      graft.functions.GraftFunctions.register(spark)
-      val hashed = Tables(spark, sfDir, "documents")
-        .select(col("doc_id"), expr(wavBitsExpr).as("bits"))
-        .repartition(col("doc_id")) // construction barrier (d78's lesson)
-        .select(col("doc_id"), expr(wavContentExpr).as("content"))
-        .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
-          .WavEnergyHashName}(content)").as("ehash"))
-        .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+      val hashed = d82Hashed(spark, sfDir)
       val bands = hashed.select(col("doc_id"), col("ehash"),
         posexplode(expr(
           "transform(sequence(0, 3), t -> shiftright(ehash, t * 16) & 65535L)"))
@@ -4222,16 +4230,24 @@ object GroupD {
     * (d78Pairs' policy) so c10's dedup-volume card reuses the one
     * construct+decode+band pass instead of re-running it.
     */
+  /** d85's construct→decode stage (d78Hashed's shape at the video
+    * modality) — split out in r19 so d94's funnel can census the decode
+    * without re-opening the banding join. */
+  private[queries] def d85Hashed(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(y4mBitsExpr).as("bits"))
+      .repartition(col("doc_id")) // construction barrier (d78's lesson)
+      .select(col("doc_id"), expr(y4mContentExpr).as("content"))
+      .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
+        .Y4mEnvelopeHashName}(content)").as("vhash"))
+      .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+  }
+
   private[queries] def d85Pairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.StageCache.persisted(s"$sfDir#d85_pairs") {
-      graft.functions.GraftFunctions.register(spark)
-      val hashed = Tables(spark, sfDir, "documents")
-        .select(col("doc_id"), expr(y4mBitsExpr).as("bits"))
-        .repartition(col("doc_id")) // construction barrier (d78's lesson)
-        .select(col("doc_id"), expr(y4mContentExpr).as("content"))
-        .select(col("doc_id"), expr(s"${graft.functions.GraftFunctions
-          .Y4mEnvelopeHashName}(content)").as("vhash"))
-        .repartition(col("doc_id")) // decode-once barrier (d78's lesson)
+      val hashed = d85Hashed(spark, sfDir)
       val bands = hashed.select(col("doc_id"), col("vhash"),
         posexplode(expr(
           "transform(sequence(0, 3), t -> shiftright(vhash, t * 16) & 65535L)"))
@@ -4721,6 +4737,130 @@ object GroupD {
         count(lit(1)).as("n_raw"))
       .orderBy("norm_url")
 
+  /** d93: the URL-axis e2e compose (r19) — canonicalize → dedup by
+    * canonical URL → per-domain cap as ONE lazily built plan with
+    * d56-style funnel rows, the d90 pattern at the URL modality: over
+    * d92's collision-bearing corpus (so the dedup stage actually halves
+    * the frame), stage 1 normalizes (c13's kernel — refusals would drop
+    * here; the constructed corpus has none, and the funnel row SHOWS
+    * that), stage 2 keeps the smallest doc_id per canonical URL (d92's
+    * keeper rule, as a whole-row keep so the survivor's n_chars feeds
+    * the cap), stage 3 keeps the top-3 per registered domain by
+    * (n_chars DESC, doc_id) among survivors (d91's rule over d92's
+    * output — the composed semantics, not three separate queries).
+    *
+    * Scale shape: ONE scan-side construct+normalize projection feeds
+    * everything; both keep stages are `row_number ≤ k` windows — the
+    * shape Spark plans as WindowGroupLimit, so each exchange carries at
+    * most k rows per key per task; the funnel metrics are four 1-row
+    * partial aggregates cross-joined broadcast into one metrics row and
+    * inline-exploded into the 3 stage rows (d90's shape — the stage
+    * subplans evaluate once, AQE reuses the shared exchanges, and the
+    * report is 3 rows at any corpus size).
+    */
+  def d93UrlPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val normed = docs
+      .select(col("doc_id"), col("n_chars"), GroupC.d92Url.as("url"))
+      .select(col("doc_id"), col("n_chars"),
+        GroupC.urlNormalize(col("url")).as("norm_url"),
+        GroupC.urlDomain(col("url")).as("domain"))
+    val keepers = normed.filter(col("norm_url").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("norm_url")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val capped = keepers.filter(col("domain").isNotNull)
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("__rank") <= 3)
+    val m = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(
+        normed.agg(count(col("norm_url")).as("n_norm"))))
+      .crossJoin(broadcast(keepers.agg(count(lit(1)).as("n_kept"))))
+      .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped"))))
+    m.select(explode(expr(
+        """array(
+          |named_struct('stage', '1_normalize',
+          |  'docs_in', n_docs, 'docs_out', n_norm),
+          |named_struct('stage', '2_url_dedup',
+          |  'docs_in', n_norm, 'docs_out', n_kept),
+          |named_struct('stage', '3_domain_cap',
+          |  'docs_in', n_kept, 'docs_out', n_capped))""".stripMargin))
+        .as("r"))
+      .select(col("r.*"))
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .orderBy("stage")
+  }
+
+  /** d94: the audio/video pipeline e2e compose (r19) — d90's funnel at
+    * the two media modalities that had pairs but no composed lifecycle:
+    * decode (WAV sample walk / Y4M frame walk, refusing junk) → banded
+    * Hamming pairs (d82/d85's cached hubs) → connected-component
+    * clusters → keep-best, per modality, as ONE lazily built plan whose
+    * report is 8 rows (2 modalities × 4 stages) at any corpus size.
+    * The keep-best election at these modalities is the min-id
+    * representative (audio carries no resolution analogue to d81's
+    * pixel-count criterion), so the survivor count per cluster is
+    * exactly 1 and stage 4's docs_out = n_dec − n_clustered +
+    * n_clusters — the oracle re-derives every count arithmetically
+    * from doc_id (the constructed-bytes discipline; it never sees
+    * bytes).
+    *
+    * Scale shape: d90's verbatim — each modality's metrics are 1-row
+    * partial aggregates over the StageCache'd pair hub (the
+    * construct+decode+band pass pays once per corpus across queries)
+    * cross-joined broadcast into one metrics row and inline-exploded
+    * into the 4 stage rows; the component labeling shuffles only
+    * (id, label) pairs per delta-bounded round, StageCache'd per
+    * modality (iterative propagation is the most re-derivation-hostile
+    * shape there is — d80's argument). The decode census re-runs the
+    * scan-side decode once (d90's nDec precedent — the hub caches
+    * PAIRS, and a census column on the hub would widen every consumer
+    * for one count).
+    */
+  def d94AvPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val nDocs = Tables(spark, sfDir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    def modality(tag: String, hashed: DataFrame, hashCol: String,
+                 pairs: DataFrame): DataFrame = {
+      val nDec = hashed.agg(count(col(hashCol)).as("n_dec"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+      val clAgg = graft.operators.StageCache.persisted(
+          s"$sfDir#d94_${tag}_clusters")(
+        graft.operators.ConnectedComponents
+          .label(pairs.select("doc_a", "doc_b"), src = "doc_a", dst = "doc_b"))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_cluster"),
+          sum(col("sz")).as("n_clustered"))
+      val m = nDocs.crossJoin(broadcast(nDec)).crossJoin(broadcast(nPairs))
+        .crossJoin(broadcast(clAgg))
+      val nl = "cast(null as bigint)"
+      m.select(lit(tag).as("modality"), explode(expr(
+          s"""array(
+             |named_struct('stage', '1_decode', 'docs_in', n_docs,
+             |  'docs_out', n_dec, 'n_pairs', $nl, 'n_clusters', $nl,
+             |  'max_cluster', $nl),
+             |named_struct('stage', '2_pairs', 'docs_in', n_dec,
+             |  'docs_out', n_dec, 'n_pairs', n_pairs, 'n_clusters', $nl,
+             |  'max_cluster', $nl),
+             |named_struct('stage', '3_clusters', 'docs_in', n_dec,
+             |  'docs_out', n_dec, 'n_pairs', $nl, 'n_clusters', n_clusters,
+             |  'max_cluster', max_cluster),
+             |named_struct('stage', '4_keep_best', 'docs_in', n_dec,
+             |  'docs_out', n_dec - n_clustered + n_clusters, 'n_pairs', $nl,
+             |  'n_clusters', $nl, 'max_cluster', $nl))""".stripMargin))
+          .as("r"))
+        .select(col("modality"), col("r.*"))
+    }
+    modality("audio_wav", d82Hashed(spark, sfDir), "ehash",
+        d82Pairs(spark, sfDir))
+      .unionByName(modality("video_y4m", d85Hashed(spark, sfDir), "vhash",
+        d85Pairs(spark, sfDir)))
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .orderBy("modality", "stage")
+  }
+
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
     * with the decision column a curation card actually exists to drive
     * (the r14/r15 review's carried ask): per modality corpus, the
@@ -5128,6 +5268,8 @@ object GroupD {
     "d90_media_pipeline_e2e" -> (d90MediaPipelineE2e _),
     "d91_domain_cap" -> (d91DomainCap _),
     "d92_url_dedup" -> (d92UrlDedup _),
+    "d93_url_pipeline_e2e" -> (d93UrlPipelineE2e _),
+    "d94_av_pipeline_e2e" -> (d94AvPipelineE2e _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5352,6 +5494,96 @@ object GroupD {
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d82/d85's pair oracles as shared vals (r19 — d94's funnel nests
+    * them as CTEs the way d90 nests d78's). */
+  private val d82PairOracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+      |       // 1024 % 2
+      |     + CASE WHEN k >= doc_id % 59 AND k < doc_id % 59 + doc_id % 4
+      |            THEN 1 ELSE 0 END) % 2 AS b
+      |  FROM (SELECT doc_id, k,
+      |          ((doc_id // 5) * 999983 + k * 8263 + 54321)
+      |            % 1000000007 AS x
+      |        FROM d, range(64) t(k))),
+      |h AS (
+      |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+      |           AS hamming
+      |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val d85PairOracleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
+      |       // 1024 % 2
+      |     + CASE WHEN k >= doc_id % 53 AND k < doc_id % 53 + doc_id % 4
+      |            THEN 1 ELSE 0 END) % 2 AS b
+      |  FROM (SELECT doc_id, k,
+      |          ((doc_id // 7) * 999979 + k * 9001 + 11213)
+      |            % 1000000007 AS x
+      |        FROM d, range(64) t(k))),
+      |h AS (
+      |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
+      |           AS hamming
+      |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One modality's half of d94's oracle: the component labeling +
+    * count CTEs over a nested pair oracle, every relation prefixed so
+    * the two modalities coexist in one WITH RECURSIVE. */
+  private def d94ModalityCtes(p: String, pairSql: String): String =
+    s"""${p}pairs AS (
+       |$pairSql),
+       |${p}edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM ${p}pairs
+       |  UNION ALL
+       |  SELECT doc_b AS s, doc_a AS d FROM ${p}pairs),
+       |${p}verts AS (SELECT DISTINCT s AS doc_id FROM ${p}edges),
+       |${p}reach AS (
+       |  SELECT doc_id, doc_id AS root FROM ${p}verts
+       |  UNION
+       |  SELECT e.d AS doc_id, r.root
+       |  FROM ${p}reach r JOIN ${p}edges e ON e.s = r.doc_id),
+       |${p}comp AS (
+       |  SELECT doc_id, MIN(root) AS cluster_id FROM ${p}reach
+       |  GROUP BY doc_id),
+       |${p}sizes AS (
+       |  SELECT cluster_id, COUNT(*)::BIGINT AS n
+       |  FROM ${p}comp GROUP BY cluster_id),
+       |${p}m AS (SELECT
+       |  (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       |  (SELECT COUNT(*) FROM documents
+       |   WHERE doc_id % 17 <> 0)::BIGINT AS n_dec,
+       |  (SELECT COUNT(*) FROM ${p}pairs)::BIGINT AS n_pairs,
+       |  (SELECT COUNT(*) FROM ${p}sizes)::BIGINT AS n_clusters,
+       |  (SELECT MAX(n) FROM ${p}sizes)::BIGINT AS max_cluster,
+       |  (SELECT COUNT(*) FROM ${p}comp)::BIGINT AS n_clustered)"""
+      .stripMargin
+
+  private def d94ModalityRows(tag: String, p: String): String =
+    s"""  SELECT '$tag' AS modality, '1_decode' AS stage,
+       |    n_docs AS docs_in, n_dec AS docs_out,
+       |    CAST(NULL AS BIGINT) AS n_pairs,
+       |    CAST(NULL AS BIGINT) AS n_clusters,
+       |    CAST(NULL AS BIGINT) AS max_cluster FROM ${p}m
+       |  UNION ALL SELECT '$tag', '2_pairs', n_dec, n_dec, n_pairs,
+       |    NULL, NULL FROM ${p}m
+       |  UNION ALL SELECT '$tag', '3_clusters', n_dec, n_dec, NULL,
+       |    n_clusters, max_cluster FROM ${p}m
+       |  UNION ALL SELECT '$tag', '4_keep_best', n_dec,
+       |    n_dec - n_clustered + n_clusters, NULL, NULL, NULL FROM ${p}m"""
+      .stripMargin
 
   private val d14OracleSql: String = {
     val pairSql = GroupC.oracleSql("c2_dedup_near")
@@ -5587,6 +5819,35 @@ object GroupD {
          |SELECT norm_url, MIN(doc_id) AS keep_id,
          |  COUNT(*)::BIGINT AS n_raw
          |FROM n GROUP BY norm_url ORDER BY norm_url""".stripMargin,
+    // d93's oracle: the same collision-corpus CTE chain (n_chars carried
+    // through for the cap stage), then d92's keeper rule and d91's cap
+    // rule re-derived as window subqueries, and the 3 funnel rows
+    // assembled from scalar counts — every stage count re-computed from
+    // the shared chain, never trusted from the engine under test.
+    "d93_url_pipeline_e2e" ->
+      s"""WITH ${GroupC.d92NormCtesCarry(", n_chars")},
+         |k AS (SELECT doc_id, n_chars, norm_url, domain FROM (
+         |  SELECT doc_id, n_chars, norm_url, domain,
+         |    ROW_NUMBER() OVER (PARTITION BY norm_url ORDER BY doc_id)
+         |      AS rn
+         |  FROM n WHERE norm_url IS NOT NULL) t WHERE rn = 1),
+         |c AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM k WHERE domain IS NOT NULL) t WHERE rank <= 3),
+         |m AS (SELECT
+         |  (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  (SELECT COUNT(norm_url) FROM n) AS n_norm,
+         |  (SELECT COUNT(*) FROM k) AS n_kept,
+         |  (SELECT COUNT(*) FROM c) AS n_capped)
+         |SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped
+         |FROM (
+         |  SELECT '1_normalize' AS stage, n_docs AS docs_in,
+         |    n_norm AS docs_out FROM m
+         |  UNION ALL SELECT '2_url_dedup', n_norm, n_kept FROM m
+         |  UNION ALL SELECT '3_domain_cap', n_kept, n_capped FROM m) s
+         |ORDER BY stage""".stripMargin,
     // d90's oracle re-derives every stage count from the same CTE chain
     // the d80/d81 oracles use (pairs arithmetically from doc_id, the
     // recursive-reach components), plus the decode count from the junk
@@ -5779,46 +6040,23 @@ object GroupD {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "d85_video_dedup" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
-        |bits AS (
-        |  SELECT doc_id, k,
-        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
-        |       // 1024 % 2
-        |     + CASE WHEN k >= doc_id % 53 AND k < doc_id % 53 + doc_id % 4
-        |            THEN 1 ELSE 0 END) % 2 AS b
-        |  FROM (SELECT doc_id, k,
-        |          ((doc_id // 7) * 999979 + k * 9001 + 11213)
-        |            % 1000000007 AS x
-        |        FROM d, range(64) t(k))),
-        |h AS (
-        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
-        |           AS hamming
-        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    "d82_audio_dedup" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
-        |bits AS (
-        |  SELECT doc_id, k,
-        |    (((x * x % 2147483647) * (x * x % 2147483647) % 2147483647)
-        |       // 1024 % 2
-        |     + CASE WHEN k >= doc_id % 59 AND k < doc_id % 59 + doc_id % 4
-        |            THEN 1 ELSE 0 END) % 2 AS b
-        |  FROM (SELECT doc_id, k,
-        |          ((doc_id // 5) * 999983 + k * 8263 + 54321)
-        |            % 1000000007 AS x
-        |        FROM d, range(64) t(k))),
-        |h AS (
-        |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |         SUM(CASE WHEN a.b <> c.b THEN 1 ELSE 0 END)::BIGINT
-        |           AS hamming
-        |  FROM bits a JOIN bits c ON a.k = c.k AND a.doc_id < c.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d85_video_dedup" -> d85PairOracleSql,
+    "d82_audio_dedup" -> d82PairOracleSql,
+    // d94's oracle: both modalities' pair oracles nested as CTEs (the
+    // d90 pattern twice, relation names prefixed), component labeling
+    // re-derived recursively, and all 8 funnel rows assembled from
+    // scalar counts — every stage count computed arithmetically from
+    // doc_id, never trusting the decoders under test.
+    "d94_av_pipeline_e2e" ->
+      s"""WITH RECURSIVE ${d94ModalityCtes("a", d82PairOracleSql)},
+         |${d94ModalityCtes("v", d85PairOracleSql)}
+         |SELECT modality, stage, docs_in, docs_out, n_pairs, n_clusters,
+         |  max_cluster, docs_in - docs_out AS dropped
+         |FROM (
+         |${d94ModalityRows("audio_wav", "a")}
+         |  UNION ALL
+         |${d94ModalityRows("video_y4m", "v")}) s
+         |ORDER BY modality, stage""".stripMargin,
     "d75_chunk_dedup" ->
       s"""$cdcChunkCtes,
         |chunks AS (

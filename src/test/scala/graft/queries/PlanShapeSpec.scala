@@ -94,6 +94,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "per-(supplier, part) agg must combine map-side")
   }
 
+  test("b48/b58: the dim prune sits BELOW the pre-aggregate (broadcast semi before the shuffle)") {
+    // r19 — the verdict's one genuine plan defect: Catalyst does not push
+    // joins through aggregates, so the brand/size/region prunes must be
+    // authored below the per-part(, supplier) pre-aggregates or the full
+    // key space crosses the exchange and ~98% is discarded one operator
+    // later. Pin it structurally: every pre-aggregate (grouping on the
+    // fact keys) must carry the LeftSemi prune(s) in its own subtree.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    def pin(name: String, groupKeys: Int, semis: Int): Unit = {
+      val lp = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      val preAggs = lp.collect {
+        case a: Aggregate if a.groupingExpressions.size == groupKeys => a
+      }
+      assert(preAggs.nonEmpty, s"$name: pre-aggregate not found")
+      for (a <- preAggs) {
+        val below = a.child.collect {
+          case j: Join if j.joinType == LeftSemi => j
+        }
+        assert(below.size == semis,
+          s"$name: expected $semis LeftSemi prune(s) below the " +
+            s"pre-aggregate, saw ${below.size}")
+      }
+      val p = plan(name)
+      assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+        s"$name: the semi prune must be a broadcast join")
+    }
+    pin("b48_tpch_q17", groupKeys = 1, semis = 1)
+    pin("b58_tpch_q2", groupKeys = 2, semis = 2)
+  }
+
   test("b56: Q12's date band reaches the scan; both counts ride one partial agg") {
     val p = plan("b56_tpch_q12")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
@@ -377,6 +410,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("row_number(), 5, Final"), "rerank top-5 limit")
   }
 
+  test("d93: both keep stages prune map-side (two WindowGroupLimits); c14 is shuffle-free") {
+    // the compose's scale claim made structural: d92's keeper rule and
+    // d91's cap rule must BOTH plan as WindowGroupLimit (≤ k rows per
+    // key per task into each exchange), and c14's harvest must be a pure
+    // per-row projection — its only exchange the presentation sort
+    val p93 = plan("d93_url_pipeline_e2e")
+    val wgl = p93.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(wgl >= 2, s"expected both keep stages as WindowGroupLimit, saw $wgl")
+    val p14 = plan("c14_outlink_harvest")
+    val exchanges = p14.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"c14 must be scan-side up to the presentation " +
+      s"sort, saw $exchanges exchanges:\n" +
+      p14.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p14.contains("Join") && !p14.contains("HashAggregate"),
+      "c14 must not join or aggregate")
+  }
+
   test("d44/d46: attribution and keep-best rules plan as WindowGroupLimit") {
     // d44's top-1 benchmark attribution and d46's one-survivor-per-cluster
     // rule must both prune map-side before their shuffles — at 100 TB the
@@ -462,7 +513,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // d90 crosses five 1-row stage aggregates into the ONE metrics
       // row its 4 funnel rows inline-explode from (d56's pattern +
       // c10's volume columns, round 18)
-      "d90_media_pipeline_e2e")
+      "d90_media_pipeline_e2e",
+      // d93 crosses four 1-row stage aggregates into its URL-funnel
+      // metrics row (d90's pattern at the URL modality, round 19)
+      "d93_url_pipeline_e2e",
+      // d94 crosses four 1-row stage aggregates per modality (d90's
+      // pattern at the audio/video modalities, round 19)
+      "d94_av_pipeline_e2e")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
