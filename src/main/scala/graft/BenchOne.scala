@@ -13,6 +13,11 @@ object BenchOne {
     val sfDir = if (args.length > 2) args(2)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // match Bench's cache policy (r19): without this, a hub-consuming
+    // query like c10 re-derives every StageCache'd pair frame per pass
+    // and the isolated time measures the hubs, not the query — pass 1
+    // shows population + query, later passes the steady state
+    graft.operators.ModelCache.enableDefaultIfUnset()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
