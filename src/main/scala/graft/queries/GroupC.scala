@@ -558,6 +558,7 @@ object GroupC {
     */
   private val IdPart = "\u0001"   // sentinel: doc_id as string
   private val TextPart = "\u0002" // sentinel: the document text column
+  private val UrlPart = "\u0003"  // sentinel: the doc's own c13 raw URL (r19)
   private val c11Parts: Seq[String] = Seq(
     "<html><head><title>Doc ", IdPart, "</title>",
     "<style type=\"text/css\">body { color: #000; margin: 0; }</style>",
@@ -581,17 +582,19 @@ object GroupC {
     "<a href=\"http://example.com/", IdPart, "\">link ", IdPart, "</a>",
     "</body></html>")
 
-  private def partsHtml(parts: Seq[String]): Column = concat(parts.map {
+  private[queries] def partsHtml(parts: Seq[String]): Column = concat(parts.map {
     case IdPart   => col("doc_id").cast("string")
     case TextPart => col("text")
+    case UrlPart  => c13Url
     case s        => lit(s)
   }: _*)
 
   /** The identical construction as DuckDB SQL (literals carry no single
     * quotes by construction, so no escaping layer is needed). */
-  private def partsHtmlSql(parts: Seq[String]): String = parts.map {
+  private[queries] def partsHtmlSql(parts: Seq[String]): String = parts.map {
     case IdPart   => "CAST(doc_id AS VARCHAR)"
     case TextPart => "text"
+    case UrlPart  => s"(${c13UrlSql(e => s"CAST($e AS VARCHAR)")})"
     case s        => s"'$s'"
   }.mkString(" || ")
 
@@ -912,14 +915,15 @@ object GroupC {
     */
   private[queries] def c13NormCtes(carry: String,
       construct: String = c13UrlSql(e => s"CAST($e AS VARCHAR)"),
-      from: String = "documents"): String =
-    s"""u AS (SELECT doc_id$carry,
+      from: String = "documents",
+      prefix: String = ""): String =
+    s"""${prefix}u AS (SELECT doc_id$carry,
        |  $construct AS url FROM $from),
-       |p AS (SELECT doc_id$carry, url,
+       |${prefix}p AS (SELECT doc_id$carry, url,
        |  lower(regexp_extract(url, '$UrlSchemeP', 1)) AS scheme,
        |  lower(regexp_extract(url, '$UrlHostportP', 1)) AS hostport,
-       |  regexp_extract(url, '$UrlRestP', 1) AS rest FROM u),
-       |q AS (SELECT doc_id$carry, url, scheme,
+       |  regexp_extract(url, '$UrlRestP', 1) AS rest FROM ${prefix}u),
+       |${prefix}q AS (SELECT doc_id$carry, url, scheme,
        |  (scheme = '' OR
        |    regexp_extract(hostport, '$UrlMultiColonP', 0) <> '')
        |    AS refused,
@@ -927,24 +931,37 @@ object GroupC {
        |    '$UrlWwwP', '') AS host_n,
        |  regexp_extract(hostport, '$UrlPortP', 1) AS port,
        |  regexp_extract(rest, '$UrlPathP', 1) AS path0,
-       |  regexp_extract(rest, '$UrlQueryP', 1) AS q0 FROM p),
-       |r AS (SELECT doc_id$carry, url, scheme, refused, host_n,
+       |  regexp_extract(rest, '$UrlQueryP', 1) AS q0 FROM ${prefix}p),
+       |${prefix}r AS (SELECT doc_id$carry, url, scheme, refused, host_n,
        |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
        |       OR (scheme = 'http' AND port = '80') THEN ''
        |       ELSE ':' || port END AS port_n,
        |  CASE WHEN path0 = '' THEN '/'
        |       ELSE regexp_replace(path0, '$UrlIndexP', '/') END AS path,
        |  regexp_replace(regexp_replace(q0, '$UrlTrackingP', '', 'g'),
-       |    '$UrlLeadAmpP', '') AS q_n FROM q),
-       |n AS (SELECT doc_id$carry, url,
+       |    '$UrlLeadAmpP', '') AS q_n FROM ${prefix}q),
+       |${prefix}n AS (SELECT doc_id$carry, url,
        |  CASE WHEN refused THEN NULL ELSE
        |    scheme || '://' || host_n || port_n || path ||
        |      CASE WHEN q_n = '' THEN '' ELSE '?' || q_n END
        |  END AS norm_url,
        |  CASE WHEN refused THEN NULL
        |    ELSE NULLIF(regexp_extract(host_n, '$UrlDomainP', 1), '')
-       |  END AS domain FROM r)"""
+       |  END AS domain FROM ${prefix}r)"""
       .stripMargin
+
+  /** [[urlDomain]]'s full rule as DuckDB SQL over expression `e` — the
+    * refusal CASE + NULLIF discipline verbatim, for oracles that need
+    * the registered domain of an ALREADY-canonical URL (d95's frontier
+    * grouping) without re-running the whole CTE chain. */
+  private[queries] def urlDomainSql(e: String): String =
+    s"""CASE WHEN lower(regexp_extract($e, '$UrlSchemeP', 1)) = ''
+       |    OR regexp_extract(lower(regexp_extract($e, '$UrlHostportP', 1)),
+       |         '$UrlMultiColonP', 0) <> '' THEN NULL
+       |  ELSE NULLIF(regexp_extract(regexp_replace(regexp_replace(
+       |    lower(regexp_extract($e, '$UrlHostportP', 1)),
+       |    '$UrlPortStripP', ''), '$UrlWwwP', ''), '$UrlDomainP', 1), '')
+       |END""".stripMargin
 
   /** d92's collision-bearing URL corpus: doc pairs (2k, 2k+1) share one
     * page identity (every CONTENT arm — host, path id, query id — keys
@@ -1012,6 +1029,15 @@ object GroupC {
     * shared verbatim with the oracle through the same parts list. */
   private val c14Parts: Seq[String] =
     c11Parts.init ++ c14AnchorParts :+ c11Parts.last
+
+  /** c14's page plus a SELF-LINK anchor whose href is the doc's OWN raw
+    * c13 URL (surface form — pages linking to themselves are the most
+    * common outlink in real crawls): the arm that proves d95's frontier
+    * diff drops already-known pages, because the self-link's canonical
+    * form equals the corpus page's canonical form by construction. */
+  private[queries] val c15Parts: Seq[String] =
+    c11Parts.init ++ c14AnchorParts ++
+      Seq("<a href=\"", UrlPart, "\">self</a>") :+ c11Parts.last
 
   /** Shared href pattern — double-quoted attribute values only (the
     * constructed corpus uses them exclusively), identical under Java

@@ -4861,6 +4861,43 @@ object GroupD {
       .orderBy("modality", "stage")
   }
 
+  /** d95: crawl-FRONTIER discovery (r19) — the operator c14's harvest
+    * exists to feed, closing the crawl loop (harvest → frontier diff →
+    * schedule): every outlink target across the corpus, canonicalized
+    * through c13's kernel and deduped, ANTI-joined against the corpus's
+    * OWN canonical page URLs (the c15 corpus adds a SELF-LINK anchor per
+    * page — its canonical form equals the page's own canonical form, so
+    * the anti join demonstrably drops already-crawled targets), then
+    * censused per registered domain — (domain, new-URL count, first URL),
+    * exactly the per-host work list a crawl scheduler consumes next to
+    * d91's cap.
+    *
+    * Scale shape: the explode ships canonical STRINGS only (the page
+    * bytes never leave their scan); distinct and the anti join shuffle
+    * on the canonical-URL key — d92's exchange, the unavoidable one —
+    * with map-side partial distinct; the per-domain census is one
+    * partial agg. At 100 TB the corpus side is the standing canonical
+    * table StreamUrlDedup maintains, streamed once per frontier pass
+    * and never self-joined.
+    */
+  def d95FrontierDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs
+      .select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
+    val outlinks = docs
+      .select(GroupC.partsHtml(GroupC.c15Parts).as("html"))
+      .select(explode(regexp_extract_all(col("html"),
+        lit(GroupC.HrefP), lit(1))).as("url"))
+      .select(GroupC.urlNormalize(col("url")).as("norm_url"))
+      .filter(col("norm_url").isNotNull)
+      .distinct()
+    outlinks.join(corpus, Seq("norm_url"), "left_anti")
+      .select(col("norm_url"), GroupC.urlDomain(col("norm_url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_new_urls"), min(col("norm_url")).as("first_url"))
+      .orderBy("domain")
+  }
+
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
     * with the decision column a curation card actually exists to drive
     * (the r14/r15 review's carried ask): per modality corpus, the
@@ -5270,6 +5307,7 @@ object GroupD {
     "d92_url_dedup" -> (d92UrlDedup _),
     "d93_url_pipeline_e2e" -> (d93UrlPipelineE2e _),
     "d94_av_pipeline_e2e" -> (d94AvPipelineE2e _),
+    "d95_frontier_discovery" -> (d95FrontierDiscovery _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5848,6 +5886,27 @@ object GroupD {
          |  UNION ALL SELECT '2_url_dedup', n_norm, n_kept FROM m
          |  UNION ALL SELECT '3_domain_cap', n_kept, n_capped FROM m) s
          |ORDER BY stage""".stripMargin,
+    // d95's oracle: the c15 page (c14's anchors + the self-link) through
+    // the SAME extraction + normalization chain (outlink side), the
+    // corpus's own URLs through the SAME chain again (c-prefixed CTE
+    // names), NOT EXISTS as the frontier diff, and urlDomain's full
+    // rule (refusal CASE + NULLIF, shared constants) for the census key.
+    "d95_frontier_discovery" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${GroupC.partsHtmlSql(GroupC.c15Parts)} AS html FROM documents),
+         |l AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(html, '${GroupC.HrefP}', 1)) AS url
+         |  FROM h),
+         |${GroupC.c13NormCtes("", "url", "l")},
+         |ol AS (SELECT DISTINCT norm_url FROM n WHERE norm_url IS NOT NULL),
+         |${GroupC.c13NormCtes("", from = "documents", prefix = "c")},
+         |f AS (SELECT norm_url FROM ol
+         |  WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm_url = ol.norm_url)),
+         |g AS (SELECT norm_url,
+         |  ${GroupC.urlDomainSql("norm_url")} AS domain FROM f)
+         |SELECT domain, COUNT(*)::BIGINT AS n_new_urls,
+         |  MIN(norm_url) AS first_url
+         |FROM g GROUP BY domain ORDER BY domain""".stripMargin,
     // d90's oracle re-derives every stage count from the same CTE chain
     // the d80/d81 oracles use (pairs arithmetically from doc_id, the
     // recursive-reach components), plus the decode count from the junk
