@@ -324,8 +324,20 @@ object Job {
           // recovery — surfaced as a suppressed exception on the
           // primary failure, or thrown outright on the success path.
           pool.shutdownNow()
+          // an interrupt while waiting must not REPLACE the primary
+          // mapping failure (r19 review): restore the flag, suppress the
+          // interrupt onto the primary (quiescence is then unknown —
+          // skip the check rather than mask the real error), and only
+          // propagate the interrupt itself when there is no primary
           val quiesced =
-            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            try pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+                if (primary == null) throw ie
+                primary.addSuppressed(ie)
+                true
+            }
           if (!quiesced) {
             val stillRunning = new IllegalStateException(
               "mapping pool failed to quiesce within 60s of shutdownNow — " +

@@ -1234,16 +1234,26 @@ object GroupC {
     // normalization CTE chain c13/d91/d92 compile (from = the exploded
     // link relation). COUNT(DISTINCT)/MIN skip the refused arm's NULLs —
     // the Spark side filters them before distinct/min, same contract.
+    // The final select LEFT-joins back to documents (r19 review): a doc
+    // with ZERO hrefs keeps its (0, 0, NULL) row on the Spark side
+    // (size of an empty extract array is 0), so the oracle must not
+    // drop it out of the GROUP BY — unreachable on the constructed
+    // corpus (every page carries 5 anchors), pinned because the chain
+    // is a reusable surface.
     "c14_outlink_harvest" ->
       s"""WITH h AS (SELECT doc_id, ${partsHtmlSql(c14Parts)} AS html
          |  FROM documents),
          |l AS (SELECT doc_id,
          |  unnest(regexp_extract_all(html, '$HrefP', 1)) AS url FROM h),
-         |${c13NormCtes("", "url", "l")}
-         |SELECT doc_id, COUNT(*)::BIGINT AS n_links,
+         |${c13NormCtes("", "url", "l")},
+         |agg AS (SELECT doc_id, COUNT(*)::BIGINT AS n_links,
          |  COUNT(DISTINCT norm_url)::BIGINT AS n_canon,
          |  MIN(norm_url) AS min_target
-         |FROM n GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |FROM n GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_links, 0) AS n_links,
+         |  COALESCE(a.n_canon, 0) AS n_canon, a.min_target
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "c12_markup_gopher" -> gopherOracleSql(
       s"h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),\n" +
         s"cleaned AS (SELECT doc_id, ${markupCleanSql("html")} AS text " +

@@ -4831,8 +4831,14 @@ object GroupD {
         graft.operators.ConnectedComponents
           .label(pairs.select("doc_a", "doc_b"), src = "doc_a", dst = "doc_b"))
         .groupBy("component").agg(count(lit(1)).as("sz"))
+        // coalesce(sum, 0) not bare sum (the r16 c10 finding at this
+        // shape): over a PAIRLESS corpus the cluster frame is empty and
+        // sum returns NULL while the oracle's COUNT(*) returns 0 —
+        // stage 4's docs_out would go NULL instead of n_dec and
+        // hash-mismatch; max stays bare because the oracle's MAX over
+        // empty is NULL too
         .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_cluster"),
-          sum(col("sz")).as("n_clustered"))
+          coalesce(sum(col("sz")), lit(0L)).as("n_clustered"))
       val m = nDocs.crossJoin(broadcast(nDec)).crossJoin(broadcast(nPairs))
         .crossJoin(broadcast(clAgg))
       val nl = "cast(null as bigint)"

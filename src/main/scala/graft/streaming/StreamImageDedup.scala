@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -117,7 +117,6 @@ object StreamImageDedup {
               graft.functions.GraftFunctions.BmpDhashName): StreamingQuery = {
     require(maxDist >= 0 && maxDist < 4,
       s"banded exactness needs maxDist < 4 (bands), got $maxDist")
-    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     val spark = base.sparkSession
     graft.functions.GraftFunctions.register(spark)
 
@@ -125,22 +124,24 @@ object StreamImageDedup {
       df.select(col("asset_id"), expr(s"$hashName(content)").as("dhash"))
         .filter(col("dhash").isNotNull)
 
-    val persisted = standingStore.flatMap(dir => readStore(spark, dir))
-    var standing = persisted.foldLeft(hashed(base))(_ unionByName _)
-      .localCheckpoint(true)
-    var batches = 0L
-
-    delta.writeStream
-      .queryName(queryName)
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+    // the order-sensitive store protocol (restore adjudication, union
+    // re-checkpoint cadence, sink-before-append, compaction) lives in
+    // the shared skeleton (r19) — this gate supplies only its rule;
+    // the restored standing side is eagerly checkpointed because it is
+    // decode-derived (hashing the base lazily would re-run the decode
+    // on every batch's band join)
+    StandingGate.start(delta, hashed(base), queryName, sink,
+        standingStore, compactEvery,
+        storeCols = Seq("asset_id", "dhash"), dedupKey = "asset_id",
+        checkpointRestore = true) {
+      (batch, standing) =>
         // deterministic within-batch survivor per asset_id (at-least-once
         // redelivery may vary passthrough columns; content-first tiebreak
         // via the shared definition so the gates cannot drift), then drop
         // ids the standing side already accepted — a redelivery, not a
         // new asset
         val b0 = DeterministicSurvivor
-          .keepFirstBy(batch.toDF(), "asset_id", "content")
+          .keepFirstBy(batch, "asset_id", "content")
           .join(standing.select("asset_id"), Seq("asset_id"), "left_anti")
           .localCheckpoint(true)
         val bh = hashed(b0).localCheckpoint(true)
@@ -160,19 +161,7 @@ object StreamImageDedup {
         val keptHashes = bh
           .join(kept.select("asset_id"), Seq("asset_id"), "left_semi")
           .localCheckpoint(true)
-        standing = standing.unionByName(keptHashes)
-        batches += 1
-        // collapse the ever-wider union back to one leaf periodically
-        // (review finding r15: one new leaf per batch means linearly
-        // growing analysis/band-explode cost on a long-running gate)
-        if (batches % compactEvery == 0)
-          standing = standing.localCheckpoint(true)
-        sink(kept, batchId)
-        standingStore.foreach { dir =>
-          keptHashes.write.mode("append").parquet(dir)
-          if (batches % compactEvery == 0) compactStore(spark, dir)
-        }
-      }
-      .start()
+        (kept, keptHashes)
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -65,24 +65,20 @@ object StreamIngestDedup {
   def start(delta: DataFrame, base: DataFrame, queryName: String,
             sink: (DataFrame, Long) => Unit,
             standingStore: Option[String] = None,
-            compactEvery: Int = 8): StreamingQuery = {
-    require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
-    val spark = base.sparkSession
-    val persisted = standingStore.flatMap(dir =>
-      StandingStore.readStore(spark, dir, Seq("doc_id", "text")))
-    var standing = persisted.foldLeft(
-      base.select(col("doc_id"), col("text")))(_ unionByName _)
-    var batches = 0L
-    delta.writeStream
-      .queryName(queryName)
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            compactEvery: Int = 8): StreamingQuery =
+    // the order-sensitive store protocol (restore adjudication, union
+    // re-checkpoint cadence, sink-before-append, compaction) lives in
+    // the shared skeleton (r19) — this gate supplies only its rule
+    StandingGate.start(delta, base.select(col("doc_id"), col("text")),
+        queryName, sink, standingStore, compactEvery,
+        storeCols = Seq("doc_id", "text"), dedupKey = "doc_id") {
+      (batch, standing) =>
         // at-least-once sources can also redeliver a doc ACROSS batches:
         // an id already accepted into the standing side is a duplicate
         // arrival, not a new document — without this anti-join it would
         // re-emit AND union into standing twice, doubling its shingle
         // rows and corrupting every later Jaccard count it touches
-        val b = DeterministicSurvivor.keepFirst(batch.toDF())
+        val b = DeterministicSurvivor.keepFirst(batch)
           .join(standing.select("doc_id"), Seq("doc_id"), "left_anti")
         val survivors =
           graft.queries.GroupD.incrementalDedupBatch(standing, b)
@@ -90,19 +86,6 @@ object StreamIngestDedup {
         // survivor set once, so the sink read and the standing union both
         // reuse it instead of re-running the probe/verify plan
         val kept = survivors.localCheckpoint(true)
-        standing = standing.unionByName(kept.select("doc_id", "text"))
-        batches += 1
-        if (batches % compactEvery == 0)
-          standing = standing.localCheckpoint(true)
-        sink(kept, batchId)
-        standingStore.foreach { dir =>
-          kept.select("doc_id", "text")
-            .write.mode("append").parquet(dir)
-          if (batches % compactEvery == 0)
-            StandingStore.compactStore(spark, dir, Seq("doc_id", "text"),
-              dedupKey = "doc_id")
-        }
-      }
-      .start()
-  }
+        (kept, kept.select("doc_id", "text"))
+    }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -65,21 +65,27 @@ object StreamUrlDedup {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     require(delta.columns.contains("doc_id") && delta.columns.contains("url"),
       s"delta must carry (doc_id, url); has ${delta.columns.mkString(", ")}")
+    // fail fast on the names this gate computes/consumes (Salting's
+    // reserved-name rule, r19 review): a passthrough named norm_url —
+    // plausible, since d92's output shape IS (norm_url, ...) — would be
+    // silently overwritten with the recomputed key, and __rn silently
+    // consumed by the keeper window
+    for (reserved <- Seq("norm_url", "__rn"))
+      require(!delta.columns.contains(reserved),
+        s"delta already carries $reserved — rename it first (the gate " +
+          "computes this column)")
     require(base.columns.contains("norm_url"),
       s"base must carry norm_url (d92's output shape); has " +
         base.columns.mkString(", "))
-    val spark = base.sparkSession
-    val persisted = standingStore.flatMap(dir =>
-      StandingStore.readStore(spark, dir, Seq("norm_url")))
-    var standing = persisted.foldLeft(base.select(col("norm_url")))(
-      _ unionByName _)
-    var batches = 0L
-    delta.writeStream
-      .queryName(queryName)
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+    // the order-sensitive store protocol (restore adjudication, union
+    // re-checkpoint cadence, sink-before-append, compaction) lives in
+    // the shared skeleton (r19) — this gate supplies only its rule
+    StandingGate.start(delta, base.select(col("norm_url")), queryName,
+        sink, standingStore, compactEvery,
+        storeCols = Seq("norm_url"), dedupKey = "norm_url") {
+      (batch, standing) =>
         val withKey = DeterministicSurvivor
-          .keepFirstBy(batch.toDF(), "doc_id", "url")
+          .keepFirstBy(batch, "doc_id", "url")
           .withColumn("norm_url", GroupC.urlNormalize(col("url")))
         val refused = withKey.filter(col("norm_url").isNull)
         val keyed = withKey.filter(col("norm_url").isNotNull)
@@ -95,20 +101,7 @@ object StreamUrlDedup {
         val fresh = batchKeepers
           .join(standing, Seq("norm_url"), "left_anti")
         val kept = fresh.unionByName(refused).localCheckpoint(true)
-        standing = standing.unionByName(
-          kept.filter(col("norm_url").isNotNull).select("norm_url"))
-        batches += 1
-        if (batches % compactEvery == 0)
-          standing = standing.localCheckpoint(true)
-        sink(kept, batchId)
-        standingStore.foreach { dir =>
-          kept.filter(col("norm_url").isNotNull).select("norm_url")
-            .write.mode("append").parquet(dir)
-          if (batches % compactEvery == 0)
-            StandingStore.compactStore(spark, dir, Seq("norm_url"),
-              dedupKey = "norm_url")
-        }
-      }
-      .start()
+        (kept, kept.filter(col("norm_url").isNotNull).select("norm_url"))
+    }
   }
 }
