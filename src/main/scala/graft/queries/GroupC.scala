@@ -559,7 +559,7 @@ object GroupC {
   private val IdPart = "\u0001"   // sentinel: doc_id as string
   private val TextPart = "\u0002" // sentinel: the document text column
   private val UrlPart = "\u0003"  // sentinel: the doc's own c13 raw URL (r19)
-  private val c11Parts: Seq[String] = Seq(
+  private[queries] val c11Parts: Seq[String] = Seq(
     "<html><head><title>Doc ", IdPart, "</title>",
     "<style type=\"text/css\">body { color: #000; margin: 0; }</style>",
     "<script>var id = ", IdPart,

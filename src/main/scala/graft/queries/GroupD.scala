@@ -4904,6 +4904,71 @@ object GroupD {
       .orderBy("domain")
   }
 
+  /** d96: the FULL stage-0 crawl-ingest compose (r19) — both curation
+    * axes united in ONE lazily built plan, the shape a real crawl
+    * pipeline runs on every arriving shard: markup→text (c11's kernel
+    * over the constructed page), dedup by canonical URL (c13's kernel
+    * over d92's collision corpus — smallest doc_id wins), the Gopher
+    * quality gate over the SURVIVORS' cleaned text (the ONE shared
+    * [[gopherOver]] body, so the composed gate cannot drift from the
+    * declared d69/c12), then exact text dedup of the gate's keepers
+    * (md5 of the cleaned text, keep-min — c1's kernel), reported as a
+    * 4-row funnel. Each stage consumes the PREVIOUS stage's survivors —
+    * the composed semantics the four separate queries cannot express.
+    *
+    * Scale shape: one scan-side projection evaluates both heavy
+    * constructions (page→clean chain, URL→canonical chain) once per row
+    * within its branch (each column is single-reference per projection —
+    * CollapseProject fuses without duplicating); every keeper-derived
+    * stage (URL count, gopher, exact dedup) hangs off the SAME
+    * norm_url window exchange, which AQE reuses across them (the d56
+    * runtime pin), so the construction inside that subtree pays once;
+    * the stage-1 census branch re-runs the scan-side chain once more
+    * (d90's nDec precedent — a census column on the shared frame would
+    * widen every consumer for one count). The URL keep is a
+    * WindowGroupLimit; the gopher gate adds per-row array expressions,
+    * not shuffles; the exact dedup is one fixed-width (md5 sig)
+    * HashAggregate exchange; the funnel metrics are five 1-row partial
+    * aggs cross-joined broadcast and inline-exploded (d90's shape —
+    * 4 rows at any corpus size).
+    */
+  def d96CrawlIngestE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+      GroupC.markupClean(GroupC.partsHtml(GroupC.c11Parts)).as("clean_text"),
+      GroupC.urlNormalize(GroupC.d92Url).as("norm_url"))
+    val keepers = base.filter(col("norm_url").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("norm_url")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val gopherKeep = gopherOver(
+        keepers.select(col("doc_id"), col("clean_text").as("text")))
+      .filter(col("keep")).select("doc_id")
+    val unique = keepers.join(gopherKeep, "doc_id")
+      .select(col("doc_id"), md5(col("clean_text")).as("sig"))
+      .groupBy("sig").agg(min(col("doc_id")).as("keep_id"))
+    val m = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(base.agg(
+        count(when(length(col("clean_text")) > 0L, 1L)).as("n_clean"))))
+      .crossJoin(broadcast(keepers.agg(count(lit(1)).as("n_urls"))))
+      .crossJoin(broadcast(gopherKeep.agg(count(lit(1)).as("n_gopher"))))
+      .crossJoin(broadcast(unique.agg(count(lit(1)).as("n_unique"))))
+    m.select(explode(expr(
+        """array(
+          |named_struct('stage', '1_markup_extract',
+          |  'docs_in', n_docs, 'docs_out', n_clean),
+          |named_struct('stage', '2_url_dedup',
+          |  'docs_in', n_clean, 'docs_out', n_urls),
+          |named_struct('stage', '3_gopher_gate',
+          |  'docs_in', n_urls, 'docs_out', n_gopher),
+          |named_struct('stage', '4_exact_dedup',
+          |  'docs_in', n_gopher, 'docs_out', n_unique))""".stripMargin))
+        .as("r"))
+      .select(col("r.*"))
+      .withColumn("dropped", col("docs_in") - col("docs_out"))
+      .orderBy("stage")
+  }
+
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
     * with the decision column a curation card actually exists to drive
     * (the r14/r15 review's carried ask): per modality corpus, the
@@ -5314,6 +5379,7 @@ object GroupD {
     "d93_url_pipeline_e2e" -> (d93UrlPipelineE2e _),
     "d94_av_pipeline_e2e" -> (d94AvPipelineE2e _),
     "d95_frontier_discovery" -> (d95FrontierDiscovery _),
+    "d96_crawl_ingest_e2e" -> (d96CrawlIngestE2e _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5913,6 +5979,45 @@ object GroupD {
          |SELECT domain, COUNT(*)::BIGINT AS n_new_urls,
          |  MIN(norm_url) AS first_url
          |FROM g GROUP BY domain ORDER BY domain""".stripMargin,
+    // d96's oracle: the SHARED bodies end to end — the c11 page +
+    // markup chain, the d92 collision corpus through the c13 CTE chain
+    // with the keeper rule, the gopher oracle (its own WITH, nested as
+    // a CTE subquery over the keepers' cleaned text — the c12
+    // parameterization), md5 keep-min, and the 4 funnel rows from
+    // scalar counts. Every stage re-derived, nothing trusted from the
+    // engine under test.
+    "d96_crawl_ingest_e2e" ->
+      s"""WITH ${GroupC.d92NormCtes},
+         |k AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY norm_url ORDER BY doc_id)
+         |      AS rn
+         |  FROM n WHERE norm_url IS NOT NULL) t WHERE rn = 1),
+         |h AS (SELECT doc_id,
+         |  ${GroupC.partsHtmlSql(GroupC.c11Parts)} AS html FROM documents),
+         |c AS (SELECT doc_id,
+         |  ${GroupC.markupCleanSql("html")} AS text FROM h),
+         |ck AS (SELECT c.doc_id, c.text FROM c JOIN k USING (doc_id)),
+         |g AS (${GroupC.gopherOracleSql("", "ck")}),
+         |gk AS (SELECT doc_id FROM g WHERE keep),
+         |e AS (SELECT ck.doc_id, md5(ck.text) AS sig
+         |  FROM ck JOIN gk USING (doc_id)),
+         |ek AS (SELECT sig, MIN(doc_id) AS keep_id FROM e GROUP BY sig),
+         |m2 AS (SELECT
+         |  (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+         |  (SELECT COUNT(CASE WHEN text <> '' THEN 1 END) FROM c)::BIGINT
+         |    AS n_clean,
+         |  (SELECT COUNT(*) FROM k)::BIGINT AS n_urls,
+         |  (SELECT COUNT(*) FROM gk)::BIGINT AS n_gopher,
+         |  (SELECT COUNT(*) FROM ek)::BIGINT AS n_unique)
+         |SELECT stage, docs_in, docs_out, docs_in - docs_out AS dropped
+         |FROM (
+         |  SELECT '1_markup_extract' AS stage, n_docs AS docs_in,
+         |    n_clean AS docs_out FROM m2
+         |  UNION ALL SELECT '2_url_dedup', n_clean, n_urls FROM m2
+         |  UNION ALL SELECT '3_gopher_gate', n_urls, n_gopher FROM m2
+         |  UNION ALL SELECT '4_exact_dedup', n_gopher, n_unique FROM m2) s
+         |ORDER BY stage""".stripMargin,
     // d90's oracle re-derives every stage count from the same CTE chain
     // the d80/d81 oracles use (pairs arithmetically from doc_id, the
     // recursive-reach components), plus the decode count from the junk

@@ -519,7 +519,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "d93_url_pipeline_e2e",
       // d94 crosses four 1-row stage aggregates per modality (d90's
       // pattern at the audio/video modalities, round 19)
-      "d94_av_pipeline_e2e")
+      "d94_av_pipeline_e2e",
+      // d96 crosses five 1-row stage aggregates into its crawl-ingest
+      // funnel metrics row (d90's pattern, round 19)
+      "d96_crawl_ingest_e2e")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
