@@ -1039,10 +1039,14 @@ object GroupC {
     c11Parts.init ++ c14AnchorParts ++
       Seq("<a href=\"", UrlPart, "\">self</a>") :+ c11Parts.last
 
+  /** The c15 page as a Column — [[StreamFrontier]]'s spec renders the
+    * same corpus d95 declares (r19). */
+  private[graft] def c15Html: Column = partsHtml(c15Parts)
+
   /** Shared href pattern — double-quoted attribute values only (the
     * constructed corpus uses them exclusively), identical under Java
     * regex and RE2. */
-  private[queries] val HrefP = "href=\"([^\"]*)\""
+  private[graft] val HrefP = "href=\"([^\"]*)\""
 
   /** c14: outlink harvest — construct the page, extract every href,
     * canonicalize each through [[urlNormalize]], report per-doc link

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.GroupC
+
+/** Streaming twin of d95's crawl-frontier discovery — the live half of
+  * the crawl loop (r19): each micro-batch of arriving PAGES has its
+  * outlinks extracted and canonicalized through c13's kernel, and every
+  * canonical target NOT yet known (neither a corpus page nor a
+  * previously discovered frontier URL) emits to the sink exactly once —
+  * the per-batch feed a crawl scheduler consumes, with the registered
+  * domain attached for d91-style per-host budgeting.
+  *
+  * The fourth gate on the shared [[StandingGate]] skeleton: the
+  * standing side is the same single-column canonical-URL frame
+  * [[StreamUrlDedup]] maintains (pass its store/base here and the two
+  * gates share one notion of "known"), growing by each batch's
+  * discoveries. Unlike the dedup gates there is NO refusal passthrough:
+  * a refused outlink (relative href, junk) is not a crawlable target —
+  * it simply drops, and a page's own redelivery re-extracts the same
+  * links, which all anti-join away against the standing set.
+  *
+  * Scale shape: the explode ships canonical STRINGS only (page bytes
+  * never leave the batch scan); the within-batch distinct and the anti
+  * join shuffle on the canonical-URL key — d92's exchange — with the
+  * standing side streamed once per batch and never self-joined; the
+  * domain column is a scan-side projection over the survivors.
+  */
+object StreamFrontier {
+
+  /** Start the discovery gate: `delta` is a streaming frame with
+    * (doc_id, html) plus passthrough columns (ignored — emissions are
+    * URL-keyed, not page-keyed); `base` a static frame with a
+    * `norm_url` column of ALREADY-canonical known URLs (the corpus's
+    * own pages — d92's output shape; pass an empty frame for a cold
+    * start). `sink` receives each batch's newly discovered
+    * (norm_url, domain) rows.
+    *
+    * `standingStore`: optional parquet directory making the known-URL
+    * set DURABLE via [[StandingStore]]'s marker-adjudicated protocol
+    * (append after the sink call — a crash between them re-emits the
+    * discoveries on replay, at-least-once, rather than losing them).
+    */
+  def start(delta: DataFrame, base: DataFrame, queryName: String,
+            sink: (DataFrame, Long) => Unit,
+            standingStore: Option[String] = None,
+            compactEvery: Int = 8): StreamingQuery = {
+    require(delta.columns.contains("html"),
+      s"delta must carry html; has ${delta.columns.mkString(", ")}")
+    require(base.columns.contains("norm_url"),
+      s"base must carry norm_url (d92's output shape); has " +
+        base.columns.mkString(", "))
+    StandingGate.start(delta, base.select(col("norm_url")), queryName,
+        sink, standingStore, compactEvery,
+        storeCols = Seq("norm_url"), dedupKey = "norm_url") {
+      (batch, standing) =>
+        val links = batch
+          .select(explode(regexp_extract_all(col("html"),
+            lit(GroupC.HrefP), lit(1))).as("url"))
+          .select(GroupC.urlNormalize(col("url")).as("norm_url"))
+          .filter(col("norm_url").isNotNull)
+          .distinct()
+        val kept = links
+          .join(standing, Seq("norm_url"), "left_anti")
+          .withColumn("domain", GroupC.urlDomain(col("norm_url")))
+          .localCheckpoint(true)
+        (kept, kept.select("norm_url"))
+    }
+  }
+}
