@@ -1030,18 +1030,18 @@ object GroupC {
   private val c14Parts: Seq[String] =
     c11Parts.init ++ c14AnchorParts :+ c11Parts.last
 
-  /** c14's page plus a SELF-LINK anchor whose href is the doc's OWN raw
+  /** c14's page plus a SELF-LINK anchor (the d95 frontier corpus) whose href is the doc's OWN raw
     * c13 URL (surface form — pages linking to themselves are the most
     * common outlink in real crawls): the arm that proves d95's frontier
     * diff drops already-known pages, because the self-link's canonical
     * form equals the corpus page's canonical form by construction. */
-  private[queries] val c15Parts: Seq[String] =
+  private[queries] val frontierParts: Seq[String] =
     c11Parts.init ++ c14AnchorParts ++
       Seq("<a href=\"", UrlPart, "\">self</a>") :+ c11Parts.last
 
   /** The c15 page as a Column — [[StreamFrontier]]'s spec renders the
     * same corpus d95 declares (r19). */
-  private[graft] def c15Html: Column = partsHtml(c15Parts)
+  private[graft] def frontierHtml: Column = partsHtml(frontierParts)
 
   /** Shared href pattern — double-quoted attribute values only (the
     * constructed corpus uses them exclusively), identical under Java
@@ -1078,11 +1078,86 @@ object GroupC {
         array_min(col("canon")).as("min_target"))
       .orderBy("doc_id")
 
+  // --- c15: robots.txt fetch-policy gate (round 19) -----------------------
+  // The crawl loop's remaining leg: harvest (c14) and frontier diff (d95)
+  // decide WHAT to fetch; robots.txt decides what a polite crawler MAY
+  // fetch. The Spark side PARSES a constructed robots.txt (the
+  // constructed-bytes discipline: the oracle re-derives every decision
+  // arithmetically from doc_id and never parses the text, so the hash
+  // gate verifies the parser itself).
+
+  /** Per-doc robots.txt, shared template both engines (the c13UrlSql
+    * hook pattern; newlines spelled `chr(10)` — identical in Spark SQL
+    * and DuckDB, dodging the engines' different literal-escape rules).
+    * Rules derive from the doc's c13 domain key (doc_id % 37): an
+    * optional BLANKET `Disallow: /articles/` (1 domain in 4 — the rule
+    * LIST varies per domain, so the parser's fold is exercised over
+    * different cardinalities), a specific `Disallow: /articles/<k>`
+    * (string-prefix semantics: digit k blocks ids k, k0–k9 …), a
+    * never-matching `Disallow: /private`, and a LONGER
+    * `Allow: /articles/<k><m>` exception that must win by
+    * longest-match precedence (RFC 9309 §2.2.2).
+    */
+  private def c15RobotsSql(str: String => String): String = Seq(
+    "'User-agent: *'", "chr(10)",
+    "CASE WHEN (doc_id % 37) % 4 = 0 " +
+      "THEN 'Disallow: /articles/' || chr(10) ELSE '' END",
+    "'Disallow: /articles/'", str("(doc_id % 37) % 10"), "chr(10)",
+    "'Disallow: /private'", "chr(10)",
+    "'Allow: /articles/'", str("(doc_id % 37) % 10"),
+    str("(doc_id % 37) % 3"), "chr(10)",
+    "'Crawl-delay: '", str("1 + (doc_id % 37) % 9"), "chr(10)"
+  ).mkString(" || ")
+
+  /** Longest matching prefix length among `rules` for `path` — the RFC
+    * 9309 match rule as one HOF fold (0 = no rule matches). */
+  private def c15BestLen(rules: Column, path: Column): Column =
+    aggregate(filter(rules, p => path.startsWith(p)), lit(0L),
+      (acc, p) => greatest(acc, length(p).cast("long")))
+
+  /** c15: robots.txt fetch-policy gate — construct each doc's robots.txt
+    * and its article path, PARSE the rule groups with line-anchored
+    * extraction (`(?m)^Allow:` — without the anchor the pattern also
+    * matches the tail of every `Disallow:` line, the classic robots-
+    * parsing bug), apply longest-match precedence (ties to Allow, the
+    * RFC default-allow for unmatched paths falling out as 0 ≥ 0), and
+    * report the decision with both matched lengths and the crawl delay
+    * so a curator sees WHICH rule fired.
+    *
+    * Scale shape: a pure per-row projection — the robots text is
+    * non-cheap multi-reference (three extractions), so CollapseProject
+    * keeps it evaluated once per row (c11's plan argument); zero
+    * shuffles up to the presentation sort. At 100 TB robots.txt arrives
+    * once per HOST, not per doc — the real pipeline parses the
+    * host-grouped frame (domains-sized, d91's key) and broadcast-joins
+    * the decisions back; the kernel is the same either way.
+    */
+  def c15RobotsGate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("/articles/"), (col("doc_id") % 100).cast("string"))
+          .as("path"),
+        expr(c15RobotsSql(e => s"CAST($e AS STRING)")).as("robots"))
+      .select(col("doc_id"), col("path"),
+        regexp_extract_all(col("robots"),
+          lit("(?m)^Disallow: (\\S+)"), lit(1)).as("dis"),
+        regexp_extract_all(col("robots"),
+          lit("(?m)^Allow: (\\S+)"), lit(1)).as("alw"),
+        regexp_extract(col("robots"), "Crawl-delay: ([0-9]+)", 1)
+          .cast("long").as("crawl_delay_s"))
+      .select(col("doc_id"), col("path"),
+        c15BestLen(col("dis"), col("path")).as("best_disallow"),
+        c15BestLen(col("alw"), col("path")).as("best_allow"),
+        col("crawl_delay_s"))
+      .withColumn("allowed", col("best_allow") >= col("best_disallow"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),
     "c12_markup_gopher"  -> (c12MarkupGopher _),
     "c13_url_normalize"  -> (c13UrlNormalize _),
     "c14_outlink_harvest" -> (c14OutlinkHarvest _),
+    "c15_robots_gate"    -> (c15RobotsGate _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -1258,6 +1333,34 @@ object GroupC {
          |  COALESCE(a.n_canon, 0) AS n_canon, a.min_target
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // c15: the oracle NEVER parses robots.txt — it re-derives every rule
+    // and decision arithmetically from doc_id (the constructed-bytes
+    // discipline), so the hash gate verifies the Spark side's PARSER
+    // (line-anchored extraction + longest-match fold).
+    "c15_robots_gate" ->
+      """WITH b AS (SELECT doc_id,
+        |  '/articles/' || CAST(doc_id % 100 AS VARCHAR) AS path,
+        |  CAST((doc_id % 37) % 10 AS VARCHAR) AS k,
+        |  CAST((doc_id % 37) % 3 AS VARCHAR) AS m,
+        |  (doc_id % 37) % 4 = 0 AS blanket,
+        |  CAST(1 + (doc_id % 37) % 9 AS BIGINT) AS crawl_delay_s
+        |  FROM documents),
+        |r AS (SELECT doc_id, path, crawl_delay_s,
+        |  GREATEST(
+        |    CASE WHEN blanket AND starts_with(path, '/articles/')
+        |         THEN length('/articles/') ELSE 0 END,
+        |    CASE WHEN starts_with(path, '/articles/' || k)
+        |         THEN length('/articles/' || k) ELSE 0 END,
+        |    CASE WHEN starts_with(path, '/private')
+        |         THEN length('/private') ELSE 0 END)::BIGINT
+        |    AS best_disallow,
+        |  (CASE WHEN starts_with(path, '/articles/' || k || m)
+        |        THEN length('/articles/' || k || m) ELSE 0 END)::BIGINT
+        |    AS best_allow
+        |  FROM b)
+        |SELECT doc_id, path, best_disallow, best_allow,
+        |  best_allow >= best_disallow AS allowed, crawl_delay_s
+        |FROM r ORDER BY doc_id""".stripMargin,
     "c12_markup_gopher" -> gopherOracleSql(
       s"h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),\n" +
         s"cleaned AS (SELECT doc_id, ${markupCleanSql("html")} AS text " +

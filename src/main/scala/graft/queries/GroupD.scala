@@ -4891,7 +4891,7 @@ object GroupD {
     val corpus = docs
       .select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
     val outlinks = docs
-      .select(GroupC.partsHtml(GroupC.c15Parts).as("html"))
+      .select(GroupC.partsHtml(GroupC.frontierParts).as("html"))
       .select(explode(regexp_extract_all(col("html"),
         lit(GroupC.HrefP), lit(1))).as("url"))
       .select(GroupC.urlNormalize(col("url")).as("norm_url"))
@@ -5965,7 +5965,7 @@ object GroupD {
     // rule (refusal CASE + NULLIF, shared constants) for the census key.
     "d95_frontier_discovery" ->
       s"""WITH h AS (SELECT doc_id,
-         |  ${GroupC.partsHtmlSql(GroupC.c15Parts)} AS html FROM documents),
+         |  ${GroupC.partsHtmlSql(GroupC.frontierParts)} AS html FROM documents),
          |l AS (SELECT doc_id,
          |  unnest(regexp_extract_all(html, '${GroupC.HrefP}', 1)) AS url
          |  FROM h),

@@ -37,7 +37,7 @@ class StreamFrontierSpec extends AnyFunSuite {
     // the same corpus d95 declares: c15 pages as the arriving batch,
     // the corpus's own canonical URLs (c13's declared output) as base
     val pages = Tables(spark, sf, "documents")
-      .select(col("doc_id"), GroupC.c15Html.as("html")).collect()
+      .select(col("doc_id"), GroupC.frontierHtml.as("html")).collect()
     val base = GroupC.queries("c13_url_normalize")(spark, sf)
       .select("norm_url")
     val dir = tempDir("sfront1")
