@@ -1152,12 +1152,153 @@ object GroupC {
       .withColumn("allowed", col("best_allow") >= col("best_disallow"))
       .orderBy("doc_id")
 
+  // --- c16: WARC record ingest (round 20) ----------------------------------
+  // The one stage-0 leg the crawl loop still assumed away: container crawl
+  // corpora arrive in WARC (ISO 28500 — the Common Crawl interchange
+  // format), not as rows in a table. The Spark side CONSTRUCTS a
+  // deterministic 3-record WARC blob per doc (warcinfo → request →
+  // response, the standard Common Crawl triplet) and WALKS it back by the
+  // format's own framing — version line, named headers, Content-Length
+  // body framing, CRLF CRLF terminators — a pure offset discipline (the
+  // functions/MediaMeta.scala byte-walk pattern at the text-container
+  // modality; reference semantics: the R1 one-container catalog scan,
+  // /root/reference/src/CSVProvider.cs:641-656). The oracle re-derives
+  // every output field from doc_id arithmetic + the shared constructions
+  // and NEVER parses the blob — the hash gate verifies the walker itself.
+
+  private val Crlf = "\r\n"
+  /** Record separator: the blank line ending a WARC header block, and the
+    * two CRLFs terminating each record's block. */
+  private val CrlfCrlf = Crlf + Crlf
+
+  /** One WARC record: header lines, the Content-Length header computed
+    * from the body, the blank line, the body, the record terminator. The
+    * corpus is printable ASCII end to end (pinned in WarcWalkSpec), so
+    * character offsets ARE byte offsets; a production walk runs the same
+    * arithmetic over binary. */
+  private def warcRec(hdr: Column, body: Column): Column =
+    concat(hdr, lit("Content-Length: "), length(body).cast("string"),
+      lit(CrlfCrlf), body, lit(CrlfCrlf))
+
+  /** The per-doc HTTP response block (record 3's body): status line varies
+    * per doc (301 arm exercises non-200 extraction), then the c11 page as
+    * payload behind the HTTP header/payload CRLF CRLF split. */
+  private def c16Block3(html: Column): Column =
+    concat(lit("HTTP/1.1 "),
+      when(col("doc_id") % 13 === 0, lit("301 Moved Permanently"))
+        .otherwise(lit("200 OK")),
+      lit(Crlf + "Content-Type: text/html" + Crlf + "Server: graft/"),
+      (col("doc_id") % 7).cast("string"), lit(CrlfCrlf), html)
+
+  /** c16Block3 as DuckDB SQL over an `html` expression — the oracle's
+    * content_length is the length of the CONSTRUCTED block, never a
+    * parsed header. */
+  private def c16Block3Sql(html: String): String =
+    "'HTTP/1.1 ' || " +
+      "CASE WHEN doc_id % 13 = 0 THEN '301 Moved Permanently' " +
+      "ELSE '200 OK' END || chr(13) || chr(10) || " +
+      "'Content-Type: text/html' || chr(13) || chr(10) || " +
+      "'Server: graft/' || CAST(doc_id % 7 AS VARCHAR) || " +
+      s"chr(13) || chr(10) || chr(13) || chr(10) || $html"
+
+  private val WarcCLenP = "Content-Length: ([0-9]+)"
+  private val WarcTypeP = "(?m)^WARC-Type: (\\S+)"
+  private val WarcUriP  = "(?m)^WARC-Target-URI: (\\S+)"
+
+  /** c16: WARC record ingest — construct each doc's 3-record WARC blob,
+    * then walk it back record by record: find the header block's blank
+    * line, read ITS Content-Length, skip that many characters plus the
+    * record terminator to the next record — the walk never searches the
+    * blob globally (bodies legally CONTAIN blank lines: the request
+    * body's HTTP terminator, the response's header/payload split — a
+    * split-on-blank-line shortcut mis-frames both; only the
+    * Content-Length arithmetic is correct framing, which is the point of
+    * the format). From the response record: the WARC-Type evidence trail
+    * of all three records (any offset slip breaks it), the target URI,
+    * the HTTP status, the block length, and the payload fed through c11's
+    * markup chain.
+    *
+    * Scale shape: a pure per-row projection chain — construct once, walk
+    * with substr/instr/regexp on header-sized fragments, zero shuffles to
+    * the presentation sort; each intermediate (blob, record tails, header
+    * blocks) is non-cheap multi-reference, so CollapseProject keeps it
+    * evaluated once per row (c11's plan argument). At 100 TB the blob
+    * column is the parquet-landed raw fetch this walk runs over
+    * shard-parallel; nothing corpus-sized moves.
+    */
+  /** The constructed 3-record blob — package-private so WarcWalkSpec can
+    * collect it and re-walk the framing in plain JVM code (exhaustion is
+    * the invariant the hash gate cannot see: the oracle never parses). */
+  private[queries] def c16Blob: Column = {
+    val host = concat(lit("site-"), (col("doc_id") % 37).cast("string"),
+      lit(".example"))
+    val body1 = concat(lit("software: graft/1.0" + Crlf + "hostname: "),
+      host, lit(Crlf))
+    val body2 = concat(lit("GET /articles/"),
+      (col("doc_id") % 100).cast("string"),
+      lit(" HTTP/1.1" + Crlf + "Host: "), host,
+      lit(Crlf + "User-Agent: graft" + CrlfCrlf))
+    val uri = c13Url
+    concat(
+      warcRec(lit("WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf), body1),
+      warcRec(concat(
+        lit("WARC/1.0" + Crlf + "WARC-Type: request" + Crlf +
+          "WARC-Target-URI: "), uri, lit(Crlf)), body2),
+      warcRec(concat(
+        lit("WARC/1.0" + Crlf + "WARC-Type: response" + Crlf +
+          "WARC-Target-URI: "), uri, lit(Crlf)), c16Block3(c11Html)))
+  }
+
+  def c16WarcExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val blob = c16Blob
+    def hdrOf(rec: Column, hEnd: Column): Column = rec.substr(lit(1), hEnd - 1)
+    def cLen(hdr: Column): Column =
+      regexp_extract(hdr, WarcCLenP, 1).cast("long")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), blob.as("warc"))
+      // record 1: header ends at the first blank line of the BLOB
+      .withColumn("h1", instr(col("warc"), CrlfCrlf).cast("long"))
+      .withColumn("hdr1", hdrOf(col("warc"), col("h1")))
+      // next record = blank line (4) + Content-Length body + terminator (4)
+      .withColumn("rest2",
+        col("warc").substr(col("h1") + cLen(col("hdr1")) + 8L,
+          length(col("warc")).cast("long")))
+      .withColumn("h2", instr(col("rest2"), CrlfCrlf).cast("long"))
+      .withColumn("hdr2", hdrOf(col("rest2"), col("h2")))
+      .withColumn("rest3",
+        col("rest2").substr(col("h2") + cLen(col("hdr2")) + 8L,
+          length(col("rest2")).cast("long")))
+      .withColumn("h3", instr(col("rest3"), CrlfCrlf).cast("long"))
+      .withColumn("hdr3", hdrOf(col("rest3"), col("h3")))
+      .withColumn("len3", cLen(col("hdr3")))
+      .withColumn("block3", col("rest3").substr(col("h3") + 4L, col("len3")))
+      // HTTP split: the block's FIRST blank line (its own framing)
+      .withColumn("he", instr(col("block3"), CrlfCrlf).cast("long"))
+      .withColumn("payload",
+        col("block3").substr(col("he") + 4L, col("len3")))
+      .select(col("doc_id"),
+        concat_ws(",",
+          regexp_extract(col("hdr1"), WarcTypeP, 1),
+          regexp_extract(col("hdr2"), WarcTypeP, 1),
+          regexp_extract(col("hdr3"), WarcTypeP, 1)).as("rec_types"),
+        regexp_extract(col("hdr3"), WarcUriP, 1).as("target_uri"),
+        regexp_extract(col("block3"), "^HTTP/1[.]1 ([0-9]+)", 1)
+          .cast("long").as("http_status"),
+        col("len3").as("content_length"),
+        regexp_extract(col("payload"), "<title>(.*?)</title>", 1)
+          .as("title"),
+        markupClean(col("payload")).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),
     "c12_markup_gopher"  -> (c12MarkupGopher _),
     "c13_url_normalize"  -> (c13UrlNormalize _),
     "c14_outlink_harvest" -> (c14OutlinkHarvest _),
     "c15_robots_gate"    -> (c15RobotsGate _),
+    "c16_warc_extract"   -> (c16WarcExtract _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -1333,6 +1474,27 @@ object GroupC {
          |  COALESCE(a.n_canon, 0) AS n_canon, a.min_target
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // c16: the oracle NEVER walks the WARC blob — it re-derives every
+    // output field from doc_id arithmetic + the shared constructions
+    // (rec_types is the literal the walk must evidence; content_length
+    // is the length of the CONSTRUCTED response block; target_uri is the
+    // shared c13 construction; title/clean ride c11's shared chain), so
+    // the hash gate verifies the Spark side's framing walker itself.
+    "c16_warc_extract" ->
+      s"""WITH h AS (SELECT doc_id, $c11HtmlSql AS html FROM documents),
+         |b AS (SELECT doc_id, html,
+         |  ${c16Block3Sql("html")} AS block3,
+         |  ${markupCleanSql("html")} AS clean_text FROM h)
+         |SELECT doc_id,
+         |  'warcinfo,request,response' AS rec_types,
+         |  (${c13UrlSql(e => s"CAST($e AS VARCHAR)")}) AS target_uri,
+         |  (CASE WHEN doc_id % 13 = 0 THEN 301 ELSE 200 END)::BIGINT
+         |    AS http_status,
+         |  length(block3)::BIGINT AS content_length,
+         |  regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+         |  clean_text,
+         |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+         |FROM b ORDER BY doc_id""".stripMargin,
     // c15: the oracle NEVER parses robots.txt — it re-derives every rule
     // and decision arithmetically from doc_id (the constructed-bytes
     // discipline), so the hash gate verifies the Spark side's PARSER

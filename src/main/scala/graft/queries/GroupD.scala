@@ -4937,7 +4937,14 @@ object GroupD {
     val base = docs.select(col("doc_id"),
       GroupC.markupClean(GroupC.partsHtml(GroupC.c11Parts)).as("clean_text"),
       GroupC.urlNormalize(GroupC.d92Url).as("norm_url"))
-    val keepers = base.filter(col("norm_url").isNotNull)
+    // stage 2 consumes stage 1's SURVIVORS (non-empty extractions), not
+    // all docs — without the length gate the funnel's "each stage
+    // consumes the previous stage's survivors" contract is false for
+    // 1→2 and `dropped` can go negative on a corpus with empty
+    // extractions (r19 ADVICE; never fires on the constructed corpus,
+    // whose every page cleans non-empty — oracle mirrors the gate)
+    val keepers = base
+      .filter(length(col("clean_text")) > 0L && col("norm_url").isNotNull)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("norm_url")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
@@ -5987,16 +5994,17 @@ object GroupD {
     // scalar counts. Every stage re-derived, nothing trusted from the
     // engine under test.
     "d96_crawl_ingest_e2e" ->
-      s"""WITH ${GroupC.d92NormCtes},
-         |k AS (SELECT doc_id FROM (
-         |  SELECT doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY norm_url ORDER BY doc_id)
-         |      AS rn
-         |  FROM n WHERE norm_url IS NOT NULL) t WHERE rn = 1),
-         |h AS (SELECT doc_id,
+      s"""WITH h AS (SELECT doc_id,
          |  ${GroupC.partsHtmlSql(GroupC.c11Parts)} AS html FROM documents),
          |c AS (SELECT doc_id,
          |  ${GroupC.markupCleanSql("html")} AS text FROM h),
+         |${GroupC.d92NormCtes},
+         |k AS (SELECT doc_id FROM (
+         |  SELECT n.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY norm_url ORDER BY n.doc_id)
+         |      AS rn
+         |  FROM n JOIN c USING (doc_id)
+         |  WHERE norm_url IS NOT NULL AND c.text <> '') t WHERE rn = 1),
          |ck AS (SELECT c.doc_id, c.text FROM c JOIN k USING (doc_id)),
          |g AS (${GroupC.gopherOracleSql("", "ck")}),
          |gk AS (SELECT doc_id FROM g WHERE keep),

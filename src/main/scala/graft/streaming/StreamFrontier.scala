@@ -16,9 +16,15 @@ import graft.queries.GroupC
   *
   * The fourth gate on the shared [[StandingGate]] skeleton: the
   * standing side is the same single-column canonical-URL frame
-  * [[StreamUrlDedup]] maintains (pass its store/base here and the two
-  * gates share one notion of "known"), growing by each batch's
-  * discoveries. Unlike the dedup gates there is NO refusal passthrough:
+  * [[StreamUrlDedup]] maintains — SEQUENTIAL runs may share one
+  * store dir/base so the two gates share one notion of "known", but
+  * two CONCURRENTLY running gates on one store dir race (append vs
+  * marker-swap compaction), and each gate restores the store only
+  * once at start so neither sees the other's later appends:
+  * concurrent gates need separate dirs (r19 ADVICE). The standing set
+  * grows by each batch's discoveries, and — when `pageUrl` names the
+  * arriving pages' own raw-URL column — by the pages themselves.
+  * Unlike the dedup gates there is NO refusal passthrough:
   * a refused outlink (relative href, junk) is not a crawlable target —
   * it simply drops, and a page's own redelivery re-extracts the same
   * links, which all anti-join away against the standing set.
@@ -35,9 +41,18 @@ object StreamFrontier {
     * (doc_id, html) plus passthrough columns (ignored — emissions are
     * URL-keyed, not page-keyed); `base` a static frame with a
     * `norm_url` column of ALREADY-canonical known URLs (the corpus's
-    * own pages — d92's output shape; pass an empty frame for a cold
-    * start). `sink` receives each batch's newly discovered
-    * (norm_url, domain) rows.
+    * own pages — d92's output shape). `sink` receives each batch's
+    * newly discovered (norm_url, domain) rows.
+    *
+    * `base` must cover every ALREADY-CRAWLED page at gate start — a
+    * stale or empty base makes crawled pages re-emit as discoveries
+    * the moment anything links to them (pages linking to THEMSELVES
+    * make this the common case on a cold start — r19 ADVICE). When the
+    * arriving frame carries the page's own raw URL, pass its column
+    * name as `pageUrl`: each batch then unions the arriving pages'
+    * canonical URLs into the known set BEFORE the anti-join, so a page
+    * is known from the moment it arrives (self-links and intra-batch
+    * cross-links drop; a truly cold start needs only an empty base).
     *
     * `standingStore`: optional parquet directory making the known-URL
     * set DURABLE via [[StandingStore]]'s marker-adjudicated protocol
@@ -47,12 +62,15 @@ object StreamFrontier {
   def start(delta: DataFrame, base: DataFrame, queryName: String,
             sink: (DataFrame, Long) => Unit,
             standingStore: Option[String] = None,
-            compactEvery: Int = 8): StreamingQuery = {
+            compactEvery: Int = 8,
+            pageUrl: Option[String] = None): StreamingQuery = {
     require(delta.columns.contains("html"),
       s"delta must carry html; has ${delta.columns.mkString(", ")}")
     require(base.columns.contains("norm_url"),
       s"base must carry norm_url (d92's output shape); has " +
         base.columns.mkString(", "))
+    pageUrl.foreach(cu => require(delta.columns.contains(cu),
+      s"pageUrl column $cu not in delta: ${delta.columns.mkString(", ")}"))
     StandingGate.start(delta, base.select(col("norm_url")), queryName,
         sink, standingStore, compactEvery,
         storeCols = Seq("norm_url"), dedupKey = "norm_url") {
@@ -63,11 +81,19 @@ object StreamFrontier {
           .select(GroupC.urlNormalize(col("url")).as("norm_url"))
           .filter(col("norm_url").isNotNull)
           .distinct()
+        // the arriving pages' own canonical URLs: known-by-arrival
+        val own = pageUrl.map(cu => batch
+          .select(GroupC.urlNormalize(col(cu)).as("norm_url"))
+          .filter(col("norm_url").isNotNull)
+          .distinct())
+        val known = own.foldLeft(standing)(_ unionByName _)
         val kept = links
-          .join(standing, Seq("norm_url"), "left_anti")
+          .join(known, Seq("norm_url"), "left_anti")
           .withColumn("domain", GroupC.urlDomain(col("norm_url")))
           .localCheckpoint(true)
-        (kept, kept.select("norm_url"))
+        // own URLs enter the standing set too (dupes across batches are
+        // harmless: the set is anti-join-only; compaction dedups the store)
+        (kept, own.foldLeft(kept.select("norm_url"))(_ unionByName _))
     }
   }
 }

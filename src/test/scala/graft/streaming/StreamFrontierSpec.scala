@@ -108,4 +108,44 @@ class StreamFrontierSpec extends AnyFunSuite {
       s"batch 1 must re-discover nothing from batch 0 or the base: " +
         s"${perBatch.get(1L)}")
   }
+
+  test("pageUrl: cold start with self-links — arriving pages are known-by-arrival") {
+    // the r19 ADVICE case: empty base, pages link to THEMSELVES (the
+    // most common outlink in real crawls) — without pageUrl each
+    // already-crawled page re-emits as a frontier discovery
+    val spark = TestSpark.spark
+    val dir = tempDir("sfront3")
+    def row(i: Long, self: String, links: String*): String =
+      s"$i;$self;" + hexOf(links.map(u => s"""<a href="$u">x</a>""")
+        .mkString("<html>", "", "</html>"))
+    // page A (surface-form self-link), page B (links to A — same batch,
+    // must drop: A is known by arrival), both link one genuinely new URL
+    csvFile(dir, "b1.csv", "doc_id;url;html_hex\n" +
+      row(1L, "https://a.com/p",
+        "HTTPS://WWW.A.com:443/p", "http://new.net/x") + "\n" +
+      row(2L, "http://b.org/q", "https://a.com/p") + "\n")
+    val stream = CsvStream.readStream(spark, dir, CsvDialect(),
+        maxFilesPerTrigger = 1)
+      .select(col("doc_id").cast("long").as("doc_id"), col("url"),
+        expr("decode(unhex(html_hex), 'UTF-8')").as("html"))
+    val perBatch = scala.collection.mutable.Map[Long, Set[String]]()
+    val q = StreamFrontier.start(stream, emptyBase, "sfront3",
+      (disc, id) => {
+        perBatch(id) = disc.select("norm_url").collect()
+          .map(_.getString(0)).toSet; ()
+      }, pageUrl = Some("url"))
+    try {
+      q.processAllAvailable()
+      // batch 2: a later page links BACK to batch-1's pages — both are
+      // standing-known (own-URL union), so only its fresh target emits
+      csvFile(dir, "b2.csv", "doc_id;url;html_hex\n" +
+        row(3L, "http://c.io/r", "https://a.com/p", "http://b.org/q",
+          "http://new2.net/y") + "\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch(0L) == Set("http://new.net/x"),
+      s"batch 0 must drop self/intra-batch links: ${perBatch.get(0L)}")
+    assert(perBatch(1L) == Set("http://new2.net/y"),
+      s"batch 1 must drop links back to arrived pages: ${perBatch.get(1L)}")
+  }
 }
