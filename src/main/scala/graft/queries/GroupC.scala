@@ -1109,9 +1109,18 @@ object GroupC {
     "'Crawl-delay: '", str("1 + (doc_id % 37) % 9"), "chr(10)"
   ).mkString(" || ")
 
+  /** The robots rule-extraction patterns — line-anchored (`(?m)^` —
+    * without the anchor `Allow:` also matches the tail of every
+    * `Disallow:` line, the classic robots-parsing bug). Shared with
+    * d97's host-grouped evaluation. */
+  private[queries] val RobotsDisP   = "(?m)^Disallow: (\\S+)"
+  private[queries] val RobotsAlwP   = "(?m)^Allow: (\\S+)"
+  private[queries] val RobotsDelayP = "Crawl-delay: ([0-9]+)"
+
   /** Longest matching prefix length among `rules` for `path` — the RFC
-    * 9309 match rule as one HOF fold (0 = no rule matches). */
-  private def c15BestLen(rules: Column, path: Column): Column =
+    * 9309 match rule as one HOF fold (0 = no rule matches). Shared with
+    * d97 (host-grouped evaluation over the frontier). */
+  private[queries] def c15BestLen(rules: Column, path: Column): Column =
     aggregate(filter(rules, p => path.startsWith(p)), lit(0L),
       (acc, p) => greatest(acc, length(p).cast("long")))
 
@@ -1139,11 +1148,9 @@ object GroupC {
           .as("path"),
         expr(c15RobotsSql(e => s"CAST($e AS STRING)")).as("robots"))
       .select(col("doc_id"), col("path"),
-        regexp_extract_all(col("robots"),
-          lit("(?m)^Disallow: (\\S+)"), lit(1)).as("dis"),
-        regexp_extract_all(col("robots"),
-          lit("(?m)^Allow: (\\S+)"), lit(1)).as("alw"),
-        regexp_extract(col("robots"), "Crawl-delay: ([0-9]+)", 1)
+        regexp_extract_all(col("robots"), lit(RobotsDisP), lit(1)).as("dis"),
+        regexp_extract_all(col("robots"), lit(RobotsAlwP), lit(1)).as("alw"),
+        regexp_extract(col("robots"), RobotsDelayP, 1)
           .cast("long").as("crawl_delay_s"))
       .select(col("doc_id"), col("path"),
         c15BestLen(col("dis"), col("path")).as("best_disallow"),

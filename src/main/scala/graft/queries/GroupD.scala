@@ -4886,23 +4886,36 @@ object GroupD {
     * table StreamUrlDedup maintains, streamed once per frontier pass
     * and never self-joined.
     */
-  def d95FrontierDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
-    val corpus = docs
-      .select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
-    val outlinks = docs
-      .select(GroupC.partsHtml(GroupC.frontierParts).as("html"))
-      .select(explode(regexp_extract_all(col("html"),
-        lit(GroupC.HrefP), lit(1))).as("url"))
-      .select(GroupC.urlNormalize(col("url")).as("norm_url"))
-      .filter(col("norm_url").isNotNull)
-      .distinct()
-    outlinks.join(corpus, Seq("norm_url"), "left_anti")
-      .select(col("norm_url"), GroupC.urlDomain(col("norm_url")).as("domain"))
+  /** The frontier's per-URL frame — (norm_url, domain) of every
+    * canonical outlink target NOT already a corpus page — d95's body
+    * before its census, shared with d97's fetch-plan compose so the two
+    * cannot drift. Under the drivers' [[graft.operators.StageCache]]
+    * policy the frame persists once per corpus (the d22/d56 discipline):
+    * the discovery pass and the schedule it feeds share ONE
+    * materialization, exactly what a production crawl does with its
+    * frontier table between passes. */
+  private def d95Frontier(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.StageCache.persisted(s"$sfDir#d95_frontier") {
+      val docs = Tables(spark, sfDir, "documents")
+      val corpus = docs
+        .select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
+      val outlinks = docs
+        .select(GroupC.partsHtml(GroupC.frontierParts).as("html"))
+        .select(explode(regexp_extract_all(col("html"),
+          lit(GroupC.HrefP), lit(1))).as("url"))
+        .select(GroupC.urlNormalize(col("url")).as("norm_url"))
+        .filter(col("norm_url").isNotNull)
+        .distinct()
+      outlinks.join(corpus, Seq("norm_url"), "left_anti")
+        .select(col("norm_url"),
+          GroupC.urlDomain(col("norm_url")).as("domain"))
+    }
+
+  def d95FrontierDiscovery(spark: SparkSession, sfDir: String): DataFrame =
+    d95Frontier(spark, sfDir)
       .groupBy("domain")
       .agg(count(lit(1)).as("n_new_urls"), min(col("norm_url")).as("first_url"))
       .orderBy("domain")
-  }
 
   /** d96: the FULL stage-0 crawl-ingest compose (r19) — both curation
     * axes united in ONE lazily built plan, the shape a real crawl
@@ -4974,6 +4987,108 @@ object GroupD {
       .select(col("r.*"))
       .withColumn("dropped", col("docs_in") - col("docs_out"))
       .orderBy("stage")
+  }
+
+  /** The frontier's oracle CTE chain ending at `g(norm_url, domain)` —
+    * d95's body before its census, shared verbatim by the d95 and d97
+    * oracles (mirror of the shared [[d95Frontier]] Spark body). */
+  private def frontierOracleCtes: String =
+    s"""h AS (SELECT doc_id,
+       |  ${GroupC.partsHtmlSql(GroupC.frontierParts)} AS html FROM documents),
+       |l AS (SELECT doc_id,
+       |  unnest(regexp_extract_all(html, '${GroupC.HrefP}', 1)) AS url
+       |  FROM h),
+       |${GroupC.c13NormCtes("", "url", "l")},
+       |ol AS (SELECT DISTINCT norm_url FROM n WHERE norm_url IS NOT NULL),
+       |${GroupC.c13NormCtes("", from = "documents", prefix = "c")},
+       |f AS (SELECT norm_url FROM ol
+       |  WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm_url = ol.norm_url)),
+       |g AS (SELECT norm_url,
+       |  ${GroupC.urlDomainSql("norm_url")} AS domain FROM f)"""
+      .stripMargin
+
+  /** d97's per-HOST robots.txt, constructed from the domain's embedded
+    * numeric key (k = digits(domain) % 37; digit-free domains key 0):
+    * an optional BLANKET `Disallow: /` (1 host in 11 — the real-world
+    * full-block case), an optional section block `Disallow: /read/`
+    * (1 in 4), a digit-prefix `Disallow: /read/<d>` and `Disallow: /<d>`
+    * (string-prefix semantics over the frontier's two path families),
+    * a LONGER `Allow: /<d><m>` exception (longest-match precedence must
+    * win), and the per-host `Crawl-delay`. Spark-side only — the oracle
+    * re-derives every decision arithmetically and never sees this text.
+    */
+  private def d97RobotsText(k: Column): Column = concat(
+    lit("User-agent: *\n"),
+    when(k % 11 === 7, lit("Disallow: /\n")).otherwise(lit("")),
+    when(k % 4 === 0, lit("Disallow: /read/\n")).otherwise(lit("")),
+    lit("Disallow: /read/"), (k % 10).cast("string"), lit("\n"),
+    lit("Disallow: /"), (k % 10).cast("string"), lit("\n"),
+    lit("Allow: /"), (k % 10).cast("string"), (k % 3).cast("string"),
+    lit("\n"), lit("Crawl-delay: "), (lit(1L) + k % 9).cast("string"),
+    lit("\n"))
+
+  /** Path (with query) of an already-canonical URL — everything after
+    * the authority; the robots match subject (RFC 9309 matches the path
+    * and query). Shared constant with the oracle. */
+  private[queries] val CanonPathP = "^[a-z]+://[^/]*"
+
+  /** d97: the fetch-plan compose (r20) — frontier × robots × politeness
+    * budget, the artifact a crawler actually consumes: d95's discovered
+    * URLs (the SHARED [[d95Frontier]] body), gated by a per-HOST
+    * robots.txt decision (c15's kernel — line-anchored rule extraction +
+    * the longest-match fold — evaluated HOST-GROUPED: the robots text is
+    * constructed and PARSED once per registered domain on the
+    * domains-sized DISTINCT frame, decisions broadcast back to the
+    * URL rows; the r19 verdict's missing #3 made code), then scheduled
+    * per domain under its crawl delay: fetch_rank caps at 10 per host
+    * (d91's cap discipline) and start_at_s is the running crawl-delay
+    * total (d20's window family) — the ordered, time-budgeted per-domain
+    * work list.
+    *
+    * Scale shape: the frontier pays d92's canonical-URL exchange (shared
+    * with d95 — AQE reuses it); the robots parse runs on a frame the
+    * size of the DOMAIN set, not the URL set (at 100 TB that is the
+    * difference between parsing billions of identical texts and
+    * millions of distinct ones — c15's own scale note made structural,
+    * plan-pinned in PlanShapeSpec), and its decisions broadcast back;
+    * the cap is `row_number ≤ k` over a domain-partitioned window — the
+    * WindowGroupLimit shape, so each task ships ≤ k rows per domain —
+    * and the cumsum rides the SAME sort (same partition + order keys,
+    * no second sort). Nothing corpus-sized moves after the gate.
+    */
+  def d97FetchPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val frontier = d95Frontier(spark, sfDir)
+      // a URL with no registered domain has no robots host nor cap
+      // group to live in (d91's NULL discipline; none on this corpus)
+      .filter(col("domain").isNotNull)
+    // host frame off the (cached) frontier — a domains-sized distinct
+    val hosts = frontier.select("domain").distinct()
+      .withColumn("k", coalesce(
+        nullif(regexp_extract(col("domain"), "([0-9]+)", 1), lit(""))
+          .cast("long"), lit(0L)) % 37)
+      // robots is non-cheap multi-reference: CollapseProject keeps the
+      // construction evaluated once per HOST row (c11's plan argument)
+      .withColumn("robots", d97RobotsText(col("k")))
+      .select(col("domain"),
+        regexp_extract_all(col("robots"),
+          lit(GroupC.RobotsDisP), lit(1)).as("dis"),
+        regexp_extract_all(col("robots"),
+          lit(GroupC.RobotsAlwP), lit(1)).as("alw"),
+        regexp_extract(col("robots"), GroupC.RobotsDelayP, 1)
+          .cast("long").as("crawl_delay_s"))
+    val w = Window.partitionBy("domain").orderBy("norm_url")
+    frontier.join(broadcast(hosts), "domain")
+      .withColumn("path", regexp_replace(col("norm_url"), CanonPathP, ""))
+      .filter(GroupC.c15BestLen(col("alw"), col("path")) >=
+        GroupC.c15BestLen(col("dis"), col("path")))
+      .select(col("domain"), col("norm_url"), col("crawl_delay_s"))
+      .withColumn("fetch_rank", row_number().over(w).cast("long"))
+      .filter(col("fetch_rank") <= 10)
+      .withColumn("start_at_s", coalesce(sum(col("crawl_delay_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("domain"), col("norm_url"), col("fetch_rank"),
+        col("crawl_delay_s"), col("start_at_s"))
+      .orderBy("domain", "fetch_rank")
   }
 
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
@@ -5387,6 +5502,7 @@ object GroupD {
     "d94_av_pipeline_e2e" -> (d94AvPipelineE2e _),
     "d95_frontier_discovery" -> (d95FrontierDiscovery _),
     "d96_crawl_ingest_e2e" -> (d96CrawlIngestE2e _),
+    "d97_fetch_plan" -> (d97FetchPlan _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5971,21 +6087,53 @@ object GroupD {
     // names), NOT EXISTS as the frontier diff, and urlDomain's full
     // rule (refusal CASE + NULLIF, shared constants) for the census key.
     "d95_frontier_discovery" ->
-      s"""WITH h AS (SELECT doc_id,
-         |  ${GroupC.partsHtmlSql(GroupC.frontierParts)} AS html FROM documents),
-         |l AS (SELECT doc_id,
-         |  unnest(regexp_extract_all(html, '${GroupC.HrefP}', 1)) AS url
-         |  FROM h),
-         |${GroupC.c13NormCtes("", "url", "l")},
-         |ol AS (SELECT DISTINCT norm_url FROM n WHERE norm_url IS NOT NULL),
-         |${GroupC.c13NormCtes("", from = "documents", prefix = "c")},
-         |f AS (SELECT norm_url FROM ol
-         |  WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm_url = ol.norm_url)),
-         |g AS (SELECT norm_url,
-         |  ${GroupC.urlDomainSql("norm_url")} AS domain FROM f)
+      s"""WITH $frontierOracleCtes
          |SELECT domain, COUNT(*)::BIGINT AS n_new_urls,
          |  MIN(norm_url) AS first_url
          |FROM g GROUP BY domain ORDER BY domain""".stripMargin,
+    // d97's oracle: the SHARED frontier CTE chain, then every robots
+    // decision re-derived ARITHMETICALLY from the domain's embedded key
+    // (the c15 discipline — the oracle never parses robots text; the
+    // hash gate verifies the host-grouped Spark evaluation), then the
+    // cap + running-delay windows.
+    "d97_fetch_plan" ->
+      s"""WITH $frontierOracleCtes,
+         |hk AS (SELECT domain,
+         |  COALESCE(CAST(NULLIF(regexp_extract(domain, '([0-9]+)', 1), '')
+         |    AS BIGINT), 0) % 37 AS k
+         |  FROM (SELECT DISTINCT domain FROM g WHERE domain IS NOT NULL)),
+         |dec AS (SELECT g.norm_url, g.domain, hk.k,
+         |  regexp_replace(g.norm_url, '$CanonPathP', '') AS path,
+         |  1 + hk.k % 9 AS crawl_delay_s
+         |  FROM g JOIN hk ON g.domain = hk.domain),
+         |sc AS (SELECT norm_url, domain, crawl_delay_s,
+         |  GREATEST(
+         |    CASE WHEN k % 11 = 7 AND starts_with(path, '/')
+         |         THEN 1 ELSE 0 END,
+         |    CASE WHEN k % 4 = 0 AND starts_with(path, '/read/')
+         |         THEN 6 ELSE 0 END,
+         |    CASE WHEN starts_with(path, '/read/' || CAST(k % 10 AS VARCHAR))
+         |         THEN 7 ELSE 0 END,
+         |    CASE WHEN starts_with(path, '/' || CAST(k % 10 AS VARCHAR))
+         |         THEN 2 ELSE 0 END)::BIGINT AS best_disallow,
+         |  (CASE WHEN starts_with(path,
+         |      '/' || CAST(k % 10 AS VARCHAR) || CAST(k % 3 AS VARCHAR))
+         |    THEN 3 ELSE 0 END)::BIGINT AS best_allow
+         |  FROM dec),
+         |al AS (SELECT domain, norm_url, crawl_delay_s FROM sc
+         |  WHERE best_allow >= best_disallow),
+         |sched AS (SELECT domain, norm_url, crawl_delay_s,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY norm_url)
+         |    AS BIGINT) AS fetch_rank,
+         |  CAST(COALESCE(SUM(crawl_delay_s) OVER (PARTITION BY domain
+         |    ORDER BY norm_url
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS start_at_s
+         |  FROM al)
+         |SELECT domain, norm_url, fetch_rank,
+         |  CAST(crawl_delay_s AS BIGINT) AS crawl_delay_s, start_at_s
+         |FROM sched WHERE fetch_rank <= 10
+         |ORDER BY domain, fetch_rank""".stripMargin,
     // d96's oracle: the SHARED bodies end to end — the c11 page +
     // markup chain, the d92 collision corpus through the c13 CTE chain
     // with the keeper rule, the gopher oracle (its own WITH, nested as

@@ -428,6 +428,37 @@ class PlanShapeSpec extends AnyFunSuite {
       "c14 must not join or aggregate")
   }
 
+  test("d97: robots parse is HOST-grouped; cap prunes map-side; one sort feeds both windows") {
+    // c15's scale note made structural (r20): the robots construct+parse
+    // must consume the domains-sized DISTINCT frame — at 100 TB the
+    // difference between parsing billions of identical texts (docs) and
+    // millions of distinct ones (hosts) — with decisions broadcast back.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val qe = graft.SparkEntry.queries("d97_fetch_plan")(spark, sf)
+      .queryExecution
+    val parseNodes = qe.optimizedPlan.collect { case p: Project
+      if p.projectList.exists(_.toString.contains("Disallow")) => p }
+    assert(parseNodes.nonEmpty, "robots construct/parse projection not found")
+    parseNodes.foreach { p =>
+      assert(p.child.collect { case a: Aggregate => a }.nonEmpty,
+        "the robots parse must sit above the domains DISTINCT, " +
+          "not on the URL frame")
+    }
+    val pp = qe.executedPlan.toString
+    assert(pp.contains("WindowGroupLimit"),
+      "the per-host cap must prune map-side")
+    assert(pp.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner")),
+      "host decisions must broadcast back to the URL rows")
+    // the cumsum window rides the cap window's sort: exactly the cap's
+    // two sorts (partial+final around its exchange) plus the
+    // presentation sort — no sort of its own
+    val sorts = pp.linesIterator.count(l => l.trim.startsWith("+- Sort") ||
+      l.trim.startsWith(":- Sort") || l.trim.startsWith("Sort "))
+    assert(sorts <= 3, s"cumsum must reuse the cap's sort order, saw $sorts:\n" +
+      pp.linesIterator.filter(_.contains("Sort")).mkString("\n"))
+  }
+
   test("d44/d46: attribution and keep-best rules plan as WindowGroupLimit") {
     // d44's top-1 benchmark attribution and d46's one-survivor-per-cluster
     // rule must both prune map-side before their shuffles — at 100 TB the
