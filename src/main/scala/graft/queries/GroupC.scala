@@ -1299,6 +1299,108 @@ object GroupC {
       .orderBy("doc_id")
   }
 
+  // --- c17: sitemap discovery (round 20) ----------------------------------
+  // The third politeness-adjacent crawl input next to robots.txt (c15/d97)
+  // and outlinks (c14/d95): the `Sitemap:` directive of the robots
+  // extension (sitemaps.org protocol, referenced by RFC 9309 §2.3's
+  // "other records") names a urlset document whose <loc> entries are a
+  // crawler's SECOND frontier source. Host-grouped from the start — a
+  // sitemap is a per-HOST artifact, so everything here runs on the
+  // domains-sized frame (the d97 discipline; never once per doc).
+
+  /** `Sitemap:` line extraction — line-anchored like [[RobotsDisP]]
+    * (without `(?m)^` the pattern would also match inside a path that
+    * happens to contain the token). */
+  private[queries] val SitemapP = "(?m)^Sitemap: (\\S+)"
+
+  /** urlset `<loc>` extraction — `[^<]*` (not a lazy dot) so the pattern
+    * is structurally bounded by the closing tag under both engines. */
+  private val LocP = "<loc>([^<]*)</loc>"
+
+  /** c17's per-HOST urlset, constructed from the domain string, its
+    * embedded numeric key k (d97's host key), and the host's
+    * representative corpus page `known_url` (min canonical URL per
+    * domain — the d95 census representative): four `<loc>` entries, one
+    * per discovery arm — (1) a NEW page in canonical surface form,
+    * (2) the SAME page in noisy surface form (scheme/host case, `www.`,
+    * the https-default `:443`, `/index.html` — must collapse under
+    * c13's kernel), (3) the host's own representative corpus page (the
+    * known arm — the frontier diff must drop it, d95's self-link
+    * discipline), (4) a second new page. Spark-side only — the oracle
+    * re-derives every census figure from the same constructions and
+    * never parses XML. */
+  private def c17Urlset(domain: Column, k: Column, knownUrl: Column): Column =
+    concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      lit("<url><loc>https://"), domain, lit("/sitemap-page/"),
+      k.cast("string"), lit("/</loc></url>\n"),
+      lit("<url><loc>HTTPS://WWW."), upper(domain),
+      lit(":443/sitemap-page/"), k.cast("string"),
+      lit("/index.html</loc></url>\n"),
+      lit("<url><loc>"), knownUrl, lit("</loc></url>\n"),
+      lit("<url><loc>https://"), domain, lit("/sitemap-extra/"),
+      (k % 10).cast("string"), lit("</loc></url>\n</urlset>\n"))
+
+  /** c17: sitemap discovery — per registered domain of the corpus's own
+    * URLs: construct the host's robots.txt carrying its `Sitemap:` line,
+    * extract the sitemap URL (line-anchored), construct the urlset that
+    * sitemap would return, extract its `<loc>` entries, canonicalize
+    * each through [[urlNormalize]], and diff against the corpus's
+    * canonical URLs — the per-domain census of sitemap-DISCOVERED new
+    * pages (n_locs → n_canon proves surface collapse; n_new < n_canon
+    * proves the known arm drops).
+    *
+    * Scale shape: host-grouped end to end — the robots/urlset
+    * construction, both extractions, and the canonicalization run on the
+    * DOMAINS-sized frame (one partial-agg groupBy over the corpus
+    * projection builds it), never once per doc (c15's per-doc caveat
+    * does not apply here by construction); the explode ships 4 canonical
+    * strings per HOST; the known-diff anti-join shuffles on d92's
+    * canonical-URL key with the corpus side streaming once (d95's
+    * shape); the final census join is domains-sized-to-domains-sized
+    * with the post-agg side broadcast. At 100 TB nothing corpus-sized
+    * moves except the one corpus scan each side of the groupBy/anti-join
+    * pays.
+    */
+  def c17SitemapDiscover(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), c13Url.as("url"))
+      .select(urlNormalize(col("url")).as("norm_url"),
+        urlDomain(col("url")).as("domain"))
+      .filter(col("domain").isNotNull)
+    val hosts = corpus.groupBy("domain")
+      .agg(min(col("norm_url")).as("known_url"))
+      // d97's host key: digits of the domain string (site-K.tld → K)
+      .withColumn("k", coalesce(
+        nullif(regexp_extract(col("domain"), "([0-9]+)", 1), lit(""))
+          .cast("long"), lit(0L)) % 37)
+      .withColumn("robots", concat(
+        lit("User-agent: *\nDisallow: /private\nSitemap: http://"),
+        col("domain"), lit("/sitemap.xml\n")))
+      .withColumn("sitemap_url", regexp_extract(col("robots"), SitemapP, 1))
+      // urlset is non-cheap multi-reference: CollapseProject keeps the
+      // construction evaluated once per HOST row (c11's plan argument)
+      .withColumn("urlset",
+        c17Urlset(col("domain"), col("k"), col("known_url")))
+      .withColumn("locs", regexp_extract_all(col("urlset"), lit(LocP),
+        lit(1)))
+    val fresh = hosts
+      .select(col("domain"), explode(col("locs")).as("loc"))
+      .select(col("domain"), urlNormalize(col("loc")).as("norm_url"))
+      .filter(col("norm_url").isNotNull)
+      .distinct()
+      .join(corpus.select("norm_url"), Seq("norm_url"), "left_anti")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_new"), min(col("norm_url")).as("first_new"))
+    hosts.select(col("domain"), col("sitemap_url"),
+        size(col("locs")).cast("long").as("n_locs"),
+        size(array_distinct(transform(col("locs"), l => urlNormalize(l))))
+          .cast("long").as("n_canon"))
+      .join(broadcast(fresh), Seq("domain"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),
     "c12_markup_gopher"  -> (c12MarkupGopher _),
@@ -1306,6 +1408,7 @@ object GroupC {
     "c14_outlink_harvest" -> (c14OutlinkHarvest _),
     "c15_robots_gate"    -> (c15RobotsGate _),
     "c16_warc_extract"   -> (c16WarcExtract _),
+    "c17_sitemap_discover" -> (c17SitemapDiscover _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -1502,6 +1605,35 @@ object GroupC {
          |  clean_text,
          |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
          |FROM b ORDER BY doc_id""".stripMargin,
+    // c17: the oracle NEVER parses robots.txt or XML — it re-derives the
+    // whole census arithmetically from the shared constructions: the
+    // domain frame and its representative page come from the c13 CTE
+    // chain; the sitemap URL is the constructed literal; the loc count is
+    // the construction's 4; the canonical count is 3 (the surface pair
+    // collapses by construction); the new count is 2 (the known arm IS a
+    // corpus canonical by construction, so the diff drops exactly it);
+    // first_new is the smaller of the two constructed new canonicals.
+    // The hash gate therefore verifies the Spark side's Sitemap-line
+    // extraction, <loc> walk, canonicalization, and diff end to end.
+    "c17_sitemap_discover" ->
+      s"""WITH ${c13NormCtes("")},
+         |d AS (SELECT domain, min(norm_url) AS known_url FROM n
+         |  WHERE domain IS NOT NULL GROUP BY domain),
+         |h AS (SELECT domain,
+         |  COALESCE(CAST(NULLIF(regexp_extract(domain, '([0-9]+)', 1), '')
+         |    AS BIGINT), 0) % 37 AS k
+         |  FROM d)
+         |SELECT domain,
+         |  'http://' || domain || '/sitemap.xml' AS sitemap_url,
+         |  4::BIGINT AS n_locs,
+         |  3::BIGINT AS n_canon,
+         |  2::BIGINT AS n_new,
+         |  LEAST(
+         |    'https://' || domain || '/sitemap-page/' ||
+         |      CAST(k AS VARCHAR) || '/',
+         |    'https://' || domain || '/sitemap-extra/' ||
+         |      CAST(k % 10 AS VARCHAR)) AS first_new
+         |FROM h ORDER BY domain""".stripMargin,
     // c15: the oracle NEVER parses robots.txt — it re-derives every rule
     // and decision arithmetically from doc_id (the constructed-bytes
     // discipline), so the hash gate verifies the Spark side's PARSER

@@ -459,6 +459,29 @@ class PlanShapeSpec extends AnyFunSuite {
       pp.linesIterator.filter(_.contains("Sort")).mkString("\n"))
   }
 
+  test("c17: sitemap construct/walk is HOST-grouped; census join broadcasts") {
+    // the d97 discipline at the sitemap input: the robots/urlset
+    // construction and both extractions must consume the domains-sized
+    // groupBy frame, never the doc frame — at 100 TB a per-doc sitemap
+    // construct would re-render the same XML docs/host times
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+    val qe = graft.SparkEntry.queries("c17_sitemap_discover")(spark, sf)
+      .queryExecution
+    val constructNodes = qe.optimizedPlan.collect { case p: Project
+      if p.projectList.exists(_.toString.contains("sitemap.xml")) => p }
+    assert(constructNodes.nonEmpty,
+      "sitemap construct/walk projection not found")
+    constructNodes.foreach { p =>
+      assert(p.child.collect { case a: Aggregate => a }.nonEmpty,
+        "the sitemap construct must sit above the per-domain groupBy, " +
+          "not on the doc frame")
+    }
+    val pp = qe.executedPlan.toString
+    assert(pp.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner")),
+      "the domains-sized census join must broadcast")
+  }
+
   test("d44/d46: attribution and keep-best rules plan as WindowGroupLimit") {
     // d44's top-1 benchmark attribution and d46's one-survivor-per-cluster
     // rule must both prune map-side before their shuffles — at 100 TB the
