@@ -598,7 +598,10 @@ object GroupC {
     case s        => s"'$s'"
   }.mkString(" || ")
 
-  private def c11Html: Column = partsHtml(c11Parts)
+  /** The c11 page as a Column — [[graft.streaming.StreamCrawlIngest]]'s
+    * spec renders the same corpus d96 declares (the frontierHtml
+    * discipline, r20). */
+  private[graft] def c11Html: Column = partsHtml(c11Parts)
   private def c11HtmlSql: String = partsHtmlSql(c11Parts)
 
   /** The extraction chain, shared order both sides: strip script/style

@@ -3321,7 +3321,7 @@ object GroupD {
     * object init reads GroupC vals — the reverse reference at init time
     * would cycle).
     */
-  private[queries] def gopherOver(docs: DataFrame): DataFrame = {
+  private[graft] def gopherOver(docs: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     docs.select(col("doc_id"), col("text"),
         filter(GroupC.tokens(col("text")), t => t =!= "").as("ts"))

@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   *   1. restore: standing = initial ∪ [[StandingStore.readStore]]
   *      (marker-adjudicated; damage fails the restart loudly);
-  *   2. per batch: the gate's own rule maps (batch, standing) →
+  *   2. per batch: the gate's own rule maps (batch, standing, batchId) →
   *      (kept, standingDelta) — kept goes to the sink, standingDelta
   *      (already in the standing frame's schema) joins the standing
   *      side;
@@ -43,7 +43,7 @@ private[streaming] object StandingGate {
             standingStore: Option[String], compactEvery: Int,
             storeCols: Seq[String], dedupKey: String,
             checkpointRestore: Boolean = false)
-           (perBatch: (DataFrame, DataFrame) => (DataFrame, DataFrame))
+           (perBatch: (DataFrame, DataFrame, Long) => (DataFrame, DataFrame))
       : StreamingQuery = {
     require(compactEvery > 0, s"compactEvery must be positive: $compactEvery")
     val spark = initialStanding.sparkSession
@@ -56,7 +56,7 @@ private[streaming] object StandingGate {
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val (kept, standingDelta) = perBatch(batch.toDF(), standing)
+        val (kept, standingDelta) = perBatch(batch.toDF(), standing, batchId)
         standing = standing.unionByName(standingDelta)
         batches += 1
         if (batches % compactEvery == 0)

@@ -74,7 +74,7 @@ object StreamFrontier {
     StandingGate.start(delta, base.select(col("norm_url")), queryName,
         sink, standingStore, compactEvery,
         storeCols = Seq("norm_url"), dedupKey = "norm_url") {
-      (batch, standing) =>
+      (batch, standing, _) =>
         val links = batch
           .select(explode(regexp_extract_all(col("html"),
             lit(GroupC.HrefP), lit(1))).as("url"))

@@ -134,7 +134,7 @@ object StreamImageDedup {
         standingStore, compactEvery,
         storeCols = Seq("asset_id", "dhash"), dedupKey = "asset_id",
         checkpointRestore = true) {
-      (batch, standing) =>
+      (batch, standing, _) =>
         // deterministic within-batch survivor per asset_id (at-least-once
         // redelivery may vary passthrough columns; content-first tiebreak
         // via the shared definition so the gates cannot drift), then drop

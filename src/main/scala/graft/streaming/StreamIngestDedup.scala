@@ -72,7 +72,7 @@ object StreamIngestDedup {
     StandingGate.start(delta, base.select(col("doc_id"), col("text")),
         queryName, sink, standingStore, compactEvery,
         storeCols = Seq("doc_id", "text"), dedupKey = "doc_id") {
-      (batch, standing) =>
+      (batch, standing, _) =>
         // at-least-once sources can also redeliver a doc ACROSS batches:
         // an id already accepted into the standing side is a duplicate
         // arrival, not a new document — without this anti-join it would

@@ -83,7 +83,7 @@ object StreamUrlDedup {
     StandingGate.start(delta, base.select(col("norm_url")), queryName,
         sink, standingStore, compactEvery,
         storeCols = Seq("norm_url"), dedupKey = "norm_url") {
-      (batch, standing) =>
+      (batch, standing, _) =>
         val withKey = DeterministicSurvivor
           .keepFirstBy(batch, "doc_id", "url")
           .withColumn("norm_url", GroupC.urlNormalize(col("url")))
