@@ -1213,7 +1213,7 @@ object GroupC {
 
   private val WarcCLenP = "Content-Length: ([0-9]+)"
   private val WarcTypeP = "(?m)^WARC-Type: (\\S+)"
-  private val WarcUriP  = "(?m)^WARC-Target-URI: (\\S+)"
+  private[graft] val WarcUriP = "(?m)^WARC-Target-URI: (\\S+)"
 
   /** c16: WARC record ingest — construct each doc's 3-record WARC blob,
     * then walk it back record by record: find the header block's blank
@@ -1236,10 +1236,10 @@ object GroupC {
     * column is the parquet-landed raw fetch this walk runs over
     * shard-parallel; nothing corpus-sized moves.
     */
-  /** The constructed 3-record blob — package-private so WarcWalkSpec can
-    * collect it and re-walk the framing in plain JVM code (exhaustion is
-    * the invariant the hash gate cannot see: the oracle never parses). */
-  private[queries] def c16Blob: Column = {
+  /** The constructed 3-record blob over any (uri, html) pair — c16 feeds
+    * the c13 URL + c11 page; d99's e2e compose feeds d92's collision
+    * corpus so the downstream URL-dedup stage actually collapses. */
+  private[graft] def c16BlobWith(uri: Column, html: Column): Column = {
     val host = concat(lit("site-"), (col("doc_id") % 37).cast("string"),
       lit(".example"))
     val body1 = concat(lit("software: graft/1.0" + Crlf + "hostname: "),
@@ -1248,7 +1248,6 @@ object GroupC {
       (col("doc_id") % 100).cast("string"),
       lit(" HTTP/1.1" + Crlf + "Host: "), host,
       lit(Crlf + "User-Agent: graft" + CrlfCrlf))
-    val uri = c13Url
     concat(
       warcRec(lit("WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf), body1),
       warcRec(concat(
@@ -1256,16 +1255,24 @@ object GroupC {
           "WARC-Target-URI: "), uri, lit(Crlf)), body2),
       warcRec(concat(
         lit("WARC/1.0" + Crlf + "WARC-Type: response" + Crlf +
-          "WARC-Target-URI: "), uri, lit(Crlf)), c16Block3(c11Html)))
+          "WARC-Target-URI: "), uri, lit(Crlf)), c16Block3(html)))
   }
 
-  def c16WarcExtract(spark: SparkSession, sfDir: String): DataFrame = {
-    val blob = c16Blob
+  /** The constructed 3-record blob — package-private so WarcWalkSpec can
+    * collect it and re-walk the framing in plain JVM code (exhaustion is
+    * the invariant the hash gate cannot see: the oracle never parses). */
+  private[queries] def c16Blob: Column = c16BlobWith(c13Url, c11Html)
+
+  /** The framing walk over a frame carrying a `warc` column: appends the
+    * three header blocks, the response block, and its HTTP payload — the
+    * SHARED body of c16's declared extraction and d99's e2e compose (one
+    * definition, so the composed pipeline can never drift from the
+    * declared walker). */
+  private[graft] def warcWalk(df: DataFrame): DataFrame = {
     def hdrOf(rec: Column, hEnd: Column): Column = rec.substr(lit(1), hEnd - 1)
     def cLen(hdr: Column): Column =
       regexp_extract(hdr, WarcCLenP, 1).cast("long")
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), blob.as("warc"))
+    df
       // record 1: header ends at the first blank line of the BLOB
       .withColumn("h1", instr(col("warc"), CrlfCrlf).cast("long"))
       .withColumn("hdr1", hdrOf(col("warc"), col("h1")))
@@ -1286,6 +1293,11 @@ object GroupC {
       .withColumn("he", instr(col("block3"), CrlfCrlf).cast("long"))
       .withColumn("payload",
         col("block3").substr(col("he") + 4L, col("len3")))
+  }
+
+  def c16WarcExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    warcWalk(Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), c16Blob.as("warc")))
       .select(col("doc_id"),
         concat_ws(",",
           regexp_extract(col("hdr1"), WarcTypeP, 1),
@@ -1366,13 +1378,19 @@ object GroupC {
     * moves except the one corpus scan each side of the groupBy/anti-join
     * pays.
     */
-  def c17SitemapDiscover(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = Tables(spark, sfDir, "documents")
+  /** The corpus's canonical-URL frame on its registered-domain key —
+    * c17's known set and host source. */
+  private def c17Corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
       .select(col("doc_id"), c13Url.as("url"))
       .select(urlNormalize(col("url")).as("norm_url"),
         urlDomain(col("url")).as("domain"))
       .filter(col("domain").isNotNull)
-    val hosts = corpus.groupBy("domain")
+
+  /** The DOMAINS-sized host frame with its constructed robots, extracted
+    * sitemap URL, constructed urlset, and extracted locs. */
+  private def c17Hosts(spark: SparkSession, sfDir: String): DataFrame =
+    c17Corpus(spark, sfDir).groupBy("domain")
       .agg(min(col("norm_url")).as("known_url"))
       // d97's host key: digits of the domain string (site-K.tld → K)
       .withColumn("k", coalesce(
@@ -1388,21 +1406,58 @@ object GroupC {
         c17Urlset(col("domain"), col("k"), col("known_url")))
       .withColumn("locs", regexp_extract_all(col("urlset"), lit(LocP),
         lit(1)))
-    val fresh = hosts
-      .select(col("domain"), explode(col("locs")).as("loc"))
-      .select(col("domain"), urlNormalize(col("loc")).as("norm_url"))
-      .filter(col("norm_url").isNotNull)
-      .distinct()
-      .join(corpus.select("norm_url"), Seq("norm_url"), "left_anti")
+
+  /** The sitemap-DISCOVERED frame (domain, norm_url): locs walked,
+    * canonicalized, deduped, anti-joined against the corpus's canonical
+    * URLs — the frontier contribution d98 unions with d95's outlink
+    * source. StageCache-persisted per corpus (d95Frontier's policy) so
+    * the declared census and the union compose share ONE
+    * materialization. */
+  private[queries] def c17Fresh(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    graft.operators.StageCache.persisted(s"$sfDir#c17_fresh") {
+      c17Hosts(spark, sfDir)
+        .select(col("domain"), explode(col("locs")).as("loc"))
+        .select(col("domain"), urlNormalize(col("loc")).as("norm_url"))
+        .filter(col("norm_url").isNotNull)
+        .distinct()
+        .join(c17Corpus(spark, sfDir).select("norm_url"),
+          Seq("norm_url"), "left_anti")
+    }
+
+  def c17SitemapDiscover(spark: SparkSession, sfDir: String): DataFrame = {
+    val fresh = c17Fresh(spark, sfDir)
       .groupBy("domain")
       .agg(count(lit(1)).as("n_new"), min(col("norm_url")).as("first_new"))
-    hosts.select(col("domain"), col("sitemap_url"),
+    c17Hosts(spark, sfDir).select(col("domain"), col("sitemap_url"),
         size(col("locs")).cast("long").as("n_locs"),
         size(array_distinct(transform(col("locs"), l => urlNormalize(l))))
           .cast("long").as("n_canon"))
       .join(broadcast(fresh), Seq("domain"))
       .orderBy("domain")
   }
+
+  /** The sitemap-news oracle CTE chain, `prefix`-namespaced (the
+    * frontierOracleCtes discipline — d98 nests it NEXT TO the outlink
+    * chain, whose relation names the unprefixed c13 chain already
+    * takes), ending at `<prefix>sm(domain, norm_url)`: the two
+    * constructed NEW canonicals per registered domain, re-derived
+    * arithmetically — never parsed from robots or XML. The known arm is
+    * absent by construction (it is a corpus URL; the diff drops it). */
+  private[queries] def c17NewCtes(prefix: String): String =
+    s"""${c13NormCtes("", prefix = prefix)},
+       |${prefix}d AS (SELECT domain FROM ${prefix}n
+       |  WHERE domain IS NOT NULL GROUP BY domain),
+       |${prefix}hk AS (SELECT domain,
+       |  COALESCE(CAST(NULLIF(regexp_extract(domain, '([0-9]+)', 1), '')
+       |    AS BIGINT), 0) % 37 AS k FROM ${prefix}d),
+       |${prefix}sm AS (
+       |  SELECT domain, 'https://' || domain || '/sitemap-page/' ||
+       |    CAST(k AS VARCHAR) || '/' AS norm_url FROM ${prefix}hk
+       |  UNION ALL
+       |  SELECT domain, 'https://' || domain || '/sitemap-extra/' ||
+       |    CAST(k % 10 AS VARCHAR) AS norm_url FROM ${prefix}hk)"""
+      .stripMargin
 
   val queries: Map[String, Q] = Map(
     "c11_markup_extract" -> (c11MarkupExtract _),

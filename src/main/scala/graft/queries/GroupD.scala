@@ -4950,6 +4950,15 @@ object GroupD {
     val base = docs.select(col("doc_id"),
       GroupC.markupClean(GroupC.partsHtml(GroupC.c11Parts)).as("clean_text"),
       GroupC.urlNormalize(GroupC.d92Url).as("norm_url"))
+    crawlIngestFunnel(docs, base)
+  }
+
+  /** d96's funnel body over any (doc_id, clean_text, norm_url) base —
+    * the SHARED compose d99 re-enters from WARC-walked fields (one
+    * definition, so the interchange-fed pipeline can never drift from
+    * the declared d96). */
+  private def crawlIngestFunnel(docs: DataFrame,
+                                base: DataFrame): DataFrame = {
     // stage 2 consumes stage 1's SURVIVORS (non-empty extractions), not
     // all docs — without the length gate the funnel's "each stage
     // consumes the previous stage's survivors" contract is false for
@@ -4987,6 +4996,39 @@ object GroupD {
       .select(col("r.*"))
       .withColumn("dropped", col("docs_in") - col("docs_out"))
       .orderBy("stage")
+  }
+
+  /** d99: the crawl pipeline fed from RAW INTERCHANGE BYTES (r20) —
+    * d96's entire stage-0 funnel re-entered from a WARC walk instead of
+    * direct constructions: each doc renders as the 3-record WARC blob
+    * (c16's shared construction, carrying d92's collision-corpus URL as
+    * Target-URI and the c11 page as response payload), the SHARED
+    * [[GroupC.warcWalk]] frames the records back by Content-Length
+    * arithmetic, and the walked (payload, Target-URI) pair feeds the
+    * SHARED [[crawlIngestFunnel]] — markup→text → canonical-URL dedup →
+    * Gopher gate → exact text dedup → the 4-row funnel. The oracle is
+    * d96's VERBATIM (the d89-shares-d88 equivalence discipline): the
+    * walk is lossless on (payload, uri) by construction, so any framing
+    * slip — an offset error, a Content-Length misread, a terminator
+    * miscount — corrupts clean_text or norm_url downstream and the hash
+    * gate catches it through the funnel. The first leg of a real
+    * pipeline (Common Crawl WARC → curated corpus) as ONE oracle-checked
+    * plan.
+    *
+    * Scale shape: adds c16's per-row construct+walk (scan-side,
+    * header-sized fragment ops) in front of d96's compose — the blob is
+    * non-cheap multi-reference so CollapseProject keeps it once per row;
+    * everything downstream is d96's exchange-reuse shape unchanged.
+    */
+  def d99WarcPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val walked = GroupC.warcWalk(docs.select(col("doc_id"),
+      GroupC.c16BlobWith(GroupC.d92Url, GroupC.c11Html).as("warc")))
+    val base = walked.select(col("doc_id"),
+      GroupC.markupClean(col("payload")).as("clean_text"),
+      GroupC.urlNormalize(
+        regexp_extract(col("hdr3"), GroupC.WarcUriP, 1)).as("norm_url"))
+    crawlIngestFunnel(docs, base)
   }
 
   /** The frontier's oracle CTE chain ending at `g(norm_url, domain)` —
@@ -5089,6 +5131,43 @@ object GroupD {
       .select(col("domain"), col("norm_url"), col("fetch_rank"),
         col("crawl_delay_s"), col("start_at_s"))
       .orderBy("domain", "fetch_rank")
+  }
+
+  /** d98: the frontier's SOURCE union (r20) — the two discovery inputs a
+    * crawler actually merges, censused with provenance: d95's outlink
+    * discoveries (the SHARED StageCache'd [[d95Frontier]] body) and
+    * c17's sitemap discoveries (the SHARED StageCache'd
+    * [[GroupC.c17Fresh]] body), unioned under a `source` tag and
+    * censused per registered domain — per-source distinct counts, the
+    * distinct total (honest about overlap: a URL both sources surface
+    * counts once), and the lexicographically first URL as the
+    * deterministic representative. The compose that makes the sitemap
+    * leg actually FEED the frontier rather than stand beside it.
+    *
+    * Scale shape: both operands are the standing discovery frames their
+    * declared queries persist (one materialization per corpus across
+    * the census + this union — a production crawl's frontier table
+    * between passes); the union ships (domain, norm_url, tag) strings
+    * only; the census is one partial agg on the domain key. At 100 TB
+    * nothing here re-derives — the cost is the one groupBy over frames
+    * already paid for.
+    */
+  def d98FrontierSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val outlink = d95Frontier(spark, sfDir)
+      .filter(col("domain").isNotNull)
+      .withColumn("source", lit("outlink"))
+    val sitemap = GroupC.c17Fresh(spark, sfDir)
+      .withColumn("source", lit("sitemap"))
+    outlink.unionByName(sitemap)
+      .groupBy("domain")
+      .agg(
+        countDistinct(when(col("source") === "outlink", col("norm_url")))
+          .as("n_outlink"),
+        countDistinct(when(col("source") === "sitemap", col("norm_url")))
+          .as("n_sitemap"),
+        countDistinct(col("norm_url")).as("n_total"),
+        min(col("norm_url")).as("first_url"))
+      .orderBy("domain")
   }
 
   /** c10: media DEDUP-volume card — GroupC's c9 corpus card extended
@@ -5503,6 +5582,8 @@ object GroupD {
     "d95_frontier_discovery" -> (d95FrontierDiscovery _),
     "d96_crawl_ingest_e2e" -> (d96CrawlIngestE2e _),
     "d97_fetch_plan" -> (d97FetchPlan _),
+    "d98_frontier_sources" -> (d98FrontierSources _),
+    "d99_warc_pipeline_e2e" -> (d99WarcPipelineE2e _),
     "c10_media_dedup_card" -> (c10MediaDedupCard _),
     // d39 composes d27's k-means (iterative fixpoint — no oracle) with the
     // within-cluster drop pass; rows-only + PipelineOpsSpec pins.
@@ -5947,7 +6028,8 @@ object GroupD {
         |    AND list_cosine_similarity(p.f, e.f) >= 0.95)
         |ORDER BY d0.doc_id""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = {
+    val m = Map(
     // body shared with c12's markup-cleaned composition — one SQL text,
     // parameterized by source (see GroupC.gopherOracleSql's init note)
     "d69_gopher_rules" -> GroupC.gopherOracleSql("", "documents"),
@@ -6134,13 +6216,35 @@ object GroupD {
          |  CAST(crawl_delay_s AS BIGINT) AS crawl_delay_s, start_at_s
          |FROM sched WHERE fetch_rank <= 10
          |ORDER BY domain, fetch_rank""".stripMargin,
+    // d98: the outlink chain (d95's shared CTEs, relation g) next to the
+    // sitemap-news chain (c17's shared CTEs, "s"-prefixed — the two
+    // constructed news per domain, re-derived arithmetically, never
+    // parsed), unioned with provenance and censused per domain.
+    "d98_frontier_sources" ->
+      s"""WITH $frontierOracleCtes,
+         |${GroupC.c17NewCtes("s")},
+         |uu AS (SELECT domain, norm_url, 'outlink' AS source FROM g
+         |    WHERE domain IS NOT NULL
+         |  UNION ALL
+         |  SELECT domain, norm_url, 'sitemap' AS source FROM ssm)
+         |SELECT domain,
+         |  COUNT(DISTINCT CASE WHEN source = 'outlink' THEN norm_url END)
+         |    AS n_outlink,
+         |  COUNT(DISTINCT CASE WHEN source = 'sitemap' THEN norm_url END)
+         |    AS n_sitemap,
+         |  COUNT(DISTINCT norm_url) AS n_total,
+         |  MIN(norm_url) AS first_url
+         |FROM uu GROUP BY domain ORDER BY domain""".stripMargin,
     // d96's oracle: the SHARED bodies end to end — the c11 page +
     // markup chain, the d92 collision corpus through the c13 CTE chain
     // with the keeper rule, the gopher oracle (its own WITH, nested as
     // a CTE subquery over the keepers' cleaned text — the c12
     // parameterization), md5 keep-min, and the 4 funnel rows from
     // scalar counts. Every stage re-derived, nothing trusted from the
-    // engine under test.
+    // engine under test. SHARED VERBATIM by d99 (the d89-shares-d88
+    // measured-equivalence discipline): the WARC construct+walk is
+    // lossless on (payload, uri) by construction, so d99's funnel must
+    // hash-equal d96's — any framing slip in the walk breaks it.
     "d96_crawl_ingest_e2e" ->
       s"""WITH h AS (SELECT doc_id,
          |  ${GroupC.partsHtmlSql(GroupC.c11Parts)} AS html FROM documents),
@@ -7339,5 +7443,10 @@ object GroupD {
          |  count(*) OVER (PARTITION BY md5_fp) AS n_same
          |FROM fp
          |ORDER BY doc_id""".stripMargin,
-  )
+    )
+    // d99 shares d96's oracle VERBATIM (see the d96 entry's note): the
+    // WARC leg is lossless on (payload, uri) by construction, so the
+    // funnels must hash-match — self-referential, hence appended here
+    m + ("d99_warc_pipeline_e2e" -> m("d96_crawl_ingest_e2e"))
+  }
 }

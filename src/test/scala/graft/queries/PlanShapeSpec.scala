@@ -576,7 +576,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "d94_av_pipeline_e2e",
       // d96 crosses five 1-row stage aggregates into its crawl-ingest
       // funnel metrics row (d90's pattern, round 19)
-      "d96_crawl_ingest_e2e")
+      "d96_crawl_ingest_e2e",
+      // d99 is d96's funnel re-entered from the WARC walk — the same
+      // five 1-row stage-aggregate crosses (round 20)
+      "d99_warc_pipeline_e2e")
     val swept = (GroupB.queries.keySet ++ GroupC.queries.keySet ++
       GroupD.queries.keySet) -- allowedCross
     for (q <- swept.toSeq.sorted) {
