@@ -1116,14 +1116,14 @@ object GroupC {
     * without the anchor `Allow:` also matches the tail of every
     * `Disallow:` line, the classic robots-parsing bug). Shared with
     * d97's host-grouped evaluation. */
-  private[queries] val RobotsDisP   = "(?m)^Disallow: (\\S+)"
-  private[queries] val RobotsAlwP   = "(?m)^Allow: (\\S+)"
-  private[queries] val RobotsDelayP = "Crawl-delay: ([0-9]+)"
+  private[graft] val RobotsDisP   = "(?m)^Disallow: (\\S+)"
+  private[graft] val RobotsAlwP   = "(?m)^Allow: (\\S+)"
+  private[graft] val RobotsDelayP = "Crawl-delay: ([0-9]+)"
 
   /** Longest matching prefix length among `rules` for `path` — the RFC
     * 9309 match rule as one HOF fold (0 = no rule matches). Shared with
     * d97 (host-grouped evaluation over the frontier). */
-  private[queries] def c15BestLen(rules: Column, path: Column): Column =
+  private[graft] def c15BestLen(rules: Column, path: Column): Column =
     aggregate(filter(rules, p => path.startsWith(p)), lit(0L),
       (acc, p) => greatest(acc, length(p).cast("long")))
 

@@ -4894,7 +4894,7 @@ object GroupD {
     * the discovery pass and the schedule it feeds share ONE
     * materialization, exactly what a production crawl does with its
     * frontier table between passes. */
-  private def d95Frontier(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def d95Frontier(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.StageCache.persisted(s"$sfDir#d95_frontier") {
       val docs = Tables(spark, sfDir, "documents")
       val corpus = docs
@@ -5059,7 +5059,7 @@ object GroupD {
     * win), and the per-host `Crawl-delay`. Spark-side only — the oracle
     * re-derives every decision arithmetically and never sees this text.
     */
-  private def d97RobotsText(k: Column): Column = concat(
+  private[graft] def d97RobotsText(k: Column): Column = concat(
     lit("User-agent: *\n"),
     when(k % 11 === 7, lit("Disallow: /\n")).otherwise(lit("")),
     when(k % 4 === 0, lit("Disallow: /read/\n")).otherwise(lit("")),
@@ -5072,7 +5072,7 @@ object GroupD {
   /** Path (with query) of an already-canonical URL — everything after
     * the authority; the robots match subject (RFC 9309 matches the path
     * and query). Shared constant with the oracle. */
-  private[queries] val CanonPathP = "^[a-z]+://[^/]*"
+  private[graft] val CanonPathP = "^[a-z]+://[^/]*"
 
   /** d97: the fetch-plan compose (r20) — frontier × robots × politeness
     * budget, the artifact a crawler actually consumes: d95's discovered
