@@ -1118,11 +1118,21 @@ object GroupC {
     * d97's host-grouped evaluation. */
   private[graft] val RobotsDisP   = "(?m)^Disallow: (\\S+)"
   private[graft] val RobotsAlwP   = "(?m)^Allow: (\\S+)"
-  private[graft] val RobotsDelayP = "Crawl-delay: ([0-9]+)"
+  // line-anchored like the rule patterns (r20 review): unanchored, a
+  // commented-out "# Crawl-delay: 60" earlier in the file would win
+  private[graft] val RobotsDelayP = "(?m)^Crawl-delay: ([0-9]+)"
 
   /** Longest matching prefix length among `rules` for `path` — the RFC
     * 9309 match rule as one HOF fold (0 = no rule matches). Shared with
     * d97 (host-grouped evaluation over the frontier). */
+  /** The numeric HOST key shared by d97's robots construction, c17's
+    * urlset construction and their specs: the domain's embedded digit
+    * run mod 37 (digit-free domains key 0) — ONE definition so the
+    * constructions cannot drift (r20 review). */
+  private[graft] def hostKey(domain: Column): Column =
+    coalesce(nullif(regexp_extract(domain, "([0-9]+)", 1), lit(""))
+      .cast("long"), lit(0L)) % 37
+
   private[graft] def c15BestLen(rules: Column, path: Column): Column =
     aggregate(filter(rules, p => path.startsWith(p)), lit(0L),
       (acc, p) => greatest(acc, length(p).cast("long")))
@@ -1392,10 +1402,7 @@ object GroupC {
   private def c17Hosts(spark: SparkSession, sfDir: String): DataFrame =
     c17Corpus(spark, sfDir).groupBy("domain")
       .agg(min(col("norm_url")).as("known_url"))
-      // d97's host key: digits of the domain string (site-K.tld → K)
-      .withColumn("k", coalesce(
-        nullif(regexp_extract(col("domain"), "([0-9]+)", 1), lit(""))
-          .cast("long"), lit(0L)) % 37)
+      .withColumn("k", hostKey(col("domain")))
       .withColumn("robots", concat(
         lit("User-agent: *\nDisallow: /private\nSitemap: http://"),
         col("domain"), lit("/sitemap.xml\n")))

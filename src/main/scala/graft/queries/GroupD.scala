@@ -5022,12 +5022,21 @@ object GroupD {
     */
   def d99WarcPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val walked = GroupC.warcWalk(docs.select(col("doc_id"),
-      GroupC.c16BlobWith(GroupC.d92Url, GroupC.c11Html).as("warc")))
-    val base = walked.select(col("doc_id"),
-      GroupC.markupClean(col("payload")).as("clean_text"),
-      GroupC.urlNormalize(
-        regexp_extract(col("hdr3"), GroupC.WarcUriP, 1)).as("norm_url"))
+    // the walked base persists ONCE per corpus (StageCache — the d95/c17
+    // hub policy): unlike d96's direct constructions, every base column
+    // here carries the whole blob construct + framing walk in its
+    // expression tree, and the funnel's branches (plus gopher's HOFs,
+    // which re-evaluate their input array per consumer) would otherwise
+    // multiply that tree per row per branch — measured 223.8 s → the
+    // d96 family's seconds-class at sf0.1 with the one materialization
+    val base = graft.operators.StageCache.persisted(s"$sfDir#d99_base") {
+      val walked = GroupC.warcWalk(docs.select(col("doc_id"),
+        GroupC.c16BlobWith(GroupC.d92Url, GroupC.c11Html).as("warc")))
+      walked.select(col("doc_id"),
+        GroupC.markupClean(col("payload")).as("clean_text"),
+        GroupC.urlNormalize(
+          regexp_extract(col("hdr3"), GroupC.WarcUriP, 1)).as("norm_url"))
+    }
     crawlIngestFunnel(docs, base)
   }
 
@@ -5105,9 +5114,7 @@ object GroupD {
       .filter(col("domain").isNotNull)
     // host frame off the (cached) frontier — a domains-sized distinct
     val hosts = frontier.select("domain").distinct()
-      .withColumn("k", coalesce(
-        nullif(regexp_extract(col("domain"), "([0-9]+)", 1), lit(""))
-          .cast("long"), lit(0L)) % 37)
+      .withColumn("k", GroupC.hostKey(col("domain")))
       // robots is non-cheap multi-reference: CollapseProject keeps the
       // construction evaluated once per HOST row (c11's plan argument)
       .withColumn("robots", d97RobotsText(col("k")))

@@ -14,49 +14,58 @@ import graft.queries.{GroupC, GroupD}
   * (c15's kernel over a STATIC robots frame, parsed ONCE at gate start
   * on the domains-sized frame — d97's host-grouped discipline live) and
   * scheduled under the domain's politeness budget: fetch_rank continues
-  * ACROSS batches from the domain's standing scheduled count, capped at
+  * ACROSS batches from the domain's already-scheduled count, capped at
   * `maxPerHost` total, and start_at_s continues from the domain's
-  * accumulated busy time (the crawl-delay cumsum d97 computes within
-  * one corpus, extended across arrivals).
+  * accumulated crawl-delay clock (the cumsum d97 computes within one
+  * corpus, extended across arrivals).
   *
-  * STANDING STATE is an append-only LEDGER, not a key set: one row per
-  * (batch, domain) — `(ledger_key, domain, n_urls, busy_s)` with
-  * ledger_key = "<batchId>:<domain>" — aggregated per batch into each
-  * domain's (scheduled count, clock). The ledger shape is what makes
-  * the skeleton's dedup-on-compact SAFE here: increments are never
-  * collapsed (keys are unique by construction), while a crash-replayed
-  * batch re-appends the SAME keys and compaction drops the duplicates —
-  * the replay double-count window the plain-append design would have
-  * had closes itself.
+  * STANDING STATE is the SCHEDULED-URL TABLE itself — (domain,
+  * norm_url, crawl_delay_s), the work list a crawler persists anyway —
+  * and every cross-batch read derives from it by anti-join or
+  * key-distinct aggregation, which is what makes the crash windows
+  * self-healing (the r20 review killed a first design that stored
+  * per-batch COUNT increments: a sum-based ledger double-counts on
+  * crash-replay and collides batchIds across un-checkpointed restarts;
+  * a key set cannot — the same rows re-append and [[StandingStore]]'s
+  * dedup-on-compact plus the read-side key-distinct make replay
+  * idempotent). A URL schedules AT MOST ONCE, ever: arrivals already in
+  * the standing set drop (a crash between sink and append re-emits the
+  * batch's schedule VERBATIM on replay — at-least-once with identical
+  * rows, because its own URLs are not yet standing; a crash after the
+  * append replays to an empty emission — the sink already saw the
+  * rows).
   *
   * Robots semantics: a domain absent from the robots frame has no
   * rules — RFC 9309 default-allow, crawl delay 0 (the no-robots host).
-  * Disallowed URLs DROP (counted work a crawler never queues);
-  * NULL-domain rows drop too (no host to schedule under — d91's NULL
-  * discipline; StreamFrontier never emits them).
+  * Disallowed URLs DROP (work a crawler never queues); NULL-domain rows
+  * drop too (no host to schedule under — d91's NULL discipline;
+  * StreamFrontier never emits them). An over-cap URL drops WITHOUT
+  * entering the standing set, so it may retry while slots remain.
   *
   * Scale shape: the robots parse is a one-time domains-sized projection
   * broadcast into every batch; the batch side is trigger-bounded with
-  * the cap window's row_number a map-side WindowGroupLimit; the ledger
-  * streams once per batch through one aggregate the size of the DOMAIN
-  * set. At 100 TB the ledger is the scheduler's persisted bookkeeping
-  * table — domains-sized, not URL-sized.
+  * the cap window's row_number a map-side WindowGroupLimit; the
+  * standing side streams once per batch through one anti-join on the
+  * canonical-URL key plus one domains-sized key-distinct aggregate. At
+  * 100 TB the standing table is the persisted fetch log the sink
+  * appends to.
   */
 object StreamFetchPlan {
 
   /** Start the gate: `delta` is a streaming frame with (domain,
-    * norm_url) — [[StreamFrontier]]'s discovery shape; its exactly-once
-    * contract upstream is what keeps re-discoveries out of the
-    * schedule. `robots` a STATIC frame with (domain, robots) raw text —
-    * parsed once here, host-grouped. `sink` receives each batch's
-    * scheduled rows (domain, norm_url, fetch_rank, crawl_delay_s,
-    * start_at_s). `base` optionally seeds per-domain (n_urls, busy_s)
-    * from a prior batch run (d97's output aggregated — pass None for a
-    * cold start).
+    * norm_url) — [[StreamFrontier]]'s discovery shape. `robots` a
+    * STATIC frame with (domain, robots) raw text, one row per domain
+    * (fail-fast otherwise: a duplicate domain row would silently
+    * double-schedule every URL of that host — r20 review) — parsed once
+    * here, host-grouped. `sink` receives each batch's scheduled rows
+    * (domain, norm_url, fetch_rank, crawl_delay_s, start_at_s). `base`
+    * optionally seeds the already-scheduled set with prior work in the
+    * same (domain, norm_url, crawl_delay_s) shape — d97's output
+    * columns; pass None for a cold start.
     *
-    * `standingStore`: optional parquet directory making the ledger
-    * durable via [[StandingStore]]'s protocol; the unique ledger keys
-    * make compaction a pure replay-dedup (see scaladoc above).
+    * `standingStore`: optional parquet directory making the scheduled
+    * set durable via [[StandingStore]]'s protocol (dedupKey norm_url —
+    * replayed appends collapse).
     */
   def start(delta: DataFrame, robots: DataFrame, queryName: String,
             sink: (DataFrame, Long) => Unit,
@@ -70,7 +79,7 @@ object StreamFetchPlan {
         s"delta must carry (domain, norm_url); has " +
           delta.columns.mkString(", "))
     for (reserved <- Seq("fetch_rank", "crawl_delay_s", "start_at_s",
-        "ledger_key", "n_urls", "busy_s", "__rn"))
+        "booked_n", "booked_s", "path", "dis", "alw", "__rn"))
       require(!delta.columns.contains(reserved),
         s"delta already carries $reserved — rename it first (the gate " +
           "computes this column)")
@@ -86,31 +95,44 @@ object StreamFetchPlan {
           lit(GroupC.RobotsDisP), lit(1)).as("dis"),
         regexp_extract_all(col("robots"),
           lit(GroupC.RobotsAlwP), lit(1)).as("alw"),
-        coalesce(regexp_extract(col("robots"), GroupC.RobotsDelayP, 1)
-          .cast("long"), lit(0L)).as("crawl_delay_s"))
+        // nullif BEFORE the cast: with no Crawl-delay line the extract
+        // returns '' and an ANSI cast THROWS rather than NULLing — the
+        // no-delay host must default to 0, not kill the gate
+        coalesce(nullif(regexp_extract(col("robots"),
+            GroupC.RobotsDelayP, 1), lit("")).cast("long"), lit(0L))
+          .as("crawl_delay_s"))
       .localCheckpoint(true)
-    val initial = base.map(_.select(
-        concat(lit("base:"), col("domain")).as("ledger_key"),
-        col("domain"), col("n_urls").cast("long"),
-        col("busy_s").cast("long")))
+    require(hosts.count() ==
+      hosts.select("domain").distinct().count(),
+      "robots must carry ONE row per domain — duplicates would " +
+        "double-schedule every URL of that host")
+    val initial = base.map(_.select(col("domain"), col("norm_url"),
+        col("crawl_delay_s").cast("long")))
       .getOrElse {
         import spark.implicits._
-        Seq.empty[(String, String, Long, Long)]
-          .toDF("ledger_key", "domain", "n_urls", "busy_s")
+        Seq.empty[(String, String, Long)]
+          .toDF("domain", "norm_url", "crawl_delay_s")
       }
     StandingGate.start(delta, initial, queryName, sink, standingStore,
-        compactEvery, storeCols = Seq("ledger_key", "domain", "n_urls",
-          "busy_s"), dedupKey = "ledger_key") {
-      (batch, standing, batchId) =>
-        // per-domain bookkeeping from the ledger: scheduled count + clock
-        val booked = standing.groupBy("domain").agg(
-          sum(col("n_urls")).as("booked_n"),
-          sum(col("busy_s")).as("booked_s"))
-        // within-batch redelivery tiebreak, then the robots gate: a
-        // domain with no robots row default-allows with delay 0
+        compactEvery, storeCols = Seq("domain", "norm_url",
+          "crawl_delay_s"), dedupKey = "norm_url") {
+      (batch, standing, _) =>
+        // per-domain bookkeeping from the scheduled set: count + clock.
+        // Key-distinct FIRST — a crash-replayed append leaves duplicate
+        // rows in the in-memory union until the next re-checkpoint, and
+        // a sum over them would double-book (r20 review)
+        val booked = standing.dropDuplicates("norm_url")
+          .groupBy("domain").agg(
+            count(lit(1)).as("booked_n"),
+            sum(col("crawl_delay_s")).as("booked_s"))
+        // within-batch redelivery tiebreak; exactly-once-per-URL across
+        // batches (and across crash replays) by anti-join; then the
+        // robots gate — a domain with no robots row default-allows with
+        // delay 0
         val gated = DeterministicSurvivor
           .keepFirstBy(batch, "norm_url", "domain")
           .filter(col("domain").isNotNull)
+          .join(standing.select("norm_url"), Seq("norm_url"), "left_anti")
           .join(broadcast(hosts), Seq("domain"), "left")
           .withColumn("path",
             regexp_replace(col("norm_url"), GroupD.CanonPathP, ""))
@@ -136,15 +158,7 @@ object StreamFetchPlan {
           .select(col("domain"), col("norm_url"), col("fetch_rank"),
             col("crawl_delay_s"), col("start_at_s"))
           .localCheckpoint(true)
-        // ledger delta: ONE row per scheduled domain this batch, keyed
-        // by batchId so a crash-replay re-appends identical keys that
-        // compaction drops (see scaladoc)
-        (kept, kept.groupBy("domain").agg(
-            count(lit(1)).as("n_urls"),
-            sum(col("crawl_delay_s")).as("busy_s"))
-          .select(concat(lit(s"$batchId:"), col("domain"))
-            .as("ledger_key"), col("domain"), col("n_urls"),
-            col("busy_s")))
+        (kept, kept.select("domain", "norm_url", "crawl_delay_s"))
     }
   }
 }

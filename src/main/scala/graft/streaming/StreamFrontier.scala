@@ -92,8 +92,16 @@ object StreamFrontier {
           .withColumn("domain", GroupC.urlDomain(col("norm_url")))
           .localCheckpoint(true)
         // own URLs enter the standing set too (dupes across batches are
-        // harmless: the set is anti-join-only; compaction dedups the store)
-        (kept, own.foldLeft(kept.select("norm_url"))(_ unionByName _))
+        // harmless: the set is anti-join-only; compaction dedups the
+        // store). The union is CHECKPOINTED because `own` is a lazy
+        // projection of the foreachBatch dataset — without it the
+        // standing union's lineage would reach every prior batch's
+        // source plan until the next compactEvery re-checkpoint (a
+        // non-re-readable source — cleanSource=delete — would kill the
+        // query; a re-readable one re-reads all prior batches per
+        // batch; r20 review)
+        (kept, own.foldLeft(kept.select("norm_url"))(_ unionByName _)
+          .localCheckpoint(true))
     }
   }
 }

@@ -46,9 +46,7 @@ class StreamFetchPlanSpec extends AnyFunSuite {
     val frontier = GroupD.d95Frontier(spark, sf)
       .filter(col("domain").isNotNull)
     val robots = frontier.select("domain").distinct()
-      .withColumn("k", coalesce(
-        nullif(regexp_extract(col("domain"), "([0-9]+)", 1), lit(""))
-          .cast("long"), lit(0L)) % 37)
+      .withColumn("k", graft.queries.GroupC.hostKey(col("domain")))
       .select(col("domain"), GroupD.d97RobotsText(col("k")).as("robots"))
     val dir = tempDir("sfetch1")
     csvFile(dir, "b1.csv", csv(frontier.collect().map(r =>
@@ -86,10 +84,12 @@ class StreamFetchPlanSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       // batch 2: rank continues at 4 and start at the booked 6s; the
-      // fifth URL exceeds the TOTAL cap and drops
+      // fifth URL exceeds the TOTAL cap and drops; a REDELIVERED
+      // already-scheduled URL never re-schedules (exactly-once per URL)
       csvFile(dir, "b2.csv", csv(
         "a.com" -> "https://a.com/p4",
-        "a.com" -> "https://a.com/p5"))
+        "a.com" -> "https://a.com/p5",
+        "a.com" -> "https://a.com/p1"))
       q.processAllAvailable()
     } finally q.stop()
     assert(perBatch(0L) == Set(
@@ -116,15 +116,17 @@ class StreamFetchPlanSpec extends AnyFunSuite {
       (_, _) => (), standingStore = Some(store), compactEvery = 1)
     try q1.processAllAvailable() finally q1.stop()
 
-    // run 2 (restart): the ledger, not driver memory, carries the
+    // run 2 (restart): the standing set, not driver memory, carries the
     // booking — next URL ranks 3 at 4s; a base-seeded domain continues
-    // from its seeded count/clock
+    // from its seeded rows' count/clock (d97's output shape)
     val dir2 = tempDir("sfetch3b")
     csvFile(dir2, "b1.csv", csv(
       "a.com" -> "https://a.com/p9",
       "seeded.net" -> "https://seeded.net/s1"))
-    val base = Seq(("seeded.net", 5L, 11L)).toDF(
-      "domain", "n_urls", "busy_s")
+    val base = Seq(
+      ("seeded.net", "https://seeded.net/old1", 5L),
+      ("seeded.net", "https://seeded.net/old2", 6L)).toDF(
+      "domain", "norm_url", "crawl_delay_s")
     val got = scala.collection.mutable
       .Set[(String, Long, Long, Long)]()
     val q2 = StreamFetchPlan.start(stream(dir2), oneHostRobots, "sfetch3b",
@@ -135,8 +137,21 @@ class StreamFetchPlanSpec extends AnyFunSuite {
     try q2.processAllAvailable() finally q2.stop()
     assert(got.toSet == Set(
       ("https://a.com/p9", 3L, 2L, 4L),
-      ("https://seeded.net/s1", 6L, 0L, 11L)),
-      s"restart must continue from ledger + base: $got")
+      ("https://seeded.net/s1", 3L, 0L, 11L)),
+      s"restart must continue from the standing set + base: $got")
+  }
+
+  test("duplicate robots domains fail fast") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = tempDir("sfetch5")
+    csvFile(dir, "b1.csv", "domain;norm_url\n")
+    val dup = Seq(("a.com", "User-agent: *\n"), ("a.com", "User-agent: *\n"))
+      .toDF("domain", "robots")
+    val e = intercept[IllegalArgumentException] {
+      StreamFetchPlan.start(stream(dir), dup, "sfetch5", (_, _) => ())
+    }
+    assert(e.getMessage.contains("ONE row per domain"))
   }
 
   test("reserved names fail fast") {
