@@ -1279,9 +1279,21 @@ object GroupC {
     * definition, so the composed pipeline can never drift from the
     * declared walker). */
   private[graft] def warcWalk(df: DataFrame): DataFrame = {
-    def hdrOf(rec: Column, hEnd: Column): Column = rec.substr(lit(1), hEnd - 1)
-    def cLen(hdr: Column): Column =
-      regexp_extract(hdr, WarcCLenP, 1).cast("long")
+    // REFUSAL discipline (the decoder rule — junk NULLs, never throws;
+    // r20 review follow-up, the StreamFetchPlan ANSI-cast class): a
+    // header block missing its terminator refuses via the h > 0 guard
+    // (instr = 0 otherwise walks garbage); a header missing
+    // Content-Length extracts '' — which an ANSI cast THROWS on — and a
+    // ≥ 16-digit length would overflow the cast the same way, so the
+    // digit run is length-gated before casting (NULL otherwise, and the
+    // NULL propagates through every downstream substr/instr to a NULL
+    // payload — the refusal, reachable only on non-constructed input)
+    def hdrOf(rec: Column, hEnd: Column): Column =
+      when(hEnd > 0L, rec.substr(lit(1), hEnd - 1))
+    def cLen(hdr: Column): Column = {
+      val d = regexp_extract(hdr, WarcCLenP, 1)
+      when(length(d).between(1, 15), d.cast("long"))
+    }
     df
       // record 1: header ends at the first blank line of the BLOB
       .withColumn("h1", instr(col("warc"), CrlfCrlf).cast("long"))
@@ -1299,10 +1311,11 @@ object GroupC {
       .withColumn("hdr3", hdrOf(col("rest3"), col("h3")))
       .withColumn("len3", cLen(col("hdr3")))
       .withColumn("block3", col("rest3").substr(col("h3") + 4L, col("len3")))
-      // HTTP split: the block's FIRST blank line (its own framing)
+      // HTTP split: the block's FIRST blank line (its own framing; the
+      // he > 0 guard refuses a block with no header/payload split)
       .withColumn("he", instr(col("block3"), CrlfCrlf).cast("long"))
-      .withColumn("payload",
-        col("block3").substr(col("he") + 4L, col("len3")))
+      .withColumn("payload", when(col("he") > 0L,
+        col("block3").substr(col("he") + 4L, col("len3"))))
   }
 
   def c16WarcExtract(spark: SparkSession, sfDir: String): DataFrame = {
