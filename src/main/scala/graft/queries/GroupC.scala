@@ -1337,6 +1337,100 @@ object GroupC {
       .orderBy("doc_id")
   }
 
+  // --- c18: WARC revisit resolution (round 20) ----------------------------
+  // The dedup semantics INSIDE the interchange format: a real crawl writes
+  // a `revisit` record (ISO 28500 §6.7.2 — WARC-Refers-To + payload
+  // digest, EMPTY body) instead of re-storing an identical payload, and a
+  // pipeline reading the crawl must RESOLVE revisits to their referent
+  // captures. The constructed corpus makes every doc ≡ 2 (mod 3) a
+  // revisit of its predecessor; the walk classifies the record, extracts
+  // the referent id + digest, and the resolution join recovers each
+  // revisit's effective payload from its referent response.
+
+  private[queries] val WarcRefersToP =
+    "(?m)^WARC-Refers-To: urn:graft:([0-9]+)"
+  private val WarcDigestP = "(?m)^WARC-Payload-Digest: (\\S+)"
+
+  /** Deterministic response-payload length: 10 + doc_id % 90 — shared
+    * with the oracle arithmetically. */
+  private def c18PlenSql(id: String) = s"10 + ($id) % 90"
+
+  /** c18's 3-record blob: c16's warcinfo + request framing, then EITHER
+    * a response (HTTP block over a repeat-x payload of deterministic
+    * length) OR a revisit — WARC-Refers-To naming the predecessor,
+    * the digest carrying its referent's length, and a ZERO-LENGTH body
+    * (the spec's shape for identical-payload-digest revisits; the walk's
+    * he > 0 refusal arm correctly yields a NULL payload for them). */
+  private[queries] def c18Blob: Column = {
+    val host = concat(lit("site-"), (col("doc_id") % 37).cast("string"),
+      lit(".example"))
+    val body1 = concat(lit("software: graft/1.0" + Crlf + "hostname: "),
+      host, lit(Crlf))
+    val body2 = concat(lit("GET /articles/"),
+      (col("doc_id") % 100).cast("string"),
+      lit(" HTTP/1.1" + Crlf + "Host: "), host,
+      lit(Crlf + "User-Agent: graft" + CrlfCrlf))
+    val uri = c13Url
+    val plen = lit(10L) + col("doc_id") % 90L
+    val refPlen = lit(10L) + (col("doc_id") - 1L) % 90L
+    val rec3 = when(col("doc_id") % 3 === 2,
+      warcRec(concat(
+        lit("WARC/1.0" + Crlf + "WARC-Type: revisit" + Crlf +
+          "WARC-Target-URI: "), uri,
+        lit(Crlf + "WARC-Profile: identical-payload-digest" + Crlf +
+          "WARC-Refers-To: urn:graft:"),
+        (col("doc_id") - 1L).cast("string"),
+        lit(Crlf + "WARC-Payload-Digest: len:"),
+        refPlen.cast("string"), lit(Crlf)), lit("")))
+      .otherwise(
+        warcRec(concat(
+          lit("WARC/1.0" + Crlf + "WARC-Type: response" + Crlf +
+            "WARC-Target-URI: "), uri, lit(Crlf)),
+          concat(lit("HTTP/1.1 200 OK" + Crlf +
+            "Content-Type: text/plain" + CrlfCrlf),
+            repeat(lit("x"), plen.cast("int")))))
+    concat(
+      warcRec(lit("WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf), body1),
+      warcRec(concat(
+        lit("WARC/1.0" + Crlf + "WARC-Type: request" + Crlf +
+          "WARC-Target-URI: "), uri, lit(Crlf)), body2),
+      rec3)
+  }
+
+  /** c18: WARC revisit resolution — construct, walk (the SHARED
+    * [[warcWalk]]), classify record 3, extract the referent id + digest
+    * from revisits, and resolve each revisit's effective payload length
+    * from its referent response via the resolution join.
+    *
+    * Scale shape: construct + walk scan-side (c16's argument); the
+    * resolution join shuffles only (id, len) rows on the referent key —
+    * the join a deduplicating crawl STORE runs to materialize its
+    * corpus, linear in records. The zero-length revisit body exercises
+    * the walk's empty-block arm (payload NULL by the he guard — which is
+    * semantically the right answer: revisits HAVE no payload).
+    */
+  def c18WarcRevisit(spark: SparkSession, sfDir: String): DataFrame = {
+    val walked = warcWalk(Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), c18Blob.as("warc")))
+      .select(col("doc_id"),
+        regexp_extract(col("hdr3"), WarcTypeP, 1).as("rec_type"),
+        regexp_extract(col("hdr3"), WarcUriP, 1).as("target_uri"),
+        nullif(regexp_extract(col("hdr3"), WarcRefersToP, 1), lit(""))
+          .cast("long").as("referent_id"),
+        nullif(regexp_extract(col("hdr3"), WarcDigestP, 1), lit(""))
+          .as("payload_digest"),
+        when(col("payload").isNotNull,
+          length(col("payload")).cast("long")).as("own_len"))
+    val responses = walked.filter(col("rec_type") === "response")
+      .select(col("doc_id").as("referent_id"), col("own_len").as("ref_len"))
+    walked.join(responses, Seq("referent_id"), "left")
+      .select(col("doc_id"), col("rec_type"), col("target_uri"),
+        col("referent_id"), col("payload_digest"),
+        coalesce(col("own_len"), col("ref_len"))
+          .as("effective_payload_len"))
+      .orderBy("doc_id")
+  }
+
   // --- c17: sitemap discovery (round 20) ----------------------------------
   // The third politeness-adjacent crawl input next to robots.txt (c15/d97)
   // and outlinks (c14/d95): the `Sitemap:` directive of the robots
@@ -1487,6 +1581,7 @@ object GroupC {
     "c15_robots_gate"    -> (c15RobotsGate _),
     "c16_warc_extract"   -> (c16WarcExtract _),
     "c17_sitemap_discover" -> (c17SitemapDiscover _),
+    "c18_warc_revisit"   -> (c18WarcRevisit _),
     "c9_media_card"      -> (c9MediaCard _),
     "c1_dedup_exact"     -> (c1DedupExact _),
     "c6_pii_redact"      -> (c6PiiRedact _),
@@ -1683,6 +1778,25 @@ object GroupC {
          |  clean_text,
          |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
          |FROM b ORDER BY doc_id""".stripMargin,
+    // c18: the oracle NEVER walks the blob — rec_type, referent, digest
+    // and the RESOLVED payload length all re-derive from doc_id
+    // arithmetic (the hash gate therefore verifies the walk's record
+    // classification, the revisit-header extractions, the zero-length-
+    // body refusal arm AND the resolution join end to end).
+    "c18_warc_revisit" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 2 THEN 'revisit'
+         |       ELSE 'response' END AS rec_type,
+         |  (${c13UrlSql(e => s"CAST($e AS VARCHAR)")}) AS target_uri,
+         |  (CASE WHEN doc_id % 3 = 2 THEN doc_id - 1 END)::BIGINT
+         |    AS referent_id,
+         |  CASE WHEN doc_id % 3 = 2
+         |    THEN 'len:' || CAST(${c18PlenSql("doc_id - 1")} AS VARCHAR)
+         |  END AS payload_digest,
+         |  (CASE WHEN doc_id % 3 = 2 THEN ${c18PlenSql("doc_id - 1")}
+         |        ELSE ${c18PlenSql("doc_id")} END)::BIGINT
+         |    AS effective_payload_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // c17: the oracle NEVER parses robots.txt or XML — it re-derives the
     // whole census arithmetically from the shared constructions: the
     // domain frame and its representative page come from the c13 CTE
