@@ -5022,13 +5022,22 @@ object GroupD {
     */
   def d99WarcPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    // the walked base persists ONCE per corpus (StageCache — the d95/c17
-    // hub policy): unlike d96's direct constructions, every base column
-    // here carries the whole blob construct + framing walk in its
-    // expression tree, and the funnel's branches (plus gopher's HOFs,
-    // which re-evaluate their input array per consumer) would otherwise
-    // multiply that tree per row per branch — measured 223.8 s → the
-    // d96 family's seconds-class at sf0.1 with the one materialization
+    // the walked base MUST sit behind a plan barrier the optimizer
+    // cannot cross. The funnel's keeper filter otherwise PUSHES DOWN
+    // through the walk's 12 projection levels, and because every level
+    // references its parent column ~4 times (the framing arithmetic:
+    // instr + header slice + two substr offsets), alias substitution
+    // multiplies the predicate tree ~4× per level — an exponentially
+    // sized expression that burned 223.8 s at sf0.1 and OOMs a
+    // spec-heap in canonicalization outright (jstack-verified; c16
+    // never triggers it — no filter above its walk — and d96's direct
+    // constructions substitute one level only). A repartition exchange
+    // does NOT help (filters push through exchanges); the LAZY
+    // localCheckpoint is the fix — a LogicalRDD leaf predicate pushdown
+    // stops at, computing the walk exactly once on first action and
+    // serving every funnel branch from the checkpoint. StageCache (the
+    // d95/c17 hub policy) additionally shares that materialization
+    // across calls under Bench/Verify.
     val base = graft.operators.StageCache.persisted(s"$sfDir#d99_base") {
       val walked = GroupC.warcWalk(docs.select(col("doc_id"),
         GroupC.c16BlobWith(GroupC.d92Url, GroupC.c11Html).as("warc")))
@@ -5036,6 +5045,7 @@ object GroupD {
         GroupC.markupClean(col("payload")).as("clean_text"),
         GroupC.urlNormalize(
           regexp_extract(col("hdr3"), GroupC.WarcUriP, 1)).as("norm_url"))
+        .localCheckpoint(false)
     }
     crawlIngestFunnel(docs, base)
   }

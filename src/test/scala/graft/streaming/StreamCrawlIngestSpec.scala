@@ -86,6 +86,41 @@ class StreamCrawlIngestSpec extends AnyFunSuite {
       "survivor count must equal the funnel's final stage")
   }
 
+  test("WARC-fed stream: interchange bytes through the gate reproduce d99's funnel") {
+    // the live analogue of d99: the arriving frame is raw WARC blobs,
+    // walked (the SHARED warcWalk) into (page, url) IN USER SPACE before
+    // the gate — proving the whole live ingest path composes from
+    // interchange bytes with zero gate changes
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val expected = GroupD.queries("d99_warc_pipeline_e2e")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val input = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        GroupC.c16BlobWith(GroupC.d92Url, GroupC.c11Html).as("warc"))
+      .collect()
+    val dir = tempDir("scrawlw")
+    csvFile(dir, "b1.csv", "doc_id;warc_hex\n" + input.map(r =>
+      s"${r.getLong(0)};${hexOf(r.getString(1))}").mkString("\n") + "\n")
+    val walked = GroupC.warcWalk(
+      CsvStream.readStream(spark, dir, CsvDialect(), maxFilesPerTrigger = 1)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          expr("decode(unhex(warc_hex), 'UTF-8')").as("warc")))
+      .select(col("doc_id"), col("payload").as("page"),
+        regexp_extract(col("hdr3"), GroupC.WarcUriP, 1).as("url"))
+    val funnel = scala.collection.mutable.Set[(String, Long, Long, Long)]()
+    val q = StreamCrawlIngest.start(walked, emptyUrls, emptySigs,
+      "scrawlw", (_, _) => (),
+      funnelSink = Some((f, _) => { funnel ++= f.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))); () }))
+    try q.processAllAvailable() finally q.stop()
+    assert(funnel.toSet == expected,
+      s"WARC-fed stream/batch divergence: stream-only " +
+        s"${funnel.toSet -- expected}, batch-only ${expected -- funnel.toSet}")
+  }
+
   test("across batches: both standing axes drop re-arrivals, including quality-rejected URLs") {
     val spark = TestSpark.spark
     val dir = tempDir("scrawl2")
