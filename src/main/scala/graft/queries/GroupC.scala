@@ -1410,6 +1410,11 @@ object GroupC {
     * semantically the right answer: revisits HAVE no payload).
     */
   def c18WarcRevisit(spark: SparkSession, sfDir: String): DataFrame = {
+    // lazy localCheckpoint barrier, the d99 lesson (SCALE.md rule): the
+    // rec_type filter below would otherwise push down through the
+    // walk's multi-reference levels and grow exponentially by alias
+    // substitution (measured 33 s → sub-second at sf0.1), and the
+    // resolution join would re-derive the walk on its build side
     val walked = warcWalk(Tables(spark, sfDir, "documents")
         .select(col("doc_id"), c18Blob.as("warc")))
       .select(col("doc_id"),
@@ -1421,6 +1426,7 @@ object GroupC {
           .as("payload_digest"),
         when(col("payload").isNotNull,
           length(col("payload")).cast("long")).as("own_len"))
+      .localCheckpoint(false)
     val responses = walked.filter(col("rec_type") === "response")
       .select(col("doc_id").as("referent_id"), col("own_len").as("ref_len"))
     walked.join(responses, Seq("referent_id"), "left")
