@@ -1125,17 +1125,21 @@ object GroupC {
   /** Longest matching prefix length among `rules` for `path` — the RFC
     * 9309 match rule as one HOF fold (0 = no rule matches). Shared with
     * d97 (host-grouped evaluation over the frontier). */
-  /** The numeric HOST key shared by d97's robots construction, c17's
-    * urlset construction and their specs: the domain's embedded digit
-    * run mod 37 (digit-free domains key 0) — ONE definition so the
-    * constructions cannot drift (r20 review). */
-  private[graft] def hostKey(domain: Column): Column =
-    coalesce(nullif(regexp_extract(domain, "([0-9]+)", 1), lit(""))
-      .cast("long"), lit(0L)) % 37
-
   private[graft] def c15BestLen(rules: Column, path: Column): Column =
     aggregate(filter(rules, p => path.startsWith(p)), lit(0L),
       (acc, p) => greatest(acc, length(p).cast("long")))
+
+  /** The numeric HOST key shared by d97's robots construction, c17's
+    * urlset construction and their specs: the domain's embedded digit
+    * run mod 37 (digit-free domains key 0) — ONE definition so the
+    * constructions cannot drift (r20 review). The run is length-gated
+    * before the cast (the warcWalk cLen discipline): a ≥ 16-digit run
+    * would overflow the ANSI cast and kill the query instead of keying
+    * 0 — reachable only on non-constructed domains. */
+  private[graft] def hostKey(domain: Column): Column = {
+    val d = regexp_extract(domain, "([0-9]+)", 1)
+    coalesce(when(length(d).between(1, 15), d.cast("long")), lit(0L)) % 37
+  }
 
   /** c15: robots.txt fetch-policy gate — construct each doc's robots.txt
     * and its article path, PARSE the rule groups with line-anchored
@@ -1221,7 +1225,10 @@ object GroupC {
       "'Server: graft/' || CAST(doc_id % 7 AS VARCHAR) || " +
       s"chr(13) || chr(10) || chr(13) || chr(10) || $html"
 
-  private val WarcCLenP = "Content-Length: ([0-9]+)"
+  // line-anchored like every other header pattern (r20 review): an
+  // embedded '...Content-Length: N' inside another header's value would
+  // otherwise win leftmost and silently mis-frame the walk
+  private val WarcCLenP = "(?m)^Content-Length: ([0-9]+)"
   private val WarcTypeP = "(?m)^WARC-Type: (\\S+)"
   private[graft] val WarcUriP = "(?m)^WARC-Target-URI: (\\S+)"
 
@@ -1246,10 +1253,11 @@ object GroupC {
     * column is the parquet-landed raw fetch this walk runs over
     * shard-parallel; nothing corpus-sized moves.
     */
-  /** The constructed 3-record blob over any (uri, html) pair — c16 feeds
-    * the c13 URL + c11 page; d99's e2e compose feeds d92's collision
-    * corpus so the downstream URL-dedup stage actually collapses. */
-  private[graft] def c16BlobWith(uri: Column, html: Column): Column = {
+  /** The shared warcinfo + request PREFIX of every constructed blob,
+    * parameterized by its third record — ONE definition so c16's, d99's
+    * and c18's corpora cannot drift (r20 review; the hostKey rationale
+    * at the blob layer). */
+  private def warcBlobWith(uri: Column, rec3: Column): Column = {
     val host = concat(lit("site-"), (col("doc_id") % 37).cast("string"),
       lit(".example"))
     val body1 = concat(lit("software: graft/1.0" + Crlf + "hostname: "),
@@ -1263,10 +1271,17 @@ object GroupC {
       warcRec(concat(
         lit("WARC/1.0" + Crlf + "WARC-Type: request" + Crlf +
           "WARC-Target-URI: "), uri, lit(Crlf)), body2),
+      rec3)
+  }
+
+  /** The constructed 3-record blob over any (uri, html) pair — c16 feeds
+    * the c13 URL + c11 page; d99's e2e compose feeds d92's collision
+    * corpus so the downstream URL-dedup stage actually collapses. */
+  private[graft] def c16BlobWith(uri: Column, html: Column): Column =
+    warcBlobWith(uri,
       warcRec(concat(
         lit("WARC/1.0" + Crlf + "WARC-Type: response" + Crlf +
           "WARC-Target-URI: "), uri, lit(Crlf)), c16Block3(html)))
-  }
 
   /** The constructed 3-record blob — package-private so WarcWalkSpec can
     * collect it and re-walk the framing in plain JVM code (exhaustion is
@@ -1362,18 +1377,10 @@ object GroupC {
     * (the spec's shape for identical-payload-digest revisits; the walk's
     * he > 0 refusal arm correctly yields a NULL payload for them). */
   private[queries] def c18Blob: Column = {
-    val host = concat(lit("site-"), (col("doc_id") % 37).cast("string"),
-      lit(".example"))
-    val body1 = concat(lit("software: graft/1.0" + Crlf + "hostname: "),
-      host, lit(Crlf))
-    val body2 = concat(lit("GET /articles/"),
-      (col("doc_id") % 100).cast("string"),
-      lit(" HTTP/1.1" + Crlf + "Host: "), host,
-      lit(Crlf + "User-Agent: graft" + CrlfCrlf))
     val uri = c13Url
     val plen = lit(10L) + col("doc_id") % 90L
     val refPlen = lit(10L) + (col("doc_id") - 1L) % 90L
-    val rec3 = when(col("doc_id") % 3 === 2,
+    warcBlobWith(uri, when(col("doc_id") % 3 === 2,
       warcRec(concat(
         lit("WARC/1.0" + Crlf + "WARC-Type: revisit" + Crlf +
           "WARC-Target-URI: "), uri,
@@ -1388,13 +1395,7 @@ object GroupC {
             "WARC-Target-URI: "), uri, lit(Crlf)),
           concat(lit("HTTP/1.1 200 OK" + Crlf +
             "Content-Type: text/plain" + CrlfCrlf),
-            repeat(lit("x"), plen.cast("int")))))
-    concat(
-      warcRec(lit("WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf), body1),
-      warcRec(concat(
-        lit("WARC/1.0" + Crlf + "WARC-Type: request" + Crlf +
-          "WARC-Target-URI: "), uri, lit(Crlf)), body2),
-      rec3)
+            repeat(lit("x"), plen.cast("int"))))))
   }
 
   /** c18: WARC revisit resolution — construct, walk (the SHARED
@@ -1429,11 +1430,23 @@ object GroupC {
       .localCheckpoint(false)
     val responses = walked.filter(col("rec_type") === "response")
       .select(col("doc_id").as("referent_id"), col("own_len").as("ref_len"))
-    walked.join(responses, Seq("referent_id"), "left")
+    // only the REVISIT rows enter the resolution join (r20 review): a
+    // whole-frame left join would ship every response row with a NULL
+    // key — and NULL keys hash to ONE partition, a single-task
+    // straggler holding 2/3 of the corpus at scale; the split-and-union
+    // keeps the join revisit-sized and the claim "only (id, len) rows
+    // shuffle" true
+    val resolved = walked.filter(col("referent_id").isNotNull)
+      .join(responses, Seq("referent_id"), "left")
       .select(col("doc_id"), col("rec_type"), col("target_uri"),
         col("referent_id"), col("payload_digest"),
         coalesce(col("own_len"), col("ref_len"))
           .as("effective_payload_len"))
+    walked.filter(col("referent_id").isNull)
+      .select(col("doc_id"), col("rec_type"), col("target_uri"),
+        col("referent_id"), col("payload_digest"),
+        col("own_len").as("effective_payload_len"))
+      .unionByName(resolved)
       .orderBy("doc_id")
   }
 

@@ -93,15 +93,17 @@ object StreamFrontier {
           .localCheckpoint(true)
         // own URLs enter the standing set too (dupes across batches are
         // harmless: the set is anti-join-only; compaction dedups the
-        // store). The union is CHECKPOINTED because `own` is a lazy
-        // projection of the foreachBatch dataset — without it the
+        // store). The pageUrl union is CHECKPOINTED because `own` is a
+        // lazy projection of the foreachBatch dataset — without it the
         // standing union's lineage would reach every prior batch's
         // source plan until the next compactEvery re-checkpoint (a
         // non-re-readable source — cleanSource=delete — would kill the
         // query; a re-readable one re-reads all prior batches per
-        // batch; r20 review)
-        (kept, own.foldLeft(kept.select("norm_url"))(_ unionByName _)
-          .localCheckpoint(true))
+        // batch; r20 review). Without pageUrl, kept is already a
+        // checkpoint leaf — no second materialization on the hot path.
+        (kept, own.map(o => kept.select("norm_url").unionByName(o)
+            .localCheckpoint(true))
+          .getOrElse(kept.select("norm_url")))
     }
   }
 }

@@ -467,14 +467,24 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
     val qe = graft.SparkEntry.queries("c17_sitemap_discover")(spark, sf)
       .queryExecution
-    val constructNodes = qe.optimizedPlan.collect { case p: Project
-      if p.projectList.exists(_.toString.contains("sitemap.xml")) => p }
+    // the construct may live in a Project ABOVE the per-domain groupBy
+    // or collapse INTO the Aggregate's own expressions (optimizer-
+    // version dependent) — both are host-grouped; on the doc frame it
+    // would sit under no Aggregate at all
+    val constructNodes = qe.optimizedPlan.collect {
+      case p: Project
+        if p.projectList.exists(_.toString.contains("sitemap.xml")) =>
+          p.child
+      case a: Aggregate
+        if a.aggregateExpressions.exists(
+          _.toString.contains("sitemap.xml")) => a
+    }
     assert(constructNodes.nonEmpty,
-      "sitemap construct/walk projection not found")
-    constructNodes.foreach { p =>
-      assert(p.child.collect { case a: Aggregate => a }.nonEmpty,
-        "the sitemap construct must sit above the per-domain groupBy, " +
-          "not on the doc frame")
+      "sitemap construct/walk node not found")
+    constructNodes.foreach { n =>
+      assert(n.collect { case a: Aggregate => a }.nonEmpty,
+        "the sitemap construct must sit on or above the per-domain " +
+          "groupBy, not on the doc frame")
     }
     val pp = qe.executedPlan.toString
     assert(pp.linesIterator.exists(l =>
