@@ -4894,21 +4894,34 @@ object GroupD {
     * the discovery pass and the schedule it feeds share ONE
     * materialization, exactly what a production crawl does with its
     * frontier table between passes. */
+  /** The frontier DIFF body over any `html` link-source frame: extract
+    * every href, canonicalize, dedup, anti-join the corpus's own
+    * canonical URLs, attach the registered domain — ONE definition
+    * shared by d95 (all pages) and d100 (gopher survivors only), so the
+    * two frontier semantics cannot drift (r20 review; the fetchPlanOver
+    * rationale at the discovery side). */
+  private def frontierDiffOver(htmlFrame: DataFrame,
+                               corpus: DataFrame): DataFrame =
+    htmlFrame
+      .select(explode(regexp_extract_all(col("html"),
+        lit(GroupC.HrefP), lit(1))).as("url"))
+      .select(GroupC.urlNormalize(col("url")).as("norm_url"))
+      .filter(col("norm_url").isNotNull)
+      .distinct()
+      .join(corpus.select("norm_url"), Seq("norm_url"), "left_anti")
+      .select(col("norm_url"),
+        GroupC.urlDomain(col("norm_url")).as("domain"))
+
+  /** The corpus's own canonical URLs — the frontier diff's known set. */
+  private def corpusUrls(docs: DataFrame): DataFrame =
+    docs.select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
+
   private[graft] def d95Frontier(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.StageCache.persisted(s"$sfDir#d95_frontier") {
       val docs = Tables(spark, sfDir, "documents")
-      val corpus = docs
-        .select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
-      val outlinks = docs
-        .select(GroupC.partsHtml(GroupC.frontierParts).as("html"))
-        .select(explode(regexp_extract_all(col("html"),
-          lit(GroupC.HrefP), lit(1))).as("url"))
-        .select(GroupC.urlNormalize(col("url")).as("norm_url"))
-        .filter(col("norm_url").isNotNull)
-        .distinct()
-      outlinks.join(corpus, Seq("norm_url"), "left_anti")
-        .select(col("norm_url"),
-          GroupC.urlDomain(col("norm_url")).as("domain"))
+      frontierDiffOver(
+        docs.select(GroupC.partsHtml(GroupC.frontierParts).as("html")),
+        corpusUrls(docs))
     }
 
   def d95FrontierDiscovery(spark: SparkSession, sfDir: String): DataFrame =
@@ -5076,30 +5089,25 @@ object GroupD {
     // lazy checkpoint (the d99-rule barrier, here for COST not safety):
     // the gopher verdict joins back to this frame, and without the
     // barrier both join sides re-run the construct+markup chain —
-    // measured 10.1 → 7.9 s at sf0.1 with the one materialization (in
-    // production the page bytes are TABLE data, not a construction, so
-    // the barrier is exactly the cleaned-corpus materialization a real
-    // pipeline lands anyway)
-    val cleaned = docs
-      .select(col("doc_id"), GroupC.frontierHtml.as("html"))
-      .select(col("doc_id"), col("html"),
-        GroupC.markupClean(col("html")).as("text"))
-      .localCheckpoint(false)
+    // measured 10.1 → 7.9 s isolated at sf0.1 with the one
+    // materialization (in production the page bytes are TABLE data,
+    // not a construction, so the barrier is exactly the cleaned-corpus
+    // materialization a real pipeline lands anyway). StageCache
+    // additionally shares it across the driver's hash + min-of-3 bench
+    // passes (the d99_base layering).
+    val cleaned = graft.operators.StageCache
+      .persisted(s"$sfDir#d100_cleaned") {
+        docs.select(col("doc_id"), GroupC.frontierHtml.as("html"))
+          .select(col("doc_id"), col("html"),
+            GroupC.markupClean(col("html")).as("text"))
+          .localCheckpoint(false)
+      }
     val keepers = cleaned.join(
       gopherOver(cleaned.select(col("doc_id"), col("text")))
         .filter(col("keep")).select("doc_id"),
       "doc_id")
-    val corpus = docs
-      .select(GroupC.urlNormalize(GroupC.c13Url).as("norm_url"))
-    val gatedFrontier = keepers
-      .select(explode(regexp_extract_all(col("html"),
-        lit(GroupC.HrefP), lit(1))).as("url"))
-      .select(GroupC.urlNormalize(col("url")).as("norm_url"))
-      .filter(col("norm_url").isNotNull)
-      .distinct()
-      .join(corpus, Seq("norm_url"), "left_anti")
-      .select(col("norm_url"),
-        GroupC.urlDomain(col("norm_url")).as("domain"))
+    val gatedFrontier = frontierDiffOver(
+        keepers.select(col("html")), corpusUrls(docs))
       .filter(col("domain").isNotNull)
     fetchPlanOver(gatedFrontier)
   }
@@ -5147,15 +5155,14 @@ object GroupD {
        |FROM sched WHERE fetch_rank <= 10
        |ORDER BY domain, fetch_rank""".stripMargin
 
-  /** The frontier's oracle CTE chain ending at `g(norm_url, domain)` —
-    * d95's body before its census, shared verbatim by the d95 and d97
-    * oracles (mirror of the shared [[d95Frontier]] Spark body). */
-  private def frontierOracleCtes: String =
-    s"""h AS (SELECT doc_id,
-       |  ${GroupC.partsHtmlSql(GroupC.frontierParts)} AS html FROM documents),
-       |l AS (SELECT doc_id,
+  /** The frontier DIFF oracle chain over any `(doc_id, html)` relation,
+    * ending at `g(norm_url, domain)` — mirror of the shared
+    * [[frontierDiffOver]] Spark body (one CTE builder, so the d95/d97
+    * and d100 oracles cannot drift from each other either). */
+  private def frontierDiffCtesFrom(htmlRel: String): String =
+    s"""l AS (SELECT doc_id,
        |  unnest(regexp_extract_all(html, '${GroupC.HrefP}', 1)) AS url
-       |  FROM h),
+       |  FROM $htmlRel),
        |${GroupC.c13NormCtes("", "url", "l")},
        |ol AS (SELECT DISTINCT norm_url FROM n WHERE norm_url IS NOT NULL),
        |${GroupC.c13NormCtes("", from = "documents", prefix = "c")},
@@ -5163,6 +5170,15 @@ object GroupD {
        |  WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm_url = ol.norm_url)),
        |g AS (SELECT norm_url,
        |  ${GroupC.urlDomainSql("norm_url")} AS domain FROM f)"""
+      .stripMargin
+
+  /** The frontier's oracle CTE chain ending at `g(norm_url, domain)` —
+    * d95's body before its census, shared verbatim by the d95 and d97
+    * oracles (mirror of the shared [[d95Frontier]] Spark body). */
+  private def frontierOracleCtes: String =
+    s"""h AS (SELECT doc_id,
+       |  ${GroupC.partsHtmlSql(GroupC.frontierParts)} AS html FROM documents),
+       |${frontierDiffCtesFrom("h")}"""
       .stripMargin
 
   /** d97's per-HOST robots.txt, constructed from the domain's embedded
@@ -6315,16 +6331,8 @@ object GroupD {
          |  ${GroupC.markupCleanSql("html")} AS text FROM fh),
          |g0 AS (${GroupC.gopherOracleSql("", "fc")}),
          |fk AS (SELECT doc_id FROM g0 WHERE keep),
-         |l AS (SELECT fc.doc_id,
-         |  unnest(regexp_extract_all(html, '${GroupC.HrefP}', 1)) AS url
-         |  FROM fc JOIN fk USING (doc_id)),
-         |${GroupC.c13NormCtes("", "url", "l")},
-         |ol AS (SELECT DISTINCT norm_url FROM n WHERE norm_url IS NOT NULL),
-         |${GroupC.c13NormCtes("", from = "documents", prefix = "c")},
-         |f AS (SELECT norm_url FROM ol
-         |  WHERE NOT EXISTS (SELECT 1 FROM cn WHERE cn.norm_url = ol.norm_url)),
-         |g AS (SELECT norm_url,
-         |  ${GroupC.urlDomainSql("norm_url")} AS domain FROM f),
+         |fl AS (SELECT fc.doc_id, html FROM fc JOIN fk USING (doc_id)),
+         |${frontierDiffCtesFrom("fl")},
          |$fetchPlanOracleTail""".stripMargin,
     // d98: the outlink chain (d95's shared CTEs, relation g) next to the
     // sitemap-news chain (c17's shared CTEs, "s"-prefixed — the two

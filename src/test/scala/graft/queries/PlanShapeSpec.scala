@@ -492,6 +492,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "the domains-sized census join must broadcast")
   }
 
+  test("d100: cleaned corpus rides the checkpoint barrier; schedule keeps d97's shapes") {
+    // the d99-rule barrier is load-bearing for COST here (without it
+    // both gopher-join sides re-run construct+markup — measured 10.1 vs
+    // 7.9 s at sf0.1) and the schedule must keep d97's map-side cap and
+    // broadcast-back shapes
+    val pp = graft.SparkEntry.queries("d100_gated_frontier_plan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("ExistingRDD"),
+      "the cleaned corpus must sit behind the lazy-checkpoint barrier " +
+        "(LogicalRDD leaf)")
+    assert(pp.contains("WindowGroupLimit"),
+      "the per-host cap must prune map-side")
+    assert(pp.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner")),
+      "host decisions must broadcast back to the URL rows")
+  }
+
   test("d44/d46: attribution and keep-best rules plan as WindowGroupLimit") {
     // d44's top-1 benchmark attribution and d46's one-survivor-per-cluster
     // rule must both prune map-side before their shuffles — at 100 TB the
