@@ -134,12 +134,21 @@ object StreamCrawlIngest {
           .join(knownUrls, Seq("norm_url"), "left_anti")
           .localCheckpoint(true)
         // stage 3: the Gopher gate over the survivors' cleaned text —
-        // the ONE shared body, so the live gate cannot drift from d69
-        val gopherSurv = urlFresh.join(
+        // the ONE shared body, so the live gate cannot drift from d69.
+        // With a funnelSink the stage checkpoints (r20 ADVICE): the
+        // count arm would otherwise re-run the gopher join (tokenize +
+        // rule evaluation over urlFresh) a second time beyond the kept
+        // materialization — making the scaladoc's "counts over
+        // already-checkpointed frames" true for all four stages. Hot
+        // paths (no funnelSink) skip the extra materialization.
+        val gopherJoined = urlFresh.join(
           GroupD.gopherOver(urlFresh.select(col("doc_id"),
               col("clean_text").as("text")))
             .filter(col("keep")).select("doc_id"),
           "doc_id")
+        val gopherSurv =
+          if (funnelSink.isDefined) gopherJoined.localCheckpoint(true)
+          else gopherJoined
         // stage 4: exact text dedup — c1's md5 keep-min within the
         // batch, first-arrival-wins across batches
         val ws = Window.partitionBy(col("sig")).orderBy(col("doc_id"))

@@ -120,8 +120,17 @@ object StreamFetchPlan {
         // per-domain bookkeeping from the scheduled set: count + clock.
         // Key-distinct FIRST — a crash-replayed append leaves duplicate
         // rows in the in-memory union until the next re-checkpoint, and
-        // a sum over them would double-book (r20 review)
-        val booked = standing.dropDuplicates("norm_url")
+        // a sum over them would double-book (r20 review). The key
+        // distinct is a DETERMINISTIC aggregate (r20 ADVICE): a
+        // dropDuplicates would pick an arbitrary row per URL, so a
+        // standing set that ever carried the same norm_url with two
+        // delays (robots change between restarts, a seed disagreeing
+        // with stored rows) would make booked_s nondeterministic across
+        // runs — min() resolves such duplicates the same way every time.
+        // domain is functionally determined by norm_url, so grouping by
+        // both keeps one row per URL.
+        val booked = standing.groupBy("domain", "norm_url")
+          .agg(min(col("crawl_delay_s")).as("crawl_delay_s"))
           .groupBy("domain").agg(
             count(lit(1)).as("booked_n"),
             sum(col("crawl_delay_s")).as("booked_s"))
@@ -129,9 +138,14 @@ object StreamFetchPlan {
         // batches (and across crash replays) by anti-join; then the
         // robots gate — a domain with no robots row default-allows with
         // delay 0
+        // NULL norm_url drops WITH the NULL domain (r20 ADVICE): the
+        // left_anti join never matches a NULL key, so such a row would
+        // bypass the exactly-once guarantee and re-schedule every batch
+        // (StreamFrontier never emits one; the gate's contract covers
+        // any caller)
         val gated = DeterministicSurvivor
           .keepFirstBy(batch, "norm_url", "domain")
-          .filter(col("domain").isNotNull)
+          .filter(col("domain").isNotNull && col("norm_url").isNotNull)
           .join(standing.select("norm_url"), Seq("norm_url"), "left_anti")
           .join(broadcast(hosts), Seq("domain"), "left")
           .withColumn("path",
