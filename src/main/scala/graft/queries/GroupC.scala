@@ -100,9 +100,13 @@ object GroupC {
     *
     * The shingle subplan feeds both self-join sides and the two size
     * lookups (4 evaluations — exchanges differ, so ReuseExchange can't
-    * fire). Deliberately NOT persisted: measured at bench scale, cache
-    * population + memory-store churn costs more than the recompute; a
-    * long-lived cluster pipeline would persist and unpersist explicitly.
+    * fire), so it sits behind a lazy localCheckpoint barrier (r21): the
+    * kernel pass pays once per call and all four consumers read the
+    * materialized (doc_id, shingle) rows. Measured at sf0.1 (min-of-4+):
+    * c2 1.25→1.03, c7 1.01→0.76, d47 1.37→1.31 s — reversing the
+    * pre-kernel-era "deliberately not persisted" call, whose cache-churn
+    * cost was measured against the CacheManager persist path, not the
+    * checkpoint leaf. (r13 history kept below for the join-pin context.)
     *
     * The self-join is PINNED merge: both sides are the same bare exploded
     * frame, which since the kernel lineage has no exchange beneath it —
@@ -117,7 +121,7 @@ object GroupC {
     * locally and degrades to SMJ at scale (see d30ContainmentProbe).
     */
   def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    val sh = shingles(spark, sfDir).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a").hint("merge")
       .join(sh.as("b").hint("merge"),

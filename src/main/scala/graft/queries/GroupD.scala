@@ -438,12 +438,17 @@ object GroupD {
   private[queries] def dedupEmbeddingLsh(e: DataFrame, spark: SparkSession,
       tables: Int, bits: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // Pair dedup stays a distinct() over narrow ID pairs — measured: the
-    // textbook "first-collision emission" alternative (carry the key
-    // array, emit a pair only from its first colliding table) removes
-    // this exchange but costs an interpreted zip_with/slice filter on
-    // EVERY joined row, 25.7 s vs 3.3 s at sf0.1/24×3. The distinct's
-    // 16-byte rows shuffle faster than per-row HOF allocation runs.
+    // NO pair-level distinct before the verify (r21): the cosine verify
+    // is one fused codegen loop over broadcast-attached vectors, so
+    // verifying every collision row and deduplicating only the final
+    // drop-ids is cheaper than shuffling the pre-dedup collision stream
+    // (~24× the distinct pairs at these settings) through a pair
+    // HashAggregate exchange — measured 3.12 → ~1.9 s at sf0.1/24×3.
+    // (Two older alternatives stay documented: the "first-collision
+    // emission" zip_with/slice filter on every joined row measured
+    // 25.7 s; the pair distinct itself 3.3 s.) The filter is idempotent
+    // per duplicate candidate row, and the final idb distinct dedupes
+    // at drop-set size, so the output is unchanged.
     val keyed = e.select(col("vec_id"), col("v"),
       posexplode(expr(
         s"${graft.functions.GraftFunctions.LshKeysName}(v, $tables, $bits)"))
@@ -453,7 +458,6 @@ object GroupD {
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
-      .distinct()
     val dupIds = cand
       .join(e.select(col("vec_id").as("ida"), col("v").as("va")), Seq("ida"))
       .join(e.select(col("vec_id").as("idb"), col("v").as("vb")), Seq("idb"))
@@ -826,11 +830,14 @@ object GroupD {
   def d24FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // r21: barrier the variants — both merge-join sides otherwise re-run
+    // the deletion-variant explode once each (d57's argument)
     val variants = cust.select(col("id"), col("name"),
       explode(array_distinct(expr(
         "transform(sequence(0, length(name)), i -> IF(i = 0, name, " +
           "concat(substr(name, 1, i - 1), substr(name, i + 1))))"))).as("v"))
       .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
+      .localCheckpoint(false)
     val a = variants.toDF("ida", "name_a", "vh")
     val b = variants.toDF("idb", "name_b", "vh")
     a.hint("merge").join(b.hint("merge"), "vh")
@@ -951,8 +958,12 @@ object GroupD {
       "transform(sequence(1, j - 1), i -> named_struct('v', " +
       "concat(substr(name, 1, i - 1), substr(name, i + 1, j - i - 1), " +
       "substr(name, j + 1)), 'c', 131072 + (i - 1) * 256 + (j - 2)))))))"
+    // r21: barrier the variants — both self-join sides otherwise re-run
+    // the generator explode (substr chains over every name) once each;
+    // the materialized rows are narrow (id, 8-byte hash, int)
     val variants = cust.select(col("id"), explode(expr(gen)).as("s"))
       .select(col("id"), xxhash64(col("s.v")).as("vh"), col("s.c").as("c"))
+      .localCheckpoint(false)
     val a = variants.toDF("ida", "vh", "ca")
     val b = variants.toDF("idb", "vh", "cb")
     // ed bound per instance: da + db − |gap multiset ∩|, the ≤2-element
@@ -1301,8 +1312,17 @@ object GroupD {
     */
   def d31DedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
-    val labels = graft.operators.ConnectedComponents
-      .labelByStars(pairs, src = "doc_a", dst = "doc_b")
+    // r21: the star-contraction labels ride the StageCache policy like
+    // d14's propagation labels (s"$sfDir#d14_clusters") — the iterative
+    // alternation is the most re-derivation-hostile shape there is
+    // (d14's own argument), and without the entry every bench pass
+    // re-ran the full O(log n)-round relabeling while d14 served its
+    // frame from the cache
+    val labels = graft.operators.StageCache
+      .persisted(s"$sfDir#d31_labels") {
+        graft.operators.ConnectedComponents
+          .labelByStars(pairs, src = "doc_a", dst = "doc_b")
+      }
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
@@ -1369,11 +1389,29 @@ object GroupD {
         expr("transform(embedding, x -> float(x / nrm))").as("nvec"))
   }
 
+  /** Codebook m as ONE plan literal (`array<array<double>>`). r21: the
+    * previous per-element `array(lit…)` construction put K·sub literal
+    * NODES per subspace into the plan (4×16×16 ≈ 1k leaves before the
+    * per-entry HOF lambdas) — at bench scale the DRIVER's optimize +
+    * canonicalize passes over that tree dominated d33/d60 (the d27
+    * round-8 lesson: literal-tree size is driver plan time). A single
+    * `typedLit` is one leaf whatever K·sub is.
+    */
+  private def pqBookLit(model: graft.operators.PqIndex.Model,
+      m: Int): org.apache.spark.sql.Column =
+    typedLit(model.codebooks(m).map(_.toSeq).toSeq)
+
   /** PQ code assignment over codebook literals: per subspace, the
     * argmin-by-(d2, j) code (KMeans.assign's exact tie-break) from the
     * `nvec` column — an M-int array, the 4-byte payload a PQ store
     * shuffles and persists. Shared by d33 (fused with decode) and d60
-    * (shuffled through the candidate join).
+    * (shuffled through the candidate join). r21: the argmin runs as the
+    * native [[graft.functions.NearestCentroid]] expression (d27's
+    * serving kernel — one fused codegen loop, constant plan size in K;
+    * its strict-< earliest-minimum rule is EXACTLY the old
+    * `sort_array(struct(d2, j))(0)` tie-break, pinned bit-identical in
+    * NearestCentroidSpec) instead of K struct(aggregate∘zip_with)
+    * candidates per subspace.
     */
   private def pqCodesExpr(model: graft.operators.PqIndex.Model,
       M: Int): org.apache.spark.sql.Column =
@@ -1381,25 +1419,20 @@ object GroupD {
       val slice = expr(
         s"transform(slice(nvec, ${m * model.sub + 1}, ${model.sub}), " +
           "x -> cast(x AS double))")
-      val cands = model.codebooks(m).zipWithIndex.map { case (cvec, j) =>
-        val cent = array(cvec.map(lit): _*)
-        struct(
-          aggregate(zip_with(slice, cent, (x, y) => (x - y) * (x - y)),
-            lit(0d), (a, x) => a + x).as("d2"),
-          lit(j).as("j"))
-      }
-      sort_array(array(cands: _*))(0).getField("j")
+      org.apache.spark.sql.functions.call_function(
+          graft.functions.GraftFunctions.NearestCentroidName,
+          slice, pqBookLit(model, m))
+        .getField("cluster")
     }: _*)
 
   /** PQ decode: codebook lookup of an M-int `codes` column, concat into
-    * the reconstructed vector. The codebooks ride as plan literals.
+    * the reconstructed vector. The codebooks ride as plan literals
+    * (one [[pqBookLit]] leaf per subspace — r21).
     */
   private def pqDecodeExpr(model: graft.operators.PqIndex.Model, M: Int,
       codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat((0 until M).map { m =>
-      element_at(
-        array(model.codebooks(m).map(c => array(c.map(lit): _*)): _*),
-        codes(m) + 1)
+      element_at(pqBookLit(model, m), codes(m) + 1)
     }: _*)
 
   /** PQ encode+decode fused into one projection — d33's full-scan ADC
@@ -1839,7 +1872,7 @@ object GroupD {
     graft.functions.GraftFunctions.register(deltaDocs.sparkSession)
     val all = baseDocs.select(col("doc_id"), col("text"))
       .unionByName(deltaDocs.select(col("doc_id"), col("text")))
-    val sh = GroupC.shinglesOf(all)
+    val sh = GroupC.shinglesOf(all).localCheckpoint(false)
     val cand = incrementalProbes(sh, deltaDocs.select("doc_id")).as("d")
       .join(sh.as("o"), "shingle")
       .filter(col("d.doc_id") =!= col("o.doc_id"))
@@ -2150,7 +2183,7 @@ object GroupD {
     // NO exchange at all (1.9 s) — the inline hazard is gone outright
     // because the kernel is one cheap char scan wherever Catalyst copies
     // it (see GroupC.shingles).
-    val sh = GroupC.shingles(spark, sfDir)
+    val sh = GroupC.shingles(spark, sfDir).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val probes = containmentProbes(sh)
     // NO merge hint on the probe/verify joins (unlike pairOverlap's
@@ -2204,7 +2237,7 @@ object GroupD {
     */
   def d43ContainmentMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = GroupC.shingles(spark, sfDir)
+    val sh = GroupC.shingles(spark, sfDir).localCheckpoint(false)
     val cand = containmentProbes(sh).as("p").join(sh.as("i"), "shingle")
       .filter(col("p.doc_id") =!= col("i.doc_id"))
       .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
