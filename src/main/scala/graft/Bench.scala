@@ -19,11 +19,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // SPARK_GRAFT_BENCH_COLD=1 (r21 verdict tasks 1a/2): one pass, both
+    // cache layers off (ModelCache stays unset, which also disables
+    // StageCache) — every query computes its declared result from the
+    // parquet inputs with nothing amortized, the number a core-count
+    // scaling comparison can trust. Default mode is unchanged
+    // (min-of-3, caches on) so round-over-round comparisons stay
+    // apples-to-apples; per-query PASS-1 times additionally land in
+    // bench_result.json ("queries_pass1") every run so cold-to-cold can
+    // be compared without a separate invocation.
+    val cold = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
+    val passes =
+      if (cold) 1 else sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // persist one-time tuning/training artifacts across bench JVMs, keyed
     // on the corpus files' fingerprint (graft.operators.ModelCache) — a
     // fresh process's pass 1 then costs near a warm pass
-    graft.operators.ModelCache.enableDefaultIfUnset()
+    if (!cold) graft.operators.ModelCache.enableDefaultIfUnset()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -109,10 +120,20 @@ object Bench {
     val full = names.zip(minPer).map { case (k, v) =>
       if (failed.contains(k)) "\"" + k + "\":\"err\"" else "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
+    // per-query PASS-1 (cold within this JVM) times, full precision —
+    // the r21 verdict's measurement-honesty ask: StageCache/ModelCache
+    // population costs land in pass 1, so this map is the number that
+    // includes every query's own stage builds; the min-of-n map above
+    // is the steady-state number. Both ride bench_result.json.
+    val pass1 = names.indices.map { i =>
+      val (t, ok) = times.head(i)
+      if (ok) "\"" + names(i) + "\":" + t
+      else "\"" + names(i) + "\":\"err\""
+    }.mkString("{", ",", "}")
     val passTotalsFull = times.map(_.map(_._1).sum).mkString("[", ",", "]")
     Files.writeString(
       Paths.get("bench_result.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotalsFull,"failed_count":${failed.size},"failed":$failedJson}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"queries_pass1":$pass1,"cold":$cold,"sf":"$sfDir","passes":$passes,"pass_totals":$passTotalsFull,"failed_count":${failed.size},"failed":$failedJson}""" + "\n")
     spark.stop()
   }
 }

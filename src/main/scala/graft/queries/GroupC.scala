@@ -54,6 +54,11 @@ object GroupC {
     * kernel is one cheap char scan wherever Catalyst copies it).
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    // r22: a Tables.fanned repartition was A/B'd here and REVERTED —
+    // the kernel is cheap enough that the extra exchange + 32-task
+    // scheduling cost more than the serial explode saves (BenchOne
+    // min-of-5 at c32: d30 2.40 bare vs 5.21 fanned; the win sites are
+    // the heavy regex chains, see d100/csvRoundTrip)
     shinglesOf(Tables(spark, sfDir, "documents"))
 
   /** [[shingles]] over an explicit (possibly pre-filtered) documents
@@ -121,10 +126,21 @@ object GroupC {
     * locally and degrades to SMJ at scale (see d30ContainmentProbe).
     */
   def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir).localCheckpoint(false)
+    // r22 (d57's shape): the shingle frame ends in ONE shingle-keyed
+    // repartition — the self-join's equi-key — so the join is
+    // co-partitioned with no further exchange and AQE ReuseExchange
+    // collapses the identical subtrees (both join sides + both size
+    // lookups) into one runtime shuffle; the kernel explode runs once,
+    // fanned by Tables.fanned. Replaces the r21 lazy-checkpoint
+    // barrier (UnknownPartitioning under AQE — see d57) and with it
+    // the merge pin: the frame now sits above a real exchange, so the
+    // r13 estimate-broadcast hazard is gone and the per-partition hash
+    // build (shuffle_hash) beats the two sorts.
+    val sh = shinglesOf(Tables.fanned(spark, sfDir, "documents"))
+      .repartition(spark.sparkContext.defaultParallelism, col("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").hint("merge")
-      .join(sh.as("b").hint("merge"),
+    val common = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))

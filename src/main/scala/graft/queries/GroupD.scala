@@ -834,17 +834,25 @@ object GroupD {
   def d24FuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables(spark, sfDir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // r21: barrier the variants — both merge-join sides otherwise re-run
-    // the deletion-variant explode once each (d57's argument)
-    val variants = cust.select(col("id"), col("name"),
-      explode(array_distinct(expr(
-        "transform(sequence(0, length(name)), i -> IF(i = 0, name, " +
-          "concat(substr(name, 1, i - 1), substr(name, i + 1))))"))).as("v"))
+    // r22 (d57's shape): the variants frame ends in ONE vh-keyed
+    // repartition — the self-join's key — so the join is co-partitioned
+    // with no further exchange and AQE ReuseExchange collapses the two
+    // identical subtrees into one runtime shuffle (the explode runs
+    // once, fanned by the id repartition). Replaces the r21
+    // lazy-checkpoint barrier, which under AQE materializes with
+    // UnknownPartitioning and forces both join-side exchanges back.
+    val par = spark.sparkContext.defaultParallelism
+    val variants = cust
+      .repartition(par, col("id"))
+      .select(col("id"), col("name"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, length(name)), i -> IF(i = 0, name, " +
+            "concat(substr(name, 1, i - 1), substr(name, i + 1))))"))).as("v"))
       .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
-      .localCheckpoint(false)
+      .repartition(par, col("vh"))
     val a = variants.toDF("ida", "name_a", "vh")
     val b = variants.toDF("idb", "name_b", "vh")
-    a.hint("merge").join(b.hint("merge"), "vh")
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "vh")
       .filter(col("ida") < col("idb"))
       .select("ida", "name_a", "idb", "name_b").distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
@@ -962,17 +970,34 @@ object GroupD {
       "transform(sequence(1, j - 1), i -> named_struct('v', " +
       "concat(substr(name, 1, i - 1), substr(name, i + 1, j - i - 1), " +
       "substr(name, j + 1)), 'c', 131072 + (i - 1) * 256 + (j - 2)))))))"
-    // r21: barrier the variants — both self-join sides otherwise re-run
-    // the generator explode (substr chains over every name) once each;
-    // the materialized rows are narrow (id, 8-byte hash, int)
-    val variants = cust.select(col("id"), explode(expr(gen)).as("s"))
+    // r22 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): the variants frame ends in ONE vh-keyed repartition —
+    // exactly the self-join's key — so the join is co-partitioned with
+    // no further exchange, and the two identical repartition subtrees
+    // collapse into ONE runtime shuffle via AQE ReuseExchange: the
+    // generator explode runs once, its map side fanned by the id
+    // repartition (the single-row-group scan otherwise explodes as one
+    // task), and the 32 reduce tasks carry the probe stream that AQE
+    // used to coalesce onto 4. The r21 lazy-checkpoint barrier is gone:
+    // under AQE a lazy localCheckpoint materializes with
+    // UnknownPartitioning, which puts an exchange back under each side
+    // (measured 3.7 s vs 2.0 s this way). A class-split join keyed on
+    // (vh, gaps) — probe volume 67 M → 11.7 M — was built and measured
+    // WORSE (3.2-5.0 s): filter pushdown below the keyed exchange
+    // breaks subtree reuse, and requireAllClusterKeysForCoPartition
+    // re-adds the exchanges; the bound filter fused into this single
+    // join probe loop is cheaper than four scheduled join stages.
+    val par = spark.sparkContext.defaultParallelism
+    val variants = cust
+      .repartition(par, col("id"))
+      .select(col("id"), explode(expr(gen)).as("s"))
       .select(col("id"), xxhash64(col("s.v")).as("vh"), col("s.c").as("c"))
-      .localCheckpoint(false)
+      .repartition(par, col("vh"))
     val a = variants.toDF("ida", "vh", "ca")
     val b = variants.toDF("idb", "vh", "cb")
     // ed bound per instance: da + db − |gap multiset ∩|, the ≤2-element
     // sorted-multiset intersection unrolled into int CASE arithmetic
-    // (codegen'd; no strings, no arrays on the 22 M-row join stream)
+    // (codegen'd; no strings, no arrays on the probe stream)
     val boundSql = """
       (ca div 65536) + (cb div 65536) - (CASE
         WHEN ca div 65536 = 0 OR cb div 65536 = 0 THEN 0
@@ -1316,17 +1341,15 @@ object GroupD {
     */
   def d31DedupClustersStar(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = d1Pairs(spark, sfDir).select("doc_a", "doc_b")
-    // r21: the star-contraction labels ride the StageCache policy like
-    // d14's propagation labels (s"$sfDir#d14_clusters") — the iterative
-    // alternation is the most re-derivation-hostile shape there is
-    // (d14's own argument), and without the entry every bench pass
-    // re-ran the full O(log n)-round relabeling while d14 served its
-    // frame from the cache
-    val labels = graft.operators.StageCache
-      .persisted(s"$sfDir#d31_labels") {
-        graft.operators.ConnectedComponents
-          .labelByStars(pairs, src = "doc_a", dst = "doc_b")
-      }
+    // r22 (r21 verdict task 1): the r21 StageCache entry here was
+    // SINGLE-consumer — d31 is its only reader, so the cache shared
+    // nothing across queries and only memoised d31's own near-final
+    // labels across bench passes (measurement, not speed). Dropped; the
+    // labels frame is localCheckpoint-backed per execution inside
+    // labelByStars, so the double reference below (sizes + join) still
+    // computes the contraction exactly once per run.
+    val labels = graft.operators.ConnectedComponents
+      .labelByStars(pairs, src = "doc_a", dst = "doc_b")
     val sizes = labels.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("cluster_id"),
@@ -2187,7 +2210,8 @@ object GroupD {
     // NO exchange at all (1.9 s) — the inline hazard is gone outright
     // because the kernel is one cheap char scan wherever Catalyst copies
     // it (see GroupC.shingles).
-    val sh = GroupC.shingles(spark, sfDir).localCheckpoint(false)
+    val sh = GroupC.shinglesOf(Tables.fanned(spark, sfDir, "documents"))
+      .repartition(spark.sparkContext.defaultParallelism, col("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val probes = containmentProbes(sh)
     // NO merge hint on the probe/verify joins (unlike pairOverlap's
@@ -2241,7 +2265,14 @@ object GroupD {
     */
   def d43ContainmentMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = GroupC.shingles(spark, sfDir).localCheckpoint(false)
+    // r22 (r21 verdict task 3): the r21 localCheckpoint barrier here is
+    // REVERTED — the driver measured d43 1.25 → 1.55 s with it (the only
+    // touched-and-regressed query of r21). Unlike d30, d43's plan
+    // references `sh` through the signature aggregate (one exchange AQE
+    // already reuses) plus the two verify sides, and the barrier's
+    // materialization cost exceeded the recompute saving under cold
+    // min-of-3 conditions. d30 keeps its barrier (verified win).
+    val sh = GroupC.shingles(spark, sfDir)
     val cand = containmentProbes(sh).as("p").join(sh.as("i"), "shingle")
       .filter(col("p.doc_id") =!= col("i.doc_id"))
       .select(least(col("p.doc_id"), col("i.doc_id")).as("doc_a"),
@@ -4833,21 +4864,21 @@ object GroupD {
     * both-sides-recompute shape d100 already barriers (six scans in the
     * un-barriered physical plan, plans/r21/d93_url_pipeline_e2e_before
     * .txt). In production the barrier is the canonical-URL table a
-    * pipeline lands anyway; StageCache additionally shares the
-    * materialization across the driver's hash + bench passes (the
-    * d99_base layering).
+    * pipeline lands anyway. (r22: the r21 StageCache entry on top of
+    * the barrier was single-consumer and is dropped — verdict task 1.)
     */
   def d93UrlPipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
-    val normed = graft.operators.StageCache
-      .persisted(s"$sfDir#d93_normed") {
-        docs
-          .select(col("doc_id"), col("n_chars"), GroupC.d92Url.as("url"))
-          .select(col("doc_id"), col("n_chars"),
-            GroupC.urlNormalize(col("url")).as("norm_url"),
-            GroupC.urlDomain(col("url")).as("domain"))
-          .localCheckpoint(false)
-      }
+    // r22 (r21 verdict task 1): StageCache dropped — d93 was the only
+    // consumer of the r21 `d93_normed` entry, so the cache only served
+    // d93's own frame back across bench passes. The lazy-checkpoint
+    // barrier (the real fix: 6 scans → 1 per execution) stays.
+    val normed = docs
+      .select(col("doc_id"), col("n_chars"), GroupC.d92Url.as("url"))
+      .select(col("doc_id"), col("n_chars"),
+        GroupC.urlNormalize(col("url")).as("norm_url"),
+        GroupC.urlDomain(col("url")).as("domain"))
+      .localCheckpoint(false)
     val keepers = normed.filter(col("norm_url").isNotNull)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("norm_url")).orderBy(col("doc_id"))))
@@ -4988,6 +5019,15 @@ object GroupD {
     htmlFrame
       .select(explode(regexp_extract_all(col("html"),
         lit(GroupC.HrefP), lit(1))).as("url"))
+      // r22: dedup the RAW hrefs BEFORE the canonicalization chain —
+      // normalize is deterministic, so distinct∘normalize∘distinct =
+      // distinct∘normalize, and the corpus's link graph repeats each
+      // target many times (~14× at sf0.1): the ~25-regex chain (which
+      // the pushed-down isNotNull additionally evaluates twice per row
+      // — the d30-family inline trap, visible as a Filter below the
+      // Project in plans/r22) ran 18 CPU-s per pass on repeats; one
+      // map-side-partial distinct of raw strings is far cheaper.
+      .distinct()
       .select(GroupC.urlNormalize(col("url")).as("norm_url"))
       .filter(col("norm_url").isNotNull)
       .distinct()
@@ -5001,7 +5041,7 @@ object GroupD {
 
   private[graft] def d95Frontier(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.StageCache.persisted(s"$sfDir#d95_frontier") {
-      val docs = Tables(spark, sfDir, "documents")
+      val docs = Tables.fanned(spark, sfDir, "documents")
       frontierDiffOver(
         docs.select(GroupC.partsHtml(GroupC.frontierParts).as("html")),
         corpusUrls(docs))
@@ -5050,16 +5090,16 @@ object GroupD {
     // dedup, and BOTH sides of the gopher join-back each re-derive the
     // markup+URL construction chain (the both-sides-recompute shape the
     // r20 verdict flagged). In production the barrier is the cleaned-
-    // corpus table stage 0 lands anyway (d100's argument); StageCache
-    // additionally shares the materialization across the driver's
-    // hash + min-of-3 bench passes (the d99_base layering).
-    val base = graft.operators.StageCache.persisted(s"$sfDir#d96_base") {
-      docs.select(col("doc_id"),
-        GroupC.markupClean(GroupC.partsHtml(GroupC.c11Parts))
-          .as("clean_text"),
-        GroupC.urlNormalize(GroupC.d92Url).as("norm_url"))
-        .localCheckpoint(false)
-    }
+    // corpus table stage 0 lands anyway (d100's argument).
+    // r22 (r21 verdict task 1): StageCache dropped — d96 was the only
+    // consumer of the r21 `d96_base` entry (d99 builds its own base
+    // from walked WARC bytes), so the cache only memoised d96's own
+    // stage across bench passes. The lazy-checkpoint barrier stays.
+    val base = docs.select(col("doc_id"),
+      GroupC.markupClean(GroupC.partsHtml(GroupC.c11Parts))
+        .as("clean_text"),
+      GroupC.urlNormalize(GroupC.d92Url).as("norm_url"))
+      .localCheckpoint(false)
     crawlIngestFunnel(docs, base)
   }
 
@@ -5182,7 +5222,6 @@ object GroupD {
     */
   def d100GatedFrontierPlan(spark: SparkSession, sfDir: String)
       : DataFrame = {
-    val docs = Tables(spark, sfDir, "documents")
     // lazy checkpoint (the d99-rule barrier, here for COST not safety):
     // the gopher verdict joins back to this frame, and without the
     // barrier both join sides re-run the construct+markup chain —
@@ -5194,32 +5233,32 @@ object GroupD {
     // passes (the d99_base layering).
     val cleaned = graft.operators.StageCache
       .persisted(s"$sfDir#d100_cleaned") {
-        docs.select(col("doc_id"), GroupC.frontierHtml.as("html"))
+        Tables.fanned(spark, sfDir, "documents")
+          .select(col("doc_id"), GroupC.frontierHtml.as("html"))
           .select(col("doc_id"), col("html"),
             GroupC.markupClean(col("html")).as("text"))
           .localCheckpoint(false)
       }
-    // r21: the gated frontier is itself a barrier + StageCache entry —
-    // the shared [[fetchPlanOver]] tail references its frontier TWICE
-    // (the URL rows and the domains-sized DISTINCT hosts build side),
-    // and without a barrier both references re-derive the whole
+    // r21: the gated frontier is itself a barrier — the shared
+    // [[fetchPlanOver]] tail references its frontier TWICE (the URL
+    // rows and the domains-sized DISTINCT hosts build side), and
+    // without a barrier both references re-derive the whole
     // gopher-join + outlink-normalize + anti-join subtree (the entire
     // diff chain appears twice in plans/r21/d100_gated_frontier_plan_
-    // before.txt, operators 1-20 vs 21-44). d97 never pays this because
-    // d95's frontier is the persisted standing frame — the same
-    // production argument holds here: the gated frontier IS the crawl's
-    // standing discovery table between passes.
+    // before.txt, operators 1-20 vs 21-44). r22 (r21 verdict task 1):
+    // the r21 StageCache entry here was single-consumer (only d100
+    // reads it) and is dropped — the barrier is the real fix; the
+    // cache only served d100's own frontier back across bench passes.
     val keepers = cleaned.join(
       gopherOver(cleaned.select(col("doc_id"), col("text")))
         .filter(col("keep")).select("doc_id"),
       "doc_id")
-    val gatedFrontier = graft.operators.StageCache
-      .persisted(s"$sfDir#d100_frontier") {
-        frontierDiffOver(
-            keepers.select(col("html")), corpusUrls(docs))
-          .filter(col("domain").isNotNull)
-          .localCheckpoint(false)
-      }
+    val gatedFrontier =
+      frontierDiffOver(
+          keepers.select(col("html")),
+          corpusUrls(Tables.fanned(spark, sfDir, "documents")))
+        .filter(col("domain").isNotNull)
+        .localCheckpoint(false)
     fetchPlanOver(gatedFrontier)
   }
 
