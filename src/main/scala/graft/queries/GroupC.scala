@@ -126,21 +126,15 @@ object GroupC {
     * locally and degrades to SMJ at scale (see d30ContainmentProbe).
     */
   def pairOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    // r22 (d57's shape): the shingle frame ends in ONE shingle-keyed
-    // repartition — the self-join's equi-key — so the join is
-    // co-partitioned with no further exchange and AQE ReuseExchange
-    // collapses the identical subtrees (both join sides + both size
-    // lookups) into one runtime shuffle; the kernel explode runs once,
-    // fanned by Tables.fanned. Replaces the r21 lazy-checkpoint
-    // barrier (UnknownPartitioning under AQE — see d57) and with it
-    // the merge pin: the frame now sits above a real exchange, so the
-    // r13 estimate-broadcast hazard is gone and the per-partition hash
-    // build (shuffle_hash) beats the two sorts.
-    val sh = shinglesOf(Tables.fanned(spark, sfDir, "documents"))
-      .repartition(spark.sparkContext.defaultParallelism, col("shingle"))
+    // r22 note: d57's keyed-repartition-instead-of-checkpoint shape was
+    // A/B'd here against this barrier on a quiet box and LOST (c2
+    // 1.44/1.47 keyed vs 1.24/1.27 barrier; d47 likewise) — the
+    // materialized frame serves the four consumers cheaper than the
+    // reused shuffle does at this frame size. Kept as r21 shipped it.
+    val sh = shingles(spark, sfDir).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b").hint("shuffle_hash"),
+    val common = sh.as("a").hint("merge")
+      .join(sh.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))

@@ -429,6 +429,14 @@ object GroupD {
     * built for (τ ≥ 0.8 prunes > 99% of pairs — demonstrated on clustered
     * vectors in PipelineOpsSpec), where the identical plan shape scales
     * linearly in documents.
+    *
+    * r22 parameter sweep (TuneD10, the r21 verdict's task 6 — "fewer
+    * tables × wider bands at equal recall"): measured NEGATIVE. At
+    * sf0.1, 24×3 is the UNIQUE config in the sweep whose drop set
+    * equals d9's exact answer (129 survivors); every cheaper config
+    * loses drops (16×3 → 132 survivors at 1.49 s, 12×3 → 134, 12×4 →
+    * 155, …) and would break the oracle hash. The 24×3 cost is the
+    * recall contract at this threshold; do not re-tune blind.
     */
   def d10DedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     dedupEmbeddingLsh(Tables(spark, sfDir, "embeddings")
@@ -2210,8 +2218,7 @@ object GroupD {
     // NO exchange at all (1.9 s) — the inline hazard is gone outright
     // because the kernel is one cheap char scan wherever Catalyst copies
     // it (see GroupC.shingles).
-    val sh = GroupC.shinglesOf(Tables.fanned(spark, sfDir, "documents"))
-      .repartition(spark.sparkContext.defaultParallelism, col("shingle"))
+    val sh = GroupC.shingles(spark, sfDir).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val probes = containmentProbes(sh)
     // NO merge hint on the probe/verify joins (unlike pairOverlap's
@@ -2271,7 +2278,8 @@ object GroupD {
     // references `sh` through the signature aggregate (one exchange AQE
     // already reuses) plus the two verify sides, and the barrier's
     // materialization cost exceeded the recompute saving under cold
-    // min-of-3 conditions. d30 keeps its barrier (verified win).
+    // min-of-3 conditions (a shingle-keyed repartition was also A/B'd
+    // here in r22 and lost: 1.26 bare vs 2.10 keyed, quiet box).
     val sh = GroupC.shingles(spark, sfDir)
     val cand = containmentProbes(sh).as("p").join(sh.as("i"), "shingle")
       .filter(col("p.doc_id") =!= col("i.doc_id"))
