@@ -146,15 +146,24 @@ object ConnectedComponents {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
+    var curN = cur.count() // materializes the lazy checkpoint + sizes it
     freeBlocks(raw) // superseded: verts and cur are materialized
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      converged = next.exceptAll(cur).union(cur.exceptAll(next)).isEmpty
+      // r22 (per-round fixed cost): both rounds' edge frames are
+      // DISTINCT sets (smallStar ends in distinct()), so equality is
+      // |next| = |cur| AND next ⊆ cur — the count rides the lazy
+      // checkpoint's materializing action, the ⊆ probe is ONE
+      // exceptAll (not two), and a round whose count moved skips the
+      // probe outright. Exact — no certificate weakening.
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      val nextN = next.count()
+      converged = nextN == curN && next.exceptAll(cur).isEmpty
       freeBlocks(cur) // superseded: next is materialized, cur unused
       cur = next
+      curN = nextN
       rounds += 1
     }
     require(converged, s"star contraction not stable after $rounds rounds")
